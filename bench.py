@@ -1,0 +1,95 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Query set: the relational core (scan/filter/join/agg/window/percentile),
+the doc pipeline (dedup/quality/LSH), and vector similarity — a
+representative slice of SURVEY §2 + beyond-parity ops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_top_revenue",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q10_top_customers",
+    "q04_order_priority",
+    "q_percentiles_by_status",
+    "q_window_top3_per_cust",
+    "q_events_hourly",
+    "q_events_json_extract",
+    "q_ols_residualize",
+    "d_exact_dedup",
+    "d_quality_scores",
+    "d_token_stats",
+    "d_langid_confusion",
+    "d_minhash_signatures",
+    "d_lsh_candidates",
+    "d_simhash",
+    "e_knn_bruteforce",
+    "e_label_centroids",
+    "e_norm_stats",
+]
+
+
+def main() -> None:
+    from daxos_spark.plans import get_specs
+    from daxos_spark.session import get_spark
+
+    spark = get_spark("bench")
+    specs = get_specs()
+
+    # warm the JVM + parquet footers with a trivial action (not measured)
+    from daxos_spark.catalog import load_tables
+
+    load_tables(spark, SF_DIR)["region"].count()
+
+    # Two passes: the first warms whole-stage-codegen (Janino compiles
+    # ~2s per distinct plan — pure one-time JVM cost, amortized to noise
+    # on any real workload); the second pass is the steady-state time
+    # reported. Plans are rebuilt from scratch in the measured pass, so
+    # planning/optimization cost IS included — only class compilation
+    # and JIT warm-up are amortized.
+    for name in BENCH_QUERIES:
+        specs[name].spark(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = specs[name]
+        t0 = time.time()
+        n = spec.spark(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "daxos_spark headline suite wall time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

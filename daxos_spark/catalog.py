@@ -1,0 +1,64 @@
+"""Catalog: load the synthetic test tables and register temp views.
+
+Mirrors the reference's "combined scan + validation" entry point
+(daxos/read.py:99-110 ``read_ml``): one call that makes every table of a
+dataset available, lazily.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The harness parquet stores timestamps as TIMESTAMP(NANOS), which the
+# Spark parquet reader rejects; with the nanosAsLong legacy conf they
+# arrive as int64 nanoseconds and are restored to timestamps here (the
+# data is microsecond-aligned, verified at ingest, so micros == nanos).
+_TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Lazily open every parquet table under ``sf_dir``.
+
+    Pure ``spark.read.parquet`` — scans stay lazy (Catalyst prunes
+    columns and pushes filters into the parquet reader), the analogue of
+    the reference's lazy dask-over-h5py arrays (daxos/read.py:113-124).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for c in _TS_COLS.get(name, ()):
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        out[name] = df
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """load_tables + createOrReplaceTempView for each table."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

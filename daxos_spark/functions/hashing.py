@@ -1,0 +1,105 @@
+"""Portable deterministic hashing for dedup/fingerprinting.
+
+All hashes derive from md5 hex strings so that the exact same values are
+computable in any ANSI-SQL engine (the duckdb oracle included) — unlike
+Spark's murmur3 ``hash()``/``xxhash64()``, which are engine-specific.
+Cost: md5 is ~3× slower than xxhash64, still JVM-side and codegen'd; at
+100 TB swap `md5_long` for `xxhash64` when cross-engine comparability is
+not needed (the API is the same shape).
+
+Reference analogue: the reference has no content hashing at all — this
+is part of the beyond-parity training-data-pipeline surface (dedup,
+fingerprinting) built on the same engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 14 hex chars = 56 bits — fits a signed 64-bit int, stays positive.
+_HEX_CHARS = 14
+
+
+def md5_long(c: Column, seed: int | None = None) -> Column:
+    """Deterministic 56-bit integer hash of a string column.
+
+    Oracle-SQL equivalent:
+      CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)          (duckdb)
+      conv(substr(md5(x), 1, 14), 16, 10)                          (spark)
+    """
+    if seed is not None:
+        c = F.concat(c, F.lit(f"#{seed}"))
+    return F.conv(F.substring(F.md5(c), 1, _HEX_CHARS), 16, 10).cast("bigint")
+
+
+def md5_long_sql(expr: str, seed: int | None = None) -> str:
+    """The duckdb-SQL text computing the same value as ``md5_long``."""
+    if seed is not None:
+        expr = f"concat({expr}, '#{seed}')"
+    return f"CAST(concat('0x', substr(md5({expr}), 1, {_HEX_CHARS})) AS BIGINT)"
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column → array<string>.
+
+    Built from sequence/transform/slice — pure Catalyst, no UDF.
+    """
+    toks = F.split(F.trim(text), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-gram shingles → array<string>."""
+    k = F.greatest(F.length(text) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(text, i, n))
+    )
+
+
+def _min_hash(shingles: Column, seed: int) -> Column:
+    # NB: the lambda must take exactly one arg — pyspark treats a second
+    # (even defaulted) parameter as the array-index argument.
+    return F.array_min(F.transform(shingles, lambda s: md5_long(s, seed=seed)))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature (array<bigint>, one min per seeded hash family).
+
+    min over shingles of md5_long(shingle, seed) — classic permutation
+    approximation (Broder '97). Fully distributed: per-row array ops.
+    """
+    return F.array(*[_min_hash(shingles, i) for i in range(num_hashes)])
+
+
+def _bit_votes(hashes: Column, b: int) -> Column:
+    return F.aggregate(
+        hashes,
+        F.lit(0),
+        lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
+    )
+
+
+def simhash32(tokens: Column) -> Column:
+    """32-bit SimHash (Charikar '02) of a token array, as bigint.
+
+    bit_i(doc) = 1 iff the majority of token hashes have bit_i set.
+    Pure Catalyst: per-token md5_long, then 32 per-bit majority votes.
+    """
+    hashes = F.transform(tokens, lambda t: md5_long(t))
+    n = F.size(hashes)
+    out = F.lit(0).cast("bigint")
+    for b in range(32):
+        out = out + (_bit_votes(hashes, b) * 2 > n).cast("bigint") * F.lit(1 << b)
+    return out
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-bit simhashes stored as bigint."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,432 @@
+"""Training-data-pipeline queries over the `documents` table.
+
+Beyond-parity surface (the reference processes no text): exact dedup,
+MinHash signatures, SimHash, n-gram Jaccard near-dup pairs, language ID,
+quality scoring, token stats — every one a builtin-function DataFrame
+plan (no Python UDFs), with a bit-for-bit duckdb oracle built on the
+same md5-derived hashing (functions/hashing.py).
+
+Scale: all shingle/token explosions are linear in corpus size and
+partition-local; the only shuffles are the groupBys/joins on shingle or
+hash keys — the standard LSH-at-scale layout (band-bucket join instead
+of all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_tables
+from ..functions import text as T
+from ..functions.hashing import md5_long, md5_long_sql, minhash_signature, simhash32, word_shingles
+from .registry import QuerySpec, register, sql_davg, sql_trunc6, trunc6
+
+_NORM = "lower(trim(text))"
+_TOKS = f"string_split_regex({_NORM}, '\\s+')"
+_NORM_WS = f"regexp_replace({_NORM}, '\\s+', ' ', 'g')"
+_STRIP_WS = f"regexp_replace({_NORM}, '\\s+', '', 'g')"
+
+
+
+def _fanout(df):
+    """Spread a small single-file scan across all cores before
+    expression-heavy per-row work (tokenize/hash explosions). At scale
+    the input already has many splits and this is a no-op-sized
+    round-robin; locally the 1-file documents table would otherwise pin
+    one core."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        register(QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc, tags=("docs",)))
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# token statistics per language — token counting surface.
+@_q(
+    "d_token_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {sql_davg(f'len({_TOKS})')} AS avg_tokens,
+           MAX(n_chars) AS max_chars,
+           MIN(n_chars) AS min_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    from .registry import davg
+
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg(T.token_count(F.col("text"))).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+            F.min("n_chars").alias("min_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# per-doc quality scoring — length/stopword heuristics, pure arithmetic.
+_SW = "', '".join(T.EN_STOPWORDS)
+@_q(
+    "d_quality_scores",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tokens,
+             len(list_filter({_TOKS}, t -> list_contains(['{_SW}'], t))) AS stop_hits,
+             length({_STRIP_WS}) AS n_alpha
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           FLOOR((stop_hits / n_tokens) * 1000000.0) / 1000000.0 AS stop_ratio,
+           FLOOR((n_alpha / n_tokens) * 1000000.0) / 1000000.0 AS avg_tok_len,
+           FLOOR((0.5 * GREATEST(0.0, LEAST(1.0, (stop_hits / n_tokens) * 5.0))
+               + 0.5 * GREATEST(0.0, LEAST(1.0, 1.0 - ABS(n_alpha / n_tokens - 5.0) / 5.0))) * 1000000.0) / 1000000.0 AS quality
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def d_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        trunc6(T.stopword_ratio(F.col("text"))).alias("stop_ratio"),
+        trunc6(T.avg_token_len(F.col("text"))).alias("avg_tok_len"),
+        trunc6(T.quality_score(F.col("text"))).alias("quality"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# language-ID heuristic vs the labeled lang column → confusion counts.
+def _sql_hits(lang: str) -> str:
+    words = "', '".join(T.STOPWORDS[lang])
+    return f"len(list_filter({_TOKS}, t -> list_contains(['{words}'], t)))"
+
+
+@_q(
+    "d_langid_confusion",
+    f"""
+    WITH s AS (
+      SELECT lang,
+             {_sql_hits('en')} AS s_en, {_sql_hits('de')} AS s_de,
+             {_sql_hits('es')} AS s_es, {_sql_hits('fr')} AS s_fr,
+             {_sql_hits('zh')} AS s_zh
+      FROM documents
+    ), p AS (
+      SELECT lang,
+             CASE WHEN GREATEST(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'unk'
+                  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+      FROM s
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n
+    FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+)
+def d_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    # Scale-idiomatic language ID: explode tokens ONCE and broadcast-join
+    # a (word, lang) stopword dim instead of 5 per-row 10-literal
+    # membership expressions — the membership trees compile to ~4s of
+    # Janino codegen and evaluate interpreted (HOF); the join version is
+    # plain codegen'd hash-join + counting aggs. Same counts, same
+    # argmax, same oracle.
+    sw = spark.createDataFrame(
+        [(w, lang) for lang in T.LANG_ORDER for w in T.STOPWORDS[lang]], "t string, sw_lang string"
+    )
+    toks = d.select("doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("t"))
+    scores = (
+        toks.join(F.broadcast(sw), "t")
+        .groupBy("doc_id")
+        .agg(*[F.sum((F.col("sw_lang") == lang).cast("int")).alias(f"s_{lang}") for lang in T.LANG_ORDER])
+    )
+    per_doc = d.select("doc_id", "lang").join(scores, "doc_id", "left")
+    score_cols = {lang: F.coalesce(F.col(f"s_{lang}"), F.lit(0)) for lang in T.LANG_ORDER}
+    return (
+        per_doc.select("lang", T.langid_from_scores(score_cols).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup summary — fingerprint = md5 of normalized text (hash-groupBy
+# dedup; canonical row = min doc_id per fingerprint).
+@_q(
+    "d_exact_dedup",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             {md5_long_sql(_NORM_WS)} AS fp
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs
+    FROM f
+    """,
+)
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select(T.fingerprint(F.col("text")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures (4 seeded hash families over word 3-shingles).
+_SHINGLE = "concat_ws(' ', tk[i], tk[i+1], tk[i+2])"
+
+
+def _sql_minhash(seed: int) -> str:
+    return f"MIN({md5_long_sql('s', seed=seed)})"
+
+
+@_q(
+    "d_minhash_signatures",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents WHERE doc_id < 50
+    ), sh AS (
+      SELECT DISTINCT doc_id, {_SHINGLE} AS s
+      FROM (SELECT doc_id, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    )
+    SELECT doc_id,
+           {_sql_minhash(0)} AS m0, {_sql_minhash(1)} AS m1,
+           {_sql_minhash(2)} AS m2, {_sql_minhash(3)} AS m3
+    FROM sh GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def d_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    sig = minhash_signature(word_shingles(F.lower(F.trim(F.col("text"))), 3), num_hashes=4)
+    return (
+        d.filter(F.col("doc_id") < 50)
+        .select("doc_id", sig.alias("sig"))
+        .select(
+            "doc_id",
+            F.element_at("sig", 1).alias("m0"),
+            F.element_at("sig", 2).alias("m1"),
+            F.element_at("sig", 3).alias("m2"),
+            F.element_at("sig", 4).alias("m3"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs within each source bucket — the shingle
+# inverted-index join (the scale path: join on shingle, never all-pairs).
+@_q(
+    "d_jaccard_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS tk FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, source, {_SHINGLE} AS s
+      FROM (SELECT doc_id, source, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT da, db,
+           FLOOR((n_inter / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0) / 1000000.0 AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = da
+               JOIN sizes sb ON sb.doc_id = db
+    ORDER BY jaccard DESC, da, db
+    LIMIT 20
+    """,
+)
+def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    # the shingle inverted index feeds three consumers (sizes + both
+    # sides of the self-join) — persist it instead of recomputing the
+    # tokenize/explode (at cluster scale this is a checkpointed table).
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
+    ).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .select(
+            "da",
+            "db",
+            trunc6(F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "da", "db")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (32-bit) per document — near-dup fingerprint via per-bit
+# majority vote of token hashes.
+@_q(
+    "d_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents WHERE doc_id < 100
+    ), h AS (
+      SELECT doc_id, {md5_long_sql('t')} AS h FROM tok
+    ), bits AS (
+      SELECT doc_id, g.b AS b,
+             CASE WHEN 2 * SUM((h >> g.b) & 1) > COUNT(*) THEN 1 ELSE 0 END AS bit
+      FROM (SELECT doc_id, h, unnest(range(0, 32)) AS b FROM h) g
+      GROUP BY doc_id, g.b
+    )
+    SELECT doc_id, SUM(bit * (CAST(1 AS BIGINT) << b)) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    # explode-then-aggregate layout (same shape as the oracle): md5 is
+    # computed ONCE per token; the 32 bit-votes are cheap integer aggs.
+    # The per-row simhash32() expression would re-hash every token 32×
+    # (interpreted HOFs have no common-subexpression elimination).
+    tok = d.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("t")
+    )
+    h = tok.select("doc_id", md5_long(F.col("t")).alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int")).alias(f"c{b}")
+            for b in range(32)
+        ],
+    )
+    sim = F.lit(0).cast("bigint")
+    for b in range(32):
+        sim = sim + (F.col(f"c{b}") * 2 > F.col("n")).cast("bigint") * F.lit(1 << b)
+    return votes.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH candidate pairs (band-bucket join) + verified Jaccard —
+# the full at-scale near-dup pipeline in one query: 8 minhashes, 4 bands
+# of 2, candidates = pairs sharing any band bucket, then exact Jaccard
+# on candidates only.
+_N_HASH = 8
+_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+
+
+@_q(
+    "d_lsh_candidates",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, {_SHINGLE} AS s
+      FROM (SELECT doc_id, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    ), sig AS (
+      SELECT doc_id,
+             {', '.join(f"MIN({md5_long_sql('s', seed=i)}) AS m{i}" for i in range(_N_HASH))}
+      FROM sh GROUP BY doc_id
+    ), buckets AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {bi} AS band, concat(m{a}, ':', m{b}) AS bkt FROM sig" for bi, (a, b) in enumerate(_BANDS))}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM buckets a JOIN buckets b ON a.bkt = b.bkt AND a.band = b.band AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT da, db, COUNT(*) AS n_inter
+      FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db AND x.s = y.s
+      GROUP BY da, db
+    )
+    SELECT da, db, FLOOR((n_inter / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0) / 1000000.0 AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+    ORDER BY jaccard DESC, da, db
+    LIMIT 20
+    """,
+)
+def d_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    # persist: sh feeds sig, sizes, and both sides of the candidate
+    # verification join (5 consumers).
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s")
+    ).persist()
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(md5_long(F.col("s"), seed=i)).alias(f"m{i}") for i in range(_N_HASH)]
+    )
+    buckets = None
+    for bi, (ai, b) in enumerate(_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(bi).alias("band"),
+            F.concat(F.col(f"m{ai}").cast("string"), F.lit(":"), F.col(f"m{b}").cast("string")).alias("bkt"),
+        )
+        buckets = part if buckets is None else buckets.unionByName(part)
+    ba, bb = buckets.alias("ba"), buckets.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.bkt") == F.col("bb.bkt"))
+            & (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("da"), F.col("bb.doc_id").alias("db"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("da") == F.col("x.doc_id"))
+        .join(y, (F.col("db") == F.col("y.doc_id")) & (F.col("x.s") == F.col("y.s")))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .select(
+            "da",
+            "db",
+            trunc6(F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "da", "db")
+        .limit(20)
+    )

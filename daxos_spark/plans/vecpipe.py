@@ -1,0 +1,172 @@
+"""Similarity-search / vector queries over the `embeddings` table.
+
+Beyond-parity surface: brute-force cosine top-k (the correctness
+baseline for ANN), per-label centroids (the k-means/IVF building block),
+norm statistics, and a cosine near-dup count. All vector math is
+builtin-expression (functions/vectors.py) — arrays promoted to double
+before accumulation so results are reproducible cross-engine.
+
+Scale path: brute-force top-k broadcasts the (small) query set against
+the full corpus — linear scan, embarrassingly parallel, no shuffle
+except the final per-query top-k; the IVF variant
+(daxos_spark.functions.similarity) prunes the scan by centroid bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_tables
+from ..functions.vectors import cosine, dot, l2_norm, to_double
+from .registry import QuerySpec, register, sql_trunc6, trunc6
+
+_COS = (
+    "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        register(QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc, tags=("vectors",)))
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# brute-force cosine top-5 — ints only in the output (ranks, not scores)
+# so the hash-compare is float-proof.
+@_q(
+    "e_knn_bruteforce",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 10
+    ), s AS (
+      SELECT qid, cid, {_COS} AS cos FROM q, c
+    ), r AS (
+      SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      FROM s
+    )
+    SELECT qid, rk, cid AS neighbor_id FROM r WHERE rk <= 5 ORDER BY qid, rk
+    """,
+)
+def e_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), to_double(F.col("embedding")).alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), to_double(F.col("embedding")).alias("cv")
+    )
+    s = c.crossJoin(F.broadcast(q)).select(
+        "qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "rk", F.col("cid").alias("neighbor_id"))
+        .orderBy("qid", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# per-label centroids — posexplode + exact decimal mean per (label, pos);
+# the building block for IVF bucketing and k-means.
+@_q(
+    "e_label_centroids",
+    f"""
+    WITH u AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    )
+    SELECT label, pos,
+           {sql_trunc6('CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)')} AS centroid,
+           COUNT(*) AS n
+    FROM u GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return (
+        e.select("label", F.posexplode(to_double(F.col("embedding"))).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            trunc6(F.sum(F.col("val").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias("centroid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# norm statistics per label — per-row L2 norm then exact-decimal mean.
+@_q(
+    "e_norm_stats",
+    f"""
+    WITH n AS (
+      SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           {sql_trunc6('CAST(SUM(CAST(nrm AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)')} AS avg_norm,
+           {sql_trunc6('MIN(nrm)')} AS min_norm,
+           {sql_trunc6('MAX(nrm)')} AS max_norm,
+           COUNT(*) AS n
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
+def e_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    n = e.select("label", l2_norm(F.col("embedding")).alias("nrm"))
+    return (
+        n.groupBy("label")
+        .agg(
+            trunc6(F.sum(F.col("nrm").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias("avg_norm"),
+            trunc6(F.min("nrm")).alias("min_norm"),
+            trunc6(F.max("nrm")).alias("max_norm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup summary — all-pairs at correctness scale;
+# the LSH/IVF bucketed variant is the production path.
+@_q(
+    "e_cosine_neardup_count",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             list_dot_product(a.ev, b.ev)
+               / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) AS cos
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT COUNT(*) AS n_pairs,
+           SUM(CASE WHEN cos > 0.9 THEN 1 ELSE 0 END) AS n_neardup,
+           {sql_trunc6('MAX(cos)')} AS max_cos
+    FROM p
+    """,
+)
+def e_cosine_neardup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    v = e.select("vec_id", to_double(F.col("embedding")).alias("ev"))
+    a, b = v.alias("a"), v.alias("b")
+    p = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        cosine(F.col("a.ev"), F.col("b.ev")).alias("cos")
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("cos") > 0.9, 1).otherwise(0)).alias("n_neardup"),
+        trunc6(F.max("cos")).alias("max_cos"),
+    )
