@@ -51,7 +51,9 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         for c in _TS_COLS.get(name, ()):
             if dict(df.dtypes).get(c) == "bigint":
-                df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+                # integer div, NOT double: int64 nanos (~1.7e18) exceed
+                # double's 2^53 exact range, so `/ 1000` would be ±1µs off
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         out[name] = df
     return out
 

@@ -1,0 +1,560 @@
+"""Relational surface, part 2: outer joins, rollup/cube, correlated
+subqueries, pivot, and the temporal join family (as-of, range).
+
+Continues SURVEY.md §2 beyond-parity relational coverage (the reference
+has no outer joins, grouping sets, or temporal joins — §2.3/§2.4 note
+the gaps explicitly). Every query here is duckdb-oracle checked.
+
+Scale notes: as-of join is the union+window formulation (single shuffle
+on the key, no join fan-out — the standard at-scale as-of algorithm,
+cf. Flink/QuestDB/kdb temporal joins); range join is an equi-join on the
+entity key with a band filter (at 100 TB you'd additionally bucket by
+coarse time so the band filter prunes buckets); rollup/cube are one
+shuffle with grouping-set expansion map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_tables
+from ..operators.temporal import asof_join
+from .registry import QuerySpec, davg, dsum, register, sql_davg, sql_dsum, sql_trunc6, trunc6
+
+
+def _q(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn):
+        register(QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc, tags=tags))
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: LEFT OUTER join + two-level aggregation (order-count
+# distribution). The outer join keeps order-less customers (count 0).
+@_q(
+    "q13_cust_order_counts",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) cc
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_cust_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP — hierarchical subtotals region → nation → grand total.
+# NULL grouping markers coalesced to 'ALL' identically in both engines.
+@_q(
+    "q_rollup_region_nation",
+    f"""
+    SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+           {sql_dsum('c_acctbal')} AS total_bal, COUNT(*) AS n_custs
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+                  JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region, nation
+    """,
+)
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    return (
+        c.rollup("r_name", "n_name")
+        .agg(dsum(F.col("c_acctbal")).alias("total_bal"), F.count(F.lit(1)).alias("n_custs"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "total_bal",
+            "n_custs",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE — all grouping combinations of (status, priority).
+@_q(
+    "q_cube_status_priority",
+    f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional aggregation (promo revenue share).
+@_q(
+    "q14_promo_revenue",
+    f"""
+    SELECT {sql_trunc6(
+        "100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)"
+        " / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)"
+    )} AS promo_share,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            trunc6(F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 shape: per-group average subquery feeding a filter
+# (small-quantity orders). Spark: groupBy avg + broadcast join back —
+# no correlated-subquery re-execution, one pass each.
+@_q(
+    "q17_small_qty_revenue",
+    f"""
+    WITH pa AS (
+      SELECT l_partkey AS pk, {sql_davg('l_quantity')} AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {sql_trunc6(f"{sql_dsum('l_extendedprice')} / 7.0")} AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN pa ON pk = l_partkey
+    WHERE p_brand = 'Brand#11' AND l_quantity < 0.5 * avg_qty
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(davg(F.col("l_quantity")).alias("avg_qty"))
+    brand = t["part"].filter(F.col("p_brand") == "Brand#11")
+    return (
+        li.join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            trunc6(dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING on a big aggregation, join back to dims, top-k.
+@_q(
+    "q18_large_orders",
+    f"""
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           {sql_dsum('l_quantity')} AS total_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING {sql_dsum('l_quantity')} > 140
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    # aggregate lineitem FIRST (map-side combine on l_orderkey), filter to
+    # the rare big orders, then join the small survivor set to dims —
+    # at scale this is the difference between shuffling 100 TB and ~MBs.
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 140)
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: OR-of-ANDs predicate pushed into one scan+join.
+@_q(
+    "q19_or_predicates",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar subquery threshold + anti join (rich customers
+# with no orders).
+@_q(
+    "q22_idle_rich_customers",
+    f"""
+    WITH avg_bal AS (
+      SELECT {sql_davg('c_acctbal')} AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_custs,
+           {sql_dsum('c_acctbal')} AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(davg(F.col("c_acctbal")).alias("ab"))
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(t["orders"].select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_custs"), dsum(F.col("c_acctbal")).alias("total_bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral trade volume between nation pairs by year.
+@_q(
+    "q07_nation_trade_pairs",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation sn ON sn.n_nationkey = s_nationkey
+                  JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_name IN ('NATION_0', 'NATION_1') AND cn.n_name IN ('NATION_0', 'NATION_1')
+      AND sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q07_nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    nations = ("NATION_0", "NATION_1")
+    sn = t["nation"].select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    cn = t["nation"].select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    supp = t["supplier"].join(F.broadcast(sn), F.col("sk") == F.col("s_nationkey")).filter(
+        F.col("supp_nation").isin(*nations)
+    )
+    cust = t["customer"].join(F.broadcast(cn), F.col("ck") == F.col("c_nationkey")).filter(
+        F.col("cust_nation").isin(*nations)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 shape: profit by supplier nation and year (5-table join;
+# revenue minus a part-cost proxy since there is no partsupp table).
+@_q(
+    "q09_profit_by_nation_year",
+    f"""
+    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount) - 0.01 * p_retailprice * l_quantity')} AS profit
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN part ON p_partkey = l_partkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%green%' OR p_type = 'PROMO'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    ORDER BY nation, o_year
+    """,
+)
+def q09_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(F.col("p_name").like("%green%") | (F.col("p_type") == "PROMO"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.01 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(dsum(profit).alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) by revenue = scalar-subquery max.
+@_q(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS sk, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, {sql_trunc6('total_rev')} AS total_rev
+    FROM supplier JOIN rev ON sk = s_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("sk"))
+        .select("s_suppkey", "s_name", trunc6(F.col("total_rev")).alias("total_rev"))
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# correlated scalar subquery — parts above their brand's average price.
+# Spark: window avg (one shuffle) instead of subquery re-execution.
+@_q(
+    "q_corr_above_brand_avg",
+    f"""
+    WITH b AS (
+      SELECT p_brand AS bb, {sql_davg('p_retailprice')} AS brand_avg FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, COUNT(*) AS n_above,
+           {sql_trunc6(f"{sql_dsum('p_retailprice')} - COUNT(*) * MAX(brand_avg)")} AS total_excess
+    FROM part JOIN b ON bb = p_brand
+    WHERE p_retailprice > brand_avg
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_corr_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("p_brand")
+    # window-avg formulation: the exact decimal sum/count per brand is
+    # computed alongside the rows (one shuffle on p_brand, no join).
+    p = t["part"].withColumn(
+        "brand_avg",
+        F.sum(F.col("p_retailprice").cast("decimal(25,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w),
+    )
+    return (
+        p.filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            # sum(price) - n*avg, all-double after the exact decimal sum:
+            # summing per-row (price - avg) doubles through decimal casts
+            # hits engine-specific rounding of the cast at 1e-6 ties
+            trunc6(
+                dsum(F.col("p_retailprice")) - F.count(F.lit(1)) * F.max("brand_avg")
+            ).alias("total_excess"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# manual pivot — status × priority counts as one row per status
+# (conditional aggregation; the relational PIVOT).
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@_q(
+    "q_pivot_status_priority",
+    f"""
+    SELECT o_orderstatus AS status,
+           {', '.join(f'''SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS p{i}''' for i, p in enumerate(_PRIORITIES))}
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            *[
+                F.sum((F.col("o_orderpriority") == p).cast("bigint")).alias(f"p{i}")
+                for i, p in enumerate(_PRIORITIES)
+            ]
+        )
+        .orderBy("status")
+    )
+
+
+# --------------------------------------------------------------------------
+# AS-OF join — for each 'error' event, the most recent prior-or-equal
+# 'click' by the same user. Spark side: union+window (operators/
+# temporal.asof_join — one shuffle on user_id, no join fan-out).
+# Oracle: duckdb native ASOF LEFT JOIN. Output aggregated per user.
+@_q(
+    "q_asof_click_before_error",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+    ), c AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), m AS (
+      SELECT e.user_id, e.ts, c.ts AS click_ts
+      FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
+    )
+    SELECT user_id,
+           COUNT(*) AS n_errors,
+           COUNT(click_ts) AS n_matched,
+           CAST(COALESCE(SUM(epoch_us(ts) - epoch_us(click_ts)), 0) AS BIGINT) AS total_gap_us
+    FROM m GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    m = asof_join(errors, clicks, on="user_id", left_ts="ts", right_ts="ts", suffix="_click")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_click"))
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.count("ts_click").alias("n_matched"),
+            F.coalesce(F.sum(gap), F.lit(0)).alias("total_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# range (band) join — views within 5 minutes after each error, per user.
+# Equi-join on the entity key + time-band filter; at scale, bucket both
+# sides by coarse time so the band prunes buckets (partition pruning).
+@_q(
+    "q_range_views_after_error",
+    """
+    SELECT e.user_id,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT e.event_id) AS n_errors_with_view
+    FROM events e JOIN events v
+      ON v.user_id = e.user_id
+     AND v.ts > e.ts AND v.ts <= e.ts + INTERVAL 5 MINUTE
+    WHERE e.event_type = 'error' AND v.event_type = 'view'
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def q_range_views_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("eu"), F.col("ts").alias("ets"), F.col("event_id").alias("eid")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    return (
+        e.join(
+            v,
+            (F.col("vu") == F.col("eu"))
+            & (F.col("vts") > F.col("ets"))
+            & (F.col("vts") <= F.col("ets") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy(F.col("eu").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("eid").alias("n_errors_with_view"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,90 @@
+"""asof_join (operators/temporal.py) vs a brute-force pandas oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from daxos_spark.operators.temporal import asof_join
+
+
+def _mk(spark, seed=3):
+    rng = np.random.RandomState(seed)
+    n_l, n_r = 80, 120
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, n_l),
+            "lts": rng.randint(0, 1000, n_l).astype("int64"),
+            "lval": np.arange(n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, n_r),
+            "rts": rng.randint(0, 1000, n_r).astype("int64"),
+            "rval": np.arange(n_r) * 10,
+        }
+    )
+    return (
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        left,
+        right,
+    )
+
+
+def _oracle(left: pd.DataFrame, right: pd.DataFrame, strict: bool) -> pd.DataFrame:
+    out = []
+    for _, lr in left.iterrows():
+        cand = right[(right.k == lr.k)]
+        cand = cand[cand.rts < lr.lts] if strict else cand[cand.rts <= lr.lts]
+        if len(cand):
+            # most recent; ties broken arbitrarily -> compare ts only
+            best = cand.loc[cand.rts.idxmax()]
+            out.append((lr.k, lr.lts, lr.lval, best.rts))
+        else:
+            out.append((lr.k, lr.lts, lr.lval, None))
+    return pd.DataFrame(out, columns=["k", "lts", "lval", "rts_match"])
+
+
+def test_asof_matches_bruteforce(spark):
+    sl, sr, pl, pr = _mk(spark)
+    got = (
+        asof_join(sl, sr, on="k", left_ts="lts", right_ts="rts", suffix="_m")
+        .select("k", "lts", "lval", "rts_m")
+        .toPandas()
+        .sort_values(["k", "lts", "lval"])
+        .reset_index(drop=True)
+    )
+    want = _oracle(pl, pr, strict=False).sort_values(["k", "lts", "lval"]).reset_index(drop=True)
+    assert len(got) == len(want) == len(pl)
+    assert (got["rts_m"].isna() == want["rts_match"].isna()).all()
+    mask = ~want["rts_match"].isna()
+    assert (got.loc[mask, "rts_m"].astype("int64") == want.loc[mask, "rts_match"].astype("int64")).all()
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    import pandas as pd
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1, 1], "lts": [10, 20], "v": [0, 1]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [1, 1], "rts": [10, 15], "w": [100, 200]}))
+    nonstrict = asof_join(left, right, "k", "lts", "rts").orderBy("lts").collect()
+    strict = asof_join(left, right, "k", "lts", "rts", strict=True).orderBy("lts").collect()
+    # lts=10: non-strict sees rts=10, strict sees nothing
+    assert nonstrict[0]["rts_right"] == 10
+    assert strict[0]["rts_right"] is None
+    # lts=20: both see rts=15
+    assert nonstrict[1]["rts_right"] == 15
+    assert strict[1]["rts_right"] == 15
+
+
+def test_asof_carries_right_payload(spark):
+    import pandas as pd
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "lts": [50], "v": [7]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1], "rts": [10, 40, 60], "w": [100, 200, 300]})
+    )
+    row = asof_join(left, right, "k", "lts", "rts").collect()[0]
+    assert row["w_right"] == 200  # value at rts=40, the latest <= 50
+    assert row["v"] == 7  # left payload preserved
