@@ -1,0 +1,93 @@
+"""Multimodal (binary-column) queries over text-backed blobs.
+
+The blob payloads are UTF-8-encoded document text (no codec libs ship
+here — see daxos_spark/multimodal), so the binary plumbing is fully
+oracle-checkable: duckdb's encode()/octet_length/md5 agree byte-for-
+byte with Spark's encode/octet_length/md5.
+
+q_frame_counts is the interesting one: the Spark side runs the REAL
+mapInPandas frame fan-out operator and counts its output; the oracle
+computes the expected frame count arithmetically — so the gate checks
+the distributed fan-out, not just column math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..multimodal.columns import attach_blob, sample_frames
+from .registry import QuerySpec, register
+
+_FRAME_BYTES = 256
+_STRIDE = 2
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        register(QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc, tags=("multimodal",)))
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# blob metadata stats — binary length + content hash per source bucket.
+@_q(
+    "m_blob_stats",
+    """
+    SELECT source,
+           COUNT(*) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+           COUNT(DISTINCT md5(text)) AS n_distinct
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)
+def m_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    assets = attach_blob(d, "doc_id", "text", mime="text/plain")
+    j = assets.join(d.select(F.col("doc_id").alias("asset_id"), "source"), "asset_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+            F.max(F.col("meta.n_bytes")).alias("max_bytes"),
+            F.countDistinct(F.md5("blob")).alias("n_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# frame fan-out counts — REAL mapInPandas frame sampler on the Spark
+# side; arithmetic expectation on the oracle side.
+@_q(
+    "m_frame_counts",
+    f"""
+    SELECT source,
+           CAST(SUM(CEIL(CEIL(octet_length(encode(text)) / {_FRAME_BYTES}.0) / {_STRIDE}.0)) AS BIGINT)
+             AS n_frames,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)
+def m_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    assets = attach_blob(d, "doc_id", "text")
+    frames = sample_frames(assets, frame_bytes=_FRAME_BYTES, stride=_STRIDE)
+    per_asset = frames.groupBy("asset_id").agg(F.count(F.lit(1)).alias("nf"))
+    sizes = assets.select("asset_id", F.col("meta.n_bytes").alias("nb"))
+    j = (
+        per_asset.join(sizes, "asset_id")
+        .join(d.select(F.col("doc_id").alias("asset_id"), "source"), "asset_id")
+    )
+    return (
+        j.groupBy("source")
+        .agg(F.sum("nf").alias("n_frames"), F.sum("nb").alias("total_bytes"))
+        .orderBy("source")
+    )

@@ -1,0 +1,156 @@
+"""Streaming pipelines over the events schema.
+
+Each transformation takes a (possibly streaming) DataFrame and returns
+a DataFrame — identical logic runs in batch mode, which is how the
+duckdb oracle gate checks the semantics (plans/streampipe.py registers
+the batch twins). Watermarks bound state at scale: an hourly window
+with a 2-hour watermark keeps O(active windows × keys) state per
+executor regardless of total stream length.
+
+Scale notes: windowed aggregation state is partitioned by (window, key)
+— the standard shuffle; session windows use Spark's built-in
+session_window merge; the stateful per-user running totals use
+applyInPandasWithState (Arrow-batched per group, the PySpark-native
+custom stateful operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+# raw harness parquet carries ts as int64 nanoseconds (see catalog.py)
+RAW_EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the harness events parquet.
+
+    ``readStream`` needs a directory; ``pathGlobFilter`` narrows it to
+    the events file. ``maxFilesPerTrigger=1`` gives deterministic
+    micro-batches in tests; a production deployment would point this at
+    an arriving-files directory or Kafka source with the same schema.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(RAW_EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked hourly tumbling-window counts per event type
+    (streaming twin of q_events_hourly)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events")
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (merge-on-gap) → one row per session.
+
+    Streaming uses the built-in session_window merge; state is bounded
+    by the watermark (sessions older than it are finalized and evicted).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exact stream dedup on event_id within the watermark horizon —
+    the streaming form of hash-groupBy dedup (state = seen ids inside
+    the watermark window only, so memory is bounded)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum(value))
+    via applyInPandasWithState — the PySpark-native arbitrary-state API
+    (Arrow-batched per key group; state is a 2-tuple per user)."""
+    import pandas as pd  # local import: executors need it, driver may not
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain a stream into an in-memory table with availableNow trigger
+    (test/verification harness; returns after the stream finishes)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

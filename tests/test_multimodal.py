@@ -1,0 +1,58 @@
+"""Multimodal binary-column plumbing: attach, decode stub, frame fan-out."""
+
+from __future__ import annotations
+
+from daxos_spark.multimodal.columns import (
+    _decode_fake,
+    attach_blob,
+    decode_image_stats,
+    sample_frames,
+)
+
+
+def _assets(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 600), (3, ""), (4, "Zürich €42")],
+        "doc_id long, text string",
+    )
+    return attach_blob(df, "doc_id", "text", mime="text/plain")
+
+
+def test_attach_blob_schema_and_meta(spark):
+    a = _assets(spark)
+    assert [f.name for f in a.schema.fields] == ["asset_id", "blob", "meta"]
+    rows = {r["asset_id"]: r for r in a.collect()}
+    assert bytes(rows[1]["blob"]) == b"hello world"
+    assert rows[1]["meta"]["n_bytes"] == 11
+    assert rows[4]["meta"]["n_bytes"] == len("Zürich €42".encode())  # multibyte
+    assert rows[3]["meta"]["n_bytes"] == 0
+
+
+def test_decode_stats_deterministic_and_batched(spark):
+    a = _assets(spark).repartition(3)  # force multiple Arrow batches/partitions
+    out = {r["asset_id"]: r for r in decode_image_stats(a).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for aid in out:
+        assert out[aid]["decoder"] in ("fake", "pillow")
+    # fake decoder is a pure function of the bytes
+    w, h, luma, _ = _decode_fake(b"hello world")
+    assert out[1]["width"] == w and out[1]["height"] == h
+    assert abs(out[1]["mean_luma"] - luma) < 1e-12
+
+
+def test_sample_frames_fanout_counts(spark):
+    a = _assets(spark)
+    frames = sample_frames(a, frame_bytes=256, stride=2).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    # 600 bytes → 3 frames (256,256,88) → stride 2 keeps idx 0,2
+    assert sorted(r["frame_idx"] for r in by_asset[2]) == [0, 2]
+    assert sorted(r["frame_bytes"] for r in by_asset[2]) == [88, 256]
+    # 11 bytes → 1 frame
+    assert [r["frame_bytes"] for r in by_asset[1]] == [11]
+    # empty blob → no frames
+    assert 3 not in by_asset
+    # frame payloads reassemble the original prefix
+    fr0 = next(r for r in by_asset[2] if r["frame_idx"] == 0)
+    assert bytes(fr0["frame"]) == b"x" * 256

@@ -1,0 +1,112 @@
+"""Structured Streaming pipelines: incremental result == batch result.
+
+Each test drains the file-source stream with trigger(availableNow=True)
+into a memory sink and compares against the same transformation run in
+plain batch mode on the same data.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from daxos_spark.catalog import load_tables
+from daxos_spark.streaming.pipelines import (
+    dedup_events_stream,
+    hourly_event_counts,
+    read_events_stream,
+    run_to_memory,
+    session_stats,
+    user_running_totals,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_tables(spark, SF_DIR)["events"].cache()
+
+
+def test_hourly_counts_stream_matches_batch(spark, batch_events):
+    stream = read_events_stream(spark, SF_DIR)
+    # complete mode: append would hold back windows the watermark hasn't
+    # passed yet (the last 2h of data would be missing at end-of-stream)
+    run_to_memory(hourly_event_counts(stream), "t_hourly", output_mode="complete")
+    got = {
+        (r["hour"], r["event_type"]): r["n_events"]
+        for r in spark.table("t_hourly").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in batch_events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_session_stats_stream_matches_batch(spark, batch_events):
+    stream = read_events_stream(spark, SF_DIR)
+    run_to_memory(session_stats(stream), "t_sessions", output_mode="complete")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("t_sessions").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["sw"]["start"], r["sw"]["end"], r["n"])
+        for r in batch_events.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_dedup_stream_drops_duplicate_ids(spark, tmp_path):
+    # two copies of the same file → every event_id arrives twice
+    import shutil
+
+    d = tmp_path / "dup"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "events2.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from daxos_spark.streaming.pipelines import RAW_EVENT_SCHEMA
+
+    raw = (
+        spark.readStream.schema(RAW_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    run_to_memory(dedup_events_stream(raw), "t_dedup", output_mode="append")
+    n_unique = spark.table("t_dedup").count()
+    n_batch = load_tables(spark, SF_DIR)["events"].count()
+    assert n_unique == n_batch  # each id kept exactly once despite 2× input
+
+
+def test_user_running_totals_final_state_matches_batch(spark, batch_events):
+    stream = read_events_stream(spark, SF_DIR)
+    run_to_memory(user_running_totals(stream), "t_totals", output_mode="update")
+    # update mode emits one row per user per micro-batch; the final
+    # (max n_events) row per user is the end state
+    final = (
+        spark.table("t_totals")
+        .groupBy("user_id")
+        .agg(F.max_by("total_value", "n_events").alias("total_value"), F.max("n_events").alias("n_events"))
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in final.collect()}
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
