@@ -38,9 +38,21 @@ BENCH_QUERIES = [
     "d_minhash_signatures",
     "d_lsh_candidates",
     "d_simhash",
+    "d_winnow_fingerprints",
     "e_knn_bruteforce",
+    "e_knn_ivf",
     "e_label_centroids",
     "e_norm_stats",
+    "q13_cust_order_counts",
+    "q18_large_orders",
+    "q_rollup_region_nation",
+    "q_asof_click_before_error",
+    "q_range_views_after_error",
+    "q_session_stats",
+    "q_event_transitions",
+    "m_blob_stats",
+    "m_frame_counts",
+    "ml_deconfound_dims",
 ]
 
 

@@ -1,0 +1,106 @@
+"""IVF-style approximate nearest neighbor over array<float> embeddings.
+
+Scale path for similarity search (vecpipe's e_knn_bruteforce is the
+correctness baseline): partition the corpus into coarse buckets around
+centroids, then search only the ``nprobe`` most promising buckets per
+query. Corpus scan cost drops from O(N) to O(N · nprobe / n_buckets)
+per query; the bucket assignment is a narrow broadcast-join pass, and
+the probe join is an equi-join on bucket id — both shuffle-light and
+AQE-friendly at 100 TB.
+
+Centroids here are per-label means (deterministic; k-means would slot
+in identically — the assignment/probe machinery doesn't care where
+centroids come from). All means go through exact DECIMAL sums so the
+duckdb oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .vectors import cosine, to_double
+
+
+def _mean_decimal(col: Column) -> Column:
+    """Order-independent mean (exact decimal sum / count)."""
+    return F.sum(col.cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))
+
+
+def label_centroids(corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Per-label mean vectors: (label, cv: array<double>).
+
+    posexplode → per-(label, pos) decimal mean → re-assembled in pos
+    order. One shuffle on (label, pos); centroid count is tiny, so the
+    result broadcasts everywhere downstream.
+    """
+    per_dim = (
+        corpus.select(label_col, F.posexplode(to_double(F.col(vec_col))).alias("pos", "val"))
+        .groupBy(label_col, "pos")
+        .agg(_mean_decimal(F.col("val")).alias("m"))
+    )
+    return (
+        per_dim.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.col(label_col).alias("bucket"), F.transform("pm", lambda x: x["m"]).alias("cv"))
+    )
+
+
+def assign_buckets(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach each corpus vector to its nearest centroid by cosine
+    (ties broken by bucket id). Broadcast the centroids; one narrow
+    pass over the corpus, no shuffle of the corpus itself."""
+    scored = corpus.select(id_col, vec_col).join(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "bucket",
+        cosine(F.col(vec_col), F.col("cv")).alias("ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("bucket"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "bucket")
+    )
+
+
+def ivf_search(
+    queries: DataFrame,
+    corpus_bucketed: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 3,
+    k: int = 5,
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    cid_col: str = "vec_id",
+    cvec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest buckets per query, exact top-k
+    inside them. Returns (qid, rk, neighbor_id) — ints only, so the
+    result is float-tie-proof for the correctness gate."""
+    probes = queries.join(F.broadcast(centroids)).select(
+        qid_col,
+        qvec_col,
+        "bucket",
+        cosine(F.col(qvec_col), F.col("cv")).alias("ccos"),
+    )
+    wp = Window.partitionBy(qid_col).orderBy(F.col("ccos").desc(), F.col("bucket"))
+    probed = probes.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= nprobe)
+    cand = probed.select(qid_col, qvec_col, "bucket").join(corpus_bucketed, "bucket")
+    scored = cand.select(
+        qid_col,
+        F.col(cid_col).alias("neighbor_id"),
+        cosine(F.col(qvec_col), F.col(cvec_col)).alias("cos"),
+    )
+    wk = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select(qid_col, "rk", "neighbor_id")
+    )

@@ -430,3 +430,62 @@ def d_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "da", "db")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken '03) — rolling
+# window-min over ordered shingle hashes; the distinct window minima are
+# the document's fingerprint set. Distributed shape: explode ordered
+# shingles, hash once, window-min over (doc, position) — one shuffle on
+# doc_id, linear work, no driver-side state.
+_W = 4  # winnow window (shingle hashes per window)
+
+
+@_q(
+    "d_winnow_fingerprints",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents WHERE doc_id < 300
+    ), sh AS (
+      SELECT doc_id, i, {md5_long_sql(_SHINGLE)} AS h,
+             GREATEST(len(tk) - 2, 1) AS n_sh
+      FROM (SELECT doc_id, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    ), wm AS (
+      SELECT doc_id, i, n_sh,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND {_W - 1} FOLLOWING) AS fp
+      FROM sh
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT fp) AS n_fingerprints,
+           MIN(fp) AS min_fp
+    FROM wm WHERE i <= n_sh - {_W} + 1
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def d_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"]).filter(F.col("doc_id") < 300)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_sh = F.greatest(F.size(toks) - F.lit(2), F.lit(1))
+    sh = (
+        d.select("doc_id", toks.alias("tk"), n_sh.alias("n_sh"))
+        .select(
+            "doc_id",
+            "n_sh",
+            "tk",
+            F.explode(F.sequence(F.lit(1), F.col("n_sh"))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            "i",
+            md5_long(F.array_join(F.slice(F.col("tk"), F.col("i"), 3), " ")).alias("h"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _W - 1)
+    wm = sh.withColumn("fp", F.min("h").over(w)).filter(F.col("i") <= F.col("n_sh") - _W + 1)
+    return (
+        wm.groupBy("doc_id")
+        .agg(F.countDistinct("fp").alias("n_fingerprints"), F.min("fp").alias("min_fp"))
+        .orderBy("doc_id")
+    )

@@ -66,3 +66,144 @@ def ml_gbt_top_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("y_pred").desc(), F.col("vec_id"))
         .limit(20)
     )
+
+
+def _qo(name: str, oracle: str, doc: str = ""):
+    def deco(fn):
+        register(QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc, tags=("ml",)))
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# per-dimension closed-form OLS residualization — the SQL-checkable face
+# of the deconfounding pipeline (M1-M4; general k-covariate gramian
+# version lives in ml/deconfound.py, pytest-checked vs numpy). Each
+# embedding dimension is regressed on the label covariate; betas come
+# from exact decimal moments so the duckdb oracle matches bit-for-bit.
+# Scale shape: ONE posexplode pass computes all per-dim moments in a
+# single shuffle (the "215k regressions in one aggregation" trick from
+# SURVEY §7.2); the 64-row beta table broadcasts back for residual aggs.
+from .registry import sql_davg, sql_dsum, sql_trunc6, trunc6  # noqa: E402
+from ..functions.vectors import to_double  # noqa: E402
+
+_MOM = """
+      SELECT pos,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(c AS DECIMAL(25,6))) AS DOUBLE) AS sc,
+             CAST(SUM(CAST(c * c AS DECIMAL(25,6))) AS DOUBLE) AS scc,
+             CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(c * x AS DECIMAL(25,6))) AS DOUBLE) AS scx
+      FROM u GROUP BY pos
+"""
+
+
+@_qo(
+    "ml_deconfound_dims",
+    f"""
+    WITH u AS (
+      SELECT CAST(label AS DOUBLE) AS c,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), m AS ({_MOM}
+    ), b AS (
+      SELECT pos, n,
+             (n * scx - sc * sx) / (n * scc - sc * sc) AS beta,
+             (sx - (n * scx - sc * sx) / (n * scc - sc * sc) * sc) / n AS alpha
+      FROM m
+    )
+    SELECT u.pos,
+           FLOOR(MAX(beta) * 1000000.0) / 1000000.0 AS beta,
+           FLOOR(MAX(alpha) * 1000000.0) / 1000000.0 AS alpha,
+           FLOOR(({sql_dsum('ABS(x - (alpha + beta * c))')} / MAX(n)) * 1000000.0) / 1000000.0
+             AS mean_abs_resid
+    FROM u JOIN b ON b.pos = u.pos
+    GROUP BY u.pos ORDER BY u.pos
+    """,
+    doc="closed-form per-dimension OLS deconfounding (M1-M4) vs exact oracle",
+)
+def ml_deconfound_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    u = e.select(
+        F.col("label").cast("double").alias("c"),
+        F.posexplode(to_double(F.col("embedding"))).alias("pos", "x"),
+    )
+
+    def _ds(col):
+        return F.sum(col.cast("decimal(25,6)")).cast("double")
+
+    m = u.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        _ds(F.col("c")).alias("sc"),
+        _ds(F.col("c") * F.col("c")).alias("scc"),
+        _ds(F.col("x")).alias("sx"),
+        _ds(F.col("c") * F.col("x")).alias("scx"),
+    )
+    beta = (F.col("n") * F.col("scx") - F.col("sc") * F.col("sx")) / (
+        F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")
+    )
+    b = m.select(
+        "pos",
+        "n",
+        beta.alias("beta"),
+        ((F.col("sx") - beta * F.col("sc")) / F.col("n")).alias("alpha"),
+    )
+    resid = F.col("x") - (F.col("alpha") + F.col("beta") * F.col("c"))
+    return (
+        u.join(F.broadcast(b), "pos")
+        .groupBy("pos")
+        .agg(
+            trunc6(F.max("beta")).alias("beta"),
+            trunc6(F.max("alpha")).alias("alpha"),
+            trunc6(_ds(F.abs(resid)) / F.max("n")).alias("mean_abs_resid"),
+        )
+        .orderBy("pos")
+    )
+
+
+@_q("ml_cv_fold_scores", doc="single-param 3-fold CV per-fold scores (T9/X1)")
+def ml_cv_fold_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.crossvalidate import fit_one_round_cv
+
+    df = (
+        _binary_embeddings(spark, sf_dir)
+        .withColumn("row_idx", F.col("vec_id"))
+        .drop("is_test")
+        .cache()
+    )
+    params = GBTParams(eta=0.1, max_depth=3, n_boost_round=8, seed=42)
+    results, oof = fit_one_round_cv(df, params, n_folds=3, row_chunks=100)
+    n_oof = oof.count()
+    return (
+        results.select(
+            "fold",
+            "metric",
+            F.round("score", 3).alias("score"),
+            F.round("train_score", 3).alias("train_score"),
+            F.lit(n_oof).alias("n_oof"),
+        )
+        .orderBy("fold")
+    )
+
+
+@_q("ml_incremental_ensemble", doc="incremental chunk-subsample training + ensemble predict (T7/O8)")
+def ml_incremental_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.crossvalidate import incremental_fit, predict_ensemble
+    from ..ml.scoring import score_auc
+
+    df = (
+        _binary_embeddings(spark, sf_dir)
+        .withColumn("row_idx", F.col("vec_id"))
+        .cache()
+    )
+    train = df.filter(~F.col("is_test"))
+    test = df.filter(F.col("is_test"))
+    params = GBTParams(eta=0.1, max_depth=3, n_boost_round=6, seed=42)
+    models = incremental_fit(train, params, n_rounds=3, sample_fraction=0.7, row_chunks=100)
+    auc = score_auc(predict_ensemble(models, test))
+    return spark.createDataFrame(
+        [(len(models), test.count(), round(auc, 3))],
+        "n_models int, n_test long, auc_test double",
+    )

@@ -170,3 +170,67 @@ def e_cosine_neardup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cos") > 0.9, 1).otherwise(0)).alias("n_neardup"),
         trunc6(F.max("cos")).alias("max_cos"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-bucketed ANN — the at-scale similarity-search path (brute force
+# above is the baseline): per-label centroids (exact decimal means) →
+# nearest-centroid bucket assignment → probe top-3 buckets per query →
+# exact top-5 inside the probed buckets. Ints-only output.
+_IVF_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@_q(
+    "e_knn_ivf",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings WHERE vec_id >= 10
+    ), q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+    ), dims AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings WHERE vec_id >= 10
+    ), cm AS (
+      SELECT label, pos, CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM dims GROUP BY label, pos
+    ), cent AS (
+      SELECT label AS bucket, list(m ORDER BY pos) AS cv FROM cm GROUP BY label
+    ), assign AS (
+      SELECT vec_id, ev, bucket FROM (
+        SELECT c.vec_id, c.ev, ct.bucket,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 {_IVF_COS.format(a='c.ev', b='ct.cv')} DESC, ct.bucket) AS rn
+        FROM corpus c CROSS JOIN cent ct)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT qid, qv, bucket FROM (
+        SELECT q.qid, q.qv, ct.bucket,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 {_IVF_COS.format(a='q.qv', b='ct.cv')} DESC, ct.bucket) AS rn
+        FROM q CROSS JOIN cent ct)
+      WHERE rn <= 3
+    ), scored AS (
+      SELECT p.qid, a.vec_id AS neighbor_id, {_IVF_COS.format(a='p.qv', b='a.ev')} AS cos
+      FROM probes p JOIN assign a ON a.bucket = p.bucket
+    )
+    SELECT qid, rk, neighbor_id FROM (
+      SELECT qid, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored)
+    WHERE rk <= 5 ORDER BY qid, rk
+    """,
+)
+def e_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import assign_buckets, ivf_search, label_centroids
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    corpus = e.filter(F.col("vec_id") >= 10)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), to_double(F.col("embedding")).alias("qv")
+    )
+    cent = label_centroids(corpus)
+    bucketed = assign_buckets(corpus, cent)
+    return ivf_search(queries, bucketed, cent, nprobe=3, k=5).orderBy("qid", "rk")
