@@ -489,3 +489,45 @@ def d_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("fp").alias("n_fingerprints"), F.min("fp").alias("min_fp"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish subword token counting — regex word-piece segmentation
+# (letter runs / digit runs / single punctuation), the tokenizer-shaped
+# counting pass a training-data pipeline runs before byte-pair merges.
+_BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@_q(
+    "d_bpe_token_stats",
+    f"""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_extract_all({_NORM_WS}, '{_BPE_PAT}')) AS n_sub
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_sub) AS BIGINT) AS total_subtokens,
+           {sql_davg('n_sub')} AS avg_subtokens,
+           MAX(n_sub) AS max_subtokens
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def d_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import davg
+
+    d = load_tables(spark, sf_dir)["documents"]
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    n_sub = F.size(F.regexp_extract_all(norm, F.lit(_BPE_PAT), F.lit(0)))
+    t = d.select("lang", n_sub.alias("n_sub"))
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sub").alias("total_subtokens"),
+            davg(F.col("n_sub")).alias("avg_subtokens"),
+            F.max("n_sub").alias("max_subtokens"),
+        )
+        .orderBy("lang")
+    )

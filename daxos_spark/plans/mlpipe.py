@@ -207,3 +207,151 @@ def ml_incremental_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(models), test.count(), round(auc, 3))],
         "n_models int, n_test long, auc_test double",
     )
+
+
+@_q("ml_ld_clump", doc="greedy p-ordered window clumping per chromosome (Q2 shape)")
+def ml_ld_clump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sumstats derived from `part` (chrom=p_brand, pos spread from
+    p_partkey, pval=p_retailprice rank-proxy); greedy index-SNP
+    selection via operators/clumping.ld_clump. Verified against a
+    brute-force oracle in tests/test_clumping.py (the greedy recursion
+    is not ANSI-SQL-expressible, hence rows-only here)."""
+    from ..operators.clumping import ld_clump
+
+    p = load_tables(spark, sf_dir)["part"]
+    ss = p.select(
+        F.col("p_brand").alias("chrom"),
+        (F.col("p_partkey") * 997 % 1_000_000).alias("pos"),
+        F.col("p_retailprice").alias("pval"),
+        F.col("p_partkey").alias("snp_id"),
+    )
+    idx = ld_clump(ss, window=50_000)
+    return (
+        idx.groupBy("chrom")
+        .agg(
+            F.count(F.lit(1)).alias("n_index_snps"),
+            F.min("snp_id").alias("min_snp"),
+            F.sum("pos").alias("pos_sum"),
+        )
+        .orderBy("chrom")
+    )
+
+
+# --------------------------------------------------------------------------
+# MAF-filter dataflow (A12/Q1, reference Snakefile:73-104 plink --maf):
+# per-column frequency aggregation + threshold projection, run over
+# embedding dimensions (frequency = share of positive values).
+@_qo(
+    "ml_maf_filter",
+    f"""
+    WITH u AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+             CASE WHEN CAST(unnest(embedding) AS DOUBLE) > 0 THEN 1 ELSE 0 END AS hit
+      FROM embeddings
+    ), fr AS (
+      SELECT pos, CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS freq, COUNT(*) AS n
+      FROM u GROUP BY pos
+    )
+    SELECT pos, FLOOR(freq * 1000000.0) / 1000000.0 AS freq, n
+    FROM fr
+    WHERE freq >= 0.45 AND freq <= 0.55
+    ORDER BY pos
+    """,
+    doc="per-column frequency filter (MAF shape, A12/Q1)",
+)
+def ml_maf_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    u = e.select(
+        F.posexplode(to_double(F.col("embedding"))).alias("pos", "val")
+    ).select("pos", (F.col("val") > 0).cast("int").alias("hit"))
+    fr = u.groupBy("pos").agg(
+        (F.sum("hit").cast("double") / F.count(F.lit(1))).alias("freq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        fr.filter((F.col("freq") >= 0.45) & (F.col("freq") <= 0.55))
+        .select("pos", trunc6(F.col("freq")).alias("freq"), "n")
+        .orderBy("pos")
+    )
+
+
+@_q("ml_platt_calibration", doc="CV → OOF predictions → Platt fit/apply (M6/M7)")
+def ml_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.crossvalidate import fit_one_round_cv
+    from ..ml.scale import apply_platt, fit_platt
+    from ..ml.scoring import score_auc
+
+    df = (
+        _binary_embeddings(spark, sf_dir)
+        .withColumn("row_idx", F.col("vec_id"))
+        .drop("is_test")
+        .cache()
+    )
+    params = GBTParams(eta=0.1, max_depth=3, n_boost_round=8, seed=42)
+    _, oof = fit_one_round_cv(df, params, n_folds=3, row_chunks=100)
+    oof = oof.cache()
+    model = fit_platt(oof)
+    calibrated = apply_platt(model, oof)
+    mean_raw = calibrated.agg(F.avg("y_pred")).collect()[0][0]
+    mean_cal = calibrated.agg(F.avg("y_pred_platt_scaled")).collect()[0][0]
+    base_rate = calibrated.agg(F.avg("label")).collect()[0][0]
+    auc = score_auc(calibrated, pred_col="y_pred_platt_scaled")
+    return spark.createDataFrame(
+        [
+            (
+                round(float(model.coefficients[0]), 4),
+                round(float(model.intercept), 4),
+                round(mean_raw, 4),
+                round(mean_cal, 4),
+                round(base_rate, 4),
+                round(auc, 3),
+            )
+        ],
+        "platt_coef double, platt_intercept double, mean_raw double, "
+        "mean_calibrated double, base_rate double, auc_calibrated double",
+    )
+
+
+@_q("ml_boruta_selection", doc="Boruta shadow-feature selection loop (T12)")
+def ml_boruta_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.boruta import boruta
+
+    df = (
+        _binary_embeddings(spark, sf_dir)
+        .withColumn("row_idx", F.col("vec_id"))
+        .drop("is_test")
+        .cache()
+    )
+    names = [f"dim_{i}" for i in range(64)]
+    params = GBTParams(eta=0.15, max_depth=3, n_boost_round=5, seed=42)
+    res = boruta(df, names, params, max_iter=4, sample_fraction=0.8, seed=42)
+    return spark.createDataFrame(
+        [
+            (
+                len(res.accepted),
+                len(res.rejected),
+                len(res.tentative),
+                int(res.hits.sum()),
+                int(res.hits.max()),
+            )
+        ],
+        "n_accepted int, n_rejected int, n_tentative int, total_hits int, max_hits int",
+    )
+
+
+@_q("ml_feature_importances", doc="trained-model importance table keyed by feature name (T6/A3)")
+def ml_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.explain import feature_importances
+
+    df = _binary_embeddings(spark, sf_dir).cache()
+    train = df.filter(~F.col("is_test"))
+    model = fit_gbt(train, GBTParams(eta=0.1, max_depth=3, n_boost_round=10, seed=42))
+    cols = spark.createDataFrame(
+        [(i, f"dim_{i}") for i in range(64)], "pos int, snp string"
+    )
+    return (
+        feature_importances(model, cols)
+        .select("predictors", F.round("gain", 4).alias("gain"))
+        .orderBy(F.col("gain").desc(), "predictors")
+        .limit(10)
+    )

@@ -1,0 +1,55 @@
+"""ld_clump vs a brute-force python greedy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from daxos_spark.operators.clumping import ld_clump
+
+
+def _oracle(df: pd.DataFrame, window: int) -> set[tuple]:
+    out = set()
+    for chrom, g in df.groupby("chrom"):
+        g = g.sort_values(["pval", "pos"], kind="mergesort")
+        taken: list[int] = []
+        for _, r in g.iterrows():
+            if all(abs(r.pos - t) > window for t in taken):
+                taken.append(r.pos)
+                out.add((chrom, r.pos))
+    return out
+
+
+def test_clump_matches_bruteforce(spark):
+    rng = np.random.RandomState(5)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "chrom": rng.randint(1, 5, n),
+            "pos": rng.randint(0, 10_000, n).astype("int64"),
+            "pval": rng.uniform(size=n).round(6),
+            "snp_id": np.arange(n),
+        }
+    ).drop_duplicates(["chrom", "pos"])
+    window = 500
+    got = {
+        (r["chrom"], r["pos"])
+        for r in ld_clump(spark.createDataFrame(pdf), window=window).collect()
+    }
+    want = _oracle(pdf, window)
+    assert got == want
+    assert 0 < len(got) < len(pdf)
+
+
+def test_clump_keeps_best_and_excludes_window(spark):
+    pdf = pd.DataFrame(
+        {
+            "chrom": [1, 1, 1, 2],
+            "pos": [100, 300, 1000, 100],
+            "pval": [0.5, 0.001, 0.2, 0.9],
+            "snp_id": [0, 1, 2, 3],
+        }
+    )
+    got = ld_clump(spark.createDataFrame(pdf), window=250).orderBy("chrom", "pos").collect()
+    # chrom 1: pos 300 (best p) kills pos 100 (within 250); pos 1000 survives
+    assert [(r["chrom"], r["pos"]) for r in got] == [(1, 300), (1, 1000), (2, 100)]
