@@ -32,12 +32,16 @@ _STRIP_WS = f"regexp_replace({_NORM}, '\\s+', '', 'g')"
 
 def _fanout(df):
     """Spread a small single-file scan across all cores before
-    expression-heavy per-row work (tokenize/hash explosions). At scale
-    the input already has many splits and this is a no-op-sized
-    round-robin; locally the 1-file documents table would otherwise pin
-    one core."""
+    expression-heavy per-row work (tokenize/hash explosions).
+    Conditional: at cluster scale the input already has ≥ parallelism
+    splits and this is a no-op (an unconditional repartition would be
+    a full corpus shuffle); locally the 1-file documents table would
+    otherwise pin one core."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 def _q(name: str, oracle: str | None, doc: str = ""):
     def deco(fn):
@@ -391,14 +395,22 @@ def d_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.groupBy("doc_id").agg(
         *[F.min(md5_long(F.col("s"), seed=i)).alias(f"m{i}") for i in range(_N_HASH)]
     )
-    buckets = None
-    for bi, (ai, b) in enumerate(_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(bi).alias("band"),
-            F.concat(F.col(f"m{ai}").cast("string"), F.lit(":"), F.col(f"m{b}").cast("string")).alias("bkt"),
-        )
-        buckets = part if buckets is None else buckets.unionByName(part)
+    # one explode pass instead of a 4-way union (a union re-reads sig
+    # once per band; the exploded struct array is a single narrow pass)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat(
+                    F.col(f"m{ai}").cast("string"), F.lit(":"), F.col(f"m{b}").cast("string")
+                ).alias("bkt"),
+            )
+            for bi, (ai, b) in enumerate(_BANDS)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt")
+    )
     ba, bb = buckets.alias("ba"), buckets.alias("bb")
     cand = (
         ba.join(

@@ -558,3 +558,175 @@ def q_range_views_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2 shape: min-within-group + semi join back (cheapest supplier
+# per part, via lineitem since there is no partsupp table).
+@_q(
+    "q02_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT pk, MIN(unit_cost) AS min_cost FROM costs GROUP BY pk
+    )
+    SELECT s_nationkey, COUNT(*) AS n_best_pairs
+    FROM costs JOIN best ON costs.pk = best.pk AND costs.unit_cost = best.min_cost
+               JOIN supplier ON s_suppkey = costs.sk
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    costs = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") > 0)
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    # window-min avoids the second shuffle of a groupBy+join-back: one
+    # shuffle on pk computes both the per-pair min and the per-part min
+    w = Window.partitionBy("pk")
+    best = costs.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("sk"))
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_best_pairs"))
+        .orderBy("s_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# NULL semantics — NULLIF-produced nulls through aggregates, COALESCE,
+# and null-safe counting. (Engine row order is irrelevant to the gate's
+# hash; what must agree is the NULL arithmetic itself.)
+@_q(
+    "q_null_semantics",
+    """
+    WITH n AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS st,
+             NULLIF(o_totalprice, 0.0) AS price,
+             CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE o_custkey END AS ck
+      FROM orders
+    )
+    SELECT COALESCE(st, '«null»') AS status,
+           COUNT(*) AS n_rows,
+           COUNT(ck) AS n_ck_notnull,
+           COUNT(*) - COUNT(ck) AS n_ck_null,
+           COUNT(DISTINCT ck) AS n_ck_distinct
+    FROM n GROUP BY st ORDER BY status
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    n = o.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("st"),
+        F.when(F.col("o_orderpriority") == "5-LOW", F.lit(None)).otherwise(F.col("o_custkey")).alias("ck"),
+    )
+    return (
+        n.groupBy("st")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("ck").alias("n_ck_notnull"),
+            (F.count(F.lit(1)) - F.count("ck")).alias("n_ck_null"),
+            F.countDistinct("ck").alias("n_ck_distinct"),
+        )
+        .select(F.coalesce(F.col("st"), F.lit("«null»")).alias("status"), "n_rows", "n_ck_notnull", "n_ck_null", "n_ck_distinct")
+        .orderBy("status")
+    )
+
+
+# --------------------------------------------------------------------------
+# string-function surface — substr/upper/replace/concat/lpad/length over
+# customer names (ASCII-deterministic in both engines).
+@_q(
+    "q_string_funcs",
+    """
+    WITH s AS (
+      SELECT UPPER(SUBSTR(c_name, 1, 8)) AS pfx,
+             REPLACE(c_name, 'Customer', 'C') AS short_name,
+             LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+             LENGTH(c_name) AS name_len,
+             CONCAT(c_mktsegment, '/', CAST(c_nationkey AS VARCHAR)) AS seg_nation
+      FROM customer
+    )
+    SELECT pfx, COUNT(*) AS n,
+           MIN(padded) AS min_padded,
+           MAX(seg_nation) AS max_seg_nation,
+           CAST(SUM(name_len) AS BIGINT) AS total_len,
+           MIN(short_name) AS min_short
+    FROM s GROUP BY pfx ORDER BY pfx
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    s = c.select(
+        F.upper(F.substring("c_name", 1, 8)).alias("pfx"),
+        F.regexp_replace("c_name", "Customer", "C").alias("short_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("/", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
+    )
+    return (
+        s.groupBy("pfx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("padded").alias("min_padded"),
+            F.max("seg_nation").alias("max_seg_nation"),
+            F.sum("name_len").alias("total_len"),
+            F.min("short_name").alias("min_short"),
+        )
+        .orderBy("pfx")
+    )
+
+
+# --------------------------------------------------------------------------
+# datetime-function surface — extract/trunc/diff arithmetic on orders.
+@_q(
+    "q_datetime_funcs",
+    """
+    WITH d AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(month FROM o_orderdate) AS mo,
+             EXTRACT(day FROM o_orderdate) AS dy,
+             CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+             datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since
+      FROM orders
+    )
+    SELECT yr, COUNT(*) AS n,
+           COUNT(DISTINCT mo) AS n_months,
+           COUNT(DISTINCT qtr) AS n_quarters,
+           CAST(MIN(days_since) AS BIGINT) AS min_days,
+           CAST(MAX(days_since) AS BIGINT) AS max_days,
+           CAST(SUM(dy) AS BIGINT) AS sum_days
+    FROM d GROUP BY yr ORDER BY yr
+    """,
+)
+def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    d = o.select(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dy"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("qtr"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+    )
+    return (
+        d.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("mo").alias("n_months"),
+            F.countDistinct("qtr").alias("n_quarters"),
+            F.min("days_since").cast("bigint").alias("min_days"),
+            F.max("days_since").cast("bigint").alias("max_days"),
+            F.sum("dy").alias("sum_days"),
+        )
+        .orderBy("yr")
+    )
