@@ -15,6 +15,7 @@ from .pipelines import (
     read_events_stream,
     session_stats,
     user_running_totals,
+    views_after_errors_stream,
 )
 
 __all__ = [
@@ -23,4 +24,5 @@ __all__ = [
     "session_stats",
     "dedup_events_stream",
     "user_running_totals",
+    "views_after_errors_stream",
 ]

@@ -154,3 +154,36 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def views_after_errors_stream(events: DataFrame, horizon_min: int = 5, watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: every (error, view) pair of the same
+    user where the view lands within ``horizon_min`` minutes after the
+    error. Both sides carry watermarks and the join condition bounds
+    event time on both sides, so state eviction is provable and memory
+    stays O(watermark horizon) — the canonical watermarked interval
+    join (batch twin: q_range_views_after_error)."""
+    e = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("e_id"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    return e.join(
+        v,
+        F.expr(
+            f"v_user = e_user AND v_ts > e_ts AND v_ts <= e_ts + interval {horizon_min} minutes"
+        ),
+    )

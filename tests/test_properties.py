@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) for operator invariants.
+
+The reference has no property-based testing (SURVEY.md §5.6); these
+pin the operators against independent oracles (pandas.merge_asof,
+brute-force set math) across randomized inputs. Spark jobs are slow,
+so each property runs a reduced example count with no deadline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from daxos_spark.operators.clumping import ld_clump
+from daxos_spark.operators.temporal import asof_join
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def _asof_tables(draw):
+    n_l = draw(st.integers(5, 40))
+    n_r = draw(st.integers(0, 60))
+    keys = draw(st.integers(1, 4))
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, keys, n_l),
+            "lts": rng.randint(0, 500, n_l).astype("int64"),
+            "lv": np.arange(n_l, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, keys, n_r),
+            "rts": rng.randint(0, 500, n_r).astype("int64"),
+            "rv": np.arange(n_r, dtype="int64") * 7,
+        }
+    )
+    # merge_asof needs unique (k, rts) for a well-defined match value
+    right = right.drop_duplicates(["k", "rts"])
+    return left, right
+
+
+@given(_asof_tables())
+@settings(**_SETTINGS)
+def test_asof_matches_pandas_merge_asof(spark, tables):
+    left, right = tables
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right) if len(right) else spark.createDataFrame(right, "k long, rts long, rv long"),
+            on="k",
+            left_ts="lts",
+            right_ts="rts",
+        )
+        .toPandas()
+        .sort_values(["k", "lts", "lv"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("lts", kind="mergesort"),
+        right.sort_values("rts", kind="mergesort"),
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+    ).sort_values(["k", "lts", "lv"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["rts_right"].isna() == want["rts"].isna()).all()
+    mask = ~want["rts"].isna()
+    assert (
+        got.loc[mask, "rts_right"].astype("int64") == want.loc[mask, "rts"].astype("int64")
+    ).all()
+
+
+@given(
+    st.integers(0, 2**31 - 1),
+    st.integers(50, 300),
+    st.integers(1, 2000),
+)
+@settings(**_SETTINGS)
+def test_clump_invariants(spark, seed, n, window):
+    rng = np.random.RandomState(seed)
+    pdf = pd.DataFrame(
+        {
+            "chrom": rng.randint(1, 4, n),
+            "pos": rng.randint(0, 5000, n).astype("int64"),
+            "pval": rng.uniform(size=n).round(6),
+        }
+    ).drop_duplicates(["chrom", "pos"])
+    got = ld_clump(spark.createDataFrame(pdf), window=window).toPandas()
+    # invariant 1: no two selected SNPs on one chromosome within window
+    for _, g in got.groupby("chrom"):
+        pos = np.sort(g["pos"].to_numpy())
+        assert (np.diff(pos) > window).all()
+    # invariant 2: the globally best p-value per chromosome is always kept
+    for chrom, g in pdf.groupby("chrom"):
+        best = g.sort_values(["pval", "pos"], kind="mergesort").iloc[0]
+        sel = got[got.chrom == chrom]
+        assert ((sel.pos == best.pos) & (sel.pval == best.pval)).any()
+    # invariant 3: every dropped SNP is within window of some kept SNP
+    for chrom, g in pdf.groupby("chrom"):
+        kept = got[got.chrom == chrom]["pos"].to_numpy()
+        for p in g["pos"]:
+            assert (np.abs(kept - p) <= window).any()
+
+
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False, width=32), min_size=1, max_size=200))
+@settings(**_SETTINGS)
+def test_decimal_sum_order_independent(spark, xs):
+    """dsum's whole reason to exist: identical result under any row order."""
+    from daxos_spark.plans.registry import dsum
+    import pyspark.sql.functions as F
+
+    pdf = pd.DataFrame({"x": np.array(xs, dtype="float64")})
+    fwd = spark.createDataFrame(pdf).agg(dsum(F.col("x")).alias("s")).collect()[0]["s"]
+    rev = (
+        spark.createDataFrame(pdf.iloc[::-1].reset_index(drop=True))
+        .repartition(7)
+        .agg(dsum(F.col("x")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert fwd == rev  # bit-for-bit, not approx

@@ -110,3 +110,30 @@ def test_user_running_totals_final_state_matches_batch(spark, batch_events):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, batch_events):
+    from daxos_spark.streaming.pipelines import views_after_errors_stream
+
+    stream = read_events_stream(spark, SF_DIR)
+    run_to_memory(views_after_errors_stream(stream), "t_ssj", output_mode="append")
+    got = sorted(
+        (r["e_id"], r["v_id"]) for r in spark.table("t_ssj").collect()
+    )
+    e = batch_events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("eu"), F.col("ts").alias("ets"), F.col("event_id").alias("eid")
+    )
+    v = batch_events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+    )
+    want = sorted(
+        (r["eid"], r["vid"])
+        for r in e.join(
+            v,
+            (F.col("vu") == F.col("eu"))
+            & (F.col("vts") > F.col("ets"))
+            & (F.col("vts") <= F.col("ets") + F.expr("INTERVAL 5 MINUTES")),
+        ).collect()
+    )
+    assert got == want
+    assert len(got) > 0
