@@ -355,3 +355,55 @@ def ml_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("gain").desc(), "predictors")
         .limit(10)
     )
+
+
+@_q("ml_tree_contributions", doc="Saabas path contributions (T4 SHAP analogue) + A3 mean|contrib|")
+def ml_tree_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.contrib import mean_abs_contributions, tree_contributions
+
+    df = (
+        _binary_embeddings(spark, sf_dir)
+        .withColumn("row_idx", F.col("vec_id"))
+        .cache()
+    )
+    train = df.filter(~F.col("is_test"))
+    model = fit_gbt(train, GBTParams(eta=0.1, max_depth=3, n_boost_round=10, seed=42))
+    contribs = tree_contributions(model, df.filter(F.col("is_test")))
+    return (
+        mean_abs_contributions(contribs)
+        .select("pos", F.round("mean_abs_contrib", 5).alias("mean_abs_contrib"))
+        .orderBy(F.col("mean_abs_contrib").desc(), "pos")
+        .limit(10)
+    )
+
+
+@_q("ml_refit_pruned", doc="fit → contribution-prune → refit strategy (O10/P3)")
+def ml_refit_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.contrib import mean_abs_contributions, tree_contributions
+    from ..ml.scoring import score_auc
+    from ..ml.train import predict_gbt
+
+    df = (
+        _binary_embeddings(spark, sf_dir)
+        .withColumn("row_idx", F.col("vec_id"))
+        .cache()
+    )
+    train = df.filter(~F.col("is_test"))
+    test = df.filter(F.col("is_test"))
+    params = GBTParams(eta=0.1, max_depth=3, n_boost_round=10, seed=42)
+
+    full = fit_gbt(train, params)
+    auc_full = score_auc(predict_gbt(full, test))
+
+    imp = mean_abs_contributions(tree_contributions(full, train)).collect()
+    keep = sorted(
+        r["pos"] for r in sorted(imp, key=lambda r: -r["mean_abs_contrib"])[:16]
+    )
+    pruned_feats = F.array(*[F.col("features")[i] for i in keep])
+    pruned = df.withColumn("features", pruned_feats).cache()
+    refit = fit_gbt(pruned.filter(~F.col("is_test")), params)
+    auc_pruned = score_auc(predict_gbt(refit, pruned.filter(F.col("is_test"))))
+    return spark.createDataFrame(
+        [(64, len(keep), round(auc_full, 3), round(auc_pruned, 3))],
+        "n_features int, n_kept int, auc_full double, auc_pruned double",
+    )
