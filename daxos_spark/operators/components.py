@@ -1,0 +1,62 @@
+"""Connected components via iterative min-label propagation — the
+cluster step of near-duplicate deduplication (LSH/Jaccard pairs →
+duplicate groups → one canonical doc per group).
+
+Algorithm: every node starts labeled with its own id; each round,
+every node takes the min of its label and its neighbors' labels;
+converged when no label changes. Rounds = graph diameter, which for
+near-dup graphs is tiny (dup clusters are dense cliques-ish). Each
+round is one join + one groupBy — all shuffles on the node key, no
+driver-side graph state (only the convergence counter comes back).
+This is the plain-DataFrame version of the map-reduce CC algorithms
+(cf. Kiveris et al. '14 "Connected Components in MapReduce"); swap in
+large-star/small-star if diameters ever grow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """→ (node, component) where component = min node id reachable.
+
+    ``edges`` is undirected input (each pair once is fine). Nodes are
+    whatever appears in ``src``/``dst``.
+    """
+    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct().persist()
+    labels = (
+        both.select(F.col("u").alias("node")).distinct().withColumn("lab", F.col("node"))
+    ).persist()
+
+    for _ in range(max_iter):
+        msgs = (
+            both.join(labels, both["u"] == labels["node"])
+            .select(F.col("v").alias("node"), F.col("lab"))
+        )
+        new_labels = (
+            labels.select("node", "lab")
+            .unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    both.unpersist()
+    return labels.select("node", F.col("lab").alias("component"))

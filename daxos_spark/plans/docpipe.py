@@ -543,3 +543,87 @@ def d_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup clusters — the full dedup endgame: shingle-Jaccard pairs
+# above threshold → connected components → cluster-size histogram.
+# Spark: iterative min-label propagation (operators/components.py);
+# oracle: duckdb recursive CTE computing min reachable id. Both are
+# exact on the same edge set, so the histogram matches bit-for-bit.
+_JACC_THR = 0.02
+
+
+@_q(
+    "d_dedup_clusters",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source, {_TOKS} AS tk FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, source, {_SHINGLE} AS s
+      FROM (SELECT doc_id, source, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT da, db
+      FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {_JACC_THR}
+    ), edges AS (
+      SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs
+    ), reach AS (
+      SELECT u AS node, v AS r FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+    ), comp AS (
+      SELECT node, LEAST(node, MIN(r)) AS component
+      FROM reach GROUP BY node
+    ), csize AS (
+      SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+    )
+    SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+    FROM csize GROUP BY sz ORDER BY sz
+    """,
+)
+def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
+    ).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    pairs = (
+        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .filter(
+            F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+            >= _JACC_THR
+        )
+        .select("da", "db")
+    )
+    comp = connected_components(pairs, "da", "db")
+    csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    out = (
+        csize.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+    return out

@@ -730,3 +730,78 @@ def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape: market share — conditional share of a group within a
+# larger aggregate, per year.
+@_q(
+    "q08_market_share",
+    f"""
+    WITH rev AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             CASE WHEN n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS target_rev,
+             l_extendedprice * (1 - l_discount) AS total_rev
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON n_nationkey = s_nationkey
+    )
+    SELECT yr,
+           {sql_trunc6(f"{sql_dsum('target_rev')} / {sql_dsum('total_rev')}")} AS mkt_share,
+           COUNT(*) AS n_items
+    FROM rev GROUP BY yr ORDER BY yr
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    target = F.when(F.col("n_name") == "NATION_3", rev).otherwise(F.lit(0.0))
+    return (
+        j.groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            trunc6(dsum(target) / dsum(rev)).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("yr")
+    )
+
+
+# --------------------------------------------------------------------------
+# sliding-frame window — 4-row moving sum + lag delta per customer
+# (ROWS BETWEEN frames; exact decimal arithmetic inside the frame).
+@_q(
+    "q_window_moving_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+           CAST(COALESCE(o_totalprice - LAG(o_totalprice)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0)
+                AS DOUBLE) AS delta_prev
+    FROM orders
+    WHERE o_custkey % 20 = 0
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_custkey") % 20 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(-3, 0)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(wf).cast("double").alias("moving_sum"),
+            F.coalesce(
+                F.col("o_totalprice") - F.lag("o_totalprice").over(w), F.lit(0.0)
+            ).cast("double").alias("delta_prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

@@ -101,3 +101,53 @@ def test_with_row_idx_deterministic(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     idx = sorted(r["row_idx"] for r in a)
     assert idx == list(range(500))
+
+
+def test_salted_join_equals_plain_join(spark):
+    import numpy as np
+    import pandas as pd
+
+    from daxos_spark.operators.skew import salted_join
+
+    rng = np.random.RandomState(9)
+    # heavy skew: 80% of left rows share one key
+    left = pd.DataFrame(
+        {
+            "k": np.where(rng.uniform(size=500) < 0.8, 7, rng.randint(0, 20, 500)),
+            "lv": np.arange(500),
+        }
+    )
+    right = pd.DataFrame({"k": np.arange(20), "rv": np.arange(20) * 100})
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in salted_join(sl, sr, ["k"], n_salts=4).collect()
+    )
+    want = sorted((r["k"], r["lv"], r["rv"]) for r in sl.join(sr, ["k"]).collect())
+    assert got == want
+
+    # left join keeps unmatched left rows exactly once
+    right_partial = spark.createDataFrame(right[right.k < 10])
+    got_l = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in salted_join(sl, right_partial, ["k"], n_salts=4, how="left").collect()
+    )
+    want_l = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in sl.join(right_partial, ["k"], "left").collect()
+    )
+    assert got_l == want_l
+
+
+def test_connected_components(spark):
+    import pandas as pd
+
+    from daxos_spark.operators.components import connected_components
+
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    edges = pd.DataFrame(
+        {"a": [1, 2, 3, 10, 20, 21], "b": [2, 3, 4, 11, 21, 22]}
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(spark.createDataFrame(edges)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
