@@ -154,3 +154,150 @@ def mean_abs_contributions(contribs: DataFrame) -> DataFrame:
         .agg(F.avg(F.abs(F.col("c"))).alias("mean_abs_contrib"))
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact TreeSHAP (Lundberg, Erion & Lee '18, Algorithm 2) — T5-grade
+# explanation: Shapley values of the conditional-expectation tree game,
+# O(L·D²) per instance per tree instead of exponential. Requires node
+# covers (training-sample counts), which MLlib exposes via
+# impurityStats; contributions sum exactly to margin(x) − E[margin]
+# (verified against brute-force Shapley enumeration in tests).
+
+
+def _flatten_tree_with_cover(java_root) -> tuple[FlatTree, np.ndarray]:
+    ft = _flatten_tree(java_root)
+    cover = np.zeros(len(ft.feat), dtype=np.float64)
+    idx_ref = [0]  # pre-order counter, same traversal as _flatten_tree
+
+    def rec(node):
+        idx = idx_ref[0]
+        idx_ref[0] += 1
+        cover[idx] = float(node.impurityStats().count())
+        if node.getClass().getSimpleName() == "InternalNode":
+            rec(node.leftChild())
+            rec(node.rightChild())
+
+    rec(java_root)
+    return ft, cover
+
+
+def _shap_one_tree(x: np.ndarray, t: FlatTree, cover: np.ndarray, phi: np.ndarray, scale: float) -> None:
+    """Per-instance TreeSHAP recursion (path entries: [d, z, o, w])."""
+
+    def extend(m, pz, po, pi):
+        m = [row[:] for row in m]
+        l = len(m)
+        m.append([pi, pz, po, 1.0 if l == 0 else 0.0])
+        for j in range(l - 1, -1, -1):
+            m[j + 1][3] += po * m[j][3] * (j + 1) / (l + 1)
+            m[j][3] = pz * m[j][3] * (l - j) / (l + 1)
+        return m
+
+    def unwound_sum(m, i):
+        ud = len(m) - 1
+        one, zero = m[i][2], m[i][1]
+        total = 0.0
+        next_one = m[ud][3]
+        for j in range(ud - 1, -1, -1):
+            if one != 0:
+                tmp = next_one * (ud + 1) / ((j + 1) * one)
+                total += tmp
+                next_one = m[j][3] - tmp * zero * (ud - j) / (ud + 1)
+            else:
+                total += m[j][3] / (zero * (ud - j) / (ud + 1))
+        return total
+
+    def unwind(m, i):
+        ud = len(m) - 1
+        m = [row[:] for row in m]
+        one, zero = m[i][2], m[i][1]
+        next_one = m[ud][3]
+        for j in range(ud - 1, -1, -1):
+            if one != 0:
+                tmp = m[j][3]
+                m[j][3] = next_one * (ud + 1) / ((j + 1) * one)
+                next_one = tmp - m[j][3] * zero * (ud - j) / (ud + 1)
+            else:
+                m[j][3] = m[j][3] * (ud + 1) / (zero * (ud - j))
+        for j in range(i, ud):
+            m[j][0], m[j][1], m[j][2] = m[j + 1][0], m[j + 1][1], m[j + 1][2]
+        return m[:-1]
+
+    def recurse(node, m, pz, po, pi):
+        m = extend(m, pz, po, pi)
+        if t.feat[node] < 0:
+            for i in range(1, len(m)):
+                w = unwound_sum(m, i)
+                phi[m[i][0]] += w * (m[i][2] - m[i][1]) * t.pred[node] * scale
+            return
+        f = int(t.feat[node])
+        if x[f] <= t.thr[node]:
+            hot, cold = int(t.left[node]), int(t.right[node])
+        else:
+            hot, cold = int(t.right[node]), int(t.left[node])
+        iz = io = 1.0
+        k = next((i for i in range(1, len(m)) if m[i][0] == f), None)
+        if k is not None:
+            iz, io = m[k][1], m[k][2]
+            m = unwind(m, k)
+        recurse(hot, m, iz * cover[hot] / cover[node], io, f)
+        recurse(cold, m, iz * cover[cold] / cover[node], 0.0, f)
+
+    recurse(0, [], 1.0, 1.0, -1)
+
+
+def tree_shap_values(
+    model,
+    df: DataFrame,
+    id_col: str = "row_idx",
+    features_col: str = "features",
+) -> DataFrame:
+    """Exact SHAP values per row: (id, base, margin, shap[p]).
+
+    base = E[margin] over the training distribution (cover-weighted);
+    base + sum(shap) == margin(x) exactly. Same broadcast-trees +
+    mapInPandas distributed shape as tree_contributions; per-row cost
+    is O(trees · leaves · depth²) in pure numpy/python, so prefer
+    tree_contributions (Saabas) when approximate attributions suffice.
+    """
+    import pandas as pd
+
+    flat = [_flatten_tree_with_cover(t._call_java("rootNode")) for t in model.trees]
+    weights = [float(w) for w in model.treeWeights]
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((flat, weights))
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("base", DoubleType()),
+            StructField("margin", DoubleType()),
+            StructField("shap", ArrayType(DoubleType())),
+        ]
+    )
+
+    def compute(batches):
+        flat_b, weights_b = b.value
+        base = float(
+            sum(
+                w * float(np.sum(np.where(t.feat < 0, t.pred * cov, 0.0)) / cov[0])
+                for (t, cov), w in zip(flat_b, weights_b)
+            )
+        )
+        for pdf in batches:
+            X = np.asarray(pdf[features_col].tolist(), dtype=np.float64)
+            out = np.zeros_like(X)
+            for r in range(len(X)):
+                for (t, cov), w in zip(flat_b, weights_b):
+                    _shap_one_tree(X[r], t, cov, out[r], w)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "base": base,
+                    "margin": base + out.sum(axis=1),
+                    "shap": list(out),
+                }
+            )
+
+    return df.select(id_col, features_col).mapInPandas(compute, out_schema)

@@ -407,3 +407,24 @@ def ml_refit_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(64, len(keep), round(auc_full, 3), round(auc_pruned, 3))],
         "n_features int, n_kept int, auc_full double, auc_pruned double",
     )
+
+
+@_q("ml_exact_shap", doc="exact TreeSHAP values (T5; Lundberg '18 Algorithm 2)")
+def ml_exact_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.contrib import tree_shap_values
+
+    df = (
+        _binary_embeddings(spark, sf_dir)
+        .withColumn("row_idx", F.col("vec_id"))
+        .cache()
+    )
+    train = df.filter(~F.col("is_test"))
+    model = fit_gbt(train, GBTParams(eta=0.1, max_depth=3, n_boost_round=8, seed=42))
+    shap = tree_shap_values(model, df.filter(F.col("is_test")).limit(200))
+    return (
+        shap.select(F.posexplode("shap").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.round(F.avg(F.abs(F.col("v"))), 5).alias("mean_abs_shap"))
+        .orderBy(F.col("mean_abs_shap").desc(), "pos")
+        .limit(10)
+    )

@@ -805,3 +805,91 @@ def q_window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic hash sampling — the cross-engine-reproducible form of
+# TABLESAMPLE (rand()-based samples are engine-specific; a hash of the
+# key is stable everywhere, and at scale Catalyst pushes nothing but a
+# cheap md5+filter into the scan).
+from ..functions.hashing import md5_long, md5_long_sql  # noqa: E402
+
+
+@_q(
+    "q_hash_sample",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_sampled,
+           {sql_dsum('o_totalprice')} AS sampled_spend
+    FROM orders
+    WHERE {md5_long_sql("CAST(o_orderkey AS VARCHAR)")} % 100 < 5
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.filter(md5_long(F.col("o_orderkey").cast("string")) % 100 < 5)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), dsum(F.col("o_totalprice")).alias("sampled_spend"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# time-spine gap fill — generate the full hour spine per event_type and
+# left-join observed counts so silent hours appear as zeros (the
+# resample/interpolate pattern every time-series pipeline needs).
+@_q(
+    "q_hourly_gap_fill",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1 FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), obs AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type,
+           COUNT(*) AS n_hours,
+           CAST(SUM(CASE WHEN obs.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_silent_hours,
+           CAST(SUM(COALESCE(obs.n, 0)) AS BIGINT) AS n_events,
+           CAST(MAX(COALESCE(obs.n, 0)) AS BIGINT) AS max_per_hour
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN obs ON obs.hour = s.hour AND obs.event_type = t.event_type
+    GROUP BY t.event_type ORDER BY t.event_type
+    """,
+)
+def q_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    obs = (
+        ev.withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    full = spine.crossJoin(types).join(
+        obs.withColumnRenamed("event_type", "ot").withColumnRenamed("hour", "oh"),
+        (F.col("oh") == F.col("hour")) & (F.col("ot") == F.col("event_type")),
+        "left",
+    )
+    return (
+        full.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.col("n").isNull().cast("int")).cast("bigint").alias("n_silent_hours"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("n_events"),
+            F.max(F.coalesce(F.col("n"), F.lit(0))).alias("max_per_hour"),
+        )
+        .orderBy("event_type")
+    )

@@ -56,3 +56,80 @@ def test_contribs_parquet_roundtrip(spark, tmp_path, contrib_setup):
     back = spark.read.parquet(path)
     assert back.count() == contribs.count()
     assert dict(back.dtypes)["contribs"] == "array<double>"
+
+
+# ---------------------------------------------------------------------------
+# Exact TreeSHAP vs brute-force Shapley enumeration
+
+
+def _expected_value(tree, cover, x, S, node=0):
+    """E[f(x') | x'_S = x_S] under the tree's cover distribution —
+    the conditional-expectation game TreeSHAP computes exactly."""
+    f = tree.feat[node]
+    if f < 0:
+        return tree.pred[node]
+    l, r = int(tree.left[node]), int(tree.right[node])
+    if int(f) in S:
+        child = l if x[f] <= tree.thr[node] else r
+        return _expected_value(tree, cover, x, S, child)
+    wl = cover[l] / cover[node]
+    wr = cover[r] / cover[node]
+    return wl * _expected_value(tree, cover, x, S, l) + wr * _expected_value(
+        tree, cover, x, S, r
+    )
+
+
+def _brute_shapley(tree, cover, x, p):
+    import itertools
+    import math
+
+    phi = np.zeros(p)
+    feats = list(range(p))
+    for f in feats:
+        others = [g for g in feats if g != f]
+        for k in range(len(others) + 1):
+            for S in itertools.combinations(others, k):
+                wgt = math.factorial(k) * math.factorial(p - k - 1) / math.factorial(p)
+                gain = _expected_value(tree, cover, x, set(S) | {f}) - _expected_value(
+                    tree, cover, x, set(S)
+                )
+                phi[f] += wgt * gain
+    return phi
+
+
+def test_treeshap_matches_bruteforce_shapley(spark, matrix_ds):
+    from daxos_spark.ml.contrib import _flatten_tree_with_cover, _shap_one_tree
+
+    # small feature space so 2^p enumeration is feasible: project to 6 dims
+    fact = matrix_ds.fact.select(
+        "row_idx",
+        F.array(*[F.col("features")[i] for i in [0, 1, 2, 3, 10, 11]]).alias("features"),
+        "label",
+    )
+    model = fit_gbt(fact, GBTParams(eta=0.5, max_depth=3, n_boost_round=3, seed=3))
+    flat = [_flatten_tree_with_cover(t._call_java("rootNode")) for t in model.trees]
+    weights = [float(w) for w in model.treeWeights]
+
+    rows = fact.select("row_idx", "features").limit(5).collect()
+    for row in rows:
+        x = np.asarray(row["features"], dtype=np.float64)
+        got = np.zeros(6)
+        want = np.zeros(6)
+        for (t, cov), w in zip(flat, weights):
+            _shap_one_tree(x, t, cov, got, w)
+            want += w * _brute_shapley(t, cov, x, 6)
+        assert np.allclose(got, want, atol=1e-9), (got, want)
+
+
+def test_treeshap_additivity_distributed(spark, matrix_ds):
+    from daxos_spark.ml.contrib import tree_shap_values
+    from daxos_spark.ml.train import predict_gbt
+
+    fact = matrix_ds.fact
+    model = fit_gbt(fact, GBTParams(eta=0.3, max_depth=3, n_boost_round=5, seed=7))
+    shap = tree_shap_values(model, fact.limit(40))
+    preds = {r["row_idx"]: r["y_pred"] for r in predict_gbt(model, fact).collect()}
+    for r in shap.collect():
+        assert abs(r["base"] + sum(r["shap"]) - r["margin"]) < 1e-9
+        expect_prob = 1.0 / (1.0 + math.exp(-2.0 * r["margin"]))
+        assert abs(preds[r["row_idx"]] - expect_prob) < 1e-6
