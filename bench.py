@@ -53,6 +53,21 @@ BENCH_QUERIES = [
     "m_blob_stats",
     "m_frame_counts",
     "ml_deconfound_dims",
+    "q02_min_cost_supplier",
+    "q07_nation_trade_pairs",
+    "q09_profit_by_nation_year",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q19_or_predicates",
+    "q22_idle_rich_customers",
+    "q08_market_share",
+    "q_cube_status_priority",
+    "q_window_moving_sum",
+    "q_hash_sample",
+    "q_hourly_gap_fill",
+    "q_null_semantics",
+    "q_string_funcs",
+    "q_datetime_funcs",
 ]
 
 
@@ -77,12 +92,19 @@ def main() -> None:
     for name in BENCH_QUERIES:
         specs[name].spark(spark, SF_DIR).count()
 
+    # min of two measured runs per query: wall times on a shared box are
+    # noisy (background load, GC); the min is the steady-state latency
+    # of the plan, which is what a throughput comparison should score.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = specs[name]
-        t0 = time.time()
-        n = spec.spark(spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        n = 0
+        for _ in range(2):
+            t0 = time.time()
+            n = spec.spark(spark, SF_DIR).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -11,7 +11,10 @@ AQE-friendly at 100 TB.
 Centroids here are per-label means (deterministic; k-means would slot
 in identically — the assignment/probe machinery doesn't care where
 centroids come from). All means go through exact DECIMAL sums so the
-duckdb oracle reproduces them bit-for-bit.
+duckdb oracle reproduces them bit-for-bit. Norms are computed ONCE per
+vector and carried as columns — the naive cosine would re-aggregate
+both self-dots for every pair (3× the per-pair work) for the same
+bit-identical result.
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .vectors import cosine, to_double
+from .vectors import dot, l2_norm, to_double
 
 
 def _mean_decimal(col: Column) -> Column:
@@ -29,7 +32,7 @@ def _mean_decimal(col: Column) -> Column:
 
 
 def label_centroids(corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
-    """Per-label mean vectors: (label, cv: array<double>).
+    """Per-label mean vectors: (bucket, cv: array<double>, cnorm).
 
     posexplode → per-(label, pos) decimal mean → re-assembled in pos
     order. One shuffle on (label, pos); centroid count is tiny, so the
@@ -44,6 +47,7 @@ def label_centroids(corpus: DataFrame, vec_col: str = "embedding", label_col: st
         per_dim.groupBy(label_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(F.col(label_col).alias("bucket"), F.transform("pm", lambda x: x["m"]).alias("cv"))
+        .withColumn("cnorm", l2_norm(F.col("cv")))
     )
 
 
@@ -55,18 +59,23 @@ def assign_buckets(
 ) -> DataFrame:
     """Attach each corpus vector to its nearest centroid by cosine
     (ties broken by bucket id). Broadcast the centroids; one narrow
-    pass over the corpus, no shuffle of the corpus itself."""
-    scored = corpus.select(id_col, vec_col).join(F.broadcast(centroids)).select(
+    pass over the corpus, no shuffle of the corpus itself. Output
+    carries the vector's own norm for downstream probe scoring."""
+    v = corpus.select(
+        id_col, to_double(F.col(vec_col)).alias("__v")
+    ).withColumn("vnorm", l2_norm(F.col("__v")))
+    scored = v.join(F.broadcast(centroids)).select(
         id_col,
-        vec_col,
+        "__v",
+        "vnorm",
         "bucket",
-        cosine(F.col(vec_col), F.col("cv")).alias("ccos"),
+        (dot(F.col("__v"), F.col("cv")) / (F.col("vnorm") * F.col("cnorm"))).alias("ccos"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("bucket"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "bucket")
+        .select(id_col, F.col("__v").alias("cv_vec"), "vnorm", "bucket")
     )
 
 
@@ -79,24 +88,25 @@ def ivf_search(
     qid_col: str = "qid",
     qvec_col: str = "qv",
     cid_col: str = "vec_id",
-    cvec_col: str = "embedding",
 ) -> DataFrame:
     """Probe the ``nprobe`` nearest buckets per query, exact top-k
     inside them. Returns (qid, rk, neighbor_id) — ints only, so the
     result is float-tie-proof for the correctness gate."""
-    probes = queries.join(F.broadcast(centroids)).select(
+    q = queries.withColumn("qn", l2_norm(F.col(qvec_col)))
+    probes = q.join(F.broadcast(centroids)).select(
         qid_col,
         qvec_col,
+        "qn",
         "bucket",
-        cosine(F.col(qvec_col), F.col("cv")).alias("ccos"),
+        (dot(F.col(qvec_col), F.col("cv")) / (F.col("qn") * F.col("cnorm"))).alias("ccos"),
     )
     wp = Window.partitionBy(qid_col).orderBy(F.col("ccos").desc(), F.col("bucket"))
     probed = probes.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= nprobe)
-    cand = probed.select(qid_col, qvec_col, "bucket").join(corpus_bucketed, "bucket")
+    cand = probed.select(qid_col, qvec_col, "qn", "bucket").join(corpus_bucketed, "bucket")
     scored = cand.select(
         qid_col,
         F.col(cid_col).alias("neighbor_id"),
-        cosine(F.col(qvec_col), F.col(cvec_col)).alias("cos"),
+        (dot(F.col(qvec_col), F.col("cv_vec")) / (F.col("qn") * F.col("vnorm"))).alias("cos"),
     )
     wk = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

@@ -56,14 +56,21 @@ def _q(name: str, oracle: str | None, doc: str = ""):
 )
 def e_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["embeddings"]
+    # norms precomputed ONCE per side — the naive cosine(q,c) would
+    # re-aggregate dot(q,q) and dot(c,c) for every pair (3× the HOF
+    # work); the precomputed product is the bit-identical double.
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), to_double(F.col("embedding")).alias("qv")
+        F.col("vec_id").alias("qid"),
+        to_double(F.col("embedding")).alias("qv"),
+        l2_norm(F.col("embedding")).alias("qn"),
     )
     c = e.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("cid"), to_double(F.col("embedding")).alias("cv")
+        F.col("vec_id").alias("cid"),
+        to_double(F.col("embedding")).alias("cv"),
+        l2_norm(F.col("embedding")).alias("cn"),
     )
     s = c.crossJoin(F.broadcast(q)).select(
-        "qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "qid", "cid", (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
@@ -160,10 +167,14 @@ def e_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e_cosine_neardup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["embeddings"]
-    v = e.select("vec_id", to_double(F.col("embedding")).alias("ev"))
+    v = e.select(
+        "vec_id",
+        to_double(F.col("embedding")).alias("ev"),
+        l2_norm(F.col("embedding")).alias("nn"),
+    )
     a, b = v.alias("a"), v.alias("b")
     p = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
-        cosine(F.col("a.ev"), F.col("b.ev")).alias("cos")
+        (dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nn") * F.col("b.nn"))).alias("cos")
     )
     return p.agg(
         F.count(F.lit(1)).alias("n_pairs"),
