@@ -1,0 +1,108 @@
+"""Capacity demonstration — the reference's production-matrix shape,
+end-to-end, on one box.
+
+The reference's envelope (BASELINE.md): 28k-40k samples × 215k SNPs,
+~640 GB cluster RAM, with hours-long budgets per stage (>3h PLINK→raw,
+>3h raw→HDF5, 10h/300 GB for the 215k per-column covariate
+regressions). This script runs the same pipeline stages — synthesize →
+parquet at rest → closed-form deconfounding (ALL per-column regressions
+in one gramian pass) → GBT train — at a configurable n×p and prints one
+JSON line of stage timings.
+
+Usage: python tools/capacity.py [n_rows] [n_cols]
+Defaults 20000×2000 (40M dosage cells) to stay laptop-friendly; the
+plan shapes are row-count/width agnostic (nothing driver-side exceeds
+the (k+1)×p beta matrix).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    p = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
+    out = f"/tmp/capacity_{n}x{p}"
+
+    import pyspark.sql.functions as F
+
+    from daxos_spark.ml.deconfound import compute_beta_matrix, residualize_features
+    from daxos_spark.ml.train import GBTParams, fit_gbt, predict_gbt
+    from daxos_spark.ml.scoring import score_auc
+    from daxos_spark.session import get_spark
+
+    spark = get_spark("capacity")
+    spark.sparkContext.setLogLevel("ERROR")
+    t: dict[str, float] = {}
+
+    # ---- synthesize: JVM-side dosage matrix {0,1,2}, planted signal on
+    # the last two columns, three covariates — no driver-side data.
+    t0 = time.time()
+    base = spark.range(n).withColumnRenamed("id", "row_idx")
+    feats = F.transform(
+        F.sequence(F.lit(0), F.lit(p - 1)),
+        lambda j: F.pmod(F.xxhash64(F.col("row_idx"), j, F.lit(1)), F.lit(3)).cast("float"),
+    )
+    df = base.select(
+        "row_idx",
+        feats.alias("features"),
+        *[
+            (F.pmod(F.xxhash64(F.col("row_idx"), F.lit(100 + i)), F.lit(1000)) / 500.0 - 1.0).alias(f"COV{i}")
+            for i in range(3)
+        ],
+    )
+    logit = (
+        -0.5
+        + 1.2 * F.element_at("features", p).cast("double")
+        + 0.8 * F.element_at("features", p - 1).cast("double")
+        + 0.5 * F.col("COV0")
+    )
+    u = F.pmod(F.xxhash64("row_idx", F.lit(7)), F.lit(1_000_000)) / 1_000_000.0
+    df = df.withColumn("label", (u < F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).cast("float"))
+    df.write.mode("overwrite").parquet(out)
+    t["synthesize_write_s"] = round(time.time() - t0, 1)
+
+    fact = spark.read.parquet(out)
+
+    # ---- deconfound: every per-column regression in ONE gramian pass
+    # (the reference budgeted 10h/300GB for this stage at p=215k)
+    t0 = time.time()
+    betas = compute_beta_matrix(fact, ["COV0", "COV1", "COV2"])
+    adj = residualize_features(fact, ["COV0", "COV1", "COV2"], betas)
+    adj.write.mode("overwrite").parquet(out + "_adj")
+    t["deconfound_write_s"] = round(time.time() - t0, 1)
+
+    # ---- train/score (T1/T3/A5)
+    t0 = time.time()
+    adj_fact = spark.read.parquet(out + "_adj").withColumn(
+        "is_test", F.pmod(F.col("row_idx"), F.lit(5)) == 0
+    )
+    model = fit_gbt(
+        adj_fact.filter(~F.col("is_test")),
+        GBTParams(eta=0.2, max_depth=4, n_boost_round=10, seed=42),
+        features_col="features_adj",
+    )
+    auc = score_auc(predict_gbt(model, adj_fact.filter(F.col("is_test")), features_col="features_adj"))
+    t["train_score_s"] = round(time.time() - t0, 1)
+
+    print(
+        json.dumps(
+            {
+                "n_rows": n,
+                "n_cols": p,
+                "cells": n * p,
+                "auc_test": round(auc, 3),
+                "stages": t,
+                "total_s": round(sum(t.values()), 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
