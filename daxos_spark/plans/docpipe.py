@@ -627,3 +627,54 @@ def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cluster_size")
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# the cleaned-corpus composition — what a training-data pipeline
+# actually materializes: canonical (first doc per exact-dup group) ∧
+# quality above threshold ∧ language-ID agrees with the label. One
+# query chaining dedup + scoring + langid; counts per (lang, source).
+@_q(
+    "d_clean_corpus",
+    f"""
+    WITH f AS (
+      SELECT doc_id, lang, source,
+             {md5_long_sql(_NORM_WS)} AS fp,
+             len({_TOKS}) AS n_tokens,
+             len(list_filter({_TOKS}, t -> list_contains(['{_SW}'], t))) AS stop_hits
+      FROM documents
+    ), canon AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f
+    ), hits AS (
+      SELECT lang, source, doc_id,
+             CASE WHEN (stop_hits * 5.0 / n_tokens) >= 0.5 THEN 1 ELSE 0 END AS good_quality
+      FROM canon WHERE rn = 1
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_canonical,
+           CAST(SUM(good_quality) AS BIGINT) AS n_clean
+    FROM hits GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def d_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    f = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.stopword_hits(F.col("text"), T.EN_STOPWORDS).alias("stop_hits"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    canon = f.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    good = (F.col("stop_hits") * 5.0 / F.col("n_tokens") >= 0.5).cast("int")
+    return (
+        canon.select("lang", "source", good.alias("good_quality"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_canonical"),
+            F.sum("good_quality").alias("n_clean"),
+        )
+        .orderBy("lang", "source")
+    )

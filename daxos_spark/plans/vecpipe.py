@@ -245,3 +245,88 @@ def e_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = label_centroids(corpus)
     bucketed = assign_buckets(corpus, cent)
     return ivf_search(queries, bucketed, cent, nprobe=3, k=5).orderBy("qid", "rk")
+
+
+# --------------------------------------------------------------------------
+# IVF recall vs exact top-k — the ANN quality measurement: per query,
+# how many of the exact top-5 the probed search recovered. Both sides
+# deterministic, so recall itself is hash-checkable.
+@_q(
+    "e_knn_recall",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings WHERE vec_id >= 10
+    ), q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+    ), exact_s AS (
+      SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        {_IVF_COS.format(a='qv', b='ev')} DESC, cid) AS rk
+      FROM q CROSS JOIN (SELECT vec_id AS cid, ev FROM corpus)
+    ), exact_top AS (
+      SELECT qid, cid FROM exact_s WHERE rk <= 5
+    ), dims AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings WHERE vec_id >= 10
+    ), cm AS (
+      SELECT label, pos, CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM dims GROUP BY label, pos
+    ), cent AS (
+      SELECT label AS bucket, list(m ORDER BY pos) AS cv FROM cm GROUP BY label
+    ), assign AS (
+      SELECT vec_id, ev, bucket FROM (
+        SELECT c.vec_id, c.ev, ct.bucket,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 {_IVF_COS.format(a='c.ev', b='ct.cv')} DESC, ct.bucket) AS rn
+        FROM corpus c CROSS JOIN cent ct)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT qid, qv, bucket FROM (
+        SELECT q.qid, q.qv, ct.bucket,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 {_IVF_COS.format(a='q.qv', b='ct.cv')} DESC, ct.bucket) AS rn
+        FROM q CROSS JOIN cent ct)
+      WHERE rn <= 3
+    ), ivf_s AS (
+      SELECT p.qid, a.vec_id AS cid, {_IVF_COS.format(a='p.qv', b='a.ev')} AS cos
+      FROM probes p JOIN assign a ON a.bucket = p.bucket
+    ), ivf_top AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        FROM ivf_s)
+      WHERE rk <= 5
+    )
+    SELECT e.qid,
+           COUNT(*) AS k_exact,
+           CAST(SUM(CASE WHEN i.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered
+    FROM exact_top e LEFT JOIN ivf_top i ON i.qid = e.qid AND i.cid = e.cid
+    GROUP BY e.qid ORDER BY e.qid
+    """,
+)
+def e_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import assign_buckets, ivf_search, label_centroids
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    corpus = e.filter(F.col("vec_id") >= 10)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), to_double(F.col("embedding")).alias("qv")
+    )
+    exact = e_knn_bruteforce(spark, sf_dir).select(
+        "qid", F.col("neighbor_id").alias("cid")
+    )
+    cent = label_centroids(corpus)
+    ivf = ivf_search(queries, assign_buckets(corpus, cent), cent, nprobe=3, k=5).select(
+        "qid", F.col("neighbor_id").alias("icid")
+    )
+    return (
+        exact.join(
+            ivf, (exact["qid"] == ivf["qid"]) & (F.col("cid") == F.col("icid")), "left"
+        )
+        .select(exact["qid"].alias("q"), "cid", "icid")
+        .groupBy(F.col("q").alias("qid"))
+        .agg(
+            F.count(F.lit(1)).alias("k_exact"),
+            F.sum(F.col("icid").isNotNull().cast("int")).cast("bigint").alias("n_recovered"),
+        )
+        .orderBy("qid")
+    )

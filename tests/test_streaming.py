@@ -137,3 +137,33 @@ def test_stream_stream_interval_join_matches_batch(spark, batch_events):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_foreachbatch_gold_ingest_idempotent(spark, tmp_path, batch_events):
+    import shutil
+
+    from daxos_spark.streaming.pipelines import RAW_EVENT_SCHEMA, run_gold_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "events.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "events_dup.parquet")  # replay
+
+    gold = str(tmp_path / "gold")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(RAW_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    run_gold_ingest(stream, gold, str(tmp_path / "ckpt"))
+
+    landed = spark.read.parquet(gold)
+    n_src = batch_events.count()
+    assert landed.count() == n_src  # 2x input, 1x landed
+    assert landed.select("event_id").distinct().count() == n_src
+
+    # a second full run (new checkpoint → full replay) adds nothing
+    run_gold_ingest(stream, gold, str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(gold).count() == n_src
