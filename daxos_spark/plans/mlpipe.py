@@ -428,3 +428,20 @@ def ml_exact_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mean_abs_shap").desc(), "pos")
         .limit(10)
     )
+
+
+@_q("ml_kmeans_clusters", doc="MLlib KMeans over embeddings (seeded; cluster-size profile)")
+def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    data = e.select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
+    km = KMeans(k=8, seed=42, maxIter=20)
+    model = km.fit(data)
+    pred = model.transform(data)
+    return (
+        pred.groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.count(F.lit(1)).alias("n_clusters_touched"), F.max("n").alias("max_cluster"), F.min("n").alias("min_cluster"))
+    )

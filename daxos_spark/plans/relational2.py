@@ -893,3 +893,110 @@ def q_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# data profiling — the ANALYZE-style per-column stats pass (null count,
+# distinct count, min/max) every warehouse runs before planning.
+@_q(
+    "q_profile_lineitem",
+    """
+    SELECT 'l_quantity' AS col, COUNT(*) AS n, COUNT(l_quantity) AS n_notnull,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_v, CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(l_discount), COUNT(DISTINCT l_discount),
+           CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_orderkey', COUNT(*), COUNT(l_orderkey), COUNT(DISTINCT l_orderkey),
+           CAST(MIN(l_orderkey) AS DOUBLE), CAST(MAX(l_orderkey) AS DOUBLE)
+    FROM lineitem
+    ORDER BY col
+    """,
+)
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+
+    def prof(c: str):
+        return li.agg(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(c).alias("n_notnull"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("double").alias("min_v"),
+            F.max(c).cast("double").alias("max_v"),
+        )
+
+    out = prof("l_quantity")
+    for c in ("l_discount", "l_orderkey"):
+        out = out.unionByName(prof(c))
+    return out.orderBy("col")
+
+
+# --------------------------------------------------------------------------
+# quantile binning — NTILE discretization + per-bin stats.
+@_q(
+    "q_ntile_spend_quartiles",
+    f"""
+    WITH b AS (
+      SELECT o_totalprice, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT quartile, COUNT(*) AS n,
+           {sql_trunc6('MIN(o_totalprice)')} AS lo,
+           {sql_trunc6('MAX(o_totalprice)')} AS hi
+    FROM b GROUP BY quartile ORDER BY quartile
+    """,
+)
+def q_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+    return (
+        b.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            trunc6(F.min("o_totalprice")).alias("lo"),
+            trunc6(F.max("o_totalprice")).alias("hi"),
+        )
+        .orderBy("quartile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation from exact decimal moments — engine-native corr()
+# accumulates in engine-specific order; the moment formula is
+# order-independent and bit-identical in both engines.
+@_q(
+    "q_corr_price_qty",
+    f"""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             {sql_dsum('l_quantity')} AS sx, {sql_dsum('l_extendedprice')} AS sy,
+             {sql_dsum('l_quantity * l_quantity')} AS sxx,
+             {sql_dsum('l_extendedprice * l_extendedprice')} AS syy,
+             {sql_dsum('l_quantity * l_extendedprice')} AS sxy
+      FROM lineitem
+    )
+    SELECT n,
+           {sql_trunc6('(n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))')} AS corr_qty_price
+    FROM m
+    """,
+)
+def q_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_quantity")).alias("sx"),
+        dsum(F.col("l_extendedprice")).alias("sy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        dsum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("syy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("n", trunc6(corr).alias("corr_qty_price"))
