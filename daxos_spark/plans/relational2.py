@@ -1000,3 +1000,96 @@ def q_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return m.select("n", trunc6(corr).alias("corr_qty_price"))
+
+
+# --------------------------------------------------------------------------
+# null-safe equality join — <=> (IS NOT DISTINCT FROM): null keys match
+# each other, unlike plain = which drops them.
+@_q(
+    "q_null_safe_join",
+    """
+    WITH a AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS k, COUNT(*) AS na
+      FROM orders GROUP BY NULLIF(o_orderstatus, 'P')
+    ), b AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS k, CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM orders GROUP BY NULLIF(o_orderstatus, 'P')
+    )
+    SELECT COALESCE(a.k, '«null»') AS k, na, FLOOR(total * 1000000.0) / 1000000.0 AS total
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY k
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    k = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    a = o.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("na"))
+    b = o.groupBy(k.alias("kb")).agg(dsum(F.col("o_totalprice")).alias("total"))
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("kb")))
+        .select(F.coalesce(F.col("k"), F.lit("«null»")).alias("k"), "na", trunc6(F.col("total")).alias("total"))
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct supplier variety per part attribute, via
+# the lineitem bridge (no partsupp table in this schema).
+@_q(
+    "q16_supplier_variety",
+    """
+    SELECT p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY p_type, p_size
+    ORDER BY supplier_cnt DESC, p_type, p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# array aggregation + ops — ordered collect, slice, membership; arrays
+# serialized to strings so the cross-engine hash sees identical cells.
+@_q(
+    "q_array_ops",
+    """
+    WITH a AS (
+      SELECT o_custkey,
+             list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS orders_arr
+      FROM orders WHERE o_custkey % 50 = 0
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           len(orders_arr) AS n_orders,
+           array_to_string(orders_arr[1:3], ',') AS first3,
+           CASE WHEN list_contains(orders_arr, o_custkey * 10) THEN 1 ELSE 0 END AS has_marker
+    FROM a ORDER BY o_custkey
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_custkey") % 50 == 0)
+    a = o.groupBy("o_custkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("o_orderdate", "o_orderkey"))),
+            lambda s: s["o_orderkey"],
+        ).alias("orders_arr")
+    )
+    return a.select(
+        "o_custkey",
+        F.size("orders_arr").alias("n_orders"),
+        F.array_join(F.slice("orders_arr", 1, 3), ",").alias("first3"),
+        F.array_contains("orders_arr", F.col("o_custkey") * 10).cast("int").alias("has_marker"),
+    ).orderBy("o_custkey")
