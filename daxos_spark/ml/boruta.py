@@ -62,12 +62,19 @@ def add_shadow_features(
     schema = ", ".join(f"{n} {t}" for n, t in fact.dtypes)
 
     def shadow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        from pyspark import TaskContext
+
+        # partition-distinct RNG streams: batch indexes always restart
+        # at 0 in mapInPandas, so seeding from pdf.index would give every
+        # partition the identical permutation pattern
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        for bi, pdf in enumerate(batches):
             if len(pdf) == 0:
                 yield pdf
                 continue
             X = np.stack(pdf[features_col].to_numpy())
-            rng = np.random.RandomState(seed + int(pdf.index[0]) % 100003)
+            rng = np.random.RandomState((seed + pid * 100003 + bi * 7919) % (2**31 - 1))
             shadows = np.empty_like(X)
             for j in range(X.shape[1]):
                 shadows[:, j] = X[rng.permutation(len(X)), j]

@@ -63,6 +63,12 @@ def compute_beta_matrix(
 ) -> np.ndarray:
     """M1 closed-form betas, shape (k+1, p); design = [1 | covars]."""
     k = len(cov_cols)
+    # both aggregation passes must see the SAME rows: posexplode drops
+    # null/empty feature arrays, so CᵀC must drop them too or the
+    # design matrices silently mismatch
+    fact = fact.filter(
+        F.col(features_col).isNotNull() & (F.size(F.col(features_col)) > 0)
+    )
     zs = [F.lit(1.0), *[F.col(c).cast("double") for c in cov_cols]]
 
     # CᵀC — (k+1)² tiny aggregates in one pass
@@ -167,20 +173,25 @@ def deconfound(
     covars: DataFrame,
     standardize: bool = True,
     stats: dict[str, tuple[float, float]] | None = None,
+    feature_betas: np.ndarray | None = None,
+    y_betas: np.ndarray | None = None,
 ):
     """Full M1-M5 pipeline (adjust_hdf5_for_covariates.py main flow):
     align → standardize → betas → residualize X and y.
 
     Returns (adjusted DataFrame with features_adj/label_adj, fitted
-    scaler stats, feature betas, label betas) so a test split can reuse
-    the train-fitted pieces (M5 contract).
+    scaler stats, feature betas, label betas). A test split must pass
+    ALL of the train-fitted pieces back in (``stats``, ``feature_betas``,
+    ``y_betas``) — refitting betas on the test rows would residualize
+    test features into a different space than the model was trained in
+    and leak test labels into the y-adjustment.
     """
     cov_cols = covar_columns(covars)
     joined = align_covars(fact, covars)
     if standardize:
         joined, stats = standardize_covars(joined, cov_cols, stats)
-    fb = compute_beta_matrix(joined, cov_cols)
-    yb = label_betas(joined, cov_cols)
+    fb = feature_betas if feature_betas is not None else compute_beta_matrix(joined, cov_cols)
+    yb = y_betas if y_betas is not None else label_betas(joined, cov_cols)
     out = residualize_features(joined, cov_cols, fb)
     out = residualize_label(out, cov_cols, yb)
     return out.drop(*cov_cols), stats, fb, yb

@@ -37,6 +37,7 @@ def connected_components(
         both.select(F.col("u").alias("node")).distinct().withColumn("lab", F.col("node"))
     ).persist()
 
+    changed = -1
     for _ in range(max_iter):
         msgs = (
             both.join(labels, both["u"] == labels["node"])
@@ -59,4 +60,11 @@ def connected_components(
         if changed == 0:
             break
     both.unpersist()
+    if changed != 0:
+        # silent truncation would report one real cluster as several
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing) — raise max_iter (graph "
+            f"diameter exceeds it) or switch to large-star/small-star"
+        )
     return labels.select("node", F.col("lab").alias("component"))

@@ -26,9 +26,12 @@ def subset_rows_by_ids(fact: DataFrame, ids: DataFrame, keep: bool = True) -> Da
     complement (split_ids.py:50-51)."""
     how = "left_semi" if keep else "left_anti"
     # rename first: Spark's case-insensitive resolution would make a
-    # bare `IID` ambiguous against the fact table's `iid`
+    # bare `IID` ambiguous against the fact table's `iid`.
+    # No broadcast hint: a small ID list auto-broadcasts under the
+    # session threshold; a huge one must be allowed to shuffle-join
+    # rather than OOM the driver.
     id_side = ids.select(F.col("IID").alias("__subset_iid"))
-    return fact.join(F.broadcast(id_side), fact["iid"] == F.col("__subset_iid"), how)
+    return fact.join(id_side, fact["iid"] == F.col("__subset_iid"), how)
 
 
 def _positions_for(cols: DataFrame, names: list[str], match_prefix: bool) -> list[int]:

@@ -40,6 +40,11 @@ def asof_join(
     r_cols = [c for c in right.columns if c != on and c != right_ts]
     l_cols = [c for c in left.columns if c != on and c != left_ts]
 
+    # equi-join semantics: a null key matches nothing. Without this
+    # filter the window partition would group all null keys together
+    # and attach null-keyed right rows to null-keyed left rows.
+    right = right.filter(F.col(on).isNotNull())
+
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),

@@ -61,10 +61,12 @@ def run_preprocessing(
     # ---- silver: disjoint seeded ID split
     train, test = seeded_id_split(ds.fact, train_frac=train_frac, seed=seed)
 
-    # ---- gold: covariate adjustment (scaler fitted on train, reused)
+    # ---- gold: covariate adjustment — scaler AND betas fitted on
+    # train, reused on test (refitting on test would residualize into a
+    # different feature space and leak test labels into y-adjustment)
     covars = read_covars(spark, covars_path)
-    train_adj, stats, _, _ = deconfound(train, covars)
-    test_adj, _, _, _ = deconfound(test, covars, stats=stats)
+    train_adj, stats, fb, yb = deconfound(train, covars)
+    test_adj, _, _, _ = deconfound(test, covars, stats=stats, feature_betas=fb, y_betas=yb)
 
     train_gold = f"{out_dir}/gold_train"
     test_gold = f"{out_dir}/gold_test"

@@ -78,11 +78,17 @@ def read_plink_raw(
         F.array(*[F.col(f"`{s}`") for s in snp_names]).alias("features"),
     )
 
-    # A4 recode guard (read.py:91-94): 1/2 phenotype → 0/1 label iff max==2
+    # A4 recode guard: 1/2 phenotype → 0/1 label. The reference tests
+    # only max==2 (read.py:91-94); here the whole value set must be
+    # ⊆ {1,2} so a quantitative phenotype that happens to top out at
+    # 2.0 is never silently shifted (documented strictness delta).
     label = F.col("phenotype")
     if recode_binary_label:
-        mx = fact.agg(F.max("phenotype")).collect()[0][0]
-        if mx is not None and float(mx) == 2.0:
+        row = fact.agg(
+            F.max("phenotype").alias("mx"),
+            F.sum((~F.col("phenotype").isin(1.0, 2.0)).cast("int")).alias("n_other"),
+        ).collect()[0]
+        if row["mx"] is not None and float(row["mx"]) == 2.0 and (row["n_other"] or 0) == 0:
             label = F.col("phenotype") - F.lit(1.0)
     fact = fact.withColumn("label", label.cast("float"))
 

@@ -198,13 +198,18 @@ def append_new_ids_sink(gold_path: str, id_col: str = "event_id"):
     the batch's key range via predicate pushdown.)"""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         fresh = batch_df.dropDuplicates([id_col])
         try:
             existing = spark.read.parquet(gold_path).select(id_col)
             fresh = fresh.join(existing, id_col, "left_anti")
-        except Exception:
-            pass  # first batch: gold table doesn't exist yet
+        except AnalysisException:
+            # first batch: gold table doesn't exist yet. Any OTHER read
+            # failure must propagate — appending without the anti-join
+            # would silently break the exactly-once guarantee.
+            pass
         fresh.write.mode("append").parquet(gold_path)
 
     return write_batch
