@@ -1093,3 +1093,77 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice("orders_arr", 1, 3), ",").alias("first3"),
         F.array_contains("orders_arr", F.col("o_custkey") * 10).cast("int").alias("has_marker"),
     ).orderBy("o_custkey")
+
+
+# --------------------------------------------------------------------------
+# FULL OUTER join — nations present on the customer side, the supplier
+# side, both, or neither side's filtered subset.
+@_q(
+    "q_full_outer_nation_presence",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_rich_cust
+      FROM customer WHERE c_acctbal > 7000 GROUP BY c_nationkey
+    ), s AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS n_rich_supp
+      FROM supplier WHERE s_acctbal > 7000 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_rich_cust, 0) AS n_rich_cust,
+           COALESCE(n_rich_supp, 0) AS n_rich_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+)
+def q_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = (
+        t["customer"].filter(F.col("c_acctbal") > 7000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_cust"))
+    )
+    s = (
+        t["supplier"].filter(F.col("s_acctbal") > 7000)
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_supp"))
+    )
+    return (
+        c.join(s, F.col("nk") == F.col("snk"), "full_outer")
+        .select(
+            F.coalesce(F.col("nk"), F.col("snk")).alias("nationkey"),
+            F.coalesce(F.col("n_rich_cust"), F.lit(0)).alias("n_rich_cust"),
+            F.coalesce(F.col("n_rich_supp"), F.lit(0)).alias("n_rich_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# EXCEPT set op — completes the set-operator family (UNION/INTERSECT
+# elsewhere).
+@_q(
+    "q_except_nations",
+    """
+    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+      WHERE c_acctbal > 9000
+    EXCEPT
+    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+      WHERE s_acctbal > 9000
+    ORDER BY n_name
+    """,
+)
+def q_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cn = (
+        t["customer"].filter(F.col("c_acctbal") > 9000)
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+    )
+    sn = (
+        t["supplier"].filter(F.col("s_acctbal") > 9000)
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+    )
+    # subtract = EXCEPT (set) semantics; exceptAll would be bag
+    # difference and keep nations merely having MORE customers
+    return cn.subtract(sn).orderBy("n_name")

@@ -151,3 +151,14 @@ def test_connected_components(spark):
         for r in connected_components(spark.createDataFrame(edges)).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pandas as pd
+    import pytest as pt
+
+    from daxos_spark.operators.components import connected_components
+
+    chain = pd.DataFrame({"a": list(range(0, 12)), "b": list(range(1, 13))})
+    with pt.raises(RuntimeError, match="did not converge"):
+        connected_components(spark.createDataFrame(chain), max_iter=2).collect()

@@ -88,3 +88,17 @@ def test_asof_carries_right_payload(spark):
     row = asof_join(left, right, "k", "lts", "rts").collect()[0]
     assert row["w_right"] == 200  # value at rts=40, the latest <= 50
     assert row["v"] == 7  # left payload preserved
+
+
+def test_asof_null_keys_never_match(spark):
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1.0, None], "lts": [10, 10], "v": [0, 1]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1.0, None], "rts": [5, 5], "w": [100, 200]})
+    )
+    rows = {r["v"]: r for r in asof_join(left, right, "k", "lts", "rts").collect()}
+    assert rows[0]["w_right"] == 100  # real key matches
+    assert rows[1]["w_right"] is None  # null key matches nothing
