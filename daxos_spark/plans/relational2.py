@@ -1167,3 +1167,71 @@ def q_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract = EXCEPT (set) semantics; exceptAll would be bag
     # difference and keep nations merely having MORE customers
     return cn.subtract(sn).orderBy("n_name")
+
+
+# --------------------------------------------------------------------------
+# fixed-width histogram — deterministic binning (the exact-histogram
+# sketch; width_bucket/floor arithmetic identical in both engines).
+@_q(
+    "q_price_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+    FROM orders
+    GROUP BY CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT)
+    ORDER BY bin
+    """,
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").cast("bigint").alias("first_key"))
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape (adapted, no receipt dates): orders served by ≥2
+# distinct suppliers with at least one from the target nation —
+# multi-correlation via one aggregation instead of EXISTS/NOT EXISTS
+# re-execution.
+@_q(
+    "q21_multi_supplier_orders",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supps,
+             MAX(CASE WHEN n_name = 'NATION_1' THEN 1 ELSE 0 END) AS has_target
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY l_orderkey
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM per_order JOIN orders ON o_orderkey = l_orderkey
+    WHERE n_supps >= 2 AND has_target = 1
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sn = t["supplier"].join(
+        F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey")
+    )
+    per_order = (
+        t["lineitem"]
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.max((F.col("n_name") == "NATION_1").cast("int")).alias("has_target"),
+        )
+        .filter((F.col("n_supps") >= 2) & (F.col("has_target") == 1))
+    )
+    return (
+        per_order.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )

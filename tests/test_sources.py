@@ -93,3 +93,18 @@ def test_id_list_and_hp_results(spark, tmp_path):
     assert res.count() == 4
     best = best_hp_row(res)
     assert best["eta"] == 0.1 and abs(best["mean_score"] - 0.75) < 1e-9
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """JSONL source/sink coverage: documents-shaped records survive a
+    write/read cycle with schema intact."""
+    from daxos_spark.catalog import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    path = str(tmp_path / "docs.jsonl")
+    d.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    assert back.count() == d.count()
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    want = {r["doc_id"]: r["text"] for r in d.collect()}
+    assert got == want
