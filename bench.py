@@ -68,6 +68,14 @@ BENCH_QUERIES = [
     "q_null_semantics",
     "q_string_funcs",
     "q_datetime_funcs",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q20_excess_suppliers",
+    "q21_multi_supplier_orders",
+    "q_price_histogram",
+    "q_funnel_conversion",
+    "q_weekly_cohort_retention",
+    "q_part_cooccurrence",
 ]
 
 

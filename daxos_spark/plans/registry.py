@@ -87,6 +87,6 @@ def register(spec: QuerySpec) -> QuerySpec:
 
 def get_specs() -> dict[str, QuerySpec]:
     """Import all plan modules (side-effect: registration) and return."""
-    from . import blobpipe, docpipe, mlpipe, relational, relational2, streampipe, vecpipe  # noqa: F401
+    from . import analytics, blobpipe, docpipe, mlpipe, relational, relational2, streampipe, vecpipe  # noqa: F401
 
     return ALL_SPECS

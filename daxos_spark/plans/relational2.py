@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_tables
 from ..operators.temporal import asof_join
-from .registry import QuerySpec, davg, dsum, register, sql_davg, sql_dsum, sql_trunc6, trunc6
+from .registry import DEC, QuerySpec, davg, dsum, register, sql_davg, sql_dsum, sql_trunc6, trunc6
 
 
 def _q(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
@@ -1224,7 +1224,10 @@ def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supps"),
+            # size(collect_set) = COUNT(DISTINCT ...) in ONE aggregation
+            # pass — countDistinct plans an Expand + second shuffle-agg;
+            # the set stays bounded by suppliers-per-order (tiny)
+            F.size(F.collect_set("l_suppkey")).alias("n_supps"),
             F.max((F.col("n_name") == "NATION_1").cast("int")).alias("has_target"),
         )
         .filter((F.col("n_supps") >= 2) & (F.col("has_target") == 1))
@@ -1234,4 +1237,154 @@ def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11 shape (adapted — the harness has no partsupp table): value
+# of each part shipped by a target nation's suppliers, keeping parts
+# whose value exceeds a fraction of the nation total. The distinctive
+# shape is the scalar-subquery threshold: a global aggregate feeding a
+# per-group HAVING. At scale the global total is a 1-row broadcast —
+# one shuffle for the per-part agg, zero for the threshold join.
+# Keeps parts above 1.5× the average part value. Determinism: sums are
+# exact DECIMAL (order-independent); the single decimal→double
+# conversion per value is identical in both engines, and the IEEE
+# compare of identical doubles matches (1.5 is exactly representable).
+@_q(
+    "q11_important_parts",
+    """
+    WITH nation_parts AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS dval
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_1'
+      GROUP BY l_partkey
+    )
+    SELECT partkey, CAST(dval AS DOUBLE) AS value
+    FROM nation_parts
+    WHERE CAST(dval AS DOUBLE) * (SELECT COUNT(*) FROM nation_parts)
+          > 1.5 * (SELECT CAST(SUM(dval) AS DOUBLE) FROM nation_parts)
+    ORDER BY value DESC, partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sn = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .filter(F.col("n_name") == "NATION_1")
+        .select("s_suppkey")
+    )
+    per_part = (
+        t["lineitem"]
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias(
+                "dval"
+            )
+        )
+    )
+    # threshold via a global window over the ALREADY-AGGREGATED relation
+    # (#parts rows, not #lineitems) — one scan of the fact table, versus
+    # the naive agg-twice formulation that re-reads lineitem for the
+    # total. The unpartitioned window collapses only the small agg.
+    w = Window.partitionBy()
+    return (
+        per_part.withColumn("total", F.sum("dval").over(w).cast("double"))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("dval").cast("double") * F.col("n") > 1.5 * F.col("total"))
+        .select("partkey", F.col("dval").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape (adapted — no l_shipmode/receiptdate): late-shipment
+# priority mix. Line items shipped >60 days after order date, grouped
+# by line status, counting high- vs low-priority orders — the classic
+# conditional-aggregation-after-join shape.
+@_q(
+    "q12_late_shipment_priority",
+    """
+    SELECT l_linestatus AS linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape (adapted — no partsupp): suppliers who shipped an
+# above-average quantity of a name-matched part family, listed with
+# their nation. The distinctive shape is the IN-subquery (semi-join)
+# whose inner query is itself an aggregation with a global-average
+# threshold. Supplier-side tables are tiny → everything after the one
+# lineitem agg is broadcast.
+@_q(
+    "q20_excess_suppliers",
+    """
+    WITH sp AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(25,6))) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM sp
+      WHERE CAST(qty AS DOUBLE) * (SELECT COUNT(*) FROM sp)
+            > (SELECT CAST(SUM(qty) AS DOUBLE) FROM sp)
+    )
+    ORDER BY s_name
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    widget_parts = t["part"].filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    sp = (
+        t["lineitem"]
+        .join(F.broadcast(widget_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+    )
+    # same single-pass threshold trick as q11: window over the tiny
+    # per-supplier aggregate instead of re-scanning lineitem for totals
+    w = Window.partitionBy()
+    excess = (
+        sp.withColumn("total", F.sum("qty").over(w).cast("double"))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("qty").cast("double") * F.col("n") > F.col("total"))
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     )
