@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "q_funnel_conversion",
     "q_weekly_cohort_retention",
     "q_part_cooccurrence",
+    "q_grouping_sets",
+    "q_window_value_funcs",
+    "d_levenshtein_neardup",
+    "q_map_ops",
+    "q_unpivot_status_metrics",
 ]
 
 

@@ -678,3 +678,58 @@ def d_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# edit-distance near-dup: Levenshtein over normalized prefixes within
+# a bounded candidate window (same language, doc_id within 20). The
+# Spark plan materializes the window as 20 exploded offsets and
+# equi-joins on (doc_id + k) — a pure hash join, linear in corpus size
+# with a constant 20× amplification on one side. (A naive join keyed
+# only on lang with a BETWEEN band filter would be quadratic per
+# language bucket.) Prefix-capping bounds per-pair edit-distance cost.
+@_q(
+    "d_levenshtein_neardup",
+    f"""
+    WITH p AS (
+      SELECT doc_id, lang, substr({_STRIP_WS}, 1, 40) AS pre
+      FROM documents
+    )
+    SELECT a.lang AS lang, COUNT(*) AS n_pairs,
+           CAST(MIN(levenshtein(a.pre, b.pre)) AS BIGINT) AS min_dist,
+           CAST(SUM(CASE WHEN levenshtein(a.pre, b.pre) <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+    FROM p a JOIN p b
+      ON a.lang = b.lang AND b.doc_id - a.doc_id BETWEEN 1 AND 20
+    GROUP BY a.lang
+    ORDER BY a.lang
+    """,
+)
+def d_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    p = d.select(
+        "doc_id",
+        "lang",
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", ""), 1, 40
+        ).alias("pre"),
+    )
+    # left side exploded to its 20 candidate partner ids → equi-join
+    a = p.select(
+        "lang",
+        F.col("pre").alias("a_pre"),
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.lit(20)), lambda k: F.col("doc_id") + k)
+        ).alias("doc_id"),
+    )
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a_pre"), F.col("b.pre"))
+    return (
+        a.join(b, ["doc_id", "lang"])
+        .groupBy(F.col("lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(dist).cast("bigint").alias("min_dist"),
+            F.sum(F.when(dist <= 10, 1).otherwise(0)).cast("bigint").alias("n_close"),
+        )
+        .orderBy("lang")
+    )

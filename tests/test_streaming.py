@@ -167,3 +167,30 @@ def test_foreachbatch_gold_ingest_idempotent(spark, tmp_path, batch_events):
     # a second full run (new checkpoint → full replay) adds nothing
     run_gold_ingest(stream, gold, str(tmp_path / "ckpt2"))
     assert spark.read.parquet(gold).count() == n_src
+
+
+def test_stream_static_enrichment_matches_batch(spark, batch_events):
+    """Stream-static broadcast join + aggregation: incremental result
+    over the drained stream equals the same plan in batch mode."""
+    from daxos_spark.streaming.pipelines import enrich_events_stream
+
+    user_dim = (
+        batch_events.select("user_id")
+        .distinct()
+        .withColumn("cohort", F.concat(F.lit("c"), (F.col("user_id") % 3).cast("string")))
+        .cache()
+    )
+    stream = read_events_stream(spark, SF_DIR)
+    run_to_memory(
+        enrich_events_stream(stream, user_dim), "t_enriched", output_mode="complete"
+    )
+    got = {
+        (r["user_cohort"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in spark.table("t_enriched").collect()
+    }
+    want = {
+        (r["user_cohort"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in enrich_events_stream(batch_events, user_dim).collect()
+    }
+    assert got == want
+    assert len(got) == 15  # 3 cohorts × 5 event types
