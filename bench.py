@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "d_levenshtein_neardup",
     "q_map_ops",
     "q_unpivot_status_metrics",
+    "d_balanced_sample",
+    "d_context_windows",
+    "d_decontamination",
+    "d_pii_scrub",
 ]
 
 

@@ -733,3 +733,240 @@ def d_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# class-balanced downsampling: every language class reduced to the
+# global minority-class size by deterministic hash rank (md5 of doc_id
+# — portable, seedable, reproducible; NOT rand(), which no oracle can
+# replay). Two shuffles: the per-class rank window and the min-count
+# global window over the tiny per-class agg. The standard label-
+# rebalancing op before training-set assembly.
+@_q(
+    "d_balanced_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+      FROM documents
+    ), sizes AS (
+      SELECT MIN(cnt) AS min_n FROM (
+        SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang)
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM ranked, sizes
+    WHERE rk <= min_n
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def d_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            md5_long(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    ranked = d.select("doc_id", "lang", rk.alias("rk"))
+    min_n = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("min_n"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(min_n))
+        .filter(F.col("rk") <= F.col("min_n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# context-window chunking: split each document's token stream into
+# overlapping windows (64 tokens, stride 48) — the LLM-training
+# sequence-packing primitive. Window starts are generated JVM-side
+# (sequence + explode); each output row is one training chunk with its
+# exact token span. Linear fan-out = ceil(n_tok/stride) per doc, no
+# shuffle at all until the final order (which a real pipeline writes
+# unsorted).
+@_q(
+    "d_context_windows",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents WHERE doc_id % 20 = 0
+    ), wins AS (
+      SELECT doc_id, len(tk) AS n_tok,
+             unnest(range(1, GREATEST(len(tk) - 1, 1) + 1, 48)) AS s, tk
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 48 + 1 AS BIGINT) AS win_idx,
+           CAST(LEAST(64, n_tok - s + 1) AS BIGINT) AS n_win_tokens,
+           substr(array_to_string(tk[s:s+63], ' '), 1, 30) AS win_prefix
+    FROM wins
+    ORDER BY doc_id, win_idx
+    """,
+)
+def d_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % 20 == 0))
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("tk")
+    ).withColumn("n_tok", F.size("tk"))
+    # stride-48 start positions, 1-based; last (possibly partial) window
+    # starts at the largest s ≤ n_tok with s ≡ 1 (mod 48)
+    wins = toks.select(
+        "doc_id",
+        "n_tok",
+        "tk",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("n_tok") - 1, F.lit(1)), F.lit(48))
+        ).alias("s"),
+    )
+    return (
+        wins.select(
+            "doc_id",
+            (((F.col("s") - 1) / 48).cast("bigint") + 1).alias("win_idx"),
+            F.least(F.lit(64), F.col("n_tok") - F.col("s") + 1)
+            .cast("bigint")
+            .alias("n_win_tokens"),
+            F.substring(
+                F.array_join(F.slice(F.col("tk"), F.col("s"), 64), " "), 1, 30
+            ).alias("win_prefix"),
+        )
+        .orderBy("doc_id", "win_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination: flag training documents sharing word
+# 3-gram shingles with a held-out "benchmark" set (doc_id % 97 = 0
+# stands in for the eval suite). The eval shingle set is DISTINCT and
+# small → broadcast semi-joinable; per-train-doc contamination = hit
+# fraction over its own shingles. This is the n-gram-overlap decontam
+# pass every serious pretraining pipeline runs (cf. GPT-3 App. C /
+# Gopher §A.3 methodology, public papers).
+@_q(
+    "d_decontamination",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, {_SHINGLE} AS s
+      FROM (SELECT doc_id, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    ), eval_sh AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+    ), train AS (
+      SELECT doc_id, COUNT(*) AS n_sh,
+             SUM(CASE WHEN s IN (SELECT s FROM eval_sh) THEN 1 ELSE 0 END) AS n_hit
+      FROM sh WHERE doc_id % 97 <> 0
+      GROUP BY doc_id
+    )
+    SELECT CAST(FLOOR(n_hit * 10.0 / n_sh) AS BIGINT) AS contam_decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_hit) AS BIGINT) AS total_hits
+    FROM train GROUP BY 1 ORDER BY 1
+    """,
+)
+def d_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    sh = d.select(
+        "doc_id",
+        F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
+    )
+    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    train_sh = sh.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        train_sh.join(
+            F.broadcast(eval_sh.withColumn("hit", F.lit(1))), "s", "left_outer"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        hits.groupBy(
+            F.floor(F.col("n_hit") * 10.0 / F.col("n_sh")).cast("bigint").alias("contam_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_hit").cast("bigint").alias("total_hits"),
+        )
+        .orderBy("contam_decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: regex redaction of email/phone patterns with
+# per-source redaction accounting. The synthetic corpus carries no
+# PII, so the pipeline plants a deterministic contact line per doc
+# (same expression in both engines) and then scrubs it — what's being
+# verified is the redaction regex machinery and the audit counts, on
+# the engine's own text columns. regexp_replace is JVM-side codegen;
+# at scale this is a pure map stage (zero shuffles before the audit
+# agg).
+@_q(
+    "d_pii_scrub",
+    r"""
+    WITH planted AS (
+      SELECT doc_id, source,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@example.com or +1-555-', CAST(1000 + doc_id % 9000 AS VARCHAR))
+               AS raw
+      FROM documents
+    ), scrubbed AS (
+      SELECT doc_id, source, raw,
+             regexp_replace(
+               regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+               '\+?[0-9]+-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+      FROM planted
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN clean LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_email_redacted,
+           CAST(SUM(CASE WHEN clean LIKE '%<PHONE>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_redacted,
+           CAST(SUM(length(raw) - length(clean)) AS BIGINT) AS chars_removed
+    FROM scrubbed GROUP BY source ORDER BY source
+    """,
+)
+def d_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    planted = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("raw"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), r"[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+        r"\+?[0-9]+-[0-9]{3}-[0-9]{4}",
+        "<PHONE>",
+    )
+    scrubbed = planted.withColumn("clean", clean)
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("clean").like("%<EMAIL>%"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_email_redacted"),
+            F.sum(F.when(F.col("clean").like("%<PHONE>%"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_phone_redacted"),
+            F.sum(F.length("raw") - F.length("clean")).cast("bigint").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
