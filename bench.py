@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "d_context_windows",
     "d_decontamination",
     "d_pii_scrub",
+    "e_sq_knn",
 ]
 
 

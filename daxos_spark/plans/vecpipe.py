@@ -330,3 +330,118 @@ def e_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# scalar-quantized (int8) ANN — the memory-side scale path: per-dim
+# min/max over the corpus → each vector compressed to 64 int8 codes
+# (8× smaller than float64; at 100 TB the code table fits where the
+# raw vectors cannot), ranked by EXACT INTEGER dot product of codes —
+# bit-identical in any engine, so the whole ANN ranking is
+# hash-checked, not just row counts. One stats pass + broadcast of the
+# (1-row) quantization params; scoring is the same embarrassingly
+# parallel scan as e_knn_bruteforce but on codes.
+@_q(
+    "e_sq_knn",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id >= 10
+    ), q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+    ), dims AS (
+      SELECT generate_subscripts(ev, 1) AS pos, unnest(ev) AS val FROM corpus
+    ), st AS (
+      SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM dims GROUP BY pos
+    ), stats AS (
+      SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM st
+    ), cq AS (
+      SELECT vec_id AS cid,
+             list_transform(ev, (x, i) -> GREATEST(0, LEAST(254,
+               CAST(FLOOR(COALESCE(((x - mins[i]) / NULLIF(maxs[i] - mins[i], 0)) * 255.0,
+                                   0.0)) AS INT))) - 127) AS cc
+      FROM corpus, stats
+    ), qq AS (
+      SELECT qid,
+             list_transform(qv, (x, i) -> GREATEST(0, LEAST(254,
+               CAST(FLOOR(COALESCE(((x - mins[i]) / NULLIF(maxs[i] - mins[i], 0)) * 255.0,
+                                   0.0)) AS INT))) - 127) AS qc
+      FROM q, stats
+    ), s AS (
+      SELECT qid, cid, CAST(list_dot_product(qc, cc) AS BIGINT) AS score FROM qq, cq
+    ), r AS (
+      SELECT qid, cid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+      FROM s
+    )
+    SELECT qid, rk, cid AS neighbor_id, score FROM r WHERE rk <= 5 ORDER BY qid, rk
+    """,
+)
+def e_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    corpus = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), to_double(F.col("embedding")).alias("ev")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), to_double(F.col("embedding")).alias("qv")
+    )
+    # per-dimension min/max in one distributed pass; packed into two
+    # position-ordered arrays (the 1-row quantization param set)
+    st = (
+        corpus.select(F.posexplode("ev").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    )
+    stats = st.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s.mn
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s.mx
+        ).alias("maxs"),
+    )
+
+    def quant(vec):
+        # i is 0-based in Spark HOF lambdas (1-based in the duckdb
+        # oracle, hence get() here vs [i] there — same element)
+        return F.transform(
+            vec,
+            lambda x, i: F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(254),
+                    F.floor(
+                        F.coalesce(
+                            (
+                                (x - F.get(F.col("mins"), i))
+                                / F.nullif(
+                                    F.get(F.col("maxs"), i) - F.get(F.col("mins"), i),
+                                    F.lit(0.0),
+                                )
+                            )
+                            * 255.0,
+                            F.lit(0.0),
+                        )
+                    ).cast("int"),
+                ),
+            )
+            - 127,
+        )
+
+    cq = corpus.crossJoin(F.broadcast(stats)).select("cid", quant(F.col("ev")).alias("cc"))
+    qq = q.crossJoin(F.broadcast(stats)).select("qid", quant(F.col("qv")).alias("qc"))
+    s = cq.crossJoin(F.broadcast(qq)).select(
+        "qid",
+        "cid",
+        F.aggregate(
+            F.zip_with(F.col("qc"), F.col("cc"), lambda a, b: (a * b).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid"))
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "rk", F.col("cid").alias("neighbor_id"), "score")
+        .orderBy("qid", "rk")
+    )
