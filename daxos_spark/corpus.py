@@ -39,10 +39,16 @@ class CorpusResult:
 
 
 def scrub_pii(col: F.Column) -> F.Column:
-    """Email/phone redaction — JVM-side regexp_replace, zero shuffles."""
+    """Email/phone redaction — JVM-side regexp_replace, zero shuffles.
+
+    The phone pattern requires NANP-like group structure (3-3-4 digits
+    with single separators, optional country code / parens) rather than
+    any long digit-ish span — a loose class like ``[\\d\\s().-]{7,}``
+    would also swallow legitimate numeric text (decimals, date ranges).
+    """
     return F.regexp_replace(
         F.regexp_replace(col, r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
-        r"\+?\d[\d\s().-]{7,}\d",
+        r"\+?\d{0,2}[\s.-]?\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}",
         "<PHONE>",
     )
 
@@ -66,9 +72,7 @@ def build_clean_corpus(
     canon = f.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 
     # 2+3. quality gate + scrub — same map stage, no extra pass
-    stop_density = T.stopword_hits(F.col("text"), T.EN_STOPWORDS) / T.token_count(
-        F.col("text")
-    )
+    stop_density = T.stopword_ratio(F.col("text"))
     clean = (
         canon.withColumn("stop_density", stop_density)
         .filter(F.col("stop_density") >= min_stop_density)
@@ -77,18 +81,26 @@ def build_clean_corpus(
         .select("doc_id", "lang", "source", "clean_text", "stop_density", "was_redacted")
     )
 
-    gold = f"{out_dir}/gold_corpus"
-    (
-        clean.write.mode("overwrite")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy("lang")
-        .parquet(gold)
-    )
+    # persist the deduped relation: the write AND the n_canonical audit
+    # count both consume it — without the cache the fingerprint+window
+    # shuffle over the whole corpus would execute twice
+    canon = canon.persist()
+    try:
+        gold = f"{out_dir}/gold_corpus"
+        (
+            clean.write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy("lang")
+            .parquet(gold)
+        )
+        n_canonical = canon.count()
+    finally:
+        canon.unpersist()
 
     back = spark.read.parquet(gold)
     return CorpusResult(
         gold_path=gold,
         n_input=n_input,
-        n_canonical=canon.count(),
+        n_canonical=n_canonical,
         n_clean=back.count(),
     )

@@ -231,17 +231,18 @@ def enrich_events_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     user-dimension table — the standard streaming-enrichment pattern.
 
     The static side is re-planned per micro-batch (so dim updates
-    between batches are picked up) and broadcast when small; no state
-    is kept because the join is stream-static, not stream-stream — at
-    scale the dim is either broadcast (small) or a shuffled hash join
-    co-partitioned per batch (large).
+    between batches are picked up); no state is kept because the join
+    is stream-static, not stream-stream. No broadcast hint: the planner
+    broadcasts a small dim per batch on its own (autoBroadcastJoin
+    threshold) and falls back to a shuffled join for a dim too large to
+    ship — a forced hint would OOM exactly in that scale case.
     """
     dim = user_dim.select(
         F.col("user_id"),
         F.col("cohort").alias("user_cohort"),
     )
     return (
-        events.join(F.broadcast(dim), "user_id", "left_outer")
+        events.join(dim, "user_id", "left_outer")
         .groupBy("user_cohort", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
