@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "d_decontamination",
     "d_pii_scrub",
     "e_sq_knn",
+    "q_resample_interpolate",
 ]
 
 

@@ -1569,3 +1569,104 @@ def q_unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.unpivot("status", ["n_orders", "revenue", "avg_price"], "metric", "value")
         .orderBy("status", "metric")
     )
+
+
+# --------------------------------------------------------------------------
+# resample + linear interpolation: a sparse hourly signal (sampled
+# purchase values) regularized onto a full time spine, gaps filled by
+# linear interpolation between the nearest observed neighbors (edges
+# forward/back-filled). The missing-sensor-reading primitive for
+# time-series feature pipelines. One window pass over the spine
+# (IGNORE NULLS last/first_value) — no per-gap joins; at scale the
+# spine is per-series and the window partitions by series key.
+@_q(
+    "q_resample_interpolate",
+    """
+    WITH src AS (
+      SELECT ts, value FROM events
+      WHERE event_type = 'purchase' AND user_id % 5 = 0
+    ), bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1 FROM src
+    ), spine AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), obs AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS v
+      FROM src GROUP BY 1
+    ), g AS (
+      SELECT s.hour, obs.v,
+             CAST(epoch(s.hour) / 3600 AS BIGINT) AS idx
+      FROM spine s LEFT JOIN obs ON obs.hour = s.hour
+    ), n AS (
+      SELECT hour, v, idx,
+             LAST_VALUE(v IGNORE NULLS) OVER w_prev AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER w_prev AS pi,
+             FIRST_VALUE(v IGNORE NULLS) OVER w_next AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER w_next AS ni
+      FROM g
+      WINDOW w_prev AS (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_next AS (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT hour,
+           FLOOR((CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (idx - pi) / (ni - pi)
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv END) * 1000000.0) / 1000000.0 AS filled,
+           CASE WHEN v IS NOT NULL THEN 'obs'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                WHEN pv IS NOT NULL THEN 'ffill'
+                ELSE 'bfill' END AS src
+    FROM n ORDER BY hour
+    """,
+)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    src = ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 5 == 0))
+    bounds = src.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    obs = (
+        src.groupBy(F.date_trunc("hour", "ts").alias("ohour"))
+        .agg(davg(F.col("value")).alias("v"))
+    )
+    g = (
+        spine.join(obs, F.col("ohour") == F.col("hour"), "left_outer")
+        .select("hour", "v", (F.unix_timestamp("hour") / 3600).cast("bigint").alias("idx"))
+    )
+    w_prev = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = Window.orderBy("idx").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_idx = F.when(F.col("v").isNotNull(), F.col("idx"))
+    n = g.select(
+        "hour",
+        "v",
+        "idx",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_idx, ignorenulls=True).over(w_prev).alias("pi"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_idx, ignorenulls=True).over(w_next).alias("ni"),
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv")) * (F.col("idx") - F.col("pi")) / (F.col("ni") - F.col("pi")),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    srcl = (
+        F.when(F.col("v").isNotNull(), F.lit("obs"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), F.lit("interp"))
+        .when(F.col("pv").isNotNull(), F.lit("ffill"))
+        .otherwise(F.lit("bfill"))
+    )
+    return n.select("hour", trunc6(filled).alias("filled"), srcl.alias("src")).orderBy("hour")
