@@ -53,3 +53,51 @@ def test_clump_keeps_best_and_excludes_window(spark):
     got = ld_clump(spark.createDataFrame(pdf), window=250).orderBy("chrom", "pos").collect()
     # chrom 1: pos 300 (best p) kills pos 100 (within 250); pos 1000 survives
     assert [(r["chrom"], r["pos"]) for r in got] == [(1, 300), (1, 1000), (2, 100)]
+
+
+def test_r2_clump_matches_bruteforce(spark):
+    """ld_clump_r2 == greedy with the exact numpy corr² mask."""
+    from daxos_spark.operators.clumping import ld_clump_r2
+
+    rng = np.random.RandomState(11)
+    n, p = 120, 24
+    # block-correlated dosages: SNP j correlates with its block neighbors
+    base = rng.binomial(2, 0.4, size=(n, p // 4)).astype(float)
+    x = np.repeat(base, 4, axis=1) + rng.normal(0, 0.6, size=(n, p))
+    stats = pd.DataFrame(
+        {
+            "chrom": np.repeat([1, 2], p // 2),
+            "pos": np.concatenate([np.arange(p // 2), np.arange(p // 2)]) * 300,
+            "pval": rng.uniform(size=p).round(6),
+            "snp": [f"rs{j}" for j in range(p)],
+        }
+    )
+    window, thr = 700, 0.5
+
+    corr = np.corrcoef(x, rowvar=False) ** 2
+    want = set()
+    for chrom in (1, 2):
+        g = stats[stats.chrom == chrom].sort_values(["pval", "pos"], kind="mergesort")
+        taken: list[int] = []
+        for _, r in g.iterrows():
+            j = int(r.snp[2:])
+            if all(
+                not (abs(r.pos - stats.pos[t]) <= window and corr[j, t] > thr) for t in taken
+            ):
+                taken.append(j)
+                want.add(r.snp)
+
+    matrix = spark.createDataFrame(
+        pd.DataFrame({"features": [row.tolist() for row in x]}),
+        schema="features array<double>",
+    ).repartition(4)
+    cols = spark.createDataFrame(
+        pd.DataFrame({"pos": range(p), "snp": [f"rs{j}" for j in range(p)]})
+    )
+    got = {
+        r["snp"]
+        for r in ld_clump_r2(
+            spark.createDataFrame(stats), matrix, cols, r2_threshold=thr, window=window
+        ).collect()
+    }
+    assert got == want
