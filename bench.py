@@ -87,6 +87,10 @@ BENCH_QUERIES = [
     "d_pii_scrub",
     "e_sq_knn",
     "q_resample_interpolate",
+    "d_tfidf_top_terms",
+    "q_scd2_user_state",
+    "q_key_skew_profile",
+    "q_approx_distinct_check",
 ]
 
 

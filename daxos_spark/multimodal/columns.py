@@ -145,3 +145,53 @@ def sample_frames(assets: DataFrame, frame_bytes: int = 256, stride: int = 2) ->
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame", "frame_bytes"])
 
     return assets.select("asset_id", "blob").mapInPandas(cut, FRAME_SCHEMA)
+
+
+def resize_blob(assets: DataFrame, factor: int = 4) -> DataFrame:
+    """Per-asset "resize": keep every ``factor``-th payload byte
+    (1:1 row map, narrow, no shuffle). A real deployment decodes with
+    a codec and re-encodes at the target resolution; byte-stride
+    downsampling is the deterministic stand-in with the identical plan
+    shape and output contract (smaller blob + refreshed metadata).
+    Output bytes per asset = ceil(n_bytes / factor) — arithmetically
+    checkable by the duckdb oracle.
+    """
+    import pandas as pd
+
+    def shrink(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["blob"]):
+                small = bytes(buf)[::factor]
+                rows.append((int(aid), small, len(small)))
+            yield pd.DataFrame(rows, columns=["asset_id", "blob", "n_bytes"])
+
+    return assets.select("asset_id", "blob").mapInPandas(
+        shrink, "asset_id long, blob binary, n_bytes long"
+    )
+
+
+def byte_histogram(assets: DataFrame, n_buckets: int = 8) -> DataFrame:
+    """Per-asset feature extraction: bucketed byte-value histogram as
+    an ``array<long>`` feature vector (vectorized numpy per Arrow
+    batch — the plumbing a real embedding extractor would use, with
+    the model call swapped in for the bincount). Invariant for the
+    oracle: sum(histogram) == n_bytes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    width = 256 // n_buckets
+
+    def feat(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for aid, buf in zip(pdf["asset_id"], pdf["blob"]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                hist = np.bincount(arr // width, minlength=n_buckets)[:n_buckets]
+                rows.append((int(aid), hist.tolist(), int(hist.sum())))
+            yield pd.DataFrame(rows, columns=["asset_id", "features", "total_binned"])
+
+    return assets.select("asset_id", "blob").mapInPandas(
+        feat, "asset_id long, features array<long>, total_binned long"
+    )

@@ -91,3 +91,68 @@ def m_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("nf").alias("n_frames"), F.sum("nb").alias("total_bytes"))
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# resize fan-in — REAL mapInPandas byte-stride resize on the Spark side;
+# ceil-arithmetic byte expectation on the oracle side.
+@_q(
+    "m_resize_bytes",
+    """
+    SELECT source,
+           COUNT(*) AS n_assets,
+           CAST(SUM(CAST(CEIL(octet_length(encode(text)) / 4.0) AS BIGINT)) AS BIGINT)
+             AS resized_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS original_bytes
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)
+def m_resize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.columns import resize_blob
+
+    d = load_tables(spark, sf_dir)["documents"]
+    assets = attach_blob(d, "doc_id", "text")
+    small = resize_blob(assets, factor=4)
+    j = small.join(
+        assets.select("asset_id", F.col("meta.n_bytes").alias("orig")), "asset_id"
+    ).join(d.select(F.col("doc_id").alias("asset_id"), "source"), "asset_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("resized_bytes"),
+            F.sum("orig").alias("original_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# feature-extraction fan-in — REAL vectorized byte-histogram extractor;
+# the oracle checks the Σhistogram == Σbytes invariant per source.
+@_q(
+    "m_byte_histogram",
+    """
+    SELECT source,
+           COUNT(*) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_binned
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)
+def m_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.columns import byte_histogram
+
+    d = load_tables(spark, sf_dir)["documents"]
+    assets = attach_blob(d, "doc_id", "text")
+    feats = byte_histogram(assets, n_buckets=8)
+    j = feats.join(d.select(F.col("doc_id").alias("asset_id"), "source"), "asset_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("total_binned").alias("total_binned"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,262 @@
+"""Corpus/pipeline diagnostics + SCD surface — beyond-parity queries a
+100 TB training-data pipeline needs on top of SURVEY §2.
+
+Cross-engine determinism: every fractional statistic here is derived
+from INTEGER counts via ``floor(int * 1e6 * int / int)`` micro-units.
+The quotient's distance from an integer boundary is ≥ 1/denominator
+(the numerator is exact in float, the division correctly rounded), so
+Spark and duckdb floor identically — no DECIMAL plumbing and no libm
+(ln/exp) whose last-ulp behavior differs between JVM and C runtimes.
+
+Scale notes per query are inline; the common theme is that every
+statistic is one partial-aggregated groupBy (map-side combine), and the
+only driver-sized objects are group-cardinality results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_tables
+from .registry import QuerySpec, register
+
+
+def _q(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ("diag",)):
+    def deco(fn):
+        register(QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc, tags=tags))
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document — inverted-index/term-weighting surface.
+# Scale: tokenize is partition-local (no Python UDF); tf groupBy shuffles
+# on (doc_id, term); the df relation is term-cardinality (zipfian but
+# small vs corpus) and joins back by term — at real scale the df side is
+# broadcastable after aggregation. idf is kept log-free (tf·N/df in
+# exact micro-units) so both engines rank identically.
+@_q(
+    "d_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ), toks2 AS (
+      SELECT doc_id, term FROM toks WHERE term <> ''
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks2 GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(FLOOR(tf.tf * 1000000.0 * n.n_docs / dfreq.df) AS BIGINT) AS score_micro
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, rk, term, tf, df, score_micro
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+)
+def d_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score_micro",
+            F.floor(
+                F.col("tf") * F.lit(1000000.0) * F.col("n_docs") / F.col("df")
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "df", "score_micro")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD-2 interval build from an event stream — dimension-maintenance
+# surface (slowly-changing user state from raw events). One window per
+# user (shuffle on user_id only), no self-join: change-point filter via
+# lag, interval close via lead over the surviving change rows.
+@_q(
+    "q_scd2_user_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    return (
+        changes.withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+            "event_id",
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+        .drop("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# HLL approximate-distinct vs exact — the sketch every 100 TB pipeline
+# uses for cardinality (one pass, fixed memory, mergeable across
+# partitions; exact COUNT(DISTINCT) needs a full shuffle of the key
+# column). Spark's HLL++ is deterministic given the data (sketch merge
+# is elementwise-max → order/partitioning independent), so asserting
+# the 5% envelope (at rsd=0.01, 5σ) is a stable cross-engine check; the
+# oracle supplies the exact count and a TRUE literal.
+@_q(
+    "q_approx_distinct_check",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_cnt,
+           TRUE AS within_5pct
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_cnt"),
+            F.approx_count_distinct("o_custkey", 0.01).alias("approx_cnt"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_cnt",
+            (
+                F.abs(F.col("approx_cnt") - F.col("exact_cnt"))
+                <= F.lit(0.05) * F.col("exact_cnt")
+            ).alias("within_5pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Key-skew profiler — the diagnostic you run BEFORE a big join: top
+# heavy keys and their ratio to the mean key load, from one counts
+# groupBy plus a scalar total (broadcast). skew_ratio_micro =
+# floor(cnt·1e6·n_keys/total) in exact integer micro-units.
+@_q(
+    "q_key_skew_profile",
+    """
+    WITH counts AS (
+      SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+      SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM counts
+    )
+    SELECT l_suppkey, cnt, n_keys, total,
+           CAST(FLOOR(cnt * 1000000.0 * n_keys / total) AS BIGINT) AS skew_ratio_micro
+    FROM counts CROSS JOIN tot
+    ORDER BY cnt DESC, l_suppkey ASC LIMIT 5
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "skew_ratio_micro",
+            F.floor(
+                F.col("cnt") * F.lit(1000000.0) * F.col("n_keys") / F.col("total")
+            ).cast("long"),
+        )
+        .select("l_suppkey", "cnt", "n_keys", "total", "skew_ratio_micro")
+        .orderBy(F.desc("cnt"), F.asc("l_suppkey"))
+        .limit(5)
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-diversity (Gini impurity) per source — corpus-composition
+# diagnostic. Gini = 1 − Σ(p_l²) computed as exact integer rational
+# (total² − Σcnt²)/total² in micro-units: log-free, so no libm drift.
+@_q(
+    "d_source_lang_gini",
+    """
+    WITH cnts AS (
+      SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           SUM(cnt) AS n_docs,
+           COUNT(*) AS n_langs,
+           CAST(FLOOR(
+             (SUM(cnt)*SUM(cnt) - SUM(cnt*cnt)) * 1000000.0
+             / (SUM(cnt)*SUM(cnt))
+           ) AS BIGINT) AS gini_micro
+    FROM cnts GROUP BY source ORDER BY source
+    """,
+    tags=("docs",),
+)
+def d_source_lang_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    cnts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        cnts.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            F.floor(
+                (F.col("n_docs") * F.col("n_docs") - F.col("sumsq"))
+                * F.lit(1000000.0)
+                / (F.col("n_docs") * F.col("n_docs"))
+            )
+            .cast("long")
+            .alias("gini_micro"),
+        )
+        .orderBy("source")
+    )

@@ -87,6 +87,16 @@ def register(spec: QuerySpec) -> QuerySpec:
 
 def get_specs() -> dict[str, QuerySpec]:
     """Import all plan modules (side-effect: registration) and return."""
-    from . import analytics, blobpipe, docpipe, mlpipe, relational, relational2, streampipe, vecpipe  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        blobpipe,
+        diagnostics,
+        docpipe,
+        mlpipe,
+        relational,
+        relational2,
+        streampipe,
+        vecpipe,
+    )
 
     return ALL_SPECS

@@ -56,3 +56,29 @@ def test_sample_frames_fanout_counts(spark):
     # frame payloads reassemble the original prefix
     fr0 = next(r for r in by_asset[2] if r["frame_idx"] == 0)
     assert bytes(fr0["frame"]) == b"x" * 256
+
+
+def test_resize_blob_exact_bytes(spark):
+    import pandas as pd
+    from daxos_spark.multimodal.columns import attach_blob, resize_blob
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["abcdefghij", "xyz"]})
+    assets = attach_blob(spark.createDataFrame(pdf), "doc_id", "text")
+    got = {r["asset_id"]: bytes(r["blob"]) for r in resize_blob(assets, factor=3).collect()}
+    assert got == {1: b"adgj", 2: b"x"}
+
+
+def test_byte_histogram_matches_python(spark):
+    import numpy as np
+    import pandas as pd
+    from daxos_spark.multimodal.columns import attach_blob, byte_histogram
+
+    texts = ["hello world", "AAAAaaaa", "0123456789"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    assets = attach_blob(spark.createDataFrame(pdf), "doc_id", "text")
+    got = {r["asset_id"]: r["features"] for r in byte_histogram(assets, 8).collect()}
+    for i, t in enumerate(texts):
+        arr = np.frombuffer(t.encode(), dtype=np.uint8)
+        want = np.bincount(arr // 32, minlength=8)[:8].tolist()
+        assert got[i] == want, t
+        assert sum(got[i]) == len(t.encode())
