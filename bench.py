@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "d_winnow_fingerprints",
     "e_knn_bruteforce",
     "e_knn_ivf",
+    "e_knn_lsh",
     "e_label_centroids",
     "e_norm_stats",
     "q13_cust_order_counts",

@@ -114,3 +114,56 @@ def ivf_search(
         .filter(F.col("rk") <= k)
         .select(qid_col, "rk", "neighbor_id")
     )
+
+
+# --------------------------------------------------------------------- LSH
+
+LSH_BITS = 8
+LSH_DIM = 64
+
+
+def lsh_planes(bits: int = LSH_BITS, dim: int = LSH_DIM) -> list[list[int]]:
+    """Deterministic random-hyperplane weights, W[bit][dim] ∈ [-9, 9].
+
+    md5-derived so Spark, the duckdb oracle, and any re-run agree on the
+    exact same hyperplanes without shipping state. Integer weights keep
+    every signature decision in exact arithmetic (no float sign flips at
+    the bucket boundary between engines).
+    """
+    import hashlib
+
+    return [
+        [(int(hashlib.md5(f"lsh:{b}:{j}".encode()).hexdigest(), 16) % 19) - 9 for j in range(dim)]
+        for b in range(bits)
+    ]
+
+
+def int_code(vec: Column) -> Column:
+    """array<double> → array<bigint> via floor(x * 1000): the fixed-point
+    code both the signature and the ranking score are computed on.
+    float→double is exact, so the code is identical in every engine."""
+    return F.transform(vec, lambda x: F.floor(x * F.lit(1000.0)))
+
+
+def lsh_bucket(code: Column, planes: list[list[int]]) -> Column:
+    """Signature bucket: bit b = [⟨code, W_b⟩ ≥ 0], packed little-endian.
+
+    All-integer dot products (values ≲ 5e3 · 9 · 64 ≈ 3e6 — exact in
+    64-bit) so the sign, and therefore the bucket, is deterministic.
+    """
+    bucket = F.lit(0)
+    for b, w in enumerate(planes):
+        plane = F.array(*[F.lit(int(x)).cast("bigint") for x in w])
+        d = F.aggregate(
+            F.zip_with(code, plane, lambda a, ww: a * ww),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_probe_buckets(bucket: Column, bits: int = LSH_BITS) -> Column:
+    """Multiprobe set: the home bucket plus every single-bit flip —
+    recovers neighbors that landed just across one hyperplane."""
+    return F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << b)) for b in range(bits)])

