@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "e_knn_bruteforce",
     "e_knn_ivf",
     "e_knn_lsh",
+    "d_semantic_neardup",
     "e_label_centroids",
     "e_norm_stats",
     "q13_cust_order_counts",

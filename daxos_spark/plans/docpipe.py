@@ -970,3 +970,99 @@ def d_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding-based semantic near-dup over documents — the cross-modal
+# dedup path: documents ⋈ embeddings (doc_id = vec_id), then LSH-bucket
+# blocking WITHIN language (pairs are only scored when both docs share
+# the language AND the 8-bit hyperplane signature — the blocking join
+# is an equi-join on (lang, bucket), never all-pairs), then an
+# integer-exact cosine-threshold test on fixed-point codes. The 0.3
+# threshold is calibrated to this synthetic corpus (max candidate
+# cosine ≈ 0.48); at 100 TB the same plan holds with the bucket id as
+# partition key and a near-1.0 threshold. Ints-only output.
+def _semantic_oracle() -> str:
+    from ..functions.similarity import lsh_planes
+    from ..plans.vecpipe import _lsh_sql_bucket
+
+    code = "list_transform(e.embedding::DOUBLE[], x -> CAST(FLOOR(x * 1000.0) AS BIGINT))"
+    return f"""
+    WITH j AS (
+      SELECT d.doc_id, d.lang, {code} AS c
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ), b AS (
+      SELECT doc_id, lang, c, {_lsh_sql_bucket('c', lsh_planes())} AS bk FROM j
+    ), p AS (
+      SELECT a.lang,
+             CAST(list_dot_product(a.c, b2.c) AS BIGINT) AS num,
+             CAST(list_dot_product(a.c, a.c) AS BIGINT) AS na,
+             CAST(list_dot_product(b2.c, b2.c) AS BIGINT) AS nb
+      FROM b a JOIN b b2
+        ON a.lang = b2.lang AND a.bk = b2.bk AND a.doc_id < b2.doc_id
+    ), s AS (
+      SELECT lang,
+             CASE WHEN num > 0 AND CAST(num AS DOUBLE) * CAST(num AS DOUBLE) >
+                       (0.09 * CAST(na AS DOUBLE)) * CAST(nb AS DOUBLE)
+                  THEN 1 ELSE 0 END AS sim
+      FROM p
+    )
+    SELECT lang, COUNT(*) AS n_candidates, SUM(sim) AS n_similar
+    FROM s GROUP BY lang ORDER BY lang
+    """
+
+
+@_q("d_semantic_neardup", _semantic_oracle())
+def d_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import int_code, lsh_bucket, lsh_planes
+    from ..functions.vectors import to_double
+
+    planes = lsh_planes()
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["documents"]
+        .select("doc_id", "lang")
+        .join(t["embeddings"], F.col("doc_id") == F.col("vec_id"))
+        .select("doc_id", "lang", int_code(to_double(F.col("embedding"))).alias("c"))
+    )
+    b = j.withColumn("bk", lsh_bucket(F.col("c"), planes))
+    a, b2 = b.alias("a"), b.alias("b2")
+    idot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda u, v: u * v), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    p = a.join(
+        b2,
+        (F.col("a.lang") == F.col("b2.lang"))
+        & (F.col("a.bk") == F.col("b2.bk"))
+        & (F.col("a.doc_id") < F.col("b2.doc_id")),
+    ).select(
+        F.col("a.lang").alias("lang"),
+        F.col("a.doc_id").alias("da"),
+        F.col("b2.doc_id").alias("db"),
+        idot(F.col("a.c"), F.col("b2.c")).alias("num"),
+        idot(F.col("a.c"), F.col("a.c")).alias("na"),
+        idot(F.col("b2.c"), F.col("b2.c")).alias("nb"),
+    )
+    s = p.select(
+        "lang",
+        "da",
+        "db",
+        F.when(
+            (F.col("num") > 0)
+            & (
+                F.col("num").cast("double") * F.col("num").cast("double")
+                > (F.lit(0.09) * F.col("na").cast("double")) * F.col("nb").cast("double")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("sim"),
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum("sim").alias("n_similar"),
+        )
+        .orderBy("lang")
+    )
