@@ -150,17 +150,29 @@ def lsh_bucket(code: Column, planes: list[list[int]]) -> Column:
 
     All-integer dot products (values ≲ 5e3 · 9 · 64 ≈ 3e6 — exact in
     64-bit) so the sign, and therefore the bucket, is deterministic.
+
+    The plane matrix goes in as ONE nested-array literal and the bits
+    are folded with HOFs — a per-element literal tree (B × D CreateArray
+    nodes) costs seconds of Catalyst analysis per plan build, which
+    dominated the benchmark before data even moved.
     """
-    bucket = F.lit(0)
-    for b, w in enumerate(planes):
-        plane = F.array(*[F.lit(int(x)).cast("bigint") for x in w])
-        d = F.aggregate(
-            F.zip_with(code, plane, lambda a, ww: a * ww),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return bucket
+    planes_lit = F.lit([[int(x) for x in w] for w in planes]).cast("array<array<bigint>>")
+    pow2 = F.lit([1 << b for b in range(len(planes))]).cast("array<int>")
+    bits = F.transform(
+        planes_lit,
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(code, plane, lambda a, ww: a * ww),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        F.zip_with(bits, pow2, lambda bit, pw: bit * pw), F.lit(0), lambda acc, v: acc + v
+    )
 
 
 def lsh_probe_buckets(bucket: Column, bits: int = LSH_BITS) -> Column:

@@ -514,10 +514,10 @@ def e_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), int_code(to_double(F.col("embedding"))).alias("qc")
     )
-    probes = q.select(
+    probes = q.withColumn("qb", lsh_bucket(F.col("qc"), planes)).select(
         "qid",
         "qc",
-        F.explode(lsh_probe_buckets(lsh_bucket(F.col("qc"), planes))).alias("bucket"),
+        F.explode(lsh_probe_buckets(F.col("qb"))).alias("bucket"),
     )
     s = corpus.join(F.broadcast(probes), "bucket").select(
         "qid",
