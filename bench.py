@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "q_scd2_user_state",
     "q_key_skew_profile",
     "q_approx_distinct_check",
+    "q_approx_quantile_check",
 ]
 
 

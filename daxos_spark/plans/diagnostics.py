@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_tables
-from .registry import QuerySpec, register
+from .registry import QuerySpec, register, sql_trunc6, trunc6
 
 
 def _q(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ("diag",)):
@@ -259,4 +259,44 @@ def d_source_lang_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gini_micro"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Approx-quantile sketch check — the partition-pruning / salting
+# decisions at 100 TB run on approx_percentile (KLL-style sketch, one
+# pass, mergeable across executors) because exact percentile needs a
+# full sort. This query certifies the sketch against the exact
+# percentile per group: with accuracy 10000 the rank error is ≤ 0.01·n,
+# so a half-IQR envelope is a rock-solid cross-engine TRUE; the oracle
+# supplies the exact quantiles and TRUE literals (same contract as
+# q_approx_distinct_check).
+@_q(
+    "q_approx_quantile_check",
+    f"""
+    SELECT o_orderstatus,
+           {sql_trunc6("quantile_cont(o_totalprice, 0.5)")} AS exact_p50,
+           {sql_trunc6("quantile_cont(o_totalprice, 0.9)")} AS exact_p90,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    agg = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("ex50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("ex90"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("ap50"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("ap90"),
+        F.expr("percentile(o_totalprice, 0.75) - percentile(o_totalprice, 0.25)").alias("iqr"),
+    )
+    return (
+        agg.select(
+            "o_orderstatus",
+            trunc6(F.col("ex50")).alias("exact_p50"),
+            trunc6(F.col("ex90")).alias("exact_p90"),
+            (F.abs(F.col("ap50") - F.col("ex50")) <= F.lit(0.5) * F.col("iqr")).alias("p50_ok"),
+            (F.abs(F.col("ap90") - F.col("ex90")) <= F.lit(0.5) * F.col("iqr")).alias("p90_ok"),
+        )
+        .orderBy("o_orderstatus")
     )
