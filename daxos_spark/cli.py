@@ -252,6 +252,40 @@ def cmd_predict(spark: SparkSession, args) -> None:
     print(f"test {metric}: {score_model(preds, metric, args.label_col):.4f}")
 
 
+def cmd_train(spark: SparkSession, args) -> None:
+    """One-shot training workflow (workflows/training/Snakefile:17-29
+    refit → predict DAG): CV search → prune-refit → test predictions →
+    Platt calibration, writing every reference artifact under one
+    prefix."""
+    from .training import run_training
+
+    res = run_training(
+        spark,
+        args.train,
+        args.test,
+        args.out_prefix,
+        label_col=args.label_col,
+        features_col=args.features_col,
+        n_folds=args.n_folds,
+        n_iter=args.n_iter,
+        cv_subsample=args.cv_subsample,
+        row_chunks=args.row_chunks,
+        n_boost_round=args.n_boost_round,
+        seed=args.seed,
+    )
+    _write_small_csv(res.cv_results, f"{args.out_prefix}_cv_scores.csv")
+    _write_small_csv(
+        res.importances.orderBy(F.col("gain").desc()), f"{args.out_prefix}_importances.csv"
+    )
+    res.predictions.write.mode("overwrite").option("header", True).csv(
+        f"{args.out_prefix}_ypred.csv"
+    )
+    print(
+        f"best {res.best_params}; {len(res.used_cols)} used features; "
+        f"train {res.metric}: {res.train_score:.4f}; test {res.metric}: {res.test_score:.4f}"
+    )
+
+
 def cmd_boruta(spark: SparkSession, args) -> None:
     """boruta_shap.py: shadow-feature iterations + binomial/FDR feature
     decisions → decisions CSV (predictor, hits, decision)."""
@@ -358,6 +392,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platt", default=None, help="saved Platt LogisticRegressionModel")
     _add_common_ml(p)
     p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("train", help="one-shot cv -> refit -> predict -> calibrate")
+    p.add_argument("--train", required=True, help="train gold matrix store")
+    p.add_argument("--test", required=True, help="test gold matrix store")
+    p.add_argument("--out-prefix", required=True)
+    p.add_argument("--n-folds", type=int, default=3)
+    p.add_argument("--n-iter", type=int, default=10)
+    p.add_argument("--cv-subsample", type=int, default=5000)
+    p.add_argument("--row-chunks", type=int, default=100)
+    _add_common_ml(p)
+    p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("boruta", help="Boruta shadow-feature selection")
     p.add_argument("--input", required=True)

@@ -1066,3 +1066,60 @@ def d_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing — the step after context-windowing in a training-data
+# pipeline: fill fixed token-budget bins (here 1024) with documents so
+# batch slots aren't wasted on padding. Sequential-fill packing per
+# SOURCE partition: running token total in doc_id order → bin id =
+# floor((cumsum - n_tok) / budget). The window partitions by source, so
+# at 100 TB each source packs independently (parallel, one shuffle on
+# source) instead of a global single-partition cumsum; within a source
+# the order is the deterministic doc_id. All-integer output.
+@_q(
+    "d_sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tok FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok) / 1024.0) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT source, bin,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS bin_tokens,
+           CAST(FLOOR(SUM(n_tok) * 1000000.0 / 1024.0) AS BIGINT) AS fill_micro
+    FROM packed
+    GROUP BY source, bin
+    ORDER BY source, bin
+    LIMIT 40
+    """,
+)
+def d_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(1024.0))
+    )
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+            F.floor(F.sum("n_tok") * F.lit(1000000.0) / F.lit(1024.0)).alias("fill_micro"),
+        )
+        .orderBy("source", "bin")
+        .limit(40)
+    )

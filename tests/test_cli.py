@@ -106,3 +106,19 @@ def test_cli_boruta(spark, cli_dirs):
     assert list(dec.columns) == ["predictors", "hits", "decision"]
     assert len(dec) == len(cli_dirs["snps"])
     assert set(dec["decision"]) <= {"accepted", "rejected", "tentative"}
+
+
+def test_cli_train(spark, plink_raw_path, covars_path, tmp_path):
+    """One-shot train subcommand over the preprocessing gold layer."""
+    from daxos_spark.preprocess import run_preprocessing
+
+    raw, *_ = plink_raw_path
+    pre = run_preprocessing(spark, raw, covars_path, str(tmp_path / "lake"), seed=42)
+    prefix = str(tmp_path / "t")
+    _run(spark, ["train", "--train", pre.train_gold, "--test", pre.test_gold,
+                 "--out-prefix", prefix, "--n-folds", "2", "--n-iter", "1",
+                 "--cv-subsample", "0", "--n-boost-round", "3", "--row-chunks", "60"])
+    assert len(pd.read_csv(f"{prefix}_cv_scores.csv")) == 2  # 1 param x 2 folds
+    preds = spark.read.option("header", True).csv(f"{prefix}_ypred.csv")
+    assert preds.count() == pre.n_test
+    assert set(preds.columns) == {"IID", "y_true", "y_pred", "y_pred_platt_scaled"}
