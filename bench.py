@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "q_key_skew_profile",
     "q_approx_distinct_check",
     "q_approx_quantile_check",
+    "q_pivot_status_counts",
+    "q_argmax_per_status",
 ]
 
 

@@ -1670,3 +1670,87 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("bfill"))
     )
     return n.select("hour", trunc6(filled).alias("filled"), srcl.alias("src")).orderBy("hour")
+
+
+# --------------------------------------------------------------------------
+# PIVOT: order counts + exact-decimal revenue per (priority × status) —
+# wide conditional aggregation. Spark's .pivot() with an EXPLICIT value
+# list plans a single-pass agg (no distinct-values pre-query, the
+# two-arg pivot's hidden extra scan); the oracle is the equivalent
+# CASE-WHEN conditional aggregation, which is also exactly what the
+# pivot compiles to — no shuffle beyond the one groupBy exchange.
+@_q(
+    "q_pivot_status_counts",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cnt_f,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS cnt_o,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS cnt_p,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE) AS rev_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE) AS rev_o
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("o_totalprice")).alias("rev"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F_cnt").alias("cnt_f"),
+        F.col("O_cnt").alias("cnt_o"),
+        F.col("P_cnt").alias("cnt_p"),
+        F.col("F_rev").alias("rev_f"),
+        F.col("O_rev").alias("rev_o"),
+    ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# argmax/argmin per group via max_by/min_by — the single-pass replacement
+# for the row_number()-over-window top-1 pattern: no sort, no window, one
+# partial-aggregable pass (each executor keeps one champion per group).
+# Ties broken deterministically by keying the comparator with the
+# (value, -key) struct so both engines pick the same row.
+@_q(
+    "q_argmax_per_status",
+    """
+    WITH r AS (
+      SELECT o_orderstatus, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk_top,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice ASC, o_orderkey ASC) AS rk_bot
+      FROM orders
+    )
+    SELECT t.o_orderstatus, t.o_orderkey AS top_order,
+           b.o_orderkey AS bottom_order, c.n
+    FROM (SELECT o_orderstatus, o_orderkey FROM r WHERE rk_top = 1) t
+    JOIN (SELECT o_orderstatus, o_orderkey FROM r WHERE rk_bot = 1) b USING (o_orderstatus)
+    JOIN (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1) c USING (o_orderstatus)
+    ORDER BY o_orderstatus
+    """,
+)
+def q_argmax_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by(
+                F.col("o_orderkey"),
+                F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk")),
+            ).alias("top_order"),
+            F.min_by(
+                F.col("o_orderkey"), F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+            ).alias("bottom_order"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
