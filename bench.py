@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "q_approx_quantile_check",
     "q_pivot_status_counts",
     "q_argmax_per_status",
+    "q_events_sliding_counts",
+    "q_referential_integrity",
 ]
 
 

@@ -1754,3 +1754,83 @@ def q_argmax_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding (overlapping) time windows — the batch twin of Structured
+# Streaming's `window(ts, '2 hours', '1 hour')`: each event lands in 2
+# overlapping windows. Spark plans this as a Generate (window explode)
+# before the partial agg — linear fan-out 2×, one exchange on
+# (window, event_type); the oracle unnests the same two hour-aligned
+# starts per row. At 100 TB slide/duration set the fan-out factor, and
+# watermarking bounds the same operator's state in the streaming twin.
+@_q(
+    "q_events_sliding_counts",
+    f"""
+    WITH w AS (
+      SELECT event_type, value,
+             unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS w_start
+      FROM events
+    )
+    SELECT w_start, event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM w GROUP BY w_start, event_type
+    ORDER BY w_start, event_type
+    """,
+)
+def q_events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "total_value")
+        .orderBy("w_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit — the data-quality gate before a pipeline
+# run: orphan facts (anti-joins), null join keys, and duplicate primary
+# keys, all in one pass over each table. At scale each check is a
+# broadcast/shuffle anti-join or a keyed count — no collect, and AQE
+# picks the join strategy per relation size.
+@_q(
+    "q_referential_integrity",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_lineitems,
+      (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS orphan_orders,
+      (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS null_custkeys,
+      (SELECT COUNT(*) FROM (
+         SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+        AS dup_orderkeys
+    """,
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    orphan_li = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    orphan_o = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    null_keys = t["orders"].agg(
+        F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("null_custkeys")
+    )
+    dups = (
+        t["orders"]
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_orderkeys"))
+    )
+    return orphan_li.crossJoin(orphan_o).crossJoin(null_keys).crossJoin(dups)
