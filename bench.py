@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "e_knn_lsh",
     "d_semantic_neardup",
     "d_sequence_packing",
+    "d_repetition_filter",
     "e_label_centroids",
     "e_norm_stats",
     "q13_cust_order_counts",

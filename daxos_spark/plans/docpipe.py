@@ -1123,3 +1123,67 @@ def d_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source", "bin")
         .limit(40)
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition filter — the Gopher/C4-style quality gate this family was
+# missing: fraction of duplicated word 3-grams within each document
+# (boilerplate and degenerate repetition score high). Per-doc the
+# signal is (total − distinct) 3-grams — one explode + one two-level
+# agg, all partition-local until the per-doc groupBy; the flag uses
+# integer cross-multiplication (dup·5 > total ⇔ dup_frac > 0.2), so
+# the whole result is integer-exact. Per-language summary output.
+@_q(
+    "d_repetition_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKS} AS tk FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, {_SHINGLE} AS g
+      FROM (SELECT doc_id, lang, tk,
+                   unnest(range(1, GREATEST(len(tk) - 2, 0) + 1)) AS i
+            FROM toks)
+    ), per_doc AS (
+      SELECT doc_id, lang,
+             COUNT(*) AS n_grams,
+             COUNT(DISTINCT g) AS n_distinct,
+             COUNT(*) - COUNT(DISTINCT g) AS n_dup
+      FROM grams GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN n_dup * 5 > n_grams THEN 1 ELSE 0 END) AS n_flagged,
+           SUM(n_dup) AS total_dup_grams,
+           SUM(n_grams) AS total_grams
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def d_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    # RAW (non-distinct) 3-grams — functions.hashing.word_shingles dedupes
+    # by design for minhash, which would erase the very signal measured
+    # here; docs with <3 tokens produce no grams (empty sequence).
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    raw_grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(2)),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", "lang", F.explode(raw_grams).alias("g"))
+    per_doc = grams.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("g")).alias("n_dup"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_dup") * 5 > F.col("n_grams")).cast("bigint")).alias("n_flagged"),
+            F.sum("n_dup").alias("total_dup_grams"),
+            F.sum("n_grams").alias("total_grams"),
+        )
+        .orderBy("lang")
+    )
