@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "d_semantic_neardup",
     "d_sequence_packing",
     "d_repetition_filter",
+    "d_oov_bigram_score",
     "e_label_centroids",
     "e_norm_stats",
     "q13_cust_order_counts",

@@ -1187,3 +1187,80 @@ def d_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-statistics fluency score — a bigram-LM-shaped quality signal
+# with no float log-probs: build the corpus bigram vocabulary (bigrams
+# seen in ≥2 documents) in pass 1, then score each document by its
+# fraction of out-of-vocabulary bigrams in pass 2. Degenerate or
+# machine-garbled text has a high OOV fraction against its own corpus.
+# The vocabulary is a self-derived dim joined back to the exploded
+# bigram stream (left anti = OOV) — the two-pass shape a real n-gram LM
+# scorer has, with the counts staying integer-exact end to end. At
+# 100 TB the vocab is itself fact-scale, so the join is a key-partitioned
+# shuffle join (NOT broadcast) — exactly how it's written here.
+@_q(
+    "d_oov_bigram_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKS} AS tk FROM documents
+    ), bigrams AS (
+      SELECT doc_id, lang, concat_ws(' ', tk[i], tk[i+1]) AS bg
+      FROM (SELECT doc_id, lang, tk,
+                   unnest(range(1, GREATEST(len(tk) - 1, 0) + 1)) AS i
+            FROM toks)
+    ), vocab AS (
+      SELECT bg FROM (
+        SELECT bg, COUNT(DISTINCT doc_id) AS df FROM bigrams GROUP BY bg
+      ) WHERE df >= 2
+    ), scored AS (
+      SELECT b.doc_id, b.lang,
+             COUNT(*) AS n_bigrams,
+             SUM(CASE WHEN v.bg IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM bigrams b LEFT JOIN vocab v ON b.bg = v.bg
+      GROUP BY b.doc_id, b.lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_oov) AS total_oov,
+           SUM(n_bigrams) AS total_bigrams,
+           SUM(CASE WHEN n_oov * 2 > n_bigrams THEN 1 ELSE 0 END) AS n_disfluent
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def d_oov_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    raw_bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = d.select("doc_id", "lang", F.explode(raw_bigrams).alias("bg"))
+    vocab = (
+        bigrams.groupBy("bg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("bg")
+    )
+    scored = (
+        bigrams.join(vocab.withColumn("in_vocab", F.lit(1)), "bg", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("in_vocab").isNull().cast("bigint")).alias("n_oov"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_oov").alias("total_oov"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+            F.sum((F.col("n_oov") * 2 > F.col("n_bigrams")).cast("bigint")).alias("n_disfluent"),
+        )
+        .orderBy("lang")
+    )
