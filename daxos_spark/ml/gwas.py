@@ -1,0 +1,87 @@
+"""GWAS association scan: per-SNP allelic odds ratios in one pass.
+
+The reference validates its whole pipeline by simulating case/control
+genotypes with known per-SNP odds ratios and checking that univariable
+association recovers them (``examples/data/setup_data.py:122-165``
+``check_odds_ratios`` / ``check_ors_reasonable``: APOE variants
+``rs7412_T``/``rs429358_C`` at OR 3 and 5, recovered within ±0.5).
+
+Here the same quantity — the allelic odds ratio of a 0/1/2-dosage SNP
+against a binary phenotype — is computed for *all* SNPs in a single
+distributed aggregation instead of p independent logistic regressions:
+
+    a = alt alleles in cases      b = ref alleles in cases (2·n_case − a)
+    c = alt alleles in controls   d = ref alleles in controls
+    OR = (a·d) / (b·c)
+
+This is the 2×2 allele-count contingency estimator, the standard GWAS
+fast path; under the additive model it targets the same parameter as the
+reference's univariable logistic fit. Scale shape: posexplode →
+groupBy(pos) with conditional sums — one shuffle of p groups for a
+whole 215k-SNP scan (the "p regressions in one aggregation" strategy
+from SURVEY §7.2), vs the reference's per-SNP sklearn loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def allelic_or_from_long(long_df: DataFrame) -> DataFrame:
+    """Per-SNP allelic odds ratios from long format.
+
+    ``long_df`` columns: ``is_case`` (0/1 int), ``pos`` (SNP index),
+    ``dosage`` (0/1/2 alt-allele count; nulls ignored per-SNP, matching
+    the reference's per-column NaN drop, daxos/deconfound.py:45-47).
+
+    Returns one row per ``pos`` with exact integer allele counts and
+    ``odds_ratio`` (NULL when any contingency cell is empty) plus
+    ``log_or_se`` (Woolf standard error) for CI construction.
+    """
+    is_case = F.col("is_case") == 1
+    a = F.sum(F.when(is_case, F.col("dosage"))).cast("long")
+    c = F.sum(F.when(~is_case, F.col("dosage"))).cast("long")
+    n_case = F.count(F.when(is_case & F.col("dosage").isNotNull(), F.lit(1)))
+    n_ctrl = F.count(F.when(~is_case & F.col("dosage").isNotNull(), F.lit(1)))
+    agg = long_df.groupBy("pos").agg(
+        n_case.alias("n_case"),
+        n_ctrl.alias("n_ctrl"),
+        a.alias("case_alt"),
+        c.alias("ctrl_alt"),
+    )
+    b = 2 * F.col("n_case") - F.col("case_alt")
+    d = 2 * F.col("n_ctrl") - F.col("ctrl_alt")
+    cells = [F.col("case_alt"), b, F.col("ctrl_alt"), d]
+    nonzero = (
+        (F.col("case_alt") > 0) & (b > 0) & (F.col("ctrl_alt") > 0) & (d > 0)
+    )
+    odds = (F.col("case_alt") * d) / (b * F.col("ctrl_alt"))
+    se = F.sqrt(sum((1.0 / cell for cell in cells), F.lit(0.0)))
+    return agg.select(
+        "pos",
+        "n_case",
+        "n_ctrl",
+        "case_alt",
+        "ctrl_alt",
+        F.when(nonzero, odds).alias("odds_ratio"),
+        F.when(nonzero, se).alias("log_or_se"),
+    )
+
+
+def allelic_odds_ratios(
+    df: DataFrame,
+    label_col: str = "label",
+    features_col: str = "features",
+) -> DataFrame:
+    """Per-SNP allelic odds ratios over the matrix layout.
+
+    ``df`` rows carry a binary label and an ``array<float>`` dosage
+    vector (the engine's standard fact layout, SURVEY §7.0). One
+    posexplode pass; no driver-side loop, no per-SNP model fits.
+    """
+    long_df = df.select(
+        F.col(label_col).cast("int").alias("is_case"),
+        F.posexplode(F.col(features_col)).alias("pos", "dosage"),
+    ).select("is_case", "pos", F.col("dosage").cast("double").alias("dosage"))
+    return allelic_or_from_long(long_df)

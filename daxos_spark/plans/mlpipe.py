@@ -445,3 +445,59 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.count(F.lit(1)).alias("n_clusters_touched"), F.max("n").alias("max_cluster"), F.min("n").alias("min_cluster"))
     )
+
+
+# --------------------------------------------------------------------------
+# GWAS allelic odds-ratio scan (ml/gwas.py) — the SQL-checkable face of
+# the association surface the reference validates by simulation
+# (examples/data/setup_data.py:122-165). Dosage is derived
+# deterministically from (vec_id, pos) so the duckdb oracle is
+# integer-exact; the statistical OR-recovery validation lives in
+# tests/test_gwas.py on simulated genotypes, reference-style.
+@_qo(
+    "ml_gwas_allelic_or",
+    f"""
+    WITH g AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS is_case,
+             vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ), u AS (
+      SELECT is_case, pos, (vec_id + 7 * pos) % 3 AS dosage FROM g
+    ), agg AS (
+      SELECT pos,
+             SUM(CASE WHEN is_case = 1 THEN 1 ELSE 0 END) AS n_case,
+             SUM(CASE WHEN is_case = 0 THEN 1 ELSE 0 END) AS n_ctrl,
+             SUM(CASE WHEN is_case = 1 THEN dosage ELSE 0 END) AS case_alt,
+             SUM(CASE WHEN is_case = 0 THEN dosage ELSE 0 END) AS ctrl_alt
+      FROM u GROUP BY pos
+    )
+    SELECT pos, n_case, n_ctrl, case_alt, ctrl_alt,
+           {sql_trunc6('CAST(case_alt * (2 * n_ctrl - ctrl_alt) AS DOUBLE) / CAST((2 * n_case - case_alt) * ctrl_alt AS DOUBLE)')}
+             AS odds_ratio
+    FROM agg ORDER BY pos
+    """,
+    doc="per-SNP allelic OR scan in one aggregation (GWAS fast path; SURVEY §5.3 parity)",
+)
+def ml_gwas_allelic_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.gwas import allelic_or_from_long
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    u = e.select(
+        (F.col("label") >= 5).cast("int").alias("is_case"),
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos", "_x"),
+    ).select(
+        "is_case",
+        "pos",
+        F.pmod(F.col("vec_id") + 7 * F.col("pos"), F.lit(3)).cast("double").alias("dosage"),
+    )
+    ors = allelic_or_from_long(u)
+    return ors.select(
+        "pos",
+        "n_case",
+        "n_ctrl",
+        "case_alt",
+        "ctrl_alt",
+        trunc6(F.col("odds_ratio")).alias("odds_ratio"),
+    ).orderBy("pos")

@@ -1,0 +1,84 @@
+"""GWAS allelic odds-ratio scan — statistical validation by simulation.
+
+Mirrors the reference's own correctness strategy
+(``examples/data/setup_data.py:122-165``): simulate case/control
+genotypes with KNOWN per-SNP odds ratios, run the association scan, and
+require the planted ORs back within tolerance while null SNPs stay
+near 1. The reference plants ORs 3 and 5 and accepts ±0.5; same here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from daxos_spark.ml.gwas import allelic_odds_ratios
+
+
+N, P = 8000, 8
+PLANTED = {6: 3.0, 7: 5.0}  # SNP index -> allelic odds ratio
+P0 = 0.25  # control alt-allele frequency
+
+
+def _sim(seed: int = 11):
+    """Half cases / half controls; dosage ~ Binomial(2, group freq)."""
+    rng = np.random.RandomState(seed)
+    y = np.repeat([0, 1], N // 2)
+    X = np.empty((N, P), dtype=np.float32)
+    for j in range(P):
+        orr = PLANTED.get(j, 1.0)
+        # case allele frequency from the OR algebra (odds scale)
+        p1 = orr * P0 / (1 - P0 + orr * P0)
+        freq = np.where(y == 1, p1, P0)
+        X[:, j] = rng.binomial(2, freq)
+    return X, y
+
+
+@pytest.fixture(scope="module")
+def or_rows(spark):
+    X, y = _sim()
+    rows = [(int(y[i]), [float(v) for v in X[i]]) for i in range(N)]
+    df = spark.createDataFrame(rows, "label int, features array<float>")
+    out = allelic_odds_ratios(df).orderBy("pos").collect()
+    assert len(out) == P
+    return out
+
+
+def test_planted_ors_recovered(or_rows):
+    for r in or_rows:
+        expected = PLANTED.get(r["pos"], 1.0)
+        assert r["odds_ratio"] == pytest.approx(expected, abs=0.5), r
+
+
+def test_counts_exact_and_consistent(or_rows):
+    for r in or_rows:
+        assert r["n_case"] == N // 2 and r["n_ctrl"] == N // 2
+        assert 0 <= r["case_alt"] <= 2 * r["n_case"]
+        assert 0 <= r["ctrl_alt"] <= 2 * r["n_ctrl"]
+        # Woolf SE present and small at this n
+        assert 0 < r["log_or_se"] < 0.2
+
+
+def test_matches_numpy_contingency(spark):
+    X, y = _sim(seed=23)
+    rows = [(int(y[i]), [float(v) for v in X[i]]) for i in range(N)]
+    df = spark.createDataFrame(rows, "label int, features array<float>")
+    got = {r["pos"]: r for r in allelic_odds_ratios(df).collect()}
+    for j in range(P):
+        a = float(X[y == 1, j].sum())
+        c = float(X[y == 0, j].sum())
+        b = 2 * (y == 1).sum() - a
+        d = 2 * (y == 0).sum() - c
+        assert got[j]["case_alt"] == a and got[j]["ctrl_alt"] == c
+        assert got[j]["odds_ratio"] == pytest.approx((a * d) / (b * c), rel=1e-12)
+
+
+def test_null_on_empty_cell(spark):
+    # monomorphic SNP (all-zero dosage) -> NULL odds ratio, not a crash
+    df = spark.createDataFrame(
+        [(1, [0.0, 2.0]), (0, [0.0, 1.0]), (1, [0.0, 1.0]), (0, [0.0, 0.0])],
+        "label int, features array<float>",
+    )
+    out = {r["pos"]: r for r in allelic_odds_ratios(df).collect()}
+    assert out[0]["odds_ratio"] is None
+    assert out[1]["odds_ratio"] is not None
