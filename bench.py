@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "q_argmax_per_status",
     "q_events_sliding_counts",
     "q_referential_integrity",
+    "q_new_vs_returning",
+    "q_rolling_median_price",
+    "q_pareto_frontier",
 ]
 
 

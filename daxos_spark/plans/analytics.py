@@ -109,6 +109,104 @@ def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _epoch_day(c) -> F.Column:
+    return F.floor(F.unix_timestamp(c) / 86400).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# new-vs-returning daily active users + cumulative acquisition curve.
+# Two shuffles: the per-user first-day agg and the per-day distinct
+# count; the per-day relations that meet in the left join and the
+# cumulative window are calendar-sized (driver-small at any data scale),
+# so the single-partition window over days is safe even at 100 TB of
+# events. Day buckets are integer epoch-day arithmetic (engine-neutral).
+@_q(
+    "q_new_vs_returning",
+    """
+    WITH d AS (
+      SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day, user_id FROM events
+    ), act AS (
+      SELECT day, COUNT(DISTINCT user_id) AS active_users FROM d GROUP BY day
+    ), f AS (
+      SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id
+    ), nw AS (
+      SELECT first_day AS day, COUNT(*) AS new_users FROM f GROUP BY first_day
+    )
+    SELECT a.day, a.active_users,
+           COALESCE(n.new_users, 0) AS new_users,
+           a.active_users - COALESCE(n.new_users, 0) AS returning_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+             ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_users
+    FROM act a LEFT JOIN nw n USING (day)
+    ORDER BY a.day
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.select(_epoch_day(F.col("ts")).alias("day"), "user_id")
+    act = d.groupBy("day").agg(F.countDistinct("user_id").alias("active_users"))
+    nw = (
+        d.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        act.join(nw, "day", "left")
+        .withColumn("new_users", F.coalesce(F.col("new_users"), F.lit(0)))
+        .select(
+            "day",
+            "active_users",
+            "new_users",
+            (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# rolling median order value per customer — an aggregate used as a
+# window function over a sliding ROWS frame (percentile/median over
+# the trailing 6 orders). One shuffle on o_custkey; the frame is
+# bounded, so per-row cost is O(frame) regardless of data scale.
+# Prices go through FLOOR(x*100) integer cents so interpolated medians
+# are exact dyadic doubles (.0/.5) in both engines.
+@_q(
+    "q_rolling_median_price",
+    """
+    SELECT o_custkey, o_orderkey,
+           MEDIAN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS med_cents
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-5, 0)
+    )
+    return (
+        o.withColumn("price_cents", F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr("percentile(price_cents, 0.5)").over(w).alias("med_cents"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # market-basket co-occurrence: part pairs appearing in the same order.
 # DISTINCT (order, part) first so the pair fan-out is bounded by order

@@ -300,3 +300,57 @@ def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (skyline) per brand: parts not dominated on
+# (cheaper price, larger size). The Spark plan is the O(n log n)
+# sort-based skyline — one shuffle on p_brand, two RANGE-frame window
+# maxes (strictly-cheaper prefix max and equal-price peer max) — while
+# the oracle is the textbook O(n²) NOT EXISTS dominance self-join.
+# Independent formulations of the same relation: a hash match here is
+# evidence the window algebra is right, not just that two copies of
+# one query agree. At 100 TB the window plan is the only viable one
+# (the naive skyline self-join is quadratic per brand).
+@_q(
+    "q_pareto_frontier",
+    """
+    WITH p AS (
+      SELECT p_brand, p_partkey,
+             CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents, p_size
+      FROM part
+    )
+    SELECT p_brand, p_partkey, price_cents, p_size
+    FROM p b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p a
+      WHERE a.p_brand = b.p_brand
+        AND ((a.price_cents < b.price_cents AND a.p_size >= b.p_size)
+          OR (a.price_cents = b.price_cents AND a.p_size > b.p_size))
+    )
+    ORDER BY p_brand, price_cents, p_partkey
+    """,
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir)["part"].select(
+        "p_brand",
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        "p_size",
+    )
+    cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    peers = Window.partitionBy("p_brand").orderBy("price_cents").rangeBetween(0, 0)
+    return (
+        p.withColumn("mx_cheaper", F.max("p_size").over(cheaper))
+        .withColumn("mx_peer", F.max("p_size").over(peers))
+        .filter(
+            (F.col("p_size") > F.coalesce(F.col("mx_cheaper"), F.lit(-1)))
+            & (F.col("p_size") == F.col("mx_peer"))
+        )
+        .select("p_brand", "p_partkey", "price_cents", "p_size")
+        .orderBy("p_brand", "price_cents", "p_partkey")
+    )
