@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "q_new_vs_returning",
     "q_rolling_median_price",
     "q_pareto_frontier",
+    "d_hot_ngrams",
+    "d_prefix_filter_jaccard",
+    "q_modal_event_type",
 ]
 
 

@@ -256,3 +256,42 @@ def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "pa", "pb")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# per-user modal event type: exact mode in one count-aggregation plus a
+# max(struct) argmax — two shuffles total (user_id+type, then user_id),
+# both with map-side partials; no window sort. Tie-break: larger count,
+# then lexicographically-LAST event type — max(struct(cnt, type)) gives
+# exactly that total order, and the oracle's row_number(ORDER BY n DESC,
+# event_type DESC) is the same order expressed independently.
+@_q(
+    "q_modal_event_type",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ), r AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type DESC) AS rk
+      FROM c
+    )
+    SELECT user_id, event_type AS modal_type, n AS n_events
+    FROM r WHERE rk = 1 ORDER BY user_id
+    """,
+    doc="Exact per-group mode via max(struct) argmax — no window sort.",
+)
+def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cnt.groupBy("user_id")
+        .agg(F.max(F.struct(F.col("n"), F.col("event_type"))).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.event_type").alias("modal_type"),
+            F.col("m.n").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,183 @@
+"""Second docpipe family: corpus-level duplicate-n-gram mining and a
+prefix-filtered set-similarity join (PPJoin-style).
+
+Beyond-parity surface (the reference processes no text — SURVEY §2
+training-data-pipeline family). Both queries here are the standard
+scale-out layouts for their problems:
+
+- d_hot_ngrams: Lee et al. ("Deduplicating Training Data Makes LMs
+  Better") style duplicate-n-gram mining — one explode + one groupBy on
+  the gram key; linear in corpus token count, shuffle cardinality is
+  bounded by distinct-gram count, with map-side partial aggregation.
+- d_prefix_filter_jaccard: exact Jaccard-threshold self-join WITHOUT
+  the all-pairs product. Prefix filtering (Chaudhuri et al. SSJoin /
+  Xiao et al. PPJoin): order every doc's token set by ascending global
+  document frequency; two sets with J ≥ τ MUST share a token in their
+  first |S| − ⌈τ·|S|⌉ + 1 rarest tokens, so candidate generation is an
+  equi-join on prefix tokens only (rare tokens → tiny buckets), plus a
+  length filter. Verification computes exact Jaccard on the candidates
+  only. At 100 TB this is the difference between O(n²) pairs and the
+  inverted-index join the dedup literature actually ships.
+
+Determinism: the Jaccard threshold test is pure integer arithmetic
+(10·|∩| ≥ ⌈10τ⌉·|∪| with τ = 0.6 → 10·inter ≥ 6·union), so Spark and
+the duckdb brute-force oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from .docpipe import _fanout
+from .registry import QuerySpec, register, trunc6
+
+_NORM = "lower(trim(text))"
+_TOKS = f"string_split_regex({_NORM}, '\\s+')"
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        register(QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc, tags=("docs",)))
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# duplicate 5-gram mining across the corpus: every 5-gram occurring in
+# ≥ 2 distinct documents, with doc- and occurrence-counts. ONE explode
+# (all occurrences, not distinct — occurrence counts need multiplicity)
+# and ONE shuffle on the gram; count(distinct doc_id) expands to the
+# standard two-phase distinct-agg plan.
+@_q(
+    "d_hot_ngrams",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) AS g
+      FROM (SELECT doc_id, tk,
+                   unnest(range(1, GREATEST(len(tk) - 4, 1) + 1)) AS i
+            FROM toks)
+    )
+    SELECT g AS ngram,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM grams
+    GROUP BY g
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, ngram
+    LIMIT 25
+    """,
+    doc="Duplicate-5-gram mining (Lee et al. dedup flavor): top cross-doc grams.",
+)
+def d_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = 5
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    # all occurrences (no array_distinct — multiplicity matters here)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        d.select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "ngram")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# prefix-filtered exact Jaccard join at τ = 0.6. The oracle is the
+# deliberately-independent brute-force all-pairs formulation; the Spark
+# plan is the inverted-prefix-index candidate join — equal output proves
+# the filter is lossless.
+@_q(
+    "d_prefix_filter_jaccard",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             len(list_intersect(a.tk, b.tk)) AS ni,
+             len(a.tk) AS na, len(b.tk) AS nb
+      FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+    )
+    SELECT da, db,
+           FLOOR((ni / (na + nb - ni)) * 1000000.0) / 1000000.0 AS jaccard
+    FROM pairs
+    WHERE 10 * ni >= 6 * (na + nb - ni)
+    ORDER BY da, db
+    """,
+    doc="PPJoin-style prefix-filtered Jaccard self-join (τ=0.6) vs brute-force oracle.",
+)
+def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tau = 0.6
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    tk = d.select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tk"),
+    )
+    tok = tk.select("doc_id", F.explode("tk").alias("t"))
+    # global document frequency per token — the prefix ordering key.
+    # Tiny relative to the corpus (vocabulary-sized): broadcast it.
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc token array sorted rarest-first (df asc, token asc —
+    # struct array_sort gives the lexicographic (df, t) order, total and
+    # engine-independent)
+    sorted_tk = (
+        tok.join(F.broadcast(dfreq), "t")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "t"))).alias("st"))
+        .select(
+            "doc_id",
+            F.transform("st", lambda s: s["t"]).alias("tk"),
+            F.size("st").alias("n"),
+        )
+    )
+    # prefix length: |S| − ⌈τ|S|⌉ + 1 (any pair with J ≥ τ shares a
+    # prefix token — lossless candidate generation)
+    plen = (F.col("n") - F.ceil(F.col("n") * F.lit(tau)) + 1).cast("int")
+    pref = sorted_tk.select(
+        "doc_id", "tk", "n", F.explode(F.slice("tk", F.lit(1), plen)).alias("t")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J ≥ τ forces min(n) ≥ τ·max(n)
+            & (
+                F.least(F.col("a.n"), F.col("b.n")) * 10
+                >= F.greatest(F.col("a.n"), F.col("b.n")) * 6
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.tk").alias("ta"),
+            F.col("b.tk").alias("tb"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .dropDuplicates(["da", "db"])
+    )
+    ni = F.size(F.array_intersect("ta", "tb"))
+    union = F.col("na") + F.col("nb") - F.col("ni")
+    return (
+        cand.withColumn("ni", ni)
+        .filter(F.lit(10) * F.col("ni") >= F.lit(6) * union)
+        .select("da", "db", trunc6(F.col("ni") / union).alias("jaccard"))
+        .orderBy("da", "db")
+    )

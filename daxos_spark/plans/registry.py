@@ -92,6 +92,7 @@ def get_specs() -> dict[str, QuerySpec]:
         blobpipe,
         diagnostics,
         docpipe,
+        docpipe2,
         mlpipe,
         relational,
         relational2,
