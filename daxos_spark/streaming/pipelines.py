@@ -16,6 +16,8 @@ custom stateful operator).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -60,13 +62,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     an arriving-files directory or Kafka source with the same schema.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Sniff the physical ts type from the batch reader: TIMESTAMP(NANOS)
+    # files surface as bigint under the nanosAsLong conf, while
+    # micros-precision files arrive as a plain timestamp. The stream
+    # schema must match the file's physical type (a file-source stream
+    # cannot infer), so pick the matching schema + restore step.
+    ts_is_nanos = (
+        dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes)["ts"]
+        == "bigint"
+    )
     raw = (
-        spark.readStream.schema(RAW_EVENT_SCHEMA)
+        spark.readStream.schema(RAW_EVENT_SCHEMA if ts_is_nanos else EVENT_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        # integer div, NOT double: int64 nanos exceed double's 2^53
+        # exact range (same rationale as catalog.load_tables)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
