@@ -128,21 +128,36 @@ def main() -> None:
     # reported. Plans are rebuilt from scratch in the measured pass, so
     # planning/optimization cost IS included — only class compilation
     # and JIT warm-up are amortized.
+    # A failing query must never zero the whole suite: every query run
+    # (warm and measured) is individually guarded, failures are recorded
+    # under "errors", and the JSON line is emitted regardless.
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        specs[name].spark(spark, SF_DIR).count()
+        try:
+            specs[name].spark(spark, SF_DIR).count()
+        except Exception as e:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: WARM FAIL {errors[name]}", file=sys.stderr)
 
     # min of two measured runs per query: wall times on a shared box are
     # noisy (background load, GC); the min is the steady-state latency
     # of the plan, which is what a throughput comparison should score.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        if name in errors:
+            continue
         spec = specs[name]
         best = float("inf")
         n = 0
-        for _ in range(2):
-            t0 = time.time()
-            n = spec.spark(spark, SF_DIR).count()
-            best = min(best, time.time() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                n = spec.spark(spark, SF_DIR).count()
+                best = min(best, time.time() - t0)
+        except Exception as e:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: FAIL {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
@@ -158,6 +173,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf_val,
             }
         )

@@ -226,7 +226,7 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY source, lang
     )
     SELECT source,
-           SUM(cnt) AS n_docs,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
            COUNT(*) AS n_langs,
            CAST(FLOOR(
              (SUM(cnt)*SUM(cnt) - SUM(cnt*cnt)) * 1000000.0

@@ -319,7 +319,7 @@ def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, h, unnest(range(0, 32)) AS b FROM h) g
       GROUP BY doc_id, g.b
     )
-    SELECT doc_id, SUM(bit * (CAST(1 AS BIGINT) << b)) AS simhash
+    SELECT doc_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id ORDER BY doc_id
     """,
 )
@@ -1007,7 +1007,7 @@ def _semantic_oracle() -> str:
                   THEN 1 ELSE 0 END AS sim
       FROM p
     )
-    SELECT lang, COUNT(*) AS n_candidates, SUM(sim) AS n_similar
+    SELECT lang, COUNT(*) AS n_candidates, CAST(SUM(sim) AS BIGINT) AS n_similar
     FROM s GROUP BY lang ORDER BY lang
     """
 
@@ -1090,7 +1090,7 @@ def d_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, bin,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS bin_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
            CAST(FLOOR(SUM(n_tok) * 1000000.0 / 1024.0) AS BIGINT) AS fill_micro
     FROM packed
     GROUP BY source, bin
@@ -1152,9 +1152,9 @@ def d_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN n_dup * 5 > n_grams THEN 1 ELSE 0 END) AS n_flagged,
-           SUM(n_dup) AS total_dup_grams,
-           SUM(n_grams) AS total_grams
+           CAST(SUM(CASE WHEN n_dup * 5 > n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(n_dup) AS BIGINT) AS total_dup_grams,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams
     FROM per_doc GROUP BY lang ORDER BY lang
     """,
 )
@@ -1223,9 +1223,9 @@ def d_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_oov) AS total_oov,
-           SUM(n_bigrams) AS total_bigrams,
-           SUM(CASE WHEN n_oov * 2 > n_bigrams THEN 1 ELSE 0 END) AS n_disfluent
+           CAST(SUM(n_oov) AS BIGINT) AS total_oov,
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+           CAST(SUM(CASE WHEN n_oov * 2 > n_bigrams THEN 1 ELSE 0 END) AS BIGINT) AS n_disfluent
     FROM scored GROUP BY lang ORDER BY lang
     """,
 )
@@ -1239,7 +1239,10 @@ def d_oov_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, 2), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bigrams = d.select("doc_id", "lang", F.explode(raw_bigrams).alias("bg"))
+    # persist: the exploded bigram stream feeds BOTH the vocab agg and
+    # the scoring join — without it the full tokenize/explode lineage
+    # runs twice (two corpus scans at 100 TB).
+    bigrams = d.select("doc_id", "lang", F.explode(raw_bigrams).alias("bg")).persist()
     vocab = (
         bigrams.groupBy("bg")
         .agg(F.countDistinct("doc_id").alias("df"))

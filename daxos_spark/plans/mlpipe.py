@@ -26,11 +26,19 @@ def _q(name: str, doc: str = ""):
     return deco
 
 
-def _binary_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _binary_embeddings(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
     e = load_tables(spark, sf_dir)["embeddings"]
     # binary target from the 10-class label; deterministic seeded split
     # (X3, split_ids.py:46-62 → pure function of the key, no sampling RNG)
-    return e.select(
+    # `cap` bounds the training fixture for the model-fitting harness
+    # queries: they verify the distributed plumbing (fit/predict/CV
+    # wiring), not model quality, and the driver's correctness budget is
+    # shared across all 130 queries — an uncapped iterative GBT fit at
+    # sf0.01 starved the round-1 harness before it reached the q_* block.
+    sel = e if cap is None else e.filter(F.col("vec_id") < cap)
+    return sel.select(
         "vec_id",
         F.col("embedding").alias("features"),
         (F.col("label") >= 5).cast("float").alias("label"),
@@ -466,10 +474,10 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT is_case, pos, (vec_id + 7 * pos) % 3 AS dosage FROM g
     ), agg AS (
       SELECT pos,
-             SUM(CASE WHEN is_case = 1 THEN 1 ELSE 0 END) AS n_case,
-             SUM(CASE WHEN is_case = 0 THEN 1 ELSE 0 END) AS n_ctrl,
-             SUM(CASE WHEN is_case = 1 THEN dosage ELSE 0 END) AS case_alt,
-             SUM(CASE WHEN is_case = 0 THEN dosage ELSE 0 END) AS ctrl_alt
+             CAST(SUM(CASE WHEN is_case = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_case,
+             CAST(SUM(CASE WHEN is_case = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+             CAST(SUM(CASE WHEN is_case = 1 THEN dosage ELSE 0 END) AS BIGINT) AS case_alt,
+             CAST(SUM(CASE WHEN is_case = 0 THEN dosage ELSE 0 END) AS BIGINT) AS ctrl_alt
       FROM u GROUP BY pos
     )
     SELECT pos, n_case, n_ctrl, case_alt, ctrl_alt,

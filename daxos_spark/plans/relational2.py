@@ -506,7 +506,11 @@ def q_asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
     m = asof_join(errors, clicks, on="user_id", left_ts="ts", right_ts="ts", suffix="_click")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_click"))
+    # harness parquet stores ts as TIMESTAMP_NTZ; unix_micros requires
+    # TIMESTAMP — cast is value-stable because the session TZ is pinned UTC.
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("ts_click").cast("timestamp")
+    )
     return (
         m.groupBy("user_id")
         .agg(

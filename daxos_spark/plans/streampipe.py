@@ -64,7 +64,12 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", f"{_GAP_MIN} minutes").alias("sw"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+            # cast: unix_micros rejects TIMESTAMP_NTZ (harness parquet
+            # type); value-stable since the session TZ is pinned UTC.
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).alias("span_us"),
         )
     )
     return (

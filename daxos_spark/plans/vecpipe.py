@@ -160,7 +160,7 @@ def e_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v a JOIN v b ON a.vec_id < b.vec_id
     )
     SELECT COUNT(*) AS n_pairs,
-           SUM(CASE WHEN cos > 0.9 THEN 1 ELSE 0 END) AS n_neardup,
+           CAST(SUM(CASE WHEN cos > 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
            {sql_trunc6('MAX(cos)')} AS max_cos
     FROM p
     """,
