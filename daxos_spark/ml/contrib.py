@@ -182,8 +182,24 @@ def _flatten_tree_with_cover(java_root) -> tuple[FlatTree, np.ndarray]:
     return ft, cover
 
 
-def _shap_one_tree(x: np.ndarray, t: FlatTree, cover: np.ndarray, phi: np.ndarray, scale: float) -> None:
-    """Per-instance TreeSHAP recursion (path entries: [d, z, o, w])."""
+def _shap_one_tree(
+    x: np.ndarray,
+    t: FlatTree,
+    cover: np.ndarray,
+    phi: np.ndarray,
+    scale: float,
+    condition: int = 0,
+    condition_feature: int = -1,
+) -> None:
+    """Per-instance TreeSHAP recursion (path entries: [d, z, o, w]).
+
+    ``condition`` = 0 is plain TreeSHAP. ±1 computes SHAP values of the
+    sub-game with ``condition_feature`` fixed present (+1: the tree is
+    walked down x's branch at every split on it) or absent (−1: splits
+    on it are cover-weighted), the conditioning runs interaction values
+    are built from (Lundberg '18 §4; xgboost pred_interactions). The
+    conditioned feature never enters the path, so its own phi stays 0.
+    """
 
     def extend(m, pz, po, pi):
         m = [row[:] for row in m]
@@ -224,12 +240,16 @@ def _shap_one_tree(x: np.ndarray, t: FlatTree, cover: np.ndarray, phi: np.ndarra
             m[j][0], m[j][1], m[j][2] = m[j + 1][0], m[j + 1][1], m[j + 1][2]
         return m[:-1]
 
-    def recurse(node, m, pz, po, pi):
-        m = extend(m, pz, po, pi)
+    def recurse(node, m, pz, po, pi, cf):
+        if cf == 0.0:
+            return
+        # the conditioned feature is not a player: never extend on it
+        if condition == 0 or pi != condition_feature:
+            m = extend(m, pz, po, pi)
         if t.feat[node] < 0:
             for i in range(1, len(m)):
                 w = unwound_sum(m, i)
-                phi[m[i][0]] += w * (m[i][2] - m[i][1]) * t.pred[node] * scale
+                phi[m[i][0]] += w * (m[i][2] - m[i][1]) * t.pred[node] * scale * cf
             return
         f = int(t.feat[node])
         if x[f] <= t.thr[node]:
@@ -241,10 +261,16 @@ def _shap_one_tree(x: np.ndarray, t: FlatTree, cover: np.ndarray, phi: np.ndarra
         if k is not None:
             iz, io = m[k][1], m[k][2]
             m = unwind(m, k)
-        recurse(hot, m, iz * cover[hot] / cover[node], io, f)
-        recurse(cold, m, iz * cover[cold] / cover[node], 0.0, f)
+        hot_cf = cold_cf = cf
+        if condition > 0 and f == condition_feature:
+            cold_cf = 0.0  # present: only x's branch survives, unweighted
+        elif condition < 0 and f == condition_feature:
+            hot_cf = cf * cover[hot] / cover[node]  # absent: cover-mix
+            cold_cf = cf * cover[cold] / cover[node]
+        recurse(hot, m, iz * cover[hot] / cover[node], io, f, hot_cf)
+        recurse(cold, m, iz * cover[cold] / cover[node], 0.0, f, cold_cf)
 
-    recurse(0, [], 1.0, 1.0, -1)
+    recurse(0, [], 1.0, 1.0, -1, 1.0)
 
 
 def tree_shap_values(
@@ -297,6 +323,94 @@ def tree_shap_values(
                     "base": base,
                     "margin": base + out.sum(axis=1),
                     "shap": list(out),
+                }
+            )
+
+    return df.select(id_col, features_col).mapInPandas(compute, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# SHAP interaction values (reference daxos/explain.py:95-99:
+# ``pred_interactions=True`` → n×(p+1)² tensor). Lundberg '18 §4 /
+# xgboost semantics: for each feature j, run conditional TreeSHAP with
+# j present (+1) and absent (−1); the off-diagonal interaction is half
+# the difference, the diagonal is the main effect that remains after
+# subtracting all interactions, and the [p][p] cell is the base value —
+# so every row i sums to shap_i and the whole matrix sums to margin(x).
+
+
+def _interactions_one(x: np.ndarray, flat, weights, p: int) -> np.ndarray:
+    """(p+1)×(p+1) SHAP interaction matrix for one instance."""
+    phi = np.zeros(p)
+    for (t, cov), w in zip(flat, weights):
+        _shap_one_tree(x, t, cov, phi, w)
+    used = sorted(
+        {int(f) for t, _ in flat for f in t.feat[t.feat >= 0]}
+    )
+    out = np.zeros((p + 1, p + 1))
+    for j in used:
+        on = np.zeros(p)
+        off = np.zeros(p)
+        for (t, cov), w in zip(flat, weights):
+            _shap_one_tree(x, t, cov, on, w, condition=1, condition_feature=j)
+            _shap_one_tree(x, t, cov, off, w, condition=-1, condition_feature=j)
+        d = (on - off) / 2.0
+        d[j] = 0.0
+        out[:p, j] = d
+    # main effects: row-sum identity rows sum to the SHAP values
+    for i in range(p):
+        out[i, i] = phi[i] - out[i, :p].sum()
+    base = float(
+        sum(
+            w * float(np.sum(np.where(t.feat < 0, t.pred * cov, 0.0)) / cov[0])
+            for (t, cov), w in zip(flat, weights)
+        )
+    )
+    out[p, p] = base
+    return out
+
+
+def tree_shap_interactions(
+    model,
+    df: DataFrame,
+    id_col: str = "row_idx",
+    features_col: str = "features",
+) -> DataFrame:
+    """Exact SHAP interaction values per row: (id, margin, inter[(p+1)²]).
+
+    ``inter`` is the row-major (p+1)×(p+1) matrix as array<array<double>>
+    (the S15 tensor sink twin — parquet-writable as-is). Row i sums to
+    shap_i; the full matrix sums to margin(x). Same broadcast-flat-trees
+    mapInPandas shape as tree_shap_values; per-row cost is ~2p× a plain
+    TreeSHAP run, so slice rows (and prune columns first, reference
+    scripts/refit.py:62-67) before calling at scale.
+    """
+    import pandas as pd
+
+    flat = [_flatten_tree_with_cover(t._call_java("rootNode")) for t in model.trees]
+    weights = [float(w) for w in model.treeWeights]
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((flat, weights))
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("margin", DoubleType()),
+            StructField("inter", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+
+    def compute(batches):
+        flat_b, weights_b = b.value
+        for pdf in batches:
+            X = np.asarray(pdf[features_col].tolist(), dtype=np.float64)
+            p = X.shape[1]
+            mats = [_interactions_one(X[r], flat_b, weights_b, p) for r in range(len(X))]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "margin": [float(m.sum()) for m in mats],
+                    "inter": [[row.tolist() for row in m] for m in mats],
                 }
             )
 

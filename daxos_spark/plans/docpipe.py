@@ -242,14 +242,38 @@ def d_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs within each source bucket — the shingle
 # inverted-index join (the scale path: join on shingle, never all-pairs).
+#
+# Hot-key cap: a stop-phrase shingle ("terms of service") at corpus
+# scale puts millions of docs on ONE join key — quadratic blowup no AQE
+# skew split can bound. Standard MinHash-LSH practice drops shingles
+# whose document frequency exceeds a cap BEFORE the self-join; such
+# shingles carry no near-dup signal (they match everything). The cap is
+# mirrored in the duckdb oracle, and is far above any test-corpus DF
+# (≤5000 docs at sf0.1) so small-SF hashes are unaffected; the pytest
+# proves the drop semantics with a tiny cap.
+_MAX_SHINGLE_DF = 50_000
+
+
+def _cap_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles with document frequency > max_df. ``sh`` must be
+    one row per (doc_id, shingle). The hot set is tiny by construction
+    (only ultra-common shingles) → broadcast anti-join, no shuffle."""
+    hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") > max_df
+    )
+    return sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
+
+
 @_q(
     "d_jaccard_pairs",
     f"""
     WITH toks AS (
       SELECT doc_id, source, {_TOKS} AS tk FROM documents
-    ), sh AS (
+    ), sh0 AS (
       SELECT DISTINCT doc_id, source, {_SHINGLE} AS s
       FROM (SELECT doc_id, source, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    ), sh AS (
+      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY s) <= {_MAX_SHINGLE_DF}
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
     ), inter AS (
@@ -267,14 +291,17 @@ def d_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    # the shingle inverted index feeds three consumers (sizes + both
-    # sides of the self-join) — persist it instead of recomputing the
-    # tokenize/explode (at cluster scale this is a checkpointed table).
-    sh = d.select(
+    # the shingle inverted index feeds four consumers (DF cap, sizes,
+    # both sides of the self-join) — persist it instead of recomputing
+    # the tokenize/explode (at cluster scale this is a checkpointed
+    # table). The DF-capped view re-derives from the cached table with
+    # a broadcast anti-join (no extra scan, no shuffle).
+    sh0 = d.select(
         "doc_id",
         "source",
         F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
     ).persist()
+    sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -360,9 +387,11 @@ _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
     f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS tk FROM documents
-    ), sh AS (
+    ), sh0 AS (
       SELECT DISTINCT doc_id, {_SHINGLE} AS s
       FROM (SELECT doc_id, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    ), sh AS (
+      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY s) <= {_MAX_SHINGLE_DF}
     ), sig AS (
       SELECT doc_id,
              {', '.join(f"MIN({md5_long_sql('s', seed=i)}) AS m{i}" for i in range(_N_HASH))}
@@ -387,11 +416,15 @@ _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
 )
 def d_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    # persist: sh feeds sig, sizes, and both sides of the candidate
-    # verification join (5 consumers).
-    sh = d.select(
+    # persist: sh feeds the DF cap, sig, sizes, and both sides of the
+    # candidate verification join (6 consumers). The capped view is a
+    # broadcast anti-join over the cached table — hot shingles (see
+    # _MAX_SHINGLE_DF above) are excluded from signatures AND the
+    # verification join, bounding the per-key join fan-out.
+    sh0 = d.select(
         "doc_id", F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s")
     ).persist()
+    sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
     sig = sh.groupBy("doc_id").agg(
         *[F.min(md5_long(F.col("s"), seed=i)).alias(f"m{i}") for i in range(_N_HASH)]
     )

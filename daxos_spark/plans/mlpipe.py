@@ -48,10 +48,10 @@ def _binary_embeddings(
 
 @_q("ml_gbt_train_eval", doc="GBT train/test AUC on embeddings (T1/T3/A5)")
 def ml_gbt_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _binary_embeddings(spark, sf_dir).cache()
+    df = _binary_embeddings(spark, sf_dir, cap=2500).cache()
     train = df.filter(~F.col("is_test"))
     test = df.filter(F.col("is_test"))
-    params = GBTParams(eta=0.1, max_depth=3, n_boost_round=10, seed=42)
+    params = GBTParams(eta=0.1, max_depth=3, n_boost_round=5, seed=42)
     model = fit_gbt(train, params)
     auc_train = score_auc(predict_gbt(model, train))
     auc_test = score_auc(predict_gbt(model, test))
@@ -64,10 +64,10 @@ def ml_gbt_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("ml_gbt_top_predictions", doc="per-row GBT scores joined back by id (J5 shape)")
 def ml_gbt_top_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _binary_embeddings(spark, sf_dir).cache()
+    df = _binary_embeddings(spark, sf_dir, cap=2500).cache()
     train = df.filter(~F.col("is_test"))
     test = df.filter(F.col("is_test"))
-    model = fit_gbt(train, GBTParams(eta=0.1, max_depth=3, n_boost_round=10, seed=42))
+    model = fit_gbt(train, GBTParams(eta=0.1, max_depth=3, n_boost_round=5, seed=42))
     scored = predict_gbt(model, test)
     return (
         scored.select("vec_id", "label", F.round(F.col("y_pred"), 4).alias("y_pred"))
@@ -176,12 +176,12 @@ def ml_cv_fold_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.crossvalidate import fit_one_round_cv
 
     df = (
-        _binary_embeddings(spark, sf_dir)
+        _binary_embeddings(spark, sf_dir, cap=2000)
         .withColumn("row_idx", F.col("vec_id"))
         .drop("is_test")
         .cache()
     )
-    params = GBTParams(eta=0.1, max_depth=3, n_boost_round=8, seed=42)
+    params = GBTParams(eta=0.1, max_depth=3, n_boost_round=4, seed=42)
     results, oof = fit_one_round_cv(df, params, n_folds=3, row_chunks=100)
     n_oof = oof.count()
     return (
@@ -202,13 +202,13 @@ def ml_incremental_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.scoring import score_auc
 
     df = (
-        _binary_embeddings(spark, sf_dir)
+        _binary_embeddings(spark, sf_dir, cap=2000)
         .withColumn("row_idx", F.col("vec_id"))
         .cache()
     )
     train = df.filter(~F.col("is_test"))
     test = df.filter(F.col("is_test"))
-    params = GBTParams(eta=0.1, max_depth=3, n_boost_round=6, seed=42)
+    params = GBTParams(eta=0.1, max_depth=3, n_boost_round=3, seed=42)
     models = incremental_fit(train, params, n_rounds=3, sample_fraction=0.7, row_chunks=100)
     auc = score_auc(predict_ensemble(models, test))
     return spark.createDataFrame(
@@ -290,19 +290,23 @@ def ml_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.scoring import score_auc
 
     df = (
-        _binary_embeddings(spark, sf_dir)
+        _binary_embeddings(spark, sf_dir, cap=2000)
         .withColumn("row_idx", F.col("vec_id"))
         .drop("is_test")
         .cache()
     )
-    params = GBTParams(eta=0.1, max_depth=3, n_boost_round=8, seed=42)
+    params = GBTParams(eta=0.1, max_depth=3, n_boost_round=4, seed=42)
     _, oof = fit_one_round_cv(df, params, n_folds=3, row_chunks=100)
     oof = oof.cache()
     model = fit_platt(oof)
     calibrated = apply_platt(model, oof)
-    mean_raw = calibrated.agg(F.avg("y_pred")).collect()[0][0]
-    mean_cal = calibrated.agg(F.avg("y_pred_platt_scaled")).collect()[0][0]
-    base_rate = calibrated.agg(F.avg("label")).collect()[0][0]
+    # one job for all three means (was three separate collects)
+    means = calibrated.agg(
+        F.avg("y_pred").alias("mean_raw"),
+        F.avg("y_pred_platt_scaled").alias("mean_cal"),
+        F.avg("label").alias("base_rate"),
+    ).collect()[0]
+    mean_raw, mean_cal, base_rate = means["mean_raw"], means["mean_cal"], means["base_rate"]
     auc = score_auc(calibrated, pred_col="y_pred_platt_scaled")
     return spark.createDataFrame(
         [
@@ -325,14 +329,14 @@ def ml_boruta_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.boruta import boruta
 
     df = (
-        _binary_embeddings(spark, sf_dir)
+        _binary_embeddings(spark, sf_dir, cap=2000)
         .withColumn("row_idx", F.col("vec_id"))
         .drop("is_test")
         .cache()
     )
     names = [f"dim_{i}" for i in range(64)]
-    params = GBTParams(eta=0.15, max_depth=3, n_boost_round=5, seed=42)
-    res = boruta(df, names, params, max_iter=4, sample_fraction=0.8, seed=42)
+    params = GBTParams(eta=0.15, max_depth=3, n_boost_round=3, seed=42)
+    res = boruta(df, names, params, max_iter=3, sample_fraction=0.8, seed=42)
     return spark.createDataFrame(
         [
             (
@@ -351,9 +355,9 @@ def ml_boruta_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.explain import feature_importances
 
-    df = _binary_embeddings(spark, sf_dir).cache()
+    df = _binary_embeddings(spark, sf_dir, cap=2500).cache()
     train = df.filter(~F.col("is_test"))
-    model = fit_gbt(train, GBTParams(eta=0.1, max_depth=3, n_boost_round=10, seed=42))
+    model = fit_gbt(train, GBTParams(eta=0.1, max_depth=3, n_boost_round=5, seed=42))
     cols = spark.createDataFrame(
         [(i, f"dim_{i}") for i in range(64)], "pos int, snp string"
     )
@@ -370,12 +374,12 @@ def ml_tree_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.contrib import mean_abs_contributions, tree_contributions
 
     df = (
-        _binary_embeddings(spark, sf_dir)
+        _binary_embeddings(spark, sf_dir, cap=2500)
         .withColumn("row_idx", F.col("vec_id"))
         .cache()
     )
     train = df.filter(~F.col("is_test"))
-    model = fit_gbt(train, GBTParams(eta=0.1, max_depth=3, n_boost_round=10, seed=42))
+    model = fit_gbt(train, GBTParams(eta=0.1, max_depth=3, n_boost_round=5, seed=42))
     contribs = tree_contributions(model, df.filter(F.col("is_test")))
     return (
         mean_abs_contributions(contribs)
@@ -392,13 +396,13 @@ def ml_refit_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.train import predict_gbt
 
     df = (
-        _binary_embeddings(spark, sf_dir)
+        _binary_embeddings(spark, sf_dir, cap=2000)
         .withColumn("row_idx", F.col("vec_id"))
         .cache()
     )
     train = df.filter(~F.col("is_test"))
     test = df.filter(F.col("is_test"))
-    params = GBTParams(eta=0.1, max_depth=3, n_boost_round=10, seed=42)
+    params = GBTParams(eta=0.1, max_depth=3, n_boost_round=5, seed=42)
 
     full = fit_gbt(train, params)
     auc_full = score_auc(predict_gbt(full, test))
@@ -422,18 +426,54 @@ def ml_exact_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.contrib import tree_shap_values
 
     df = (
-        _binary_embeddings(spark, sf_dir)
+        _binary_embeddings(spark, sf_dir, cap=2000)
         .withColumn("row_idx", F.col("vec_id"))
         .cache()
     )
     train = df.filter(~F.col("is_test"))
-    model = fit_gbt(train, GBTParams(eta=0.1, max_depth=3, n_boost_round=8, seed=42))
+    model = fit_gbt(train, GBTParams(eta=0.1, max_depth=3, n_boost_round=4, seed=42))
     shap = tree_shap_values(model, df.filter(F.col("is_test")).limit(200))
     return (
         shap.select(F.posexplode("shap").alias("pos", "v"))
         .groupBy("pos")
         .agg(F.round(F.avg(F.abs(F.col("v"))), 5).alias("mean_abs_shap"))
         .orderBy(F.col("mean_abs_shap").desc(), "pos")
+        .limit(10)
+    )
+
+
+@_q(
+    "ml_shap_interactions",
+    doc="exact SHAP interaction tensor, pruned-column slice (T5 twin; "
+    "reference explain.py:95-99 pred_interactions → n×(p+1)² sink)",
+)
+def ml_shap_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.contrib import tree_shap_interactions
+
+    # prune columns first (reference scripts/refit.py:62-67 refits on a
+    # pruned panel before asking for interactions) — 8 dims keeps the
+    # 2(p+1) conditional TreeSHAP runs per row harness-cheap while the
+    # distributed plumbing (broadcast trees + mapInPandas) is the real
+    # 100 TB path.
+    keep = list(range(8))
+    df = (
+        _binary_embeddings(spark, sf_dir, cap=1500)
+        .withColumn("row_idx", F.col("vec_id"))
+        .withColumn("features", F.array(*[F.col("features")[i] for i in keep]))
+        .cache()
+    )
+    train = df.filter(~F.col("is_test"))
+    model = fit_gbt(train, GBTParams(eta=0.2, max_depth=3, n_boost_round=3, seed=42))
+    inter = tree_shap_interactions(model, df.filter(F.col("is_test")).limit(50))
+    # mean |Φ_ij| over the scored rows for the strongest off-diag pairs
+    cells = inter.select(
+        F.posexplode("inter").alias("i", "row")
+    ).select("i", F.posexplode("row").alias("j", "v"))
+    return (
+        cells.filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.round(F.avg(F.abs(F.col("v"))), 6).alias("mean_abs_inter"))
+        .orderBy(F.col("mean_abs_inter").desc(), "i", "j")
         .limit(10)
     )
 
@@ -445,7 +485,7 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir)["embeddings"]
     data = e.select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
-    km = KMeans(k=8, seed=42, maxIter=20)
+    km = KMeans(k=8, seed=42, maxIter=8)
     model = km.fit(data)
     pred = model.transform(data)
     return (

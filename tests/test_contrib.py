@@ -121,6 +121,80 @@ def test_treeshap_matches_bruteforce_shapley(spark, matrix_ds):
         assert np.allclose(got, want, atol=1e-9), (got, want)
 
 
+def _brute_shapley_interactions(tree, cover, x, p):
+    """Shapley interaction index (Lundberg '18 Thm 2 / Fujimoto '06):
+    Φ_ij = Σ_{S⊆N\\{i,j}} |S|!(M−|S|−2)!/(2(M−1)!)·δ_ij(S), with
+    δ_ij(S) = v(S∪{i,j}) − v(S∪{i}) − v(S∪{j}) + v(S); diagonal is
+    the main effect left after removing interactions from phi_i."""
+    import itertools
+    import math
+
+    v = lambda S: _expected_value(tree, cover, x, S)
+    Phi = np.zeros((p, p))
+    for i in range(p):
+        for j in range(p):
+            if i == j:
+                continue
+            others = [g for g in range(p) if g not in (i, j)]
+            for k in range(len(others) + 1):
+                for S in itertools.combinations(others, k):
+                    S = set(S)
+                    wgt = (
+                        math.factorial(k)
+                        * math.factorial(p - k - 2)
+                        / (2.0 * math.factorial(p - 1))
+                    )
+                    delta = (
+                        v(S | {i, j}) - v(S | {i}) - v(S | {j}) + v(S)
+                    )
+                    Phi[i, j] += wgt * delta
+    phi = _brute_shapley(tree, cover, x, p)
+    for i in range(p):
+        Phi[i, i] = phi[i] - Phi[i].sum()
+    return Phi
+
+
+def test_shap_interactions_match_bruteforce(spark, matrix_ds):
+    from daxos_spark.ml.contrib import _flatten_tree_with_cover, _interactions_one
+
+    fact = matrix_ds.fact.select(
+        "row_idx",
+        F.array(*[F.col("features")[i] for i in [0, 1, 2, 3, 10, 11]]).alias("features"),
+        "label",
+    )
+    model = fit_gbt(fact, GBTParams(eta=0.5, max_depth=3, n_boost_round=2, seed=3))
+    flat = [_flatten_tree_with_cover(t._call_java("rootNode")) for t in model.trees]
+    weights = [float(w) for w in model.treeWeights]
+
+    for row in fact.select("row_idx", "features").limit(3).collect():
+        x = np.asarray(row["features"], dtype=np.float64)
+        got = _interactions_one(x, flat, weights, 6)
+        want = np.zeros((6, 6))
+        for (t, cov), w in zip(flat, weights):
+            want += w * _brute_shapley_interactions(t, cov, x, 6)
+        assert np.allclose(got[:6, :6], want, atol=1e-9), (got[:6, :6], want)
+        # symmetry of the exact off-diagonals
+        assert np.allclose(got[:6, :6], got[:6, :6].T, atol=1e-9)
+
+
+def test_shap_interactions_distributed_additivity(spark, matrix_ds):
+    from daxos_spark.ml.contrib import tree_shap_interactions, tree_shap_values
+
+    fact = matrix_ds.fact
+    model = fit_gbt(fact, GBTParams(eta=0.3, max_depth=3, n_boost_round=3, seed=7))
+    inter = tree_shap_interactions(model, fact.limit(10))
+    shap = {r["row_idx"]: r for r in tree_shap_values(model, fact.limit(10)).collect()}
+    for r in inter.collect():
+        m = np.asarray(r["inter"])
+        s = shap[r["row_idx"]]
+        # whole matrix sums to the margin; each feature row to its shap
+        assert abs(m.sum() - s["margin"]) < 1e-9
+        assert abs(r["margin"] - s["margin"]) < 1e-9
+        for i, phi_i in enumerate(s["shap"]):
+            assert abs(m[i].sum() - phi_i) < 1e-9
+        assert abs(m[-1, -1] - s["base"]) < 1e-9
+
+
 def test_treeshap_additivity_distributed(spark, matrix_ds):
     from daxos_spark.ml.contrib import tree_shap_values
     from daxos_spark.ml.train import predict_gbt
