@@ -145,25 +145,52 @@ def incremental_fit(
     seed: int = 42,
     features_col: str = "features",
     label_col: str = "label",
+    warm_start: bool = False,
 ):
     """T7/O8 incremental training analogue (crossvalidate.py:203-240):
     per round, train on a fresh chunk-aligned subsample.
 
-    MLlib GBT cannot warm-start from a previous booster (documented gap,
-    SURVEY §7.2 — xgboost.spark's `xgb_model` would slot in here), so
-    each round trains an independent model on its subsample and the
-    ensemble averages their scores — bounded-memory passes with the same
-    read-time-subsample contract as the reference (O8).
-    Returns the list of per-round models.
+    With ``warm_start=True`` and the optional xgboost backend installed
+    (ml/train.py HAS_XGBOOST), each round CONTINUES the previous
+    booster via ``xgb_model`` — true boosting continuation, exactly the
+    reference's semantics. Without xgboost, MLlib GBT cannot resume a
+    booster (documented gap, SURVEY §7.2), so each round trains an
+    independent model on its subsample and the ensemble averages their
+    scores — bounded-memory passes with the same read-time-subsample
+    contract as the reference (O8).
+    Returns the list of per-round models (one cumulative model per
+    round in warm-start mode).
     """
     from ..operators.splits import chunk_id
+    from .train import HAS_XGBOOST
+
+    if warm_start and not HAS_XGBOOST:
+        raise ImportError(
+            "warm_start=True requires the optional xgboost backend "
+            "(MLlib GBT cannot resume a booster)"
+        )
 
     models = []
+    booster = None
     for r in range(n_rounds):
         cid = chunk_id(F.col("row_idx"), row_chunks)
         u = F.pmod(F.xxhash64(cid, F.lit(seed + r)), F.lit(1_000_000)) / 1_000_000.0
         sub = fact.filter(u < sample_fraction)
-        models.append(fit_gbt(sub, replace(params, seed=seed + r), features_col, label_col))
+        if warm_start:
+            m = fit_gbt(
+                sub,
+                replace(params, seed=seed + r),
+                features_col,
+                label_col,
+                init_model=booster,
+                backend="xgboost",
+            )
+            booster = m.get_booster()
+            models.append(m)
+        else:
+            models.append(
+                fit_gbt(sub, replace(params, seed=seed + r), features_col, label_col)
+            )
     return models
 
 

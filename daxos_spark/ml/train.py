@@ -46,6 +46,14 @@ class GBTParams:
         return self.objective.startswith("binary")
 
 
+try:  # optional backend — not shipped in every environment
+    from xgboost.spark import SparkXGBClassifier, SparkXGBRegressor  # noqa: F401
+
+    HAS_XGBOOST = True
+except ImportError:
+    HAS_XGBOOST = False
+
+
 def _prep(df: DataFrame, features_col: str, label_col: str) -> DataFrame:
     out = df
     if dict(df.dtypes)[features_col].startswith("array"):
@@ -74,8 +82,63 @@ def _estimator(params: GBTParams):
     return GBTRegressor(**common)
 
 
-def fit_gbt(df: DataFrame, params: GBTParams, features_col: str = "features", label_col: str = "label"):
-    """Train a distributed GBT; returns the fitted MLlib model."""
+def _xgb_estimator(params: GBTParams, init_model=None):
+    """xgboost.spark twin of `_estimator` — the T7 warm-start path
+    (reference daxos/crossvalidate.py:203-240 ``xgb_model``
+    continuation). Only reachable when xgboost is installed; maps the
+    same GBTParams vocabulary onto SparkXGBClassifier/Regressor and
+    passes ``init_model`` (a Booster or prior SparkXGB model's booster)
+    through as ``xgb_model`` so new rounds fit the residuals of the
+    existing ensemble — true boosting continuation, not
+    ensemble-of-rounds averaging."""
+    common = dict(
+        features_col="__fvec",
+        label_col="__label",
+        num_round=params.n_boost_round,
+        max_depth=params.max_depth,
+        eta=params.eta,
+        subsample=params.subsample,
+        colsample_bytree=params.colsample_bytree,
+        seed=params.seed,
+        **params.extra,
+    )
+    if init_model is not None:
+        common["xgb_model"] = init_model
+    if params.is_classification:
+        return SparkXGBClassifier(**common)
+    return SparkXGBRegressor(**common)
+
+
+def fit_gbt(
+    df: DataFrame,
+    params: GBTParams,
+    features_col: str = "features",
+    label_col: str = "label",
+    init_model=None,
+    backend: str = "auto",
+):
+    """Train a distributed GBT; returns the fitted model.
+
+    ``backend``: "mllib" (default engine), "xgboost" (requires the
+    optional dependency), or "auto" (xgboost only when a warm-start
+    ``init_model`` is given and the dependency is present). MLlib GBT
+    cannot continue a booster (SURVEY §7.2 documented gap), so asking
+    for ``init_model`` without xgboost raises instead of silently
+    training from scratch.
+    """
+    if backend == "auto":
+        backend = "xgboost" if (init_model is not None and HAS_XGBOOST) else "mllib"
+    if backend == "xgboost":
+        if not HAS_XGBOOST:
+            raise ImportError(
+                "backend='xgboost' requested but xgboost.spark is not installed"
+            )
+        return _xgb_estimator(params, init_model).fit(_prep(df, features_col, label_col))
+    if init_model is not None:
+        raise NotImplementedError(
+            "warm-start continuation requires the xgboost backend "
+            "(MLlib GBT cannot resume a booster); install xgboost or drop init_model"
+        )
     return _estimator(params).fit(_prep(df, features_col, label_col))
 
 

@@ -592,9 +592,11 @@ _JACC_THR = 0.02
     f"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, source, {_TOKS} AS tk FROM documents
-    ), sh AS (
+    ), sh0 AS (
       SELECT DISTINCT doc_id, source, {_SHINGLE} AS s
       FROM (SELECT doc_id, source, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    ), sh AS (
+      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY s) <= {_MAX_SHINGLE_DF}
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
     ), inter AS (
@@ -625,11 +627,14 @@ def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    sh = d.select(
+    # same hot-shingle DF cap as d_jaccard_pairs — the cluster edges
+    # come from the identical shingle self-join and share its skew risk.
+    sh0 = d.select(
         "doc_id",
         "source",
         F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
     ).persist()
+    sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -37,7 +37,11 @@ def _binary_embeddings(
     # wiring), not model quality, and the driver's correctness budget is
     # shared across all 130 queries — an uncapped iterative GBT fit at
     # sf0.01 starved the round-1 harness before it reached the q_* block.
-    sel = e if cap is None else e.filter(F.col("vec_id") < cap)
+    # repartition(4): a capped slice is a few thousand rows; leaving it
+    # on 32 partitions makes every one of the ~40 tree-fit jobs pay 32
+    # near-empty tasks of scheduling overhead. At real scale cap is
+    # None and the natural partitioning stands.
+    sel = e if cap is None else e.filter(F.col("vec_id") < cap).repartition(4)
     return sel.select(
         "vec_id",
         F.col("embedding").alias("features"),
@@ -217,13 +221,49 @@ def ml_incremental_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("ml_ld_clump", doc="greedy p-ordered window clumping per chromosome (Q2 shape)")
+@_qo(
+    "ml_ld_clump",
+    """
+    WITH RECURSIVE ss AS (
+      SELECT p_brand AS chrom, (p_partkey*997)%1000000 AS pos,
+             p_retailprice AS pval, p_partkey AS snp_id
+      FROM part
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY chrom ORDER BY pval, pos) AS rk FROM ss
+    ), walk AS (
+      -- sequential greedy, one ranked SNP per chromosome per step:
+      -- select iff no already-selected position lies within the window
+      SELECT chrom, CAST(0 AS BIGINT) AS rk, []::BIGINT[] AS sel_pos,
+             CAST(0 AS BIGINT) AS n_sel, CAST(NULL AS BIGINT) AS min_snp,
+             CAST(0 AS BIGINT) AS pos_sum
+      FROM (SELECT DISTINCT chrom FROM ranked)
+      UNION ALL
+      SELECT s.chrom, s.rk,
+             CASE WHEN s.ok THEN list_append(s.sel_pos, s.pos) ELSE s.sel_pos END,
+             s.n_sel + CASE WHEN s.ok THEN 1 ELSE 0 END,
+             CASE WHEN s.ok THEN LEAST(COALESCE(s.min_snp, s.snp_id), s.snp_id) ELSE s.min_snp END,
+             s.pos_sum + CASE WHEN s.ok THEN s.pos ELSE 0 END
+      FROM (
+        SELECT w.chrom, r.rk, w.sel_pos, w.n_sel, w.min_snp, w.pos_sum, r.pos, r.snp_id,
+               len(list_filter(w.sel_pos, sp -> abs(r.pos - sp) <= 50000)) = 0 AS ok
+        FROM walk w JOIN ranked r ON r.chrom = w.chrom AND r.rk = w.rk + 1
+      ) s
+    )
+    SELECT chrom, n_sel AS n_index_snps, min_snp, pos_sum
+    FROM walk w1
+    WHERE rk = (SELECT MAX(rk) FROM ranked r2 WHERE r2.chrom = w1.chrom)
+    ORDER BY chrom
+    """,
+    doc="greedy p-ordered window clumping per chromosome (Q2 shape); "
+    "duckdb oracle = sequential-walk recursive CTE (exact greedy replay)",
+)
 def ml_ld_clump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sumstats derived from `part` (chrom=p_brand, pos spread from
     p_partkey, pval=p_retailprice rank-proxy); greedy index-SNP
-    selection via operators/clumping.ld_clump. Verified against a
-    brute-force oracle in tests/test_clumping.py (the greedy recursion
-    is not ANSI-SQL-expressible, hence rows-only here)."""
+    selection via operators/clumping.ld_clump. The duckdb oracle
+    replays the same greedy sequentially per chromosome ((pval, pos)
+    rank order, |Δpos| <= window exclusion) in a recursive CTE; the
+    brute-force cross-check also lives in tests/test_clumping.py."""
     from ..operators.clumping import ld_clump
 
     p = load_tables(spark, sf_dir)["part"]
@@ -464,7 +504,7 @@ def ml_shap_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = df.filter(~F.col("is_test"))
     model = fit_gbt(train, GBTParams(eta=0.2, max_depth=3, n_boost_round=3, seed=42))
-    inter = tree_shap_interactions(model, df.filter(F.col("is_test")).limit(50))
+    inter = tree_shap_interactions(model, df.filter(F.col("is_test")).limit(24))
     # mean |Φ_ij| over the scored rows for the strongest off-diag pairs
     cells = inter.select(
         F.posexplode("inter").alias("i", "row")
