@@ -199,6 +199,71 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# incremental dedup — the daily-ingest shape of exact dedup: a NEW batch
+# of documents (here: the upper doc_id half standing in for today's
+# crawl) is admitted only if its content fingerprint is absent from the
+# EXISTING corpus (lower half) and unique within the batch (first
+# occurrence wins). At scale this is an anti-join of the batch against
+# the corpus fingerprint index (a bucketed/Bloom-backed table), never a
+# re-scan of the full corpus text: fingerprints shuffle, documents don't.
+@_q(
+    "d_incremental_dedup",
+    f"""
+    WITH f AS (
+      SELECT doc_id, source, {md5_long_sql(_NORM_WS)} AS fp FROM documents
+    ), corpus AS (
+      SELECT fp FROM f WHERE doc_id < (SELECT MAX(doc_id)/2 FROM f)
+    ), batch AS (
+      SELECT doc_id, source, fp FROM f WHERE doc_id >= (SELECT MAX(doc_id)/2 FROM f)
+    ), flagged AS (
+      SELECT doc_id, source, fp,
+             CASE WHEN fp IN (SELECT fp FROM corpus) THEN 0 ELSE 1 END AS is_fresh
+      FROM batch
+    ), ranked AS (
+      SELECT source, is_fresh,
+             CASE WHEN is_fresh = 1
+                  THEN ROW_NUMBER() OVER (PARTITION BY fp, is_fresh ORDER BY doc_id)
+                  ELSE 0 END AS rn
+      FROM flagged
+    )
+    SELECT source,
+           COUNT(*) AS n_batch,
+           CAST(SUM(CASE WHEN is_fresh = 1 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    f = d.select("doc_id", "source", T.fingerprint(F.col("text")).alias("fp")).persist()
+    half = f.agg((F.max("doc_id") / 2).alias("h"))
+    corpus = f.join(F.broadcast(half), F.col("doc_id") < F.col("h")).select("fp")
+    batch = f.join(F.broadcast(half), F.col("doc_id") >= F.col("h")).select(
+        "doc_id", "source", "fp"
+    )
+    batch_sizes = batch.groupBy("source").agg(F.count(F.lit(1)).alias("n_batch"))
+    fresh = batch.join(corpus, "fp", "left_anti")
+    admitted = (
+        fresh.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+    )
+    return (
+        batch_sizes.join(admitted, "source", "left")
+        .select(
+            "source",
+            "n_batch",
+            F.coalesce(F.col("n_admitted"), F.lit(0)).alias("n_admitted"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash signatures (4 seeded hash families over word 3-shingles).
 _SHINGLE = "concat_ws(' ', tk[i], tk[i+1], tk[i+2])"
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -67,10 +68,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micros-precision files arrive as a plain timestamp. The stream
     # schema must match the file's physical type (a file-source stream
     # cannot infer), so pick the matching schema + restore step.
-    ts_is_nanos = (
-        dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes)["ts"]
-        == "bigint"
-    )
+    try:
+        ts_dtype = dict(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+        )["ts"]
+    except AnalysisException:
+        # arriving-files directory where no file landed yet: assume the
+        # harness writer's TIMESTAMP(NANOS) layout (the only producer
+        # of this directory shape today)
+        ts_dtype = "bigint"
+    if ts_dtype not in ("bigint", "timestamp", "timestamp_ntz"):
+        raise TypeError(
+            f"events.parquet ts column has unsupported physical type {ts_dtype!r}; "
+            "expected TIMESTAMP(NANOS) (bigint under nanosAsLong) or micros timestamp"
+        )
+    ts_is_nanos = ts_dtype == "bigint"
+    # micros ts (plain or NTZ physical) reads through EVENT_SCHEMA's
+    # TimestampType: watermarks require TIMESTAMP (not NTZ), and with
+    # the session TZ pinned UTC the NTZ micros are the same instants.
     raw = (
         spark.readStream.schema(RAW_EVENT_SCHEMA if ts_is_nanos else EVENT_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
