@@ -144,6 +144,7 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("st", lambda s: s["t"]).alias("tk"),
             F.size("st").alias("n"),
         )
+        .persist()  # feeds the prefix explode AND both candidate rejoin sides
     )
     # prefix length: |S| − ⌈τ|S|⌉ + 1 (any pair with J ≥ τ shares a
     # prefix token — lossless candidate generation)
@@ -151,8 +152,18 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = sorted_tk.select(
         "doc_id", "tk", "n", F.explode(F.slice("tk", F.lit(1), plen)).alias("t")
     )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
+    # candidate KEYS only through the dedup: a pair matching on k shared
+    # prefix tokens appears k times, and deduping (da, db) as two longs
+    # is a map-side-combining hash aggregate. Carrying the token arrays
+    # through the dedup instead would force a SortAggregate (array
+    # buffers are not hash-aggregatable) that AQE can coalesce onto one
+    # task when it underestimates the candidate fan-out — the observed
+    # single-core multi-minute stall at sf0.1 on a dup-dense corpus.
+    a, b = (
+        pref.select("doc_id", "n", "t").alias("a"),
+        pref.select("doc_id", "n", "t").alias("b"),
+    )
+    cand_keys = (
         a.join(
             b,
             (F.col("a.t") == F.col("b.t"))
@@ -163,16 +174,18 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= F.greatest(F.col("a.n"), F.col("b.n")) * 6
             ),
         )
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col("a.tk").alias("ta"),
-            F.col("b.tk").alias("tb"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-        .dropDuplicates(["da", "db"])
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
     )
+    # re-attach the sorted token arrays (docs-sized dim, one row per
+    # doc) for exactly ONE intersect per candidate pair
+    ta = sorted_tk.select(
+        F.col("doc_id").alias("da"), F.col("tk").alias("ta"), F.col("n").alias("na")
+    )
+    tb = sorted_tk.select(
+        F.col("doc_id").alias("db"), F.col("tk").alias("tb"), F.col("n").alias("nb")
+    )
+    cand = cand_keys.join(ta, "da").join(tb, "db")
     ni = F.size(F.array_intersect("ta", "tb"))
     union = F.col("na") + F.col("nb") - F.col("ni")
     return (
