@@ -518,6 +518,128 @@ def ml_shap_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Deterministic distributed Lloyd k-means — the hash-checkable twin of
+# ml_kmeans_clusters. Fixed K, fixed iteration count, first-K-vectors
+# init, exact-decimal distances and centroid means → bit-identical in
+# Spark and duckdb, so an iterative ML algorithm passes the value-hash
+# gate (same strategy as d_dedup_clusters' label propagation). Pure
+# dataflow: centroids are a K×p relation updated by join+agg each
+# round — nothing collects to the driver, so the same plan runs at any
+# n. Assignment joins broadcast the (tiny) centroid relation.
+_KM_K = 4
+_KM_ITERS = 2
+
+
+def _kmeans_lloyd_sql(k: int, iters: int) -> str:
+    dist = """
+      SELECT u.vec_id, ct.cluster,
+             SUM(CAST((u.x - ct.c)*(u.x - ct.c) AS DECIMAL(25,6))) AS d
+      FROM u JOIN {prev} ct ON ct.pos = u.pos
+      GROUP BY u.vec_id, ct.cluster
+    """
+    pick = """
+      SELECT vec_id, cluster{extra} FROM (
+        SELECT vec_id, cluster, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM {src}) t WHERE rn = 1
+    """
+    sql = f"""
+    WITH u AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), ct0 AS (
+      SELECT vec_id AS cluster, pos, x AS c FROM u WHERE vec_id < {k}
+    )"""
+    prev = "ct0"
+    for i in range(iters):
+        sql += f"""
+    , d{i} AS ({dist.format(prev=prev)}
+    ), a{i} AS ({pick.format(src=f'd{i}', extra='')}
+    ), cm{i} AS (
+      SELECT a.cluster, u.pos,
+             CAST(SUM(CAST(u.x AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS cnew
+      FROM u JOIN a{i} a ON a.vec_id = u.vec_id
+      GROUP BY a.cluster, u.pos
+    ), ct{i + 1} AS (
+      SELECT p.cluster, p.pos, COALESCE(m.cnew, p.c) AS c
+      FROM {prev} p LEFT JOIN cm{i} m ON m.cluster = p.cluster AND m.pos = p.pos
+    )"""
+        prev = f"ct{i + 1}"
+    return (
+        sql
+        + f"""
+    , df AS ({dist.format(prev=prev)}
+    ), af AS ({pick.format(src='df', extra=', d')}
+    )
+    SELECT cluster, COUNT(*) AS n,
+           {sql_trunc6('CAST(SUM(d) AS DOUBLE)')} AS inertia
+    FROM af GROUP BY cluster ORDER BY cluster
+    """
+    )
+
+
+@_qo(
+    "ml_kmeans_lloyd",
+    _kmeans_lloyd_sql(_KM_K, _KM_ITERS),
+    doc="deterministic Lloyd k-means (fixed init/iters, exact-decimal "
+    "distances) — iterative clustering under the value-hash gate",
+)
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    u = e.select(
+        "vec_id", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x")
+    ).persist()  # feeds every assignment and every centroid update
+    ct = u.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), "pos", F.col("x").alias("c")
+    )
+
+    dec = "decimal(25,6)"
+
+    def assign(centroids: DataFrame, keep_dist: bool) -> DataFrame:
+        term = ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(dec)
+        d = (
+            u.join(F.broadcast(centroids), "pos")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(term).alias("d"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cluster")
+        a = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        return a.select("vec_id", "cluster", *(["d"] if keep_dist else []))
+
+    for _ in range(_KM_ITERS):
+        a = assign(ct, keep_dist=False)
+        cm = (
+            u.join(a, "vec_id")
+            .groupBy("cluster", "pos")
+            .agg(
+                (F.sum(F.col("x").cast(dec)).cast("double") / F.count(F.lit(1))).alias(
+                    "cnew"
+                )
+            )
+        )
+        # empty cluster keeps its previous centroid (mirrored COALESCE)
+        ct = (
+            ct.join(cm, ["cluster", "pos"], "left")
+            .select(
+                "cluster", "pos", F.coalesce(F.col("cnew"), F.col("c")).alias("c")
+            )
+        )
+
+    af = assign(ct, keep_dist=True)
+    return (
+        af.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            trunc6(F.sum("d").cast("double")).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
 @_q("ml_kmeans_clusters", doc="MLlib KMeans over embeddings (seeded; cluster-size profile)")
 def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
