@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "d_hot_ngrams",
     "d_prefix_filter_jaccard",
     "q_modal_event_type",
+    "d_incremental_dedup",
+    "ml_kmeans_lloyd",
 ]
 
 

@@ -1128,11 +1128,16 @@ def d_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["embeddings"], F.col("doc_id") == F.col("vec_id"))
         .select("doc_id", "lang", int_code(to_double(F.col("embedding"))).alias("c"))
     )
-    b = j.withColumn("bk", lsh_bucket(F.col("c"), planes))
-    a, b2 = b.alias("a"), b.alias("b2")
     idot = lambda x, y: F.aggregate(
         F.zip_with(x, y, lambda u, v: u * v), F.lit(0).cast("bigint"), lambda acc, v: acc + v
     )
+    # self-norms once per DOCUMENT before the join — inside the pair
+    # select they would re-run the O(dim) interpreted HOF per pair
+    # (B× redundant work for a B-pair bucket)
+    b = j.withColumn("bk", lsh_bucket(F.col("c"), planes)).withColumn(
+        "nn", idot(F.col("c"), F.col("c"))
+    )
+    a, b2 = b.alias("a"), b.alias("b2")
     p = a.join(
         b2,
         (F.col("a.lang") == F.col("b2.lang"))
@@ -1143,8 +1148,8 @@ def d_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.doc_id").alias("da"),
         F.col("b2.doc_id").alias("db"),
         idot(F.col("a.c"), F.col("b2.c")).alias("num"),
-        idot(F.col("a.c"), F.col("a.c")).alias("na"),
-        idot(F.col("b2.c"), F.col("b2.c")).alias("nb"),
+        F.col("a.nn").alias("na"),
+        F.col("b2.nn").alias("nb"),
     )
     s = p.select(
         "lang",

@@ -1,10 +1,14 @@
-"""ML queries exposed through the driver harness (rows-only checks).
+"""ML queries exposed through the driver harness.
 
 These exercise the training surface (T1/T3/A5, X3 splits) on the
-`embeddings` table. They are genuinely non-SQL-expressible (iterative
-tree boosting), so no oracle_sql is declared — the driver records the
-weaker rows-only check (per the contract), and the numeric behavior is
-covered by pytest against closed-form/numpy oracles instead.
+`embeddings` table. Queries whose outputs are deterministic dataflow —
+closed-form deconfounding, MAF filtering, the GWAS allelic-OR scan,
+greedy LD clumping (replayed by a recursive CTE), and fixed-iteration
+Lloyd k-means — carry full duckdb oracles and pass the value-hash gate.
+The seeded MLlib model trainers are genuinely non-SQL-expressible
+(iterative tree boosting), so those declare no oracle_sql — the driver
+records the weaker rows-only check (per the contract) and the numeric
+behavior is covered by pytest against closed-form/numpy oracles.
 """
 
 from __future__ import annotations

@@ -36,7 +36,24 @@ def main() -> None:
     from daxos_spark.ml.scoring import score_auc
     from daxos_spark.session import get_spark
 
-    spark = get_spark("capacity")
+    # Wide-array reads need the vectorized reader's row-batch scaled to
+    # the row width: the default 4096-row batch × p floats × one batch
+    # per task is ~0.8 GB/task at p=50k (observed Java-heap OOM). Target
+    # ~8M cells per column batch — the same rule a 100 TB deployment
+    # applies per-executor.
+    batch_rows = max(64, min(4096, 8_000_000 // max(p, 1)))
+    spark = get_spark(
+        "capacity",
+        extra_conf={
+            "spark.sql.parquet.columnarReaderBatchSize": str(batch_rows),
+            # Arrow batches crossing into pandas UDFs get the same
+            # width-scaling: the default 10k rows × p floats is ~2 GB
+            # per in-flight batch per worker at p=50k (32 workers →
+            # memory exhaustion), and the gramian partial only needs
+            # enough rows per batch to amortize the BLAS call.
+            "spark.sql.execution.arrow.maxRecordsPerBatch": str(batch_rows),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     t: dict[str, float] = {}
 
