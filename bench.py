@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "q_modal_event_type",
     "d_incremental_dedup",
     "ml_kmeans_lloyd",
+    "e_pq_knn",
 ]
 
 

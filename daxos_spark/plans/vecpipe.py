@@ -535,3 +535,121 @@ def e_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rk", F.col("cid").alias("neighbor_id"), "score")
         .orderBy("qid", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# product-quantization ANN (PQ-ADC) — the last member of the ANN family
+# (brute force → IVF → LSH → int8 SQ → PQ). The 64-dim vector splits
+# into M=8 subvectors; each subvector is assigned to the nearest of
+# K=16 anchor subvectors (deterministic codebook: the first 16 corpus
+# vectors — a trained k-means codebook slots into the same relation),
+# compressing every vector to M code ids. Queries score against codes
+# via asymmetric distance (ADC): dist ≈ Σ_m d(q_m, codebook[m][code_m])
+# — the query-to-anchor lookup table is M×K-sized and the scan touches
+# only the compact code table, which is the entire point at 100 TB
+# (8 bytes of code per vector instead of 256 bytes of floats).
+# Exact-decimal subdistances make assignment, lookup, and ranking
+# bit-identical in both engines → full value-hash check.
+_PQ_M = 8  # subvectors (64 dims / 8 per group)
+_PQ_K = 16  # codebook size per subvector
+
+
+@_q(
+    "e_pq_knn",
+    f"""
+    WITH u AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), sub AS (
+      SELECT vec_id, pos // 8 AS m, pos % 8 AS i, x FROM u
+    ), anch AS (
+      SELECT vec_id - 10 AS code, m, i, x AS a
+      FROM sub WHERE vec_id >= 10 AND vec_id < {10 + _PQ_K}
+    ), corpus AS (
+      SELECT * FROM sub WHERE vec_id >= 10
+    ), qs AS (
+      SELECT * FROM sub WHERE vec_id < 10
+    ), ad AS (
+      SELECT c.vec_id, c.m, a.code,
+             SUM(CAST((c.x - a.a) * (c.x - a.a) AS DECIMAL(25,6))) AS d
+      FROM corpus c JOIN anch a ON a.m = c.m AND a.i = c.i
+      GROUP BY c.vec_id, c.m, a.code
+    ), codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+        FROM ad) t WHERE rn = 1
+    ), qd AS (
+      SELECT qv.vec_id AS qid, qv.m, a.code,
+             SUM(CAST((qv.x - a.a) * (qv.x - a.a) AS DECIMAL(25,6))) AS d
+      FROM qs qv JOIN anch a ON a.m = qv.m AND a.i = qv.i
+      GROUP BY qv.vec_id, qv.m, a.code
+    ), adc AS (
+      SELECT qd.qid, codes.vec_id AS cid, SUM(qd.d) AS dist
+      FROM codes JOIN qd ON qd.m = codes.m AND qd.code = codes.code
+      GROUP BY qd.qid, codes.vec_id
+    ), r AS (
+      SELECT qid, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rk
+      FROM adc
+    )
+    SELECT qid, rk, cid AS neighbor_id,
+           {sql_trunc6('CAST(dist AS DOUBLE)')} AS adc_dist
+    FROM r WHERE rk <= 5 ORDER BY qid, rk
+    """,
+    doc="PQ-ADC approximate kNN: M=8 subvector codes, K=16 deterministic "
+    "codebook, asymmetric-distance scoring over the compact code table",
+)
+def e_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    dec = "decimal(25,6)"
+    sub = (
+        e.select("vec_id", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x"))
+        .select(
+            "vec_id",
+            F.expr("pos div 8").alias("m"),
+            (F.col("pos") % 8).alias("i"),
+            "x",
+        )
+        .persist()  # feeds the codebook, the corpus coding, and the queries
+    )
+    anch = sub.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 10 + _PQ_K)).select(
+        (F.col("vec_id") - 10).alias("code"), "m", "i", F.col("x").alias("a")
+    )
+    corpus = sub.filter(F.col("vec_id") >= 10)
+    qs = sub.filter(F.col("vec_id") < 10)
+
+    def subdists(side: DataFrame, key: str) -> DataFrame:
+        """exact-decimal distance of every (key, m) subvector to every
+        anchor — the codebook is tiny (M×K×8 rows): broadcast."""
+        t = side.join(
+            F.broadcast(anch), ["m", "i"]
+        ).select(
+            F.col(side.columns[0]).alias(key),
+            "m",
+            "code",
+            ((F.col("x") - F.col("a")) * (F.col("x") - F.col("a"))).cast(dec).alias("t"),
+        )
+        return t.groupBy(key, "m", "code").agg(F.sum("t").alias("d"))
+
+    ad = subdists(corpus, "vec_id")
+    w_asg = Window.partitionBy("vec_id", "m").orderBy("d", "code")
+    codes = (
+        ad.withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    qd = subdists(qs, "qid")
+    adc = (
+        codes.join(F.broadcast(qd), ["m", "code"])
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("d").alias("dist"))
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "cid")
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "rk", F.col("cid").alias("neighbor_id"), trunc6(F.col("dist").cast("double")).alias("adc_dist"))
+        .orderBy("qid", "rk")
+    )
