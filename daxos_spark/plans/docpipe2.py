@@ -194,3 +194,66 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db", trunc6(F.col("ni") / union).alias("jaccard"))
         .orderBy("da", "db")
     )
+
+
+# --------------------------------------------------------------------------
+# source temperature-mixing weights — the corpus-mixing computation every
+# LLM data pipeline runs (sampling weight w_s ∝ n_s^α, α = 0.5 so the
+# exponent is IEEE-exact sqrt in both engines; cf. multilingual
+# temperature sampling). One agg for per-source token mass; the K-row
+# source relation is driver-small at any corpus scale, and the weights
+# come out integer-exact (decimal-truncated sqrt, exact decimal total,
+# floor-micro ratio) so the hash gate applies.
+@_q(
+    "d_temperature_mix",
+    f"""
+    WITH per_doc AS (
+      SELECT source, len({_TOKS}) AS n_tok FROM documents
+    ), per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM per_doc GROUP BY source
+    ), sq AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(sqrt(n_tokens) AS DECIMAL(25,6)) AS s
+      FROM per_source
+    ), tot AS (
+      SELECT SUM(s) AS t FROM sq
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(FLOOR(CAST(s AS DOUBLE) * 1000000.0 / CAST(t AS DOUBLE)) AS BIGINT)
+             AS w_micro
+    FROM sq, tot ORDER BY source
+    """,
+    doc="temperature-mixing sampling weights per source (w ∝ n_tokens^0.5, "
+    "integer-exact micro-weights)",
+)
+def d_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    per_source = (
+        d.select(
+            "source",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    sq = per_source.withColumn("s", F.sqrt(F.col("n_tokens")).cast("decimal(25,6)"))
+    tot = sq.agg(F.sum("s").alias("t"))
+    return (
+        sq.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(
+                F.col("s").cast("double") * F.lit(1000000.0) / F.col("t").cast("double")
+            )
+            .cast("bigint")
+            .alias("w_micro"),
+        )
+        .orderBy("source")
+    )

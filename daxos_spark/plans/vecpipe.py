@@ -653,3 +653,63 @@ def e_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rk", F.col("cid").alias("neighbor_id"), trunc6(F.col("dist").cast("double")).alias("adc_dist"))
         .orderBy("qid", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding-space decontamination — the semantic complement of the
+# n-gram d_decontamination: flag corpus vectors whose cosine to ANY
+# benchmark vector exceeds τ (paraphrased eval contamination that exact
+# n-gram matching misses). The benchmark side is small by definition →
+# broadcast; the corpus scan stays linear and the per-label summary is
+# one agg. Same identical-double cosine as e_knn_bruteforce.
+@_q(
+    "e_embed_decontam",
+    f"""
+    WITH bench AS (
+      SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id < 10
+    ), corpus AS (
+      SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 10
+    ), hits AS (
+      SELECT c.cid, c.label,
+             MAX(CASE WHEN list_dot_product(c.cv, b.bv)
+                        / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(b.bv, b.bv)))
+                      > 0.92 THEN 1 ELSE 0 END) AS contaminated
+      FROM corpus c, bench b
+      GROUP BY c.cid, c.label
+    )
+    SELECT label,
+           COUNT(*) AS n_corpus,
+           CAST(SUM(contaminated) AS BIGINT) AS n_contaminated
+    FROM hits GROUP BY label ORDER BY label
+    """,
+    doc="benchmark-similarity decontamination: corpus vectors within "
+    "cosine 0.92 of any benchmark vector, per label",
+)
+def e_embed_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    bench = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("bid"),
+        to_double(F.col("embedding")).alias("bv"),
+        l2_norm(F.col("embedding")).alias("bn"),
+    )
+    corpus = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"),
+        "label",
+        to_double(F.col("embedding")).alias("cv"),
+        l2_norm(F.col("embedding")).alias("cn"),
+    )
+    cos = dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn"))
+    hits = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("cid", "label", F.when(cos > 0.92, 1).otherwise(0).alias("h"))
+        .groupBy("cid", "label")
+        .agg(F.max("h").alias("contaminated"))
+    )
+    return (
+        hits.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_corpus"),
+            F.sum("contaminated").alias("n_contaminated"),
+        )
+        .orderBy("label")
+    )

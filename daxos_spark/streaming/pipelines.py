@@ -279,3 +279,25 @@ def enrich_events_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
             F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
         )
     )
+
+
+def dedup_against_corpus_stream(
+    docs: DataFrame,
+    corpus_fps: DataFrame,
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Streaming incremental dedup — the arriving-batch twin of
+    plans/docpipe.d_incremental_dedup: drop arriving documents whose
+    content fingerprint already exists in the static corpus index
+    (stream-static LEFT ANTI join; the static side is the bucketed/
+    Bloom-fronted fingerprint table at scale), then keep only the first
+    in-stream occurrence of each remaining fingerprint
+    (``dropDuplicates`` on the fingerprint — state bounded by the
+    arriving batch's distinct-fp count; add a watermark upstream for
+    unbounded streams).
+
+    ``docs`` must already carry ``fp_col`` (text fingerprinting is a
+    stateless projection — functions/text.fingerprint).
+    """
+    fresh = docs.join(corpus_fps.select(fp_col), fp_col, "left_anti")
+    return fresh.dropDuplicates([fp_col])

@@ -194,3 +194,46 @@ def test_stream_static_enrichment_matches_batch(spark, batch_events):
     }
     assert got == want
     assert len(got) == 15  # 3 cohorts × 5 event types
+
+
+def test_dedup_against_corpus_stream_matches_batch(spark, tmp_path):
+    """Streaming incremental dedup (stream-static anti-join + in-stream
+    first-occurrence) == the batch d_incremental_dedup admission set."""
+    import pandas as pd
+
+    from daxos_spark.functions.text import fingerprint
+    from daxos_spark.streaming.pipelines import dedup_against_corpus_stream
+
+    # corpus index: fingerprints of docs 0..4; arriving batch: docs
+    # 5..11 where 6 duplicates corpus doc 1, and 9/10 duplicate each
+    # other (first occurrence 9 wins)
+    texts = {
+        0: "alpha beta", 1: "gamma delta", 2: "eps zeta", 3: "eta theta",
+        4: "iota kappa",
+        5: "lambda mu", 6: "gamma delta", 7: "nu xi", 8: "omicron pi",
+        9: "rho sigma", 10: "rho sigma", 11: "tau upsilon",
+    }
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(5), "text": [texts[i] for i in range(5)]})
+    ).select(fingerprint(F.col("text")).alias("fp"))
+    batch_dir = str(tmp_path / "arriving")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(5, 12), "text": [texts[i] for i in range(5, 12)]}
+        )
+    ).write.parquet(batch_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(batch_dir)
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    )
+    run_to_memory(
+        dedup_against_corpus_stream(stream, corpus), "incdedup", output_mode="append"
+    )
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM incdedup").collect()}
+    # 6 dropped (corpus dup); one of 9/10 dropped (in-batch dup)
+    assert 5 in got and 7 in got and 8 in got and 11 in got
+    assert 6 not in got
+    assert len(got & {9, 10}) == 1
+    assert len(got) == 5
