@@ -32,10 +32,20 @@ class FlatTree:
     """One decision tree as parallel arrays (node-indexed)."""
 
     feat: np.ndarray  # int32, -1 at leaves
-    thr: np.ndarray  # float64 split thresholds
+    thr: np.ndarray  # float64 split thresholds (continuous nodes)
     left: np.ndarray  # int32 child index
     right: np.ndarray  # int32 child index
     pred: np.ndarray  # float64 node mean prediction
+    # left-branch category sets for categorical splits, node-indexed
+    # (None entry = continuous node). `goes_left` is the single
+    # branching rule every walk below uses, so both split kinds share
+    # one code path.
+    cats: list | None = None
+
+    def goes_left(self, node: int, xval: float) -> bool:
+        if self.cats is not None and self.cats[node] is not None:
+            return xval in self.cats[node]
+        return xval <= self.thr[node]
 
 
 def _flatten_tree(java_root) -> FlatTree:
@@ -44,6 +54,7 @@ def _flatten_tree(java_root) -> FlatTree:
     left: list[int] = []
     right: list[int] = []
     pred: list[float] = []
+    cats: list = []
 
     def rec(node) -> int:
         idx = len(feat)
@@ -52,14 +63,16 @@ def _flatten_tree(java_root) -> FlatTree:
         left.append(-1)
         right.append(-1)
         pred.append(float(node.prediction()))
+        cats.append(None)
         if node.getClass().getSimpleName() == "InternalNode":
             split = node.split()
-            if split.getClass().getSimpleName() != "ContinuousSplit":
-                raise NotImplementedError(
-                    "categorical splits not supported in contribution walk"
-                )
             feat[idx] = int(split.featureIndex())
-            thr[idx] = float(split.threshold())
+            if split.getClass().getSimpleName() == "ContinuousSplit":
+                thr[idx] = float(split.threshold())
+            else:  # CategoricalSplit: membership in leftCategories
+                cats[idx] = frozenset(
+                    float(c) for c in split.leftCategories()
+                )
             left[idx] = rec(node.leftChild())
             right[idx] = rec(node.rightChild())
         return idx
@@ -71,6 +84,7 @@ def _flatten_tree(java_root) -> FlatTree:
         np.asarray(left, dtype=np.int32),
         np.asarray(right, dtype=np.int32),
         np.asarray(pred, dtype=np.float64),
+        cats if any(c is not None for c in cats) else None,
     )
 
 
@@ -93,7 +107,19 @@ def _walk_batch(X: np.ndarray, tree: FlatTree, w: float, contrib: np.ndarray) ->
         rows = np.nonzero(mask)[0]
         node = cur[rows]
         f = tree.feat[node]
-        go_left = X[rows, f] <= tree.thr[node]
+        if tree.cats is None:
+            go_left = X[rows, f] <= tree.thr[node]
+        else:
+            # mixed split kinds: branch per unique frontier node (trees
+            # are depth-bounded, so the unique set is tiny)
+            go_left = np.empty(len(rows), dtype=bool)
+            for nd in np.unique(node):
+                sel = node == nd
+                fx = X[rows[sel], tree.feat[nd]]
+                if tree.cats[nd] is not None:
+                    go_left[sel] = np.isin(fx, np.asarray(sorted(tree.cats[nd])))
+                else:
+                    go_left[sel] = fx <= tree.thr[nd]
         child = np.where(go_left, tree.left[node], tree.right[node])
         np.add.at(contrib, (rows, f), w * (tree.pred[child] - tree.pred[node]))
         cur[rows] = child
@@ -252,7 +278,7 @@ def _shap_one_tree(
                 phi[m[i][0]] += w * (m[i][2] - m[i][1]) * t.pred[node] * scale * cf
             return
         f = int(t.feat[node])
-        if x[f] <= t.thr[node]:
+        if t.goes_left(node, x[f]):
             hot, cold = int(t.left[node]), int(t.right[node])
         else:
             hot, cold = int(t.right[node]), int(t.left[node])

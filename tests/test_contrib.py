@@ -207,3 +207,74 @@ def test_treeshap_additivity_distributed(spark, matrix_ds):
         assert abs(r["base"] + sum(r["shap"]) - r["margin"]) < 1e-9
         expect_prob = 1.0 / (1.0 + math.exp(-2.0 * r["margin"]))
         assert abs(preds[r["row_idx"]] - expect_prob) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Categorical splits in the walk (VectorIndexer marks low-cardinality
+# dims nominal -> MLlib emits CategoricalSplit nodes)
+
+
+@pytest.fixture(scope="module")
+def categorical_model(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.feature import VectorIndexer
+    from pyspark.ml.functions import vector_to_array
+
+    rng = np.random.RandomState(11)
+    n = 400
+    cat = rng.randint(0, 3, n)  # 3-valued nominal feature
+    cont = rng.randn(n)
+    # label depends on category membership {0,2} and the continuous dim
+    y = ((np.isin(cat, [0, 2]) & (cont > 0)) | (cat == 1) & (cont < -0.5)).astype(float)
+    pdf = pd.DataFrame(
+        {"row_idx": range(n), "f0": cat.astype(float), "f1": cont, "label": y}
+    )
+    df = spark.createDataFrame(pdf).select(
+        "row_idx", F.array("f0", "f1").alias("features"), "label"
+    )
+    from pyspark.ml.functions import array_to_vector
+
+    vec = df.withColumn("fv", array_to_vector("features"))
+    idx = VectorIndexer(inputCol="fv", outputCol="fi", maxCategories=4).fit(vec)
+    # keep the indexed VECTOR column: its nominal-attribute metadata is
+    # what makes MLlib emit CategoricalSplit nodes (vector_to_array
+    # would strip it)
+    indexed = idx.transform(vec).select("row_idx", F.col("fi").alias("features"), "label")
+    model = fit_gbt(indexed, GBTParams(eta=0.3, max_depth=3, n_boost_round=4, seed=5))
+    # the walk consumes plain arrays; metadata no longer matters here
+    arr = idx.transform(vec).select(
+        "row_idx", vector_to_array("fi").alias("features"), "label"
+    )
+    return model, arr
+
+
+def test_categorical_split_present(categorical_model):
+    from daxos_spark.ml.contrib import extract_trees
+
+    model, _ = categorical_model
+    trees, _ = extract_trees(model)  # must not raise
+    assert any(t.cats is not None for t in trees), "fixture produced no categorical split"
+
+
+def test_categorical_contributions_additive_and_match_margin(spark, categorical_model):
+    import math
+
+    from daxos_spark.ml.train import predict_gbt
+
+    model, indexed = categorical_model
+    contribs = tree_contributions(model, indexed)
+    preds = {r["row_idx"]: r["y_pred"] for r in predict_gbt(model, indexed).collect()}
+    for r in contribs.collect()[:60]:
+        assert abs(r["bias"] + sum(r["contribs"]) - r["margin"]) < 1e-9
+        expect = 1.0 / (1.0 + math.exp(-2.0 * r["margin"]))
+        assert abs(preds[r["row_idx"]] - expect) < 1e-6
+
+
+def test_categorical_treeshap_additivity(spark, categorical_model):
+    from daxos_spark.ml.contrib import tree_shap_values
+
+    model, indexed = categorical_model
+    shap = tree_shap_values(model, indexed.limit(30))
+    for r in shap.collect():
+        assert abs(r["base"] + sum(r["shap"]) - r["margin"]) < 1e-9
