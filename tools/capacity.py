@@ -9,10 +9,13 @@ parquet at rest → closed-form deconfounding (ALL per-column regressions
 in one gramian pass) → GBT train — at a configurable n×p and prints one
 JSON line of stage timings.
 
-Usage: python tools/capacity.py [n_rows] [n_cols]
+Usage: python tools/capacity.py [n_rows] [n_cols] [stages]
 Defaults 20000×2000 (40M dosage cells) to stay laptop-friendly; the
 plan shapes are row-count/width agnostic (nothing driver-side exceeds
-the (k+1)×p beta matrix).
+the (k+1)×p beta matrix). ``stages`` = "all" (default) or "deconfound"
+(synthesize + the residualization stage only — the reference's
+10 h / 300 GB budget line — skipping the GBT train, whose cost is a
+property of MLlib tree building, not of this engine's dataflow).
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ sys.path.insert(0, "/root/repo")
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     p = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
+    stages = sys.argv[3] if len(sys.argv) > 3 else "all"
     out = f"/tmp/capacity_{n}x{p}"
 
     import pyspark.sql.functions as F
@@ -95,17 +99,19 @@ def main() -> None:
     t["deconfound_write_s"] = round(time.time() - t0, 1)
 
     # ---- train/score (T1/T3/A5)
-    t0 = time.time()
-    adj_fact = spark.read.parquet(out + "_adj").withColumn(
-        "is_test", F.pmod(F.col("row_idx"), F.lit(5)) == 0
-    )
-    model = fit_gbt(
-        adj_fact.filter(~F.col("is_test")),
-        GBTParams(eta=0.2, max_depth=4, n_boost_round=10, seed=42),
-        features_col="features_adj",
-    )
-    auc = score_auc(predict_gbt(model, adj_fact.filter(F.col("is_test")), features_col="features_adj"))
-    t["train_score_s"] = round(time.time() - t0, 1)
+    auc = float("nan")
+    if stages == "all":
+        t0 = time.time()
+        adj_fact = spark.read.parquet(out + "_adj").withColumn(
+            "is_test", F.pmod(F.col("row_idx"), F.lit(5)) == 0
+        )
+        model = fit_gbt(
+            adj_fact.filter(~F.col("is_test")),
+            GBTParams(eta=0.2, max_depth=4, n_boost_round=10, seed=42),
+            features_col="features_adj",
+        )
+        auc = score_auc(predict_gbt(model, adj_fact.filter(F.col("is_test")), features_col="features_adj"))
+        t["train_score_s"] = round(time.time() - t0, 1)
 
     print(
         json.dumps(
@@ -113,7 +119,7 @@ def main() -> None:
                 "n_rows": n,
                 "n_cols": p,
                 "cells": n * p,
-                "auc_test": round(auc, 3),
+                "auc_test": None if auc != auc else round(auc, 3),
                 "stages": t,
                 "total_s": round(sum(t.values()), 1),
             }
