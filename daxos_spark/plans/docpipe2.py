@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions.hashing import md5_long_sql
 from .docpipe import _fanout
 from .registry import QuerySpec, register, trunc6
 
@@ -255,5 +256,79 @@ def d_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("w_micro"),
         )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# temperature-weighted corpus sampler — APPLIES the d_temperature_mix
+# weights: every document is admitted with probability w_s (its
+# source's micro-weight) via the engine-portable md5-derived uniform,
+# so the sampled corpus composition follows the temperature
+# distribution while staying fully deterministic (same admit set in
+# both engines and across runs — the reproducible-subsample contract
+# the reference's seeded row shuffle gives, lifted to weighted
+# sampling). Stateless per-row decision: scales as a scan.
+@_q(
+    "d_temperature_sample",
+    f"""
+    WITH per_doc AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tok FROM documents
+    ), per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM per_doc GROUP BY source
+    ), sq AS (
+      SELECT source, n_docs,
+             CAST(sqrt(n_tokens) AS DECIMAL(25,6)) AS s
+      FROM per_source
+    ), w AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(CAST(s AS DOUBLE) * 1000000.0 /
+                        CAST((SELECT SUM(s) FROM sq) AS DOUBLE)) AS BIGINT) AS w_micro
+      FROM sq
+    ), admitted AS (
+      SELECT d.source,
+             CASE WHEN {md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % 1000000 < w.w_micro
+                  THEN 1 ELSE 0 END AS admit
+      FROM per_doc d JOIN w ON w.source = d.source
+    )
+    SELECT a.source, w.n_docs, w.w_micro,
+           CAST(SUM(a.admit) AS BIGINT) AS n_admitted
+    FROM admitted a JOIN w ON w.source = a.source
+    GROUP BY a.source, w.n_docs, w.w_micro
+    ORDER BY a.source
+    """,
+    doc="deterministic temperature-weighted corpus sampler (admit rate = "
+    "per-source micro-weight via portable md5 uniform)",
+)
+def d_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    d = load_tables(spark, sf_dir)["documents"]
+    per_doc = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok"),
+    ).persist()  # feeds the weight agg and the admission scan
+    sq = (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .withColumn("s", F.sqrt(F.col("n_tokens")).cast("decimal(25,6)"))
+    )
+    tot = sq.agg(F.sum("s").alias("t"))
+    w = sq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(F.col("s").cast("double") * F.lit(1000000.0) / F.col("t").cast("double"))
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    u = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(1_000_000))
+    return (
+        per_doc.join(F.broadcast(w), "source")
+        .select("source", "n_docs", "w_micro", (u < F.col("w_micro")).cast("bigint").alias("admit"))
+        .groupBy("source", "n_docs", "w_micro")
+        .agg(F.sum("admit").alias("n_admitted"))
         .orderBy("source")
     )

@@ -301,3 +301,51 @@ def dedup_against_corpus_stream(
     """
     fresh = docs.join(corpus_fps.select(fp_col), fp_col, "left_anti")
     return fresh.dropDuplicates([fp_col])
+
+
+def ivf_assign_stream(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming IVF index ingest — assign each ARRIVING embedding to
+    its nearest centroid bucket. At rest the bucket id becomes the
+    partition key of the vector index, so this stream IS the index
+    build: arriving vectors land pre-bucketed and the nprobe search
+    path (functions/similarity.ivf_search) reads them without a
+    reshuffle.
+
+    The batch twin (functions/similarity.assign_buckets) argmaxes with
+    a row_number window, which streams can't run; here the tiny static
+    centroid relation (bucket, cv, cnorm — label_centroids output) is
+    collected once and folded into a stateless per-row expression:
+    argmax over an array of (cos, -bucket) structs, so ties break to
+    the smallest bucket exactly like the batch window's
+    (cos desc, bucket asc). Same doubles → identical assignment.
+    """
+    from ..functions.vectors import dot, l2_norm, to_double
+
+    rows = centroids.select("bucket", "cv", "cnorm").collect()
+    v = vectors.select(
+        id_col, to_double(F.col(vec_col)).alias("__v")
+    ).withColumn("vnorm", l2_norm(F.col("__v")))
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    dot(F.col("__v"), F.array(*[F.lit(float(x)) for x in r["cv"]]))
+                    / (F.col("vnorm") * F.lit(float(r["cnorm"])))
+                ).alias("ccos"),
+                F.lit(-int(r["bucket"])).alias("negb"),
+            )
+            for r in rows
+        ]
+    )
+    best = F.array_max(cands)
+    return v.select(
+        id_col,
+        F.col("__v").alias("cv_vec"),
+        "vnorm",
+        (-best["negb"]).alias("bucket"),
+    )

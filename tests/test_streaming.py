@@ -237,3 +237,26 @@ def test_dedup_against_corpus_stream_matches_batch(spark, tmp_path):
     assert 6 not in got
     assert len(got & {9, 10}) == 1
     assert len(got) == 5
+
+
+def test_ivf_assign_stream_matches_batch(spark, tmp_path):
+    """Streaming IVF bucket assignment (stateless folded argmax) ==
+    batch assign_buckets (window argmax) on the same vectors."""
+    from daxos_spark.functions.similarity import assign_buckets, label_centroids
+    from daxos_spark.streaming.pipelines import ivf_assign_stream
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    cents = label_centroids(emb).cache()
+    want = {
+        r["vec_id"]: r["bucket"] for r in assign_buckets(emb, cents).collect()
+    }
+
+    vec_dir = str(tmp_path / "vecs")
+    emb.write.parquet(vec_dir)
+    stream = spark.readStream.schema(emb.schema).parquet(vec_dir)
+    run_to_memory(ivf_assign_stream(stream, cents), "ivfassign", output_mode="append")
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in spark.sql("SELECT vec_id, bucket FROM ivfassign").collect()
+    }
+    assert got == want
