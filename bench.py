@@ -6,6 +6,13 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Query set: the relational core (scan/filter/join/agg/window/percentile),
 the doc pipeline (dedup/quality/LSH), and vector similarity — a
 representative slice of SURVEY §2 + beyond-parity ops.
+
+Timed action: `df.write.format("noop")` — materializes EVERY output
+column through the full plan with no driver transfer. Round 2 timed
+`.count()`, which lets Catalyst prune non-grouping output expressions
+from a final Project/Aggregate, so projection-heavy queries (e.g. the
+per-seed minhash columns) under-reported their real work. noop writes
+are prune-proof: the write sink consumes all columns.
 """
 
 from __future__ import annotations
@@ -20,17 +27,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 BENCH_QUERIES = [
-    "q01_pricing_summary",
-    "q03_top_revenue",
-    "q05_region_revenue",
+    "a1_pricing_summary",
+    "a1_top_revenue",
+    "a1_region_revenue",
     "q06_forecast_revenue",
     "q10_top_customers",
-    "q04_order_priority",
-    "q_percentiles_by_status",
-    "q_window_top3_per_cust",
+    "a1_order_priority",
+    "a1_percentiles_by_status",
+    "a1_window_top3_per_cust",
     "q_events_hourly",
     "q_events_json_extract",
-    "q_ols_residualize",
+    "a2_ols_residualize",
     "d_exact_dedup",
     "d_quality_scores",
     "d_token_stats",
@@ -51,23 +58,23 @@ BENCH_QUERIES = [
     "q13_cust_order_counts",
     "q18_large_orders",
     "q_rollup_region_nation",
-    "q_asof_click_before_error",
+    "a1_asof_click_before_error",
     "q_range_views_after_error",
     "q_session_stats",
     "q_event_transitions",
     "m_blob_stats",
     "m_frame_counts",
-    "ml_deconfound_dims",
+    "a2_deconfound_dims",
     "q02_min_cost_supplier",
     "q07_nation_trade_pairs",
     "q09_profit_by_nation_year",
     "q14_promo_revenue",
     "q17_small_qty_revenue",
     "q19_or_predicates",
-    "q22_idle_rich_customers",
+    "a1_idle_rich_customers",
     "q08_market_share",
     "q_cube_status_priority",
-    "q_window_moving_sum",
+    "a1_window_moving_sum",
     "q_hash_sample",
     "q_hourly_gap_fill",
     "q_null_semantics",
@@ -108,9 +115,14 @@ BENCH_QUERIES = [
     "d_prefix_filter_jaccard",
     "q_modal_event_type",
     "d_incremental_dedup",
-    "ml_kmeans_lloyd",
+    "a2_kmeans_lloyd",
     "e_pq_knn",
 ]
+
+
+def _materialize(df) -> None:
+    """Prune-proof action: force every output column through the plan."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -130,14 +142,18 @@ def main() -> None:
     # on any real workload); the second pass is the steady-state time
     # reported. Plans are rebuilt from scratch in the measured pass, so
     # planning/optimization cost IS included — only class compilation
-    # and JIT warm-up are amortized.
+    # and JIT warm-up are amortized. The warm pass also records row
+    # counts (reported for the log line, never timed).
     # A failing query must never zero the whole suite: every query run
     # (warm and measured) is individually guarded, failures are recorded
     # under "errors", and the JSON line is emitted regardless.
     errors: dict[str, str] = {}
+    nrows: dict[str, int] = {}
     for name in BENCH_QUERIES:
         try:
-            specs[name].spark(spark, SF_DIR).count()
+            df = specs[name].spark(spark, SF_DIR)
+            nrows[name] = df.count()
+            _materialize(specs[name].spark(spark, SF_DIR))
         except Exception as e:  # noqa: BLE001 — isolate per query
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"# {name}: WARM FAIL {errors[name]}", file=sys.stderr)
@@ -151,24 +167,25 @@ def main() -> None:
             continue
         spec = specs[name]
         best = float("inf")
-        n = 0
         try:
             for _ in range(2):
                 t0 = time.time()
-                n = spec.spark(spark, SF_DIR).count()
+                _materialize(spec.spark(spark, SF_DIR))
                 best = min(best, time.time() - t0)
         except Exception as e:  # noqa: BLE001 — isolate per query
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"# {name}: FAIL {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.2f}s ({nrows[name]} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # "value" sums only successful queries; "n_failed" sits adjacent so a
+    # partial (error-laden) total can never be mistaken for a clean one.
     print(
         json.dumps(
             {
@@ -177,6 +194,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "errors": errors,
+                "n_failed": len(errors),
+                "complete": not errors,
                 "sf": sf_val,
             }
         )

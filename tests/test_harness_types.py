@@ -27,7 +27,7 @@ def test_query_analyzes_on_harness_types(spark, name):
 
 def test_asof_runs_on_ntz_events(spark):
     """End-to-end on real NTZ-typed events (the round-1 crash site)."""
-    out = _SPECS["q_asof_click_before_error"].spark(spark, SF_DIR).collect()
+    out = _SPECS["a1_asof_click_before_error"].spark(spark, SF_DIR).collect()
     assert len(out) > 0
     assert all(r["n_errors"] >= r["n_matched"] for r in out)
     assert all(r["total_gap_us"] >= 0 for r in out)
