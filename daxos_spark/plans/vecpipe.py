@@ -14,8 +14,11 @@ except the final per-query top-k; the IVF variant
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from ..catalog import load_tables
@@ -604,43 +607,68 @@ _PQ_K = 16  # codebook size per subvector
 def e_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["embeddings"]
     dec = "decimal(25,6)"
-    sub = (
-        e.select("vec_id", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x"))
+
+    # Corpus coding is MAP-SIDE (round-2 fix): the K×64-double codebook is
+    # collected once (tiny) and broadcast inside an Arrow-batched pandas
+    # UDF that emits each vector's M codes in one pass — so there is NO
+    # exchange between the corpus scan and the code table. (Round 2
+    # exploded to N×M×K rows, grouped, then window-argmin'd: a
+    # 128×-amplified shuffle on a fact-scale relation; a folded JVM
+    # expression tree was tried and is exact but ~1000 interpreted
+    # decimal nodes/row — 8× slower than this vectorized batch path.)
+    # Quantization: each squared-diff term rounds HALF_UP onto the 1e-6
+    # grid as an int64 (floor(v*1e6+0.5)) — the same value class as the
+    # oracle's CAST(... AS DECIMAL(25,6)); integer sums are exact, and
+    # np.argmin's first-minimum tie-break == the old window's
+    # ORDER BY d, code (hash-verified against the unchanged oracle).
+    anch_rows = (
+        e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 10 + _PQ_K))
+        .select((F.col("vec_id") - 10).alias("code"), to_double(F.col("embedding")).alias("av"))
+        .collect()
+    )
+    by_code = {int(r["code"]): [float(x) for x in r["av"]] for r in anch_rows}
+    codebook = np.array([by_code[c] for c in range(_PQ_K)])  # (K, M*8)
+    dim = codebook.shape[1]
+    n_sub = dim // 8
+    corpus = e.filter(F.col("vec_id") >= 10).select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+
+    @pandas_udf("array<int>")
+    def pq_codes(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy())  # (n, dim)
+        diff = X[:, None, :] - codebook[None, :, :]  # (n, K, dim)
+        t = np.floor(diff * diff * 1e6 + 0.5).astype(np.int64)
+        sums = t.reshape(len(X), _PQ_K, n_sub, 8).sum(axis=3)  # (n, K, M)
+        return pd.Series(list(sums.argmin(axis=1).astype(np.int32)))
+
+    codes = corpus.select("vec_id", pq_codes(F.col("v")).alias("cs")).select(
+        "vec_id", F.posexplode("cs").alias("m", "code")
+    )
+
+    # query side: 10 vectors — the relational explode+join+agg is trivial
+    anch = (
+        e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 10 + _PQ_K))
+        .select((F.col("vec_id") - 10).alias("code"), F.posexplode(to_double(F.col("embedding"))).alias("pos", "a"))
+        .select("code", F.expr("pos div 8").alias("m"), (F.col("pos") % 8).alias("i"), "a")
+    )
+    qd = (
+        e.filter(F.col("vec_id") < 10)
+        .select("vec_id", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x"))
         .select(
-            "vec_id",
+            F.col("vec_id").alias("qid"),
             F.expr("pos div 8").alias("m"),
             (F.col("pos") % 8).alias("i"),
             "x",
         )
-        .persist()  # feeds the codebook, the corpus coding, and the queries
-    )
-    anch = sub.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 10 + _PQ_K)).select(
-        (F.col("vec_id") - 10).alias("code"), "m", "i", F.col("x").alias("a")
-    )
-    corpus = sub.filter(F.col("vec_id") >= 10)
-    qs = sub.filter(F.col("vec_id") < 10)
-
-    def subdists(side: DataFrame, key: str) -> DataFrame:
-        """exact-decimal distance of every (key, m) subvector to every
-        anchor — the codebook is tiny (M×K×8 rows): broadcast."""
-        t = side.join(
-            F.broadcast(anch), ["m", "i"]
-        ).select(
-            F.col(side.columns[0]).alias(key),
-            "m",
-            "code",
+        .join(F.broadcast(anch), ["m", "i"])
+        .select(
+            "qid", "m", "code",
             ((F.col("x") - F.col("a")) * (F.col("x") - F.col("a"))).cast(dec).alias("t"),
         )
-        return t.groupBy(key, "m", "code").agg(F.sum("t").alias("d"))
-
-    ad = subdists(corpus, "vec_id")
-    w_asg = Window.partitionBy("vec_id", "m").orderBy("d", "code")
-    codes = (
-        ad.withColumn("rn", F.row_number().over(w_asg))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
+        .groupBy("qid", "m", "code")
+        .agg(F.sum("t").alias("d"))
     )
-    qd = subdists(qs, "qid")
     adc = (
         codes.join(F.broadcast(qd), ["m", "code"])
         .groupBy("qid", F.col("vec_id").alias("cid"))
