@@ -54,7 +54,9 @@ RAW_EVENT_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, assume_nanos_if_empty: bool = False
+) -> DataFrame:
     """File-source stream over the harness events parquet.
 
     ``readStream`` needs a directory; ``pathGlobFilter`` narrows it to
@@ -73,9 +75,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
         )["ts"]
     except AnalysisException:
-        # arriving-files directory where no file landed yet: assume the
-        # harness writer's TIMESTAMP(NANOS) layout (the only producer
-        # of this directory shape today)
+        # Arriving-files directory where no file landed yet: the sniff
+        # cannot know the physical ts layout, and silently guessing
+        # would misread a micros-precision first file at runtime rather
+        # than at setup. Fail loudly unless the caller explicitly opts
+        # into the harness writer's TIMESTAMP(NANOS) layout.
+        if not assume_nanos_if_empty:
+            raise ValueError(
+                f"no events.parquet under {sf_dir!r} yet — the ts physical type "
+                "cannot be sniffed from an empty directory. Pass "
+                "assume_nanos_if_empty=True to start the stream with the "
+                "TIMESTAMP(NANOS)/bigint layout (the harness writer's), or "
+                "create the first file before constructing the stream."
+            ) from None
         ts_dtype = "bigint"
     if ts_dtype not in ("bigint", "timestamp", "timestamp_ntz"):
         raise TypeError(

@@ -260,3 +260,27 @@ def test_ivf_assign_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT vec_id, bucket FROM ivfassign").collect()
     }
     assert got == want
+
+
+def test_read_events_stream_empty_dir_fails_loudly(spark, tmp_path):
+    """An arriving-files dir with no file yet cannot be type-sniffed:
+    constructing the stream must fail at setup with a clear message,
+    not misread the first file at runtime (round-2 ADVICE)."""
+    empty = str(tmp_path / "arriving")
+    import os
+
+    os.makedirs(empty, exist_ok=True)
+    with pytest.raises(ValueError, match="cannot be sniffed"):
+        read_events_stream(spark, empty)
+
+
+def test_read_events_stream_empty_dir_explicit_optin(spark, tmp_path):
+    """With assume_nanos_if_empty=True the stream constructs against an
+    empty dir using the harness TIMESTAMP(NANOS) layout."""
+    empty = str(tmp_path / "arriving2")
+    import os
+
+    os.makedirs(empty, exist_ok=True)
+    stream = read_events_stream(spark, empty, assume_nanos_if_empty=True)
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
