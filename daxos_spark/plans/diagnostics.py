@@ -160,12 +160,19 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
+    # Mixing COUNT(DISTINCT) with the HLL aggregate in ONE groupBy plans
+    # an Expand (row duplication) feeding a sketch-carrying multi-stage
+    # aggregate — ~4s where each aggregate alone is <1s. Compute the two
+    # independently and join on the 5-row group key instead (both sides
+    # fully aggregated before the join, so the join is trivial).
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_cnt")
+    )
+    approx = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_cnt")
+    )
     return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.countDistinct("o_custkey").alias("exact_cnt"),
-            F.approx_count_distinct("o_custkey", 0.01).alias("approx_cnt"),
-        )
+        exact.join(F.broadcast(approx), "o_orderpriority")
         .select(
             "o_orderpriority",
             "exact_cnt",
@@ -283,20 +290,22 @@ def d_source_lang_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
+    # array-form percentile: ONE values buffer per group feeds all four
+    # exact quantiles (five scalar calls would build five buffers — the
+    # exact percentile aggregate holds every group value in memory, so
+    # buffer count is the dominant cost)
     agg = o.groupBy("o_orderstatus").agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("ex50"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("ex90"),
-        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("ap50"),
-        F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("ap90"),
-        F.expr("percentile(o_totalprice, 0.75) - percentile(o_totalprice, 0.25)").alias("iqr"),
+        F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.9))").alias("ex"),
+        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").alias("ap"),
     )
+    iqr = F.col("ex")[2] - F.col("ex")[0]
     return (
         agg.select(
             "o_orderstatus",
-            trunc6(F.col("ex50")).alias("exact_p50"),
-            trunc6(F.col("ex90")).alias("exact_p90"),
-            (F.abs(F.col("ap50") - F.col("ex50")) <= F.lit(0.5) * F.col("iqr")).alias("p50_ok"),
-            (F.abs(F.col("ap90") - F.col("ex90")) <= F.lit(0.5) * F.col("iqr")).alias("p90_ok"),
+            trunc6(F.col("ex")[1]).alias("exact_p50"),
+            trunc6(F.col("ex")[3]).alias("exact_p90"),
+            (F.abs(F.col("ap")[0] - F.col("ex")[1]) <= F.lit(0.5) * iqr).alias("p50_ok"),
+            (F.abs(F.col("ap")[1] - F.col("ex")[3]) <= F.lit(0.5) * iqr).alias("p90_ok"),
         )
         .orderBy("o_orderstatus")
     )

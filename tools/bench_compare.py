@@ -1,0 +1,116 @@
+"""Round-over-round bench regression guard.
+
+Diffs two bench.py JSON outputs (BENCH_r{N}.json vs r{N-1}, or any two
+files/paths) and fails on per-query regressions beyond a threshold, so a
+slowdown is caught locally before the external driver records it.
+
+Renames are tolerated: round 3 moved the SURVEY-core queries into the
+a1_/a2_ namespace (daxos_spark/plans/registry.py::RENAMES), so the old
+name is consulted when the new one is absent from the older run.
+
+Usage:
+    python tools/bench_compare.py NEW.json OLD.json [--threshold 1.5]
+
+Exit 1 if any shared query regressed by more than the threshold, or if
+the new run has errors the old one didn't. Queries faster than 300 ms in
+both runs are exempt (shared-box noise dominates at that size).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+NOISE_FLOOR_SEC = 0.3
+
+
+def load(path: str) -> dict:
+    """Accept bench.py's bare JSON line, a log ending with it, or the
+    driver's BENCH_r{N}.json wrapper ({"rc", ..., "parsed": {...}})."""
+    with open(path) as f:
+        txt = f.read()
+    try:
+        d = json.loads(txt)
+        if isinstance(d, dict):
+            if "queries" in d:
+                return d
+            if isinstance(d.get("parsed"), dict):
+                return d["parsed"]
+            if isinstance(d.get("tail"), str):
+                # driver wrapper with parsed=null: the tail is a (possibly
+                # front-truncated) fragment of the JSON line — recover the
+                # per-query pairs it still contains
+                import re
+
+                pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', d["tail"])
+                qs = {
+                    k: float(v)
+                    for k, v in pairs
+                    if k not in ("value", "sf", "n_failed")
+                }
+                return {"queries": qs, "errors": {}, "partial_tail": True}
+    except json.JSONDecodeError:
+        pass
+    for line in reversed(txt.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise ValueError(f"no bench JSON found in {path}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("new")
+    ap.add_argument("old")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    args = ap.parse_args()
+
+    new, old = load(args.new), load(args.old)
+    new_q, old_q = new.get("queries", {}), old.get("queries", {})
+
+    try:
+        from daxos_spark.plans.registry import RENAMES
+    except Exception:  # pragma: no cover — tool must work standalone
+        RENAMES = {}
+    back = {v: k for k, v in RENAMES.items()}
+
+    failures: list[str] = []
+    checked = 0
+    for name, t_new in sorted(new_q.items()):
+        t_old = old_q.get(name, old_q.get(back.get(name, name)))
+        if t_old is None:
+            print(f"  new query (no baseline): {name} {t_new:.2f}s")
+            continue
+        checked += 1
+        if t_new <= NOISE_FLOOR_SEC and t_old <= NOISE_FLOOR_SEC:
+            continue
+        ratio = t_new / t_old if t_old > 0 else float("inf")
+        if ratio > args.threshold:
+            failures.append(f"{name}: {t_old:.2f}s -> {t_new:.2f}s ({ratio:.2f}x)")
+
+    new_errs = set(new.get("errors", {}))
+    old_errs = set(old.get("errors", {}))
+    for q in sorted(new_errs - old_errs):
+        failures.append(f"{q}: NEW ERROR {new.get('errors', {})[q][:120]}")
+
+    dropped = [
+        n for n in old_q if n not in new_q and RENAMES.get(n, n) not in new_q
+    ]
+    if dropped:
+        print(f"  note: {len(dropped)} queries in old run absent from new: {dropped}")
+
+    print(
+        f"compared {checked} shared queries "
+        f"(threshold {args.threshold}x, noise floor {NOISE_FLOOR_SEC}s): "
+        f"{len(failures)} regression(s)"
+    )
+    for f_ in failures:
+        print(f"  REGRESSION {f_}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
