@@ -357,22 +357,52 @@ def tree_shap_values(
 
 # ---------------------------------------------------------------------------
 # SHAP interaction values (reference daxos/explain.py:95-99:
-# ``pred_interactions=True`` → n×(p+1)² tensor). Lundberg '18 §4 /
-# xgboost semantics: for each feature j, run conditional TreeSHAP with
-# j present (+1) and absent (−1); the off-diagonal interaction is half
-# the difference, the diagonal is the main effect that remains after
-# subtracting all interactions, and the [p][p] cell is the base value —
-# so every row i sums to shap_i and the whole matrix sums to margin(x).
+# ``pred_interactions=True`` → n×(p+1)² tensor). Lundberg '18 §4
+# semantics, brute-force-verified (tests/test_contrib.py): for each
+# feature j, run conditional TreeSHAP with j present (+1) and absent
+# (−1); the off-diagonal interaction is half the difference, the
+# diagonal is the main effect that remains after subtracting all
+# interactions, and the [p][p] cell is the base value — so every row i
+# sums to shap_i and the whole matrix sums to margin(x). NOTE vs
+# xgboost's pred_interactions tensor: the row-sum and matrix-sum
+# identities match, but any bias-interaction mass xgboost would place
+# in the last row/column is folded into the diagonal main effects here
+# (row/column p are zero except [p][p]); diagonals therefore follow the
+# Lundberg/Fujimoto interaction index exactly rather than xgboost's
+# bias-row bookkeeping.
 
 
-def _interactions_one(x: np.ndarray, flat, weights, p: int) -> np.ndarray:
-    """(p+1)×(p+1) SHAP interaction matrix for one instance."""
+def _tree_base(flat, weights) -> float:
+    """Cover-weighted expected margin of the ensemble (E[f])."""
+    return float(
+        sum(
+            w * float(np.sum(np.where(t.feat < 0, t.pred * cov, 0.0)) / cov[0])
+            for (t, cov), w in zip(flat, weights)
+        )
+    )
+
+
+def _used_features(flat) -> list[int]:
+    """Features actually split on anywhere in the ensemble —
+    instance-independent, so hoisted out of the per-row loop."""
+    return sorted({int(f) for t, _ in flat for f in t.feat[t.feat >= 0]})
+
+
+def _interactions_one(
+    x: np.ndarray, flat, weights, p: int, used=None, base=None
+) -> np.ndarray:
+    """(p+1)×(p+1) SHAP interaction matrix for one instance.
+
+    ``used``/``base`` are instance-independent; callers iterating many
+    rows should precompute them once (``_used_features``/``_tree_base``).
+    """
+    if used is None:
+        used = _used_features(flat)
+    if base is None:
+        base = _tree_base(flat, weights)
     phi = np.zeros(p)
     for (t, cov), w in zip(flat, weights):
         _shap_one_tree(x, t, cov, phi, w)
-    used = sorted(
-        {int(f) for t, _ in flat for f in t.feat[t.feat >= 0]}
-    )
     out = np.zeros((p + 1, p + 1))
     for j in used:
         on = np.zeros(p)
@@ -386,12 +416,6 @@ def _interactions_one(x: np.ndarray, flat, weights, p: int) -> np.ndarray:
     # main effects: row-sum identity rows sum to the SHAP values
     for i in range(p):
         out[i, i] = phi[i] - out[i, :p].sum()
-    base = float(
-        sum(
-            w * float(np.sum(np.where(t.feat < 0, t.pred * cov, 0.0)) / cov[0])
-            for (t, cov), w in zip(flat, weights)
-        )
-    )
     out[p, p] = base
     return out
 
@@ -428,10 +452,15 @@ def tree_shap_interactions(
 
     def compute(batches):
         flat_b, weights_b = b.value
+        used = _used_features(flat_b)
+        base = _tree_base(flat_b, weights_b)
         for pdf in batches:
             X = np.asarray(pdf[features_col].tolist(), dtype=np.float64)
             p = X.shape[1]
-            mats = [_interactions_one(X[r], flat_b, weights_b, p) for r in range(len(X))]
+            mats = [
+                _interactions_one(X[r], flat_b, weights_b, p, used, base)
+                for r in range(len(X))
+            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),

@@ -12,8 +12,12 @@ Param mapping (reference xgboost → MLlib GBT):
     eta → stepSize, max_depth → maxDepth, subsample → subsamplingRate,
     colsample_bytree → featureSubsetStrategy, n_boost_round → maxIter.
 ``xgb_model`` warm-start (T7) has no MLlib equivalent — documented gap
-(SURVEY §7.2); with xgboost.spark installed the same interface passes it
-through.
+(SURVEY §7.2). With xgboost installed, continuation runs through the
+native ``xgboost.train(..., xgb_model=...)`` path (``_xgb_continue``) —
+NOT through xgboost.spark's estimators, which accept no continuation
+parameter (an ``xgb_model`` kwarg there would silently fall into
+``arbitrary_params_dict`` and corrupt booster params instead of
+continuing the ensemble).
 """
 
 from __future__ import annotations
@@ -82,15 +86,16 @@ def _estimator(params: GBTParams):
     return GBTRegressor(**common)
 
 
-def _xgb_estimator(params: GBTParams, init_model=None):
-    """xgboost.spark twin of `_estimator` — the T7 warm-start path
-    (reference daxos/crossvalidate.py:203-240 ``xgb_model``
-    continuation). Only reachable when xgboost is installed; maps the
-    same GBTParams vocabulary onto SparkXGBClassifier/Regressor and
-    passes ``init_model`` (a Booster or prior SparkXGB model's booster)
-    through as ``xgb_model`` so new rounds fit the residuals of the
-    existing ensemble — true boosting continuation, not
-    ensemble-of-rounds averaging."""
+def _xgb_estimator(params: GBTParams):
+    """xgboost.spark twin of `_estimator` — distributed from-scratch
+    training on the optional backend. NOTE: deliberately does NOT accept
+    an ``init_model``: SparkXGBClassifier/Regressor has no ``xgb_model``
+    parameter, and an unknown kwarg silently lands in
+    ``arbitrary_params_dict`` where it is merged into the booster params
+    passed to ``xgboost.train(params=...)`` — continuation would
+    silently not happen. Warm-start goes through ``_xgb_continue``
+    instead, which calls native ``xgboost.train(..., xgb_model=...)``
+    explicitly."""
     common = dict(
         features_col="__fvec",
         label_col="__label",
@@ -102,11 +107,115 @@ def _xgb_estimator(params: GBTParams, init_model=None):
         seed=params.seed,
         **params.extra,
     )
-    if init_model is not None:
-        common["xgb_model"] = init_model
     if params.is_classification:
         return SparkXGBClassifier(**common)
     return SparkXGBRegressor(**common)
+
+
+class XGBBoosterModel:
+    """Driver-held native xgboost Booster with Spark-distributed scoring.
+
+    Returned by the explicit continuation path (T7, reference
+    daxos/crossvalidate.py:203-240): wraps the Booster produced by
+    ``xgboost.train(..., xgb_model=prior)`` and scores DataFrames via an
+    Arrow-batched ``mapInPandas`` with the serialized booster broadcast
+    to executors — prediction stays distributed even though the
+    continuation fit itself runs on driver-collected data.
+    """
+
+    def __init__(self, booster, objective: str):
+        self.booster = booster
+        self.objective = objective
+
+    def get_booster(self):
+        return self.booster
+
+    def predict_df(
+        self, df: DataFrame, features_col: str, pred_col: str
+    ) -> DataFrame:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        raw = bytes(self.booster.save_raw(raw_format="json"))
+        b = df.sparkSession.sparkContext.broadcast(raw)
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField(pred_col, DoubleType())]
+        )
+
+        def score(batches):
+            import numpy as np
+            import xgboost as xgb
+
+            bst = xgb.Booster()
+            bst.load_model(bytearray(b.value))
+            for pdf in batches:
+                X = np.asarray(pdf[features_col].tolist(), dtype=np.float32)
+                # binary:logistic boosters emit P(class=1) directly
+                pdf[pred_col] = bst.inplace_predict(X).astype("float64")
+                yield pdf
+
+        return df.mapInPandas(score, out_schema)
+
+
+# Loud guard for the driver-collected continuation fit: the reference's
+# incremental refit (crossvalidate.py:203-240) runs on a read-time
+# subsample, so the continuation batch is a small fraction of the fact
+# table — but never let an accidental full-table collect OOM the driver.
+MAX_CONTINUE_ROWS = 2_000_000
+
+
+def _xgb_continue(
+    df: DataFrame,
+    params: GBTParams,
+    init_model,
+    features_col: str,
+    label_col: str,
+) -> "XGBBoosterModel":
+    """True boosting continuation: native ``xgboost.train`` with
+    ``xgb_model`` set to the prior booster, on Arrow-collected data.
+
+    xgboost.spark exposes no continuation parameter (see
+    ``_xgb_estimator``), so the only correct route is the native
+    trainer's documented ``xgb_model`` argument. The batch is collected
+    to the driver (bounded by MAX_CONTINUE_ROWS — raises loudly rather
+    than spilling); scoring of the returned model is still distributed
+    (``XGBBoosterModel.predict_df``).
+    """
+    import numpy as np
+    import xgboost as xgb
+
+    if hasattr(init_model, "get_booster"):
+        init_model = init_model.get_booster()
+
+    pdf = (
+        df.select(features_col, label_col)
+        .limit(MAX_CONTINUE_ROWS + 1)
+        .toPandas()
+    )
+    if len(pdf) > MAX_CONTINUE_ROWS:
+        raise ValueError(
+            f"warm-start continuation batch exceeds {MAX_CONTINUE_ROWS} rows; "
+            "subsample the round's training chunk (the reference's incremental "
+            "refit trains each round on a read-time subsample, "
+            "crossvalidate.py:203-240) or raise MAX_CONTINUE_ROWS explicitly"
+        )
+    X = np.asarray(pdf[features_col].tolist(), dtype=np.float32)
+    y = pdf[label_col].to_numpy(dtype="float64")
+    native = {
+        "eta": params.eta,
+        "max_depth": params.max_depth,
+        "subsample": params.subsample,
+        "colsample_bytree": params.colsample_bytree,
+        "objective": params.objective,
+        "seed": params.seed,
+        **params.extra,
+    }
+    bst = xgb.train(
+        native,
+        xgb.DMatrix(X, label=y),
+        num_boost_round=params.n_boost_round,
+        xgb_model=init_model,
+    )
+    return XGBBoosterModel(bst, params.objective)
 
 
 def fit_gbt(
@@ -133,7 +242,12 @@ def fit_gbt(
             raise ImportError(
                 "backend='xgboost' requested but xgboost.spark is not installed"
             )
-        return _xgb_estimator(params, init_model).fit(_prep(df, features_col, label_col))
+        if init_model is not None:
+            # continuation MUST NOT go through the SparkXGB estimator —
+            # it has no xgb_model param and would silently retrain from
+            # scratch (see _xgb_estimator docstring).
+            return _xgb_continue(df, params, init_model, features_col, label_col)
+        return _xgb_estimator(params).fit(_prep(df, features_col, label_col))
     if init_model is not None:
         raise NotImplementedError(
             "warm-start continuation requires the xgboost backend "
@@ -154,8 +268,12 @@ def predict_gbt(
     Output keeps all input columns + ``pred_col`` (the reference's
     predictions-keyed-by-IID sink shape, scripts/predict.py:161-170).
     """
+    if isinstance(model, XGBBoosterModel):
+        return model.predict_df(df, features_col, pred_col)
     scored = model.transform(_prep(df, features_col, label_col))
-    if isinstance(model, GBTClassificationModel):
+    # classification → P(class=1): MLlib and SparkXGB classifiers both
+    # expose a probability vector; regression models expose prediction.
+    if isinstance(model, GBTClassificationModel) or "probability" in scored.columns:
         pred = vector_to_array(F.col("probability")).getItem(1)
     else:
         pred = F.col("prediction")
