@@ -715,3 +715,231 @@ def ml_gwas_allelic_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ctrl_alt",
         trunc6(F.col("odds_ratio")).alias("odds_ratio"),
     ).orderBy("pos")
+
+
+# --------------------------------------------------------------------------
+# Deterministic-core companions for the rows-only ML pipelines (VERDICT r2
+# task 5): the GBT-dependent queries (ml_cv_fold_scores, ml_boruta_selection,
+# ml_platt_calibration, ...) can never have a SQL oracle because the trained
+# model is not SQL-reproducible — but each pipeline's RELATIONAL core (the
+# chunk-aligned fold plan feeding CV, the shadow-feature transform feeding
+# Boruta, the Newton logistic fit behind Platt scaling) IS deterministic.
+# These a2_* companions hash-verify exactly those cores against duckdb so
+# the §2 operators behind the rows-only queries get an external green row.
+
+
+@_qo(
+    "ml_cv_fold_plan",
+    """
+    WITH f AS (
+      SELECT (vec_id // 100) % 3 AS fold, CAST(label >= 5 AS INT) AS pos
+      FROM embeddings WHERE vec_id < 2000
+    ), tot AS (SELECT COUNT(*) AS n_oof FROM f)
+    SELECT fold,
+           CAST(MAX(n_oof) - COUNT(*) AS BIGINT) AS n_train,
+           COUNT(*) AS n_test,
+           CAST(SUM(pos) AS BIGINT) AS n_pos_test,
+           CAST(MAX(n_oof) AS BIGINT) AS n_oof
+    FROM f CROSS JOIN tot GROUP BY fold ORDER BY fold
+    """,
+    doc="chunk-aligned CV fold plan (X1/A11): per-fold train/test sizes + "
+    "label balance + OOF coverage on the exact ml_cv_fold_scores fixture — "
+    "the deterministic core of T9 single-round CV (reference "
+    "crossvalidate.py:364-395), hash-checked where the GBT scores cannot be",
+)
+def ml_cv_fold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splits import with_fold_column
+
+    df = (
+        _binary_embeddings(spark, sf_dir, cap=2000)
+        .withColumn("row_idx", F.col("vec_id"))
+        .select("row_idx", "label")
+    )
+    f = with_fold_column(df, n_folds=3, row_chunks=100)
+    g = f.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.col("label").cast("int")).alias("n_pos_test"),
+    )
+    tot = f.agg(F.count(F.lit(1)).alias("n_oof"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            (F.col("n_oof") - F.col("n_test")).alias("n_train"),
+            "n_test",
+            "n_pos_test",
+            "n_oof",
+        )
+        .orderBy("fold")
+    )
+
+
+@_qo(
+    "ml_shadow_invariants",
+    f"""
+    WITH r AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE vec_id < 2000
+    )
+    SELECT pos, COUNT(*) AS n,
+           {sql_dsum('x')} AS s_real, {sql_dsum('x')} AS s_shadow,
+           {sql_dsum('x*x')} AS ss_real, {sql_dsum('x*x')} AS ss_shadow
+    FROM r GROUP BY pos ORDER BY pos
+    """,
+    doc="Boruta shadow-feature invariants (T12 core, reference "
+    "boruta.py:181-202 create_shadow): per-column first/second decimal "
+    "moments of the shadow block must equal the real block's exactly — a "
+    "permutation preserves the column multiset, so the hash check proves "
+    "the mapInPandas shadow transform permutes (never fabricates) values; "
+    "the oracle computes the real-column moments once and expects them twice",
+)
+def ml_shadow_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.boruta import add_shadow_features
+
+    df = _binary_embeddings(spark, sf_dir, cap=2000).select(
+        "vec_id", "features", "label"
+    )
+    u = add_shadow_features(df).select(
+        F.posexplode(to_double(F.col("features"))).alias("pos", "x")
+    )
+
+    def _ds(col):
+        return F.sum(col.cast("decimal(25,6)")).cast("double")
+
+    real = F.col("pos") < 64
+    x = F.col("x")
+    return (
+        u.groupBy(F.pmod(F.col("pos"), F.lit(64)).alias("pos"))
+        .agg(
+            F.sum(F.when(real, 1).otherwise(0)).alias("n"),
+            _ds(F.when(real, x)).alias("s_real"),
+            _ds(F.when(~real, x)).alias("s_shadow"),
+            _ds(F.when(real, x * x)).alias("ss_real"),
+            _ds(F.when(~real, x * x)).alias("ss_shadow"),
+        )
+        .orderBy("pos")
+    )
+
+
+def _platt_identity_oracle(iters: int = 8) -> str:
+    """Unrolled-Newton duckdb twin of ml_platt_identity (below): one CTE
+    per Newton step, each re-aggregating the 14-group table against the
+    previous step's (a, b) scalars. Fixed iteration count on BOTH engines
+    makes the fit a pure function of the data; quadratic convergence puts
+    the iterates at machine precision long before step 8, so trunc6 of
+    the result is stable across engines despite order-dependent double
+    summation."""
+    ctes = [
+        """g AS (
+      SELECT (CAST(label >= 5 AS INT) * 3 + vec_id % 7) / 10.0 AS x,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(label >= 5 AS INT)) AS DOUBLE) AS k
+      FROM embeddings WHERE vec_id < 2000 GROUP BY 1
+    )""",
+        "tot AS (SELECT SUM(n) AS nn, SUM(k) AS kk FROM g)",
+        "it0 AS (SELECT 0.0 AS a, LN(kk / (nn - kk)) AS b FROM tot)",
+    ]
+    step = """it{i} AS (
+      SELECT a - (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12) AS a,
+             b - (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12) AS b
+      FROM (
+        SELECT MAX(a) AS a, MAX(b) AS b,
+               SUM(n * p * x - k * x) AS g1, SUM(n * p - k) AS g2,
+               SUM(n * p * (1 - p) * x * x) AS h11,
+               SUM(n * p * (1 - p) * x) AS h12,
+               SUM(n * p * (1 - p)) AS h22
+        FROM (SELECT i.a, i.b, g.x, g.n, g.k,
+                     1 / (1 + EXP(-(i.a * g.x + i.b))) AS p
+              FROM g CROSS JOIN it{prev} i)
+      )
+    )"""
+    for i in range(1, iters + 1):
+        ctes.append(step.format(i=i, prev=i - 1))
+    t6 = "FLOOR(({}) * 1000000.0) / 1000000.0"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT {t6.format('MAX(a)')} AS platt_a,
+           {t6.format('MAX(b)')} AS platt_b,
+           (ABS(SUM(n * (1 / (1 + EXP(-(a * x + b))))) / MAX(nn)
+                - MAX(kk) / MAX(nn)) < 1e-9) AS calibrated_matches_base,
+           {t6.format('MAX(kk) / MAX(nn)')} AS base_rate,
+           CAST(MAX(nn) AS BIGINT) AS n_rows
+    FROM g CROSS JOIN it{iters} CROSS JOIN tot
+    """
+    )
+
+
+@_qo(
+    "ml_platt_identity",
+    _platt_identity_oracle(),
+    doc="Platt-scaling deterministic core (M6/M7, reference scale.py:8-30): "
+    "unpenalized 1-D logistic fit via 8 fixed Newton steps over a grouped "
+    "(score, count, positives) table — fully relational on Spark (crossJoin "
+    "agg per step, no collect), unrolled CTEs on duckdb. Hash-checks the "
+    "fit itself plus the calibration identity mean(calibrated) == base rate "
+    "that ml_platt_calibration can only assert rows-only. The identity is "
+    "emitted as a boolean gap check (not a truncated mean): at the MLE the "
+    "calibrated mean equals the base rate EXACTLY — an on-grid decimal "
+    "rational — so any fixed truncation of it straddles the floor boundary "
+    "under order-dependent summation noise",
+)
+def ml_platt_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    t = (F.col("label") >= 5).cast("int")
+    g = (
+        e.filter(F.col("vec_id") < 2000)
+        .select(((t * 3 + F.pmod(F.col("vec_id"), F.lit(7))) / 10.0).alias("x"), t.alias("t"))
+        .groupBy("x")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("t").cast("double").alias("k"),
+        )
+        .cache()
+    )
+    tot = g.agg(F.sum("n").alias("nn"), F.sum("k").alias("kk"))
+    ab = tot.select(
+        F.lit(0.0).alias("a"),
+        F.log(F.col("kk") / (F.col("nn") - F.col("kk"))).alias("b"),
+    )
+    n, k, x, a, b = (F.col(c) for c in ("n", "k", "x", "a", "b"))
+    for _ in range(8):
+        p = 1.0 / (1.0 + F.exp(-(a * x + b)))
+        w = n * p * (1.0 - p)
+        s = g.crossJoin(F.broadcast(ab)).agg(
+            F.max(a).alias("a"),
+            F.max(b).alias("b"),
+            F.sum(n * p * x - k * x).alias("g1"),
+            F.sum(n * p - k).alias("g2"),
+            F.sum(w * x * x).alias("h11"),
+            F.sum(w * x).alias("h12"),
+            F.sum(w).alias("h22"),
+        )
+        det = F.col("h11") * F.col("h22") - F.col("h12") * F.col("h12")
+        ab = s.select(
+            (a - (F.col("h22") * F.col("g1") - F.col("h12") * F.col("g2")) / det).alias("a"),
+            (b - (F.col("h11") * F.col("g2") - F.col("h12") * F.col("g1")) / det).alias("b"),
+        )
+    p_final = 1.0 / (1.0 + F.exp(-(a * x + b)))
+    return (
+        g.crossJoin(F.broadcast(ab))
+        .agg(
+            trunc6(F.max(a)).alias("platt_a"),
+            trunc6(F.max(b)).alias("platt_b"),
+            (F.sum(n * p_final)).alias("__scal"),
+            F.sum(n).alias("__nn"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "platt_a",
+            "platt_b",
+            (
+                F.abs(F.col("__scal") / F.col("__nn") - F.col("kk") / F.col("nn"))
+                < 1e-9
+            ).alias("calibrated_matches_base"),
+            trunc6(F.col("kk") / F.col("nn")).alias("base_rate"),
+            F.col("nn").cast("long").alias("n_rows"),
+        )
+    )

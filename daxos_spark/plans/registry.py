@@ -116,6 +116,11 @@ RENAMES: dict[str, str] = {
     "ml_refit_pruned": "a2_refit_pruned",
     "ml_cv_fold_scores": "a2_cv_fold_scores",
     "ml_gbt_train_eval": "a2_gbt_train_eval",
+    # deterministic-core companions for the rows-only ML pipelines
+    # (hash-checkable faces of T9-CV, T12-Boruta, M6-Platt — see mlpipe.py)
+    "ml_cv_fold_plan": "a2_cv_fold_plan",
+    "ml_shadow_invariants": "a2_shadow_invariants",
+    "ml_platt_identity": "a2_platt_identity",
 }
 
 
