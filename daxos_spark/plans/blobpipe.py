@@ -156,3 +156,65 @@ def m_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# magic-byte MIME sniffing — the first pass any multimodal ingest runs
+# over opaque binary columns: classify each asset by its leading bytes
+# before routing to a decoder. Headers here are planted deterministically
+# (doc_id % 4 picks PNG/JPEG/GIF/PDF) so the duckdb twin reproduces the
+# corpus; the sniff itself reads only the first 4 bytes of the blob —
+# at 100 TB this runs as a map-side projection over the binary column
+# with no shuffle until the tiny per-MIME rollup.
+_MAGIC = [
+    ("89504E47", "image/png"),
+    ("FFD8FFE0", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("25504446", "application/pdf"),
+]
+
+
+@_q(
+    "m_magic_sniff",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             unhex(CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN '{_MAGIC[0][0]}' WHEN 1 THEN '{_MAGIC[1][0]}'
+                     WHEN 2 THEN '{_MAGIC[2][0]}' ELSE '{_MAGIC[3][0]}' END)
+               || encode(text) AS blob
+      FROM documents
+    )
+    SELECT CASE UPPER(substr(hex(blob), 1, 8))
+             WHEN '{_MAGIC[0][0]}' THEN '{_MAGIC[0][1]}'
+             WHEN '{_MAGIC[1][0]}' THEN '{_MAGIC[1][1]}'
+             WHEN '{_MAGIC[2][0]}' THEN '{_MAGIC[2][1]}'
+             WHEN '{_MAGIC[3][0]}' THEN '{_MAGIC[3][1]}'
+             ELSE 'application/octet-stream' END AS mime,
+           COUNT(*) AS n_assets,
+           CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+    doc="magic-byte MIME sniff over binary asset columns (map-side, 4-byte read)",
+)
+def m_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    hdr = F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit(_MAGIC[0][0]))
+    for i in (1, 2):
+        hdr = hdr.when(F.pmod("doc_id", F.lit(4)) == i, F.lit(_MAGIC[i][0]))
+    hdr = hdr.otherwise(F.lit(_MAGIC[3][0]))
+    blob = F.concat(F.unhex(hdr), F.encode(F.col("text"), "UTF-8"))
+    head = F.upper(F.substring(F.hex(blob), 1, 8))
+    mime = F.when(head == _MAGIC[0][0], F.lit(_MAGIC[0][1]))
+    for i in (1, 2, 3):
+        mime = mime.when(head == _MAGIC[i][0], F.lit(_MAGIC[i][1]))
+    mime = mime.otherwise(F.lit("application/octet-stream"))
+    return (
+        d.select(mime.alias("mime"), F.octet_length(blob).alias("nb"))
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("nb").alias("total_bytes"),
+        )
+        .orderBy("mime")
+    )

@@ -336,3 +336,118 @@ def d_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("admit").alias("n_admitted"))
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# hashed linear text-classifier inference — the fasttext-shaped "score
+# every document with a linear model" pass a training-data pipeline runs
+# for quality/toxicity filtering. Weights live in a hashed feature space
+# (bucket = md5(token) % D) so inference is a pure map-side fold over
+# the token array: no join, no shuffle until the final ORDER BY — the
+# exact layout that scores 100 TB with zero data movement. The weight
+# table here is a deterministic function of the bucket id (so the duckdb
+# twin can reproduce it without a side table); a real deployment
+# broadcasts the trained weight vector instead — same plan shape.
+# Integer weights keep the score exact cross-engine.
+@_q(
+    "d_text_classifier",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks,
+               tk -> ({md5_long_sql('tk')} % 4096) % 997 - 498)) AS BIGINT)
+               AS score_raw
+      FROM t
+    )
+    SELECT doc_id, n_tokens, score_raw, score_raw > 0 AS keep
+    FROM s ORDER BY doc_id
+    """,
+    doc="hashed-bucket linear classifier inference (map-side fold, no shuffle)",
+)
+def d_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+    from ..functions.hashing import md5_long
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    toks = T.tokens(F.col("text"))
+    weights = F.transform(
+        toks,
+        lambda tk: F.pmod(F.pmod(md5_long(tk), F.lit(4096)), F.lit(997)) - 498,
+    )
+    score = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            score.alias("score_raw"),
+        )
+        .withColumn("keep", F.col("score_raw") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# unigram-LM perplexity filter (CCNet-style): score every document by
+# its average negative log-probability under the corpus's own unigram
+# distribution, then flag the high-perplexity tail. Two passes: corpus
+# token counts (one shuffle, cardinality = vocabulary), then an
+# instance⋈count equi-join on the token key + per-doc aggregation. At
+# 100 TB the vocabulary is capped to the top-V tokens with an OOV
+# fallback probability and the count table broadcasts; the uncapped
+# equi-join here is the same plan with the cap removed. Per-token
+# ln(count) terms go through the DECIMAL(25,6) sum so the per-doc sum
+# is order-independent cross-engine.
+@_q(
+    "d_unigram_ppl",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tk FROM documents
+    ), cnt AS (
+      SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS nn FROM cnt
+    ), per AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(CAST(LN(CAST(cnt AS DOUBLE)) AS DECIMAL(25,6))) AS DOUBLE) AS s
+      FROM tok JOIN cnt USING (tk) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           FLOOR((LN(nn) - s / n_tokens) * 1000000.0) / 1000000.0 AS avg_nll,
+           (LN(nn) - s / n_tokens) > 6.5 AS high_ppl
+    FROM per CROSS JOIN tot ORDER BY doc_id
+    """,
+    doc="unigram-LM perplexity filter (corpus counts + equi-join scoring)",
+)
+def d_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tk"))
+    cnt = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").cast("double").alias("nn"))
+    per = (
+        tok.join(cnt, "tk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.col("cnt").cast("double")).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("s"),
+        )
+    )
+    avg_nll = F.log(F.col("nn")) - F.col("s") / F.col("n_tokens")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            trunc6(avg_nll).alias("avg_nll"),
+            (avg_nll > 6.5).alias("high_ppl"),
+        )
+        .orderBy("doc_id")
+    )
