@@ -116,8 +116,8 @@ def main() -> None:
     # can be timed on its own. maxMemoryInMB is raised from MLlib's
     # 256 MB default: at p=215k a single node's bin-stats block is
     # ~165 MB, so the default trains ONE node per pass over the data —
-    # a 4 GB group buffer packs ~24 nodes per pass instead (the same
-    # stats-block-vs-pass-count sizing rule a real cluster applies).
+    # a 1 GB group buffer packs ~6 nodes per pass; see the per-task
+    # budget note at the fit call before raising it further.
     if stages == "all":
         _run_train(spark, out, n, p, t)
     else:
@@ -143,7 +143,10 @@ def _run_train(spark, out: str, n: int, p: int, t: dict) -> None:
             max_depth=4,
             n_boost_round=10,
             seed=42,
-            extra={"maxMemoryInMB": 4096} if p >= 50_000 else {},
+            # the node-group stats buffer is allocated PER TASK during
+            # treeAggregate: budget ~heap/(3 x cores), not one giant
+            # group — 4 GB x 16 concurrent tasks OOMed a 48 GB heap.
+            extra={"maxMemoryInMB": 1024} if p >= 50_000 else {},
         ),
         features_col="features_adj",
     )
