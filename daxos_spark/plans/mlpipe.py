@@ -872,38 +872,6 @@ def _platt_identity_oracle(iters: int = 8) -> str:
     )
 
 
-def newton_logistic_grouped(g: DataFrame, iters: int = 8) -> DataFrame:
-    """Unpenalized 1-D logistic MLE over a grouped (x, n, k) table via
-    ``iters`` fixed Newton steps — one crossJoin+agg round per step,
-    nothing collected. Start: a=0, b=logit(base rate). Quadratic
-    convergence puts the iterate at machine precision well before 8
-    steps for any non-separable grouped table."""
-    tot = g.agg(F.sum("n").alias("nn"), F.sum("k").alias("kk"))
-    ab = tot.select(
-        F.lit(0.0).alias("a"),
-        F.log(F.col("kk") / (F.col("nn") - F.col("kk"))).alias("b"),
-    )
-    n, k, x, a, b = (F.col(c) for c in ("n", "k", "x", "a", "b"))
-    for _ in range(iters):
-        p = 1.0 / (1.0 + F.exp(-(a * x + b)))
-        w = n * p * (1.0 - p)
-        s = g.crossJoin(F.broadcast(ab)).agg(
-            F.max(a).alias("a"),
-            F.max(b).alias("b"),
-            F.sum(n * p * x - k * x).alias("g1"),
-            F.sum(n * p - k).alias("g2"),
-            F.sum(w * x * x).alias("h11"),
-            F.sum(w * x).alias("h12"),
-            F.sum(w).alias("h22"),
-        )
-        det = F.col("h11") * F.col("h22") - F.col("h12") * F.col("h12")
-        ab = s.select(
-            (a - (F.col("h22") * F.col("g1") - F.col("h12") * F.col("g2")) / det).alias("a"),
-            (b - (F.col("h11") * F.col("g2") - F.col("h12") * F.col("g1")) / det).alias("b"),
-        )
-    return ab
-
-
 @_qo(
     "ml_platt_identity",
     _platt_identity_oracle(),
@@ -919,6 +887,8 @@ def newton_logistic_grouped(g: DataFrame, iters: int = 8) -> DataFrame:
     "under order-dependent summation noise",
 )
 def ml_platt_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.scale import newton_logistic_grouped
+
     e = load_tables(spark, sf_dir)["embeddings"]
     t = (F.col("label") >= 5).cast("int")
     g = (
