@@ -313,10 +313,25 @@ def tree_shap_values(
     is O(trees · leaves · depth²) in pure numpy/python, so prefer
     tree_contributions (Saabas) when approximate attributions suffice.
     """
-    import pandas as pd
-
     flat = [_flatten_tree_with_cover(t._call_java("rootNode")) for t in model.trees]
     weights = [float(w) for w in model.treeWeights]
+    return tree_shap_values_from_flat(df, flat, weights, id_col, features_col)
+
+
+def tree_shap_values_from_flat(
+    df: DataFrame,
+    flat: list,
+    weights: list[float],
+    id_col: str = "row_idx",
+    features_col: str = "features",
+) -> DataFrame:
+    """`tree_shap_values` over prebuilt (FlatTree, cover) pairs — the
+    seam that lets an explicitly-specified tree (no MLlib training) run
+    through the exact same distributed TreeSHAP path; `a2_treeshap_fixed`
+    uses it to hash-verify the algorithm against a closed-form SQL
+    oracle."""
+    import pandas as pd
+
     sc = df.sparkSession.sparkContext
     b = sc.broadcast((flat, weights))
 

@@ -925,3 +925,105 @@ def ml_platt_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nn").cast("long").alias("n_rows"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# exact TreeSHAP on an explicitly-specified tree — the hash-checkable
+# face of T5. The trained-model SHAP queries can never have a SQL oracle
+# (the model is not SQL-reproducible), but the ALGORITHM can be verified
+# externally: on a fixed depth-2 tree over 2 features, exact Shapley
+# values of the cover-conditional-expectation game have a closed form
+# (4 subsets), and duckdb can evaluate it as literal CASE arithmetic.
+# The Spark side runs the REAL distributed TreeSHAP operator
+# (ml/contrib.py: broadcast trees + Arrow-batched mapInPandas recursion)
+# over the same fixed tree — a hash match proves the recursion computes
+# the Shapley definition, not just its internal identities. Leaf values
+# are 1/3, 5/7, -1/3, 3/7: binary-irrational, so no output sits on the
+# 1e-6 floor-truncation grid where cross-engine float noise could flip
+# the last digit.
+
+# fixed tree: node0 splits x0<=1 -> node1 (x1<=0.5 -> 1/3 | 5/7, covers
+# 10/30) | node4 (x1<=0.75 -> -1/3 | 3/7, covers 20/40); covers 40/60.
+_FT_P = (1.0 / 3.0, 5.0 / 7.0, -1.0 / 3.0, 3.0 / 7.0)
+_FT_COV = (100.0, 40.0, 10.0, 30.0, 60.0, 20.0, 40.0)
+
+_TS_X = "CAST(vec_id % 3 AS DOUBLE)"
+_TS_Y = "CAST((vec_id * 7 + 1) % 4 AS DOUBLE) / 2.0"
+# SQL-side leaf constants as explicit double divisions (a repr'd float
+# literal parses as DECIMAL in duckdb and overflows on multiply); the
+# division produces the identical IEEE double in both engines.
+_FT_P_SQL = ("(1.0/3.0)", "(5.0/7.0)", "(-1.0/3.0)", "(3.0/7.0)")
+_TS_EL = f"CASE WHEN y <= 0.5 THEN {_FT_P_SQL[0]} ELSE {_FT_P_SQL[1]} END"
+_TS_ER = f"CASE WHEN y <= 0.75 THEN {_FT_P_SQL[2]} ELSE {_FT_P_SQL[3]} END"
+_TS_BASE = (
+    f"(10.0 * {_FT_P_SQL[0]} + 30.0 * {_FT_P_SQL[1]}"
+    f" + 20.0 * {_FT_P_SQL[2]} + 40.0 * {_FT_P_SQL[3]}) / 100.0"
+)
+
+
+@_qo(
+    "ml_treeshap_fixed",
+    f"""
+    WITH pts AS (
+      SELECT vec_id, {_TS_X} AS x, {_TS_Y} AS y
+      FROM embeddings WHERE vec_id < 500
+    ), v AS (
+      SELECT vec_id,
+             CASE WHEN x <= 1.0 THEN {_TS_EL} ELSE {_TS_ER} END AS fx,
+             CASE WHEN x <= 1.0
+                  THEN (10.0 * {_FT_P_SQL[0]} + 30.0 * {_FT_P_SQL[1]}) / 40.0
+                  ELSE (20.0 * {_FT_P_SQL[2]} + 40.0 * {_FT_P_SQL[3]}) / 60.0 END AS v0,
+             (40.0 * ({_TS_EL}) + 60.0 * ({_TS_ER})) / 100.0 AS v1,
+             {_TS_BASE} AS base
+      FROM pts
+    )
+    SELECT vec_id,
+           FLOOR(base * 1000000.0) / 1000000.0 AS base,
+           FLOOR(fx * 1000000.0) / 1000000.0 AS margin,
+           FLOOR((((fx - v1) + (v0 - base)) / 2.0) * 1000000.0) / 1000000.0 AS shap_x0,
+           FLOOR((((fx - v0) + (v1 - base)) / 2.0) * 1000000.0) / 1000000.0 AS shap_x1
+    FROM v ORDER BY vec_id
+    """,
+    doc="exact TreeSHAP (T5) on a fixed explicit tree vs closed-form Shapley "
+    "oracle: the distributed mapInPandas recursion must reproduce the "
+    "2-feature Shapley values duckdb computes from the subset definition",
+)
+def ml_treeshap_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..ml.contrib import FlatTree, tree_shap_values_from_flat
+
+    tree = FlatTree(
+        feat=np.array([0, 1, -1, -1, 1, -1, -1], dtype=np.int32),
+        thr=np.array([1.0, 0.5, 0.0, 0.0, 0.75, 0.0, 0.0]),
+        left=np.array([1, 2, -1, -1, 5, -1, -1], dtype=np.int32),
+        right=np.array([4, 3, -1, -1, 6, -1, -1], dtype=np.int32),
+        pred=np.array(
+            [
+                0.0,  # internal preds unused by TreeSHAP
+                0.0,
+                _FT_P[0],
+                _FT_P[1],
+                0.0,
+                _FT_P[2],
+                _FT_P[3],
+            ]
+        ),
+    )
+    cov = np.array(_FT_COV)
+    e = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 500)
+    pts = e.select(
+        F.col("vec_id").alias("row_idx"),
+        F.array(
+            F.pmod(F.col("vec_id"), F.lit(3)).cast("double"),
+            (F.pmod(F.col("vec_id") * 7 + 1, F.lit(4)).cast("double") / 2.0),
+        ).alias("features"),
+    )
+    out = tree_shap_values_from_flat(pts, [(tree, cov)], [1.0])
+    return out.select(
+        F.col("row_idx").alias("vec_id"),
+        trunc6(F.col("base")).alias("base"),
+        trunc6(F.col("margin")).alias("margin"),
+        trunc6(F.col("shap").getItem(0)).alias("shap_x0"),
+        trunc6(F.col("shap").getItem(1)).alias("shap_x1"),
+    ).orderBy("vec_id")

@@ -121,6 +121,7 @@ RENAMES: dict[str, str] = {
     "ml_cv_fold_plan": "a2_cv_fold_plan",
     "ml_shadow_invariants": "a2_shadow_invariants",
     "ml_platt_identity": "a2_platt_identity",
+    "ml_treeshap_fixed": "a2_treeshap_fixed",
 }
 
 
