@@ -136,9 +136,23 @@ def tree_contributions(
     margin == bias + sum(contribs) == the model's raw GBT margin
     (probability = sigmoid(2·margin) for GBTClassifier).
     """
+    trees, weights = extract_trees(model)
+    return tree_contributions_from_flat(df, trees, weights, id_col, features_col)
+
+
+def tree_contributions_from_flat(
+    df: DataFrame,
+    trees: list,
+    weights: list[float],
+    id_col: str = "row_idx",
+    features_col: str = "features",
+) -> DataFrame:
+    """`tree_contributions` over prebuilt FlatTrees — the seam that lets
+    an explicitly-specified tree run through the real distributed Saabas
+    walk; `a2_saabas_fixed` uses it against a closed-form path-delta SQL
+    oracle."""
     import pandas as pd
 
-    trees, weights = extract_trees(model)
     sc = df.sparkSession.sparkContext
     b = sc.broadcast((trees, weights))
 

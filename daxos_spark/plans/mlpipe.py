@@ -1027,3 +1027,73 @@ def ml_treeshap_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(F.col("shap").getItem(0)).alias("shap_x0"),
         trunc6(F.col("shap").getItem(1)).alias("shap_x1"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Saabas path contributions (T4) on the same fixed tree: every split
+# along a sample's path moves the node mean prediction by a delta
+# attributed to the split feature, so for an explicit depth-2 tree the
+# whole decomposition is CASE arithmetic — bias = root mean,
+# contrib_x0 = child_mean − root_mean, contrib_x1 = leaf − child_mean,
+# margin = leaf. The Spark side runs the real vectorized _walk_batch
+# descent (ml/contrib.py) through the from_flat seam.
+_TS_P1 = "(10.0 * (1.0/3.0) + 30.0 * (5.0/7.0)) / 40.0"
+_TS_P4 = "(20.0 * (-1.0/3.0) + 40.0 * (3.0/7.0)) / 60.0"
+_TS_P0 = f"(40.0 * ({_TS_P1}) + 60.0 * ({_TS_P4})) / 100.0"
+
+
+@_qo(
+    "ml_saabas_fixed",
+    f"""
+    WITH pts AS (
+      SELECT vec_id, {_TS_X} AS x, {_TS_Y} AS y
+      FROM embeddings WHERE vec_id < 500
+    ), v AS (
+      SELECT vec_id,
+             CASE WHEN x <= 1.0 THEN {_TS_EL} ELSE {_TS_ER} END AS fx,
+             CASE WHEN x <= 1.0 THEN {_TS_P1} ELSE {_TS_P4} END AS child_mean,
+             {_TS_P0} AS bias
+      FROM pts
+    )
+    SELECT vec_id,
+           FLOOR(bias * 1000000.0) / 1000000.0 AS bias,
+           FLOOR(fx * 1000000.0) / 1000000.0 AS margin,
+           FLOOR((child_mean - bias) * 1000000.0) / 1000000.0 AS contrib_x0,
+           FLOOR((fx - child_mean) * 1000000.0) / 1000000.0 AS contrib_x1
+    FROM v ORDER BY vec_id
+    """,
+    doc="Saabas path contributions (T4) on a fixed explicit tree vs "
+    "closed-form path-delta oracle — externally hash-verifies the "
+    "vectorized tree-descent walk itself",
+)
+def ml_saabas_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..ml.contrib import FlatTree, tree_contributions_from_flat
+
+    p1 = (10.0 * (1.0 / 3.0) + 30.0 * (5.0 / 7.0)) / 40.0
+    p4 = (20.0 * (-1.0 / 3.0) + 40.0 * (3.0 / 7.0)) / 60.0
+    p0 = (40.0 * p1 + 60.0 * p4) / 100.0
+    tree = FlatTree(
+        feat=np.array([0, 1, -1, -1, 1, -1, -1], dtype=np.int32),
+        thr=np.array([1.0, 0.5, 0.0, 0.0, 0.75, 0.0, 0.0]),
+        left=np.array([1, 2, -1, -1, 5, -1, -1], dtype=np.int32),
+        right=np.array([4, 3, -1, -1, 6, -1, -1], dtype=np.int32),
+        pred=np.array([p0, p1, _FT_P[0], _FT_P[1], p4, _FT_P[2], _FT_P[3]]),
+    )
+    e = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 500)
+    pts = e.select(
+        F.col("vec_id").alias("row_idx"),
+        F.array(
+            F.pmod(F.col("vec_id"), F.lit(3)).cast("double"),
+            (F.pmod(F.col("vec_id") * 7 + 1, F.lit(4)).cast("double") / 2.0),
+        ).alias("features"),
+    )
+    out = tree_contributions_from_flat(pts, [tree], [1.0])
+    return out.select(
+        F.col("row_idx").alias("vec_id"),
+        trunc6(F.col("bias")).alias("bias"),
+        trunc6(F.col("margin")).alias("margin"),
+        trunc6(F.col("contribs").getItem(0)).alias("contrib_x0"),
+        trunc6(F.col("contribs").getItem(1)).alias("contrib_x1"),
+    ).orderBy("vec_id")

@@ -122,6 +122,7 @@ RENAMES: dict[str, str] = {
     "ml_shadow_invariants": "a2_shadow_invariants",
     "ml_platt_identity": "a2_platt_identity",
     "ml_treeshap_fixed": "a2_treeshap_fixed",
+    "ml_saabas_fixed": "a2_saabas_fixed",
 }
 
 
