@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "d_incremental_dedup",
     "a2_kmeans_lloyd",
     "e_pq_knn",
+    "e_gram_matrix",
+    "e_semdedup",
+    "d_dsir_weights",
 ]
 
 

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables
 from ..functions.hashing import md5_long_sql
 from .docpipe import _fanout
-from .registry import QuerySpec, register, trunc6
+from .registry import QuerySpec, register, sql_trunc6, trunc6
 
 _NORM = "lower(trim(text))"
 _TOKS = f"string_split_regex({_NORM}, '\\s+')"
@@ -449,5 +449,106 @@ def d_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(avg_nll).alias("avg_nll"),
             (avg_nll > 6.5).alias("high_ppl"),
         )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance-resampling weights (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): score every raw
+# document by the log-likelihood ratio of a hashed-unigram LM fit on a
+# TARGET slice (here lang='en' — the quality domain) vs the LM of the
+# full RAW corpus. Docs whose hashed-token profile looks target-like get
+# positive weight; resampling by softmax(weight) then yields the
+# target-matched training mix. Layout is two count passes over the same
+# exploded token relation (shuffle cardinality = B hash buckets, here
+# 512) + one equi-join of token instances against the B-row bucket LM
+# table — at 100 TB the bucket table is trivially broadcast and the
+# whole score is one map-side fold per doc. Per-token ln() terms are
+# ln(integer+1) (identical doubles cross-engine) accumulated through the
+# DECIMAL(25,6) sum, so the per-doc weight is order-independent.
+_DSIR_B = 512
+
+
+def _dsir_oracle() -> str:
+    bk = md5_long_sql("tk")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {bk} % {_DSIR_B} AS bk
+      FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tk FROM documents)
+    ), raw_cnt AS (
+      SELECT bk, COUNT(*) AS cr FROM tok GROUP BY bk
+    ), tgt_cnt AS (
+      SELECT bk, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY bk
+    ), lm AS (
+      SELECT r.bk,
+             LN(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)) AS lt,
+             LN(CAST(r.cr + 1 AS DOUBLE)) AS lr
+      FROM raw_cnt r LEFT JOIN tgt_cnt t USING (bk)
+    ), tot AS (
+      SELECT LN(CAST((SELECT COUNT(*) FROM tok WHERE lang = 'en') + {_DSIR_B} AS DOUBLE))
+               AS lnt,
+             LN(CAST((SELECT COUNT(*) FROM tok) + {_DSIR_B} AS DOUBLE)) AS lnr
+    ), per AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tok,
+             CAST(SUM(CAST(lm.lt - lm.lr AS DECIMAL(25,6))) AS DOUBLE) AS s
+      FROM tok JOIN lm USING (bk) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok,
+           {sql_trunc6('s + n_tok * (tot.lnr - tot.lnt)')} AS dsir_weight
+    FROM per CROSS JOIN tot ORDER BY doc_id
+    """
+
+
+@_q(
+    "d_dsir_weights",
+    _dsir_oracle(),
+    doc="DSIR hashed-unigram importance weights (target-vs-raw LM log-ratio)",
+)
+def d_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+    from ..functions.hashing import md5_long
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    tok = (
+        d.select("doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("tk"))
+        .select("doc_id", "lang", F.pmod(md5_long(F.col("tk")), F.lit(_DSIR_B)).alias("bk"))
+        .persist()  # feeds both count passes and the scoring join
+    )
+
+    raw_cnt = tok.groupBy("bk").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_cnt = tok.filter(F.col("lang") == "en").groupBy("bk").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    lm = (
+        raw_cnt.join(tgt_cnt, "bk", "left")
+        .select(
+            "bk",
+            F.log(F.coalesce(F.col("ct"), F.lit(0)).cast("double") + 1.0).alias("lt"),
+            F.log(F.col("cr").cast("double") + 1.0).alias("lr"),
+        )
+    )
+    tot = tok.agg(
+        F.log(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            + float(_DSIR_B)
+        ).alias("lnt"),
+        F.log(F.count(F.lit(1)).cast("double") + float(_DSIR_B)).alias("lnr"),
+    )
+    per = (
+        tok.join(F.broadcast(lm), "bk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum((F.col("lt") - F.col("lr")).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("s"),
+        )
+    )
+    w = F.col("s") + F.col("n_tok") * (F.col("lnr") - F.col("lnt"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select("doc_id", "n_tok", trunc6(w).alias("dsir_weight"))
         .orderBy("doc_id")
     )

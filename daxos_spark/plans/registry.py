@@ -152,6 +152,7 @@ def get_specs() -> dict[str, QuerySpec]:
         relational2,
         streampipe,
         vecpipe,
+        vecpipe2,
     )
 
     out: dict[str, QuerySpec] = {}

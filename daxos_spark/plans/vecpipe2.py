@@ -1,0 +1,248 @@
+"""Second vector-pipeline family: distributed Gram matrix (the PCA /
+whitening building block) and SemDeDup-style semantic deduplication.
+
+Beyond-parity surface (the reference has no vector ops — SURVEY §2
+training-data-pipeline family). Both are the standard scale-out layouts:
+
+- e_gram_matrix: X^T X over the embedding corpus via per-partition
+  block matmul (Arrow-batched mapInPandas, one 64x64 partial per batch)
+  reduced by a (dim², tiny) groupBy sum — the exact dataflow the
+  deconfound gramian (`ml/deconfound.py`) uses, exposed as a
+  first-class op. At 100 TB this is a single map-side pass producing
+  p(p+1)/2 partials per task; the shuffle moves O(tasks · p²) numbers,
+  never the data. Fixed-point int codes (floor(x·1000), exact in every
+  engine) make the partial sums integer — order-independent, so the
+  duckdb brute-force (unnest self-join) oracle matches bit-for-bit.
+
+- e_semdedup: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster
+  the embedding space, then mark within-cluster cosine near-duplicates,
+  keeping the lowest vec_id of each similar pair. Clustering reuses the
+  deterministic relational Lloyd layout proven by ml_kmeans_lloyd
+  (first-K init, one update round, DECIMAL-exact distances/means), so
+  the assignment — and therefore the pair set — is bit-identical in
+  Spark and duckdb. The quadratic term is bounded by the cluster
+  partition exactly as in the paper (K grows with corpus size; the
+  within-cluster pair join is an equi-join on the cluster id, never
+  all-pairs). Cosine thresholding is the integer-exact fixed-point
+  test from d_semantic_neardup: num² > τ²·|a|²·|b|² on bigint codes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_tables
+from ..functions.similarity import int_code
+from ..functions.vectors import to_double
+from .registry import QuerySpec, register, sql_trunc6, trunc6
+
+_DIM = 64
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        register(QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc, tags=("vectors",)))
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# distributed Gram matrix: G = C^T C over fixed-point codes.
+_CODE_SQL = "list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * 1000.0) AS BIGINT))"
+
+
+@_q(
+    "e_gram_matrix",
+    f"""
+    WITH u AS (
+      SELECT vec_id,
+             generate_subscripts(c, 1) - 1 AS pos,
+             unnest(c) AS v
+      FROM (SELECT vec_id, {_CODE_SQL} AS c FROM embeddings)
+    )
+    SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS gram
+    FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+    GROUP BY i, j ORDER BY i, j
+    """,
+    doc="distributed Gram matrix X^T X (PCA/whitening precursor) via "
+    "per-partition block matmul + dim^2 reduce",
+)
+def e_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    codes = e.select(int_code(to_double(F.col("embedding"))).alias("c"))
+
+    iu = np.triu_indices(_DIM)
+
+    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one p×p int64 accumulator per Arrow batch; emits p(p+1)/2 rows
+        # per batch — the shuffle sees O(batches · p²) numbers, not rows.
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+            g = m.T @ m
+            yield pd.DataFrame(
+                {"i": iu[0].astype(np.int32), "j": iu[1].astype(np.int32), "g": g[iu]}
+            )
+
+    partials = codes.mapInPandas(partial_gram, schema="i int, j int, g long")
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("g").alias("gram"))
+        .orderBy("i", "j")
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: deterministic Lloyd assignment (K clusters, 1 update round,
+# first-K init) + within-cluster integer-exact cosine near-dup marking.
+_SD_K = 32
+_SD_TAU2 = 0.09  # cosine > 0.3 ≈ p95 of within-cluster pair cosine here;
+# at 100 TB with real near-dup mass the paper's τ ≈ 0.95+ applies unchanged
+
+
+def _semdedup_oracle() -> str:
+    dist = """
+      SELECT u.vec_id, ct.cluster,
+             SUM(CAST((u.x - ct.c)*(u.x - ct.c) AS DECIMAL(25,6))) AS d
+      FROM u JOIN {prev} ct ON ct.pos = u.pos
+      GROUP BY u.vec_id, ct.cluster
+    """
+    pick = """
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM {src}) t WHERE rn = 1
+    """
+    return f"""
+    WITH u AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), ct0 AS (
+      SELECT vec_id AS cluster, pos, x AS c FROM u WHERE vec_id < {_SD_K}
+    ), d0 AS ({dist.format(prev='ct0')}
+    ), a0 AS ({pick.format(src='d0')}
+    ), cm0 AS (
+      SELECT a.cluster, u.pos,
+             CAST(SUM(CAST(u.x AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS cnew
+      FROM u JOIN a0 a ON a.vec_id = u.vec_id
+      GROUP BY a.cluster, u.pos
+    ), ct1 AS (
+      SELECT p.cluster, p.pos, COALESCE(m.cnew, p.c) AS c
+      FROM ct0 p LEFT JOIN cm0 m ON m.cluster = p.cluster AND m.pos = p.pos
+    ), d1 AS ({dist.format(prev='ct1')}
+    ), af AS ({pick.format(src='d1')}
+    ), cd AS (
+      SELECT e.vec_id, af.cluster, {_CODE_SQL} AS c
+      FROM embeddings e JOIN af ON af.vec_id = e.vec_id
+    ), cn AS (
+      SELECT vec_id, cluster, c,
+             CAST(list_dot_product(c, c) AS BIGINT) AS nn
+      FROM cd
+    ), pr AS (
+      SELECT a.cluster, b.vec_id AS dup_id,
+             CAST(list_dot_product(a.c, b.c) AS BIGINT) AS num,
+             a.nn AS na, b.nn AS nb
+      FROM cn a JOIN cn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ), rm AS (
+      SELECT cluster, dup_id FROM pr
+      WHERE num > 0 AND CAST(num AS DOUBLE) * CAST(num AS DOUBLE) >
+            ({_SD_TAU2} * CAST(na AS DOUBLE)) * CAST(nb AS DOUBLE)
+      GROUP BY cluster, dup_id
+    )
+    SELECT af2.cluster,
+           COUNT(*) AS n_vectors,
+           CAST(COUNT(rm.dup_id) AS BIGINT) AS n_removed
+    FROM af af2 LEFT JOIN rm ON rm.cluster = af2.cluster AND rm.dup_id = af2.vec_id
+    GROUP BY af2.cluster ORDER BY af2.cluster
+    """
+
+
+@_q(
+    "e_semdedup",
+    _semdedup_oracle(),
+    doc="SemDeDup: Lloyd-cluster the embedding space, drop within-cluster "
+    "cosine near-dups (keep lowest id) — Abbas et al. 2023",
+)
+def e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    u = e.select(
+        "vec_id", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x")
+    ).persist()  # feeds init, both assignment rounds, and the centroid update
+    dec = "decimal(25,6)"
+    ct = u.filter(F.col("vec_id") < _SD_K).select(
+        F.col("vec_id").alias("cluster"), "pos", F.col("x").alias("c")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        term = ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(dec)
+        d = (
+            u.join(F.broadcast(centroids), "pos")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(term).alias("d"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cluster")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+
+    a0 = assign(ct)
+    cm = (
+        u.join(a0, "vec_id")
+        .groupBy("cluster", "pos")
+        .agg((F.sum(F.col("x").cast(dec)).cast("double") / F.count(F.lit(1))).alias("cnew"))
+    )
+    ct1 = ct.join(cm, ["cluster", "pos"], "left").select(
+        "cluster", "pos", F.coalesce(F.col("cnew"), F.col("c")).alias("c")
+    )
+    af = assign(ct1).persist()  # pair join reads it twice (both sides) + final agg
+
+    idot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    cd = e.select("vec_id", int_code(to_double(F.col("embedding"))).alias("c")).join(
+        af, "vec_id"
+    )
+    # self-norms once per vector — not per pair
+    cn = cd.withColumn("nn", idot(F.col("c"), F.col("c")))
+    a, b = cn.alias("a"), cn.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.cluster").alias("cluster"),
+        F.col("b.vec_id").alias("dup_id"),
+        idot(F.col("a.c"), F.col("b.c")).alias("num"),
+        F.col("a.nn").alias("na"),
+        F.col("b.nn").alias("nb"),
+    )
+    rm = (
+        pr.filter(
+            (F.col("num") > 0)
+            & (
+                F.col("num").cast("double") * F.col("num").cast("double")
+                > (F.lit(_SD_TAU2) * F.col("na").cast("double")) * F.col("nb").cast("double")
+            )
+        )
+        .select("cluster", "dup_id")
+        .distinct()
+    )
+    return (
+        af.join(rm, (rm["cluster"] == af["cluster"]) & (rm["dup_id"] == af["vec_id"]), "left")
+        .groupBy(af["cluster"])
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count(rm["dup_id"]).cast("bigint").alias("n_removed"),
+        )
+        .orderBy("cluster")
+    )

@@ -1,0 +1,122 @@
+"""vecpipe2 + DSIR queries vs independent python/numpy oracles.
+
+The duckdb hash-check runs driver-side; these tests pin the SEMANTICS
+against brute-force recomputations (numpy matmul, float Lloyd, hashlib
+token LMs) so a same-wrong-answer-in-both-engines bug cannot slip
+through.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _codes(emb: pd.DataFrame) -> np.ndarray:
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    return np.floor(m * 1000.0).astype(np.int64)
+
+
+def test_gram_matrix_matches_numpy(spark):
+    from daxos_spark.plans.vecpipe2 import e_gram_matrix
+
+    rows = e_gram_matrix(spark, SF_DIR).collect()
+
+    c = _codes(pd.read_parquet(f"{SF_DIR}/embeddings.parquet"))
+    g = c.T @ c
+    want = {(i, j): g[i, j] for i in range(c.shape[1]) for j in range(i, c.shape[1])}
+    got = {(r.i, r.j): r.gram for r in rows}
+    assert got == want
+    assert len(got) == c.shape[1] * (c.shape[1] + 1) // 2
+
+
+def _lloyd_assign(m: np.ndarray, k: int) -> np.ndarray:
+    # float twin of the DECIMAL-exact relational Lloyd: first-K init,
+    # one centroid update, final assignment (ties broken by cluster id —
+    # measure-zero on this continuous fixture).
+    ct = m[:k].copy()
+    d = ((m[:, None, :] - ct[None, :, :]) ** 2).sum(axis=2)
+    a0 = d.argmin(axis=1)
+    for c in range(k):
+        if (a0 == c).any():
+            ct[c] = m[a0 == c].mean(axis=0)
+    d = ((m[:, None, :] - ct[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1)
+
+
+def test_semdedup_matches_bruteforce(spark):
+    from daxos_spark.plans.vecpipe2 import _SD_K, _SD_TAU2, e_semdedup
+
+    rows = e_semdedup(spark, SF_DIR).collect()
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values("vec_id")
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    assign = _lloyd_assign(m, _SD_K)
+    c = np.floor(m * 1000.0).astype(np.int64)
+    nn = (c * c).sum(axis=1)
+    ids = emb["vec_id"].to_numpy()
+    removed: set[int] = set()
+    for cl in range(_SD_K):
+        idx = np.where(assign == cl)[0]
+        for ai in range(len(idx)):
+            for bi in range(ai + 1, len(idx)):
+                a, b = idx[ai], idx[bi]
+                lo, hi = (a, b) if ids[a] < ids[b] else (b, a)
+                num = int((c[lo] * c[hi]).sum())
+                if num > 0 and float(num) * float(num) > (
+                    _SD_TAU2 * float(nn[lo])
+                ) * float(nn[hi]):
+                    removed.add(int(ids[hi]))
+    want = {
+        cl: (
+            int((assign == cl).sum()),
+            sum(1 for i, x in zip(ids, assign) if x == cl and int(i) in removed),
+        )
+        for cl in range(_SD_K)
+        if (assign == cl).any()
+    }
+    got = {r.cluster: (r.n_vectors, r.n_removed) for r in rows}
+    assert got == want
+    assert sum(v[1] for v in want.values()) > 0  # non-vacuous: dups exist
+
+
+def test_dsir_weights_match_python_lm(spark):
+    from daxos_spark.plans.docpipe2 import _DSIR_B, d_dsir_weights
+
+    rows = d_dsir_weights(spark, SF_DIR).collect()
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    bk = lambda tk: int(hashlib.md5(tk.encode()).hexdigest()[:14], 16) % _DSIR_B
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    per_doc: dict[int, list[int]] = {}
+    for r in docs.itertuples():
+        bks = [bk(t) for t in str(r.text).lower().strip().split()]
+        per_doc[r.doc_id] = bks
+        for b in bks:
+            raw[b] = raw.get(b, 0) + 1
+            if r.lang == "en":
+                tgt[b] = tgt.get(b, 0) + 1
+    n_r, n_t = sum(raw.values()), sum(tgt.values())
+    want = {}
+    for doc_id, bks in per_doc.items():
+        s = sum(math.log(tgt.get(b, 0) + 1) - math.log(raw[b] + 1) for b in bks)
+        w = s + len(bks) * (math.log(n_r + _DSIR_B) - math.log(n_t + _DSIR_B))
+        want[doc_id] = (len(bks), math.floor(w * 1e6) / 1e6)
+    got = {r.doc_id: (r.n_tok, r.dsir_weight) for r in rows}
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0]
+        # engine side quantizes each ln-ratio term to DECIMAL(25,6)
+        # before summing → up to 5e-7 drift per token vs the float oracle
+        assert abs(got[k][1] - want[k][1]) < 5e-7 * want[k][0] + 2e-6, k
+    # directionally sane: en docs (the target domain) should score higher
+    en = {r.doc_id for r in docs.itertuples() if r.lang == "en"}
+    mean_en = np.mean([got[k][1] for k in got if k in en])
+    mean_rest = np.mean([got[k][1] for k in got if k not in en])
+    assert mean_en > mean_rest
