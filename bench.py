@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "e_gram_matrix",
     "e_semdedup",
     "d_dsir_weights",
+    "t_kl_source_drift",
+    "t_bloom_decontam",
 ]
 
 

@@ -151,6 +151,7 @@ def get_specs() -> dict[str, QuerySpec]:
         relational,
         relational2,
         streampipe,
+        textpipe,
         vecpipe,
         vecpipe2,
     )

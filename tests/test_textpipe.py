@@ -1,0 +1,97 @@
+"""textpipe (t_*) queries vs independent python oracles.
+
+The duckdb hash-check runs driver-side; these pin the SEMANTICS against
+brute-force hashlib/math recomputations so a same-wrong-answer-in-both-
+engines bug cannot slip through.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _toks(text: str) -> list[str]:
+    return text.strip().lower().split()
+
+
+def test_kl_source_drift_matches_python(spark):
+    from daxos_spark.plans.textpipe import _KL_B, t_kl_source_drift
+
+    rows = {r.source: r for r in t_kl_source_drift(spark, SF_DIR).collect()}
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    buckets = lambda t: [
+        int(hashlib.md5(tk.encode()).hexdigest()[:14], 16) % _KL_B for tk in _toks(t)
+    ]
+    per_src: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for _, r in docs.iterrows():
+        bs = buckets(r["text"])
+        per_src.setdefault(r["source"], Counter()).update(bs)
+        corpus.update(bs)
+    ctot = sum(corpus.values())
+    for src, cnt in per_src.items():
+        tot = sum(cnt.values())
+        kl = sum(
+            ((cnt.get(b, 0) + 1) / (tot + _KL_B))
+            * math.log(
+                ((cnt.get(b, 0) + 1) * (ctot + _KL_B))
+                / ((corpus.get(b, 0) + 1) * (tot + _KL_B))
+            )
+            for b in range(_KL_B)
+        )
+        got = rows[src]
+        assert got.n_tokens == tot
+        # each of the B terms is quantized onto the 1e-6 DECIMAL grid
+        # before summing -> worst-case drift B * 0.5e-6 vs the exact sum
+        assert abs(got.kl_vs_corpus - kl) < _KL_B * 1e-6
+        assert got.kl_vs_corpus >= 0 or abs(got.kl_vs_corpus) < 1e-9  # KL >= 0
+
+
+def test_bloom_decontam_flags_match_python(spark):
+    from daxos_spark.plans.textpipe import (
+        _BLOOM_K,
+        _md5_pos,
+        t_bloom_decontam,
+    )
+
+    rows = {r.source: r for r in t_bloom_decontam(spark, SF_DIR).collect()}
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def shingles(t: str) -> set[str]:
+        tk = _toks(t)
+        n = max(len(tk) - 2, 1)
+        return {" ".join(tk[i : i + 3]) for i in range(n)}
+
+    eval_sh: set[str] = set()
+    for _, r in docs[docs.doc_id % 97 == 0].iterrows():
+        eval_sh |= shingles(r["text"])
+    bits = {_md5_pos(s, i) for s in eval_sh for i in range(_BLOOM_K)}
+
+    want: dict[str, list[int]] = {}
+    for _, r in docs[docs.doc_id % 97 != 0].iterrows():
+        sh = shingles(r["text"])
+        fb = any(all(_md5_pos(s, i) in bits for i in range(_BLOOM_K)) for s in sh)
+        fe = any(s in eval_sh for s in sh)
+        w = want.setdefault(r["source"], [0, 0, 0, 0])
+        w[0] += 1
+        w[1] += fb
+        w[2] += fe
+        w[3] += fb and not fe
+    for src, (n, nb, ne, nfp) in want.items():
+        got = rows[src]
+        assert (got.n_docs, got.n_bloom_flagged, got.n_exact_flagged, got.n_false_pos) == (
+            n,
+            nb,
+            ne,
+            nfp,
+        )
+        # Bloom never false-negatives: every exact hit is a bloom hit
+        assert got.n_bloom_flagged >= got.n_exact_flagged
