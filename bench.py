@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "d_dsir_weights",
     "t_kl_source_drift",
     "t_bloom_decontam",
+    "v_mmr_rerank",
 ]
 
 

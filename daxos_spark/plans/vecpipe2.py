@@ -39,7 +39,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_tables
 from ..functions.similarity import int_code
-from ..functions.vectors import to_double
+from ..functions.vectors import dot, l2_norm, to_double
 from .registry import QuerySpec, register, sql_trunc6, trunc6
 
 _DIM = 64
@@ -246,3 +246,151 @@ def e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# MMR re-ranking (Carbonell & Goldstein 1998): after retrieval, pick a
+# top-k that balances relevance against redundancy — the diversification
+# pass a RAG / retrieval pipeline runs on its candidate set. Greedy:
+# next = argmax_d  λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s).
+#
+# Scale layout: stage 1 is the existing distributed top-N retrieval
+# (linear scan + per-query top-N window — e_knn_bruteforce / IVF); the
+# greedy runs PER QUERY over its own N=20-candidate set inside
+# applyInPandas, so a million queries re-rank in parallel with zero
+# driver state and the quadratic term bounded by N². All cosines are
+# computed JVM-side with the exact fold proven identical to duckdb's
+# list_dot_product (e_knn_bruteforce); the pandas greedy only compares,
+# halves, and maxes those identical doubles — exact ops — so the full
+# (selection order, score) output is hash-checked against a duckdb
+# oracle that unrolls the k greedy steps as SQL layers.
+_MMR_CAND = 20  # retrieval candidates per query
+_MMR_K = 5  # diversified picks
+
+
+def _mmr_oracle() -> str:
+    cos = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    layers = []
+    sel_union = "SELECT qid, cid FROM s1"
+    for k in range(2, _MMR_K + 1):
+        prev = f"sel{k-1}"
+        layers.append(f"""
+    , {prev} AS ({sel_union})
+    , sc{k} AS (
+      SELECT c.qid, c.cid, 0.5 * c.rel - 0.5 * m.mx AS score
+      FROM cand c
+      JOIN (SELECT p.qid, p.a AS cid, MAX(p.sim) AS mx
+            FROM pr p JOIN {prev} s ON s.qid = p.qid AND s.cid = p.b
+            GROUP BY p.qid, p.a) m ON m.qid = c.qid AND m.cid = c.cid
+      LEFT JOIN {prev} x ON x.qid = c.qid AND x.cid = c.cid
+      WHERE x.cid IS NULL
+    )
+    , s{k} AS (
+      SELECT qid, cid, score, {k} AS step FROM (
+        SELECT qid, cid, score,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+        FROM sc{k}) t WHERE rn = 1
+    )""")
+        sel_union += f" UNION ALL SELECT qid, cid FROM s{k}"
+    unions = " UNION ALL ".join(
+        f"SELECT qid, step, cid, score FROM s{k}" for k in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 10
+    ), cand AS (
+      SELECT qid, cid, rel, cv FROM (
+        SELECT qid, cid, cv, {cos.format(a='qv', b='cv')} AS rel,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                 {cos.format(a='qv', b='cv')} DESC, cid) AS rk
+        FROM q CROSS JOIN c) t
+      WHERE rk <= {_MMR_CAND}
+    ), pr AS (
+      SELECT a.qid, a.cid AS a, b.cid AS b, {cos.format(a='a.cv', b='b.cv')} AS sim
+      FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+    ), s1 AS (
+      SELECT qid, cid, 0.5 * rel AS score, 1 AS step FROM (
+        SELECT qid, cid, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+        FROM cand) t WHERE rn = 1
+    ){''.join(layers)}
+    SELECT qid, step, cid AS selected_id, {sql_trunc6('score')} AS mmr_score
+    FROM ({unions}) f ORDER BY qid, step
+    """
+
+
+@_q(
+    "v_mmr_rerank",
+    _mmr_oracle(),
+    doc="greedy MMR diversified top-5 over per-query top-20 retrieval "
+    "(λ=0.5); selection order and scores hash-checked vs an unrolled "
+    "greedy-layer SQL oracle",
+)
+def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        to_double(F.col("embedding")).alias("qv"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"),
+        to_double(F.col("embedding")).alias("cv"),
+        l2_norm(F.col("embedding")).alias("cn"),
+    )
+    s = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "cid",
+        "cv",
+        "cn",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("rel"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("cid"))
+    cand = (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MMR_CAND)
+        .select("qid", "cid", "rel", "cv", "cn")
+        .persist()  # both sides of the pair join
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pr = a.join(
+        b, (F.col("a.qid") == F.col("b.qid")) & (F.col("a.cid") != F.col("b.cid"))
+    ).select(
+        F.col("a.qid").alias("qid"),
+        F.col("a.cid").alias("a_cid"),
+        F.col("a.rel").alias("a_rel"),
+        F.col("b.cid").alias("b_cid"),
+        (dot(F.col("a.cv"), F.col("b.cv")) / (F.col("a.cn") * F.col("b.cn"))).alias("sim"),
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["qid"].iloc[0])
+        rel = dict(
+            pdf.drop_duplicates("a_cid")[["a_cid", "a_rel"]].itertuples(index=False)
+        )
+        sim = {(r.a_cid, r.b_cid): r.sim for r in pdf.itertuples(index=False)}
+        remaining = sorted(rel)
+        sel: list[int] = []
+        out = []
+        for step in range(1, _MMR_K + 1):
+            if not remaining:
+                break
+            best_id, best_score = None, None
+            for d in remaining:  # ascending id == the oracle's tie-break
+                ms = max((sim[(d, s_)] for s_ in sel), default=0.0)
+                score = 0.5 * rel[d] - 0.5 * ms
+                if best_score is None or score > best_score:
+                    best_id, best_score = d, score
+            out.append((qid, step, best_id, best_score))
+            sel.append(best_id)
+            remaining.remove(best_id)
+        return pd.DataFrame(out, columns=["qid", "step", "selected_id", "score"])
+
+    res = pr.groupBy("qid").applyInPandas(
+        greedy, schema="qid long, step int, selected_id long, score double"
+    )
+    return res.select(
+        "qid", "step", "selected_id", trunc6(F.col("score")).alias("mmr_score")
+    ).orderBy("qid", "step")

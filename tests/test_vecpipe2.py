@@ -120,3 +120,42 @@ def test_dsir_weights_match_python_lm(spark):
     mean_en = np.mean([got[k][1] for k in got if k in en])
     mean_rest = np.mean([got[k][1] for k in got if k not in en])
     assert mean_en > mean_rest
+
+
+def test_mmr_rerank_matches_bruteforce(spark):
+    from daxos_spark.plans.vecpipe2 import _MMR_CAND, _MMR_K, v_mmr_rerank
+
+    rows = v_mmr_rerank(spark, SF_DIR).collect()
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    qmask, cmask = ids < 10, ids >= 10
+    got = {}
+    for r in rows:
+        got.setdefault(r.qid, []).append((r.step, r.selected_id, r.mmr_score))
+    for qi, qid in enumerate(ids[qmask]):
+        qv = m[qmask][qi]
+        cv, cid = m[cmask], ids[cmask]
+        cos = (cv @ qv) / (np.linalg.norm(cv, axis=1) * np.linalg.norm(qv))
+        order = np.lexsort((cid, -cos))[:_MMR_CAND]
+        cand_ids, cand_v, rel = list(cid[order]), cv[order], cos[order]
+        nrm = np.linalg.norm(cand_v, axis=1)
+        sims = (cand_v @ cand_v.T) / np.outer(nrm, nrm)
+        sel, want = [], []
+        remaining = sorted(range(len(cand_ids)), key=lambda i: cand_ids[i])
+        for step in range(1, _MMR_K + 1):
+            best, bs = None, None
+            for i in remaining:
+                ms = max((sims[i][j] for j in sel), default=0.0)
+                sc = 0.5 * rel[i] - 0.5 * ms
+                if bs is None or sc > bs:
+                    best, bs = i, sc
+            want.append((step, cand_ids[best], bs))
+            sel.append(best)
+            remaining.remove(best)
+        for (gs, gi, gsc), (ws, wi, wsc) in zip(sorted(got[qid]), want):
+            assert (gs, gi) == (ws, wi)
+            assert abs(gsc - wsc) < 2e-6  # trunc6 + float-vs-blas dot noise
+        # diversification sanity: picks are distinct
+        assert len({i for _, i, _ in got[qid]}) == len(got[qid])
