@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "t_kl_source_drift",
     "t_bloom_decontam",
     "v_mmr_rerank",
+    "v_ivfpq_knn",
 ]
 
 

@@ -394,3 +394,230 @@ def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "qid", "step", "selected_id", trunc6(F.col("score")).alias("mmr_score")
     ).orderBy("qid", "step")
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ composite ANN — the FAISS-style production layout (Jégou et al.
+# 2011, "Product Quantization for Nearest Neighbor Search" §IV): a
+# coarse quantizer (per-label centroids, squared-L2 assignment) prunes
+# the scan to nprobe cells, and within each cell vectors are stored as
+# M=8 residual PQ codes (residual = vector − its coarse centroid), so
+# the probed scan reads 8 bytes/vector instead of 256 and never touches
+# the raw floats. ADC: dist(q, x) ≈ Σ_m dtable[cell][m][code_m(x)]
+# where dtable is the query-residual-to-anchor table (nprobe×M×K —
+# trivially broadcast).
+#
+# At 100 TB: the corpus pass is ONE map-side Arrow batch per split
+# (broadcast centroids + codebook, assign + residual + code fused — no
+# exchange between the scan and the (bucket, codes) table; the
+# e_pq_knn round-2 lesson applied from the start); the code table is
+# partition-pruned by bucket at query time.
+#
+# Determinism: every distance term is the HALF_UP 1e-6-grid integer of a
+# product of identical doubles (the value class of CAST(.. AS
+# DECIMAL(25,6)), proven by e_pq_knn); argmin first-minimum == the
+# oracle's ORDER BY d, id. Residuals are differences of identical
+# doubles. The full (probe set, cell assignment, codes, ranking, ADC
+# distance) chain is hash-checked.
+_IVFPQ_K = 16  # PQ codebook size (anchors = residuals of corpus vecs 10..25)
+_IVFPQ_M = 8  # subvectors
+_IVFPQ_NPROBE = 3
+
+
+def _ivfpq_oracle() -> str:
+    sq = "SUM(CAST(({a} - {b}) * ({a} - {b}) AS DECIMAL(25,6)))"
+    return f"""
+    WITH u AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cm AS (
+      SELECT e.label AS bucket, u.pos,
+             CAST(SUM(CAST(u.x AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS c
+      FROM u JOIN embeddings e USING (vec_id) WHERE u.vec_id >= 10
+      GROUP BY e.label, u.pos
+    ), cad AS (
+      SELECT u.vec_id, cm.bucket, {sq.format(a='u.x', b='cm.c')} AS d
+      FROM u JOIN cm ON cm.pos = u.pos WHERE u.vec_id >= 10
+      GROUP BY u.vec_id, cm.bucket
+    ), asg AS (
+      SELECT vec_id, bucket FROM (
+        SELECT vec_id, bucket,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, bucket) AS rn
+        FROM cad) t WHERE rn = 1
+    ), res AS (
+      SELECT u.vec_id, a.bucket, u.pos, u.x - cm.c AS r
+      FROM u JOIN asg a USING (vec_id)
+      JOIN cm ON cm.bucket = a.bucket AND cm.pos = u.pos
+    ), anch AS (
+      SELECT vec_id - 10 AS code, pos // 8 AS m, pos % 8 AS i, r AS a
+      FROM res WHERE vec_id < {10 + _IVFPQ_K}
+    ), pdist AS (
+      SELECT r.vec_id, r.pos // 8 AS m, an.code, {sq.format(a='r.r', b='an.a')} AS d
+      FROM res r JOIN anch an ON an.m = r.pos // 8 AND an.i = r.pos % 8
+      GROUP BY r.vec_id, r.pos // 8, an.code
+    ), codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+        FROM pdist) t WHERE rn = 1
+    ), qad AS (
+      SELECT u.vec_id AS qid, cm.bucket, {sq.format(a='u.x', b='cm.c')} AS d
+      FROM u JOIN cm ON cm.pos = u.pos WHERE u.vec_id < 10
+      GROUP BY qid, cm.bucket
+    ), probes AS (
+      SELECT qid, bucket FROM (
+        SELECT qid, bucket,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, bucket) AS rn
+        FROM qad) t WHERE rn <= {_IVFPQ_NPROBE}
+    ), qres AS (
+      SELECT u.vec_id AS qid, p.bucket, u.pos, u.x - cm.c AS r
+      FROM u JOIN probes p ON u.vec_id = p.qid
+      JOIN cm ON cm.bucket = p.bucket AND cm.pos = u.pos
+      WHERE u.vec_id < 10
+    ), qd AS (
+      SELECT qr.qid, qr.bucket, qr.pos // 8 AS m, an.code,
+             {sq.format(a='qr.r', b='an.a')} AS d
+      FROM qres qr JOIN anch an ON an.m = qr.pos // 8 AND an.i = qr.pos % 8
+      GROUP BY qr.qid, qr.bucket, qr.pos // 8, an.code
+    ), adc AS (
+      SELECT qd.qid, c2.vec_id AS cid, SUM(qd.d) AS dist
+      FROM codes c2 JOIN asg ON asg.vec_id = c2.vec_id
+      JOIN qd ON qd.bucket = asg.bucket AND qd.m = c2.m AND qd.code = c2.code
+      GROUP BY qd.qid, cid
+    )
+    SELECT qid, rk, cid AS neighbor_id, {sql_trunc6('CAST(dist AS DOUBLE)')} AS adc_dist
+    FROM (
+      SELECT qid, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rk
+      FROM adc) t
+    WHERE rk <= 5 ORDER BY qid, rk
+    """
+
+
+@_q(
+    "v_ivfpq_knn",
+    _ivfpq_oracle(),
+    doc="IVF-PQ composite ANN: coarse L2 cell assignment + M=8 residual "
+    "PQ codes + ADC over the probed cells' compact code table (8 B/vec)",
+)
+def v_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    dec = "decimal(25,6)"
+
+    # coarse centroids: per-label DECIMAL-exact means -> (B, 64) doubles;
+    # dimension-table sized at any corpus scale, collected once.
+    cm_rows = (
+        e.filter(F.col("vec_id") >= 10)
+        .select("label", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg((F.sum(F.col("x").cast(dec)).cast("double") / F.count(F.lit(1))).alias("c"))
+        .collect()
+    )
+    buckets = sorted({int(r["label"]) for r in cm_rows})
+    bpos = {b: i for i, b in enumerate(buckets)}
+    cent = np.zeros((len(buckets), _DIM))
+    for r in cm_rows:
+        cent[bpos[int(r["label"])], int(r["pos"])] = float(r["c"])
+    blabels = np.array(buckets)
+
+    def _grid_sq(diff: np.ndarray) -> np.ndarray:
+        # HALF_UP 1e-6 grid of each squared term == CAST(t AS DECIMAL(25,6))
+        return np.floor(diff * diff * 1e6 + 0.5).astype(np.int64)
+
+    def _assign(X: np.ndarray) -> np.ndarray:
+        d = _grid_sq(X[:, None, :] - cent[None, :, :]).sum(axis=2)  # (n, B)
+        return d.argmin(axis=1)  # first-min == ORDER BY d, bucket
+
+    # PQ codebook: residuals of corpus vectors 10..10+K (deterministic);
+    # computed driver-side with the same quantized assignment.
+    anch_rows = (
+        e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 10 + _IVFPQ_K))
+        .select("vec_id", to_double(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    av = np.array(
+        [[float(x) for x in r["v"]] for r in sorted(anch_rows, key=lambda r: r["vec_id"])]
+    )
+    anchors = av - cent[_assign(av)]  # (K, 64) residual codebook
+
+    n_sub = _DIM // 8
+
+    @pandas_udf("struct<bucket: int, codes: array<int>>")
+    def assign_and_code(v: pd.Series) -> pd.DataFrame:
+        X = np.vstack(v.to_numpy())
+        bi = _assign(X)
+        r = X - cent[bi]
+        t = _grid_sq(r[:, None, :] - anchors[None, :, :])
+        sums = t.reshape(len(X), _IVFPQ_K, n_sub, 8).sum(axis=3)  # (n, K, M)
+        return pd.DataFrame(
+            {
+                "bucket": blabels[bi].astype(np.int32),
+                "codes": list(sums.argmin(axis=1).astype(np.int32)),
+            }
+        )
+
+    corpus = e.filter(F.col("vec_id") >= 10).select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    codes = corpus.select(
+        "vec_id", assign_and_code(F.col("v")).alias("ac")
+    ).select(
+        "vec_id",
+        F.col("ac.bucket").alias("bucket"),
+        F.posexplode("ac.codes").alias("m", "code"),
+    )
+
+    # query side (tiny): probes + residual distance table, relational
+    cmdf = spark.createDataFrame(
+        [(int(b), int(p), float(cent[bpos[b], p])) for b in buckets for p in range(_DIM)],
+        "bucket int, pos int, c double",
+    )
+    qu = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.posexplode(to_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    sq = lambda a, b: ((a - b) * (a - b)).cast(dec)
+    qad = (
+        qu.join(F.broadcast(cmdf), "pos")
+        .groupBy("qid", "bucket")
+        .agg(F.sum(sq(F.col("x"), F.col("c"))).alias("d"))
+    )
+    wp = Window.partitionBy("qid").orderBy("d", "bucket")
+    probes = (
+        qad.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("qid", "bucket")
+    )
+    anchdf = spark.createDataFrame(
+        [
+            (k, p // 8, p % 8, float(anchors[k, p]))
+            for k in range(_IVFPQ_K)
+            for p in range(_DIM)
+        ],
+        "code int, m int, i int, a double",
+    )
+    qd = (
+        qu.join(F.broadcast(probes), "qid")
+        .join(F.broadcast(cmdf), ["bucket", "pos"])
+        .select("qid", "bucket", F.expr("pos div 8").alias("m"),
+                (F.col("pos") % 8).alias("i"), (F.col("x") - F.col("c")).alias("r"))
+        .join(F.broadcast(anchdf), ["m", "i"])
+        .groupBy("qid", "bucket", "m", "code")
+        .agg(F.sum(sq(F.col("r"), F.col("a"))).alias("d"))
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["bucket", "m", "code"])
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("d").alias("dist"))
+    )
+    wr = Window.partitionBy("qid").orderBy("dist", "cid")
+    return (
+        adc.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "rk", F.col("cid").alias("neighbor_id"),
+                trunc6(F.col("dist").cast("double")).alias("adc_dist"))
+        .orderBy("qid", "rk")
+    )

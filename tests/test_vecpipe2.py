@@ -159,3 +159,46 @@ def test_mmr_rerank_matches_bruteforce(spark):
             assert abs(gsc - wsc) < 2e-6  # trunc6 + float-vs-blas dot noise
         # diversification sanity: picks are distinct
         assert len({i for _, i, _ in got[qid]}) == len(got[qid])
+
+
+def test_ivfpq_knn_invariants(spark):
+    from daxos_spark.plans.vecpipe2 import (
+        _IVFPQ_NPROBE,
+        v_ivfpq_knn,
+    )
+
+    rows = v_ivfpq_knn(spark, SF_DIR).collect()
+    assert rows, "no neighbors returned"
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    corpus = ids >= 10
+
+    # float replay of the coarse quantizer (per-label means, L2 assign)
+    cent = np.stack(
+        [m[corpus & (labels == b)].mean(axis=0) for b in sorted(set(labels[corpus]))]
+    )
+    blab = np.array(sorted(set(labels[corpus])))
+
+    def assign(X):
+        return blab[((X[:, None, :] - cent[None]) ** 2).sum(axis=2).argmin(axis=1)]
+
+    cell = dict(zip(ids[corpus], assign(m[corpus])))
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rs in by_q.items():
+        qv = m[ids == qid][0]
+        qd = ((cent - qv) ** 2).sum(axis=1)
+        probed = set(blab[np.argsort(qd, kind="stable")[:_IVFPQ_NPROBE]])
+        ranks = sorted(r.rk for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        for r in rs:
+            assert r.adc_dist >= 0
+            # every returned neighbor lives in one of the probed cells
+            assert cell[r.neighbor_id] in probed
+        # ADC distances are monotone in rank
+        ds = [r.adc_dist for r in sorted(rs, key=lambda r: r.rk)]
+        assert ds == sorted(ds)
