@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "t_bloom_decontam",
     "v_mmr_rerank",
     "v_ivfpq_knn",
+    "t_quality_logreg",
 ]
 
 

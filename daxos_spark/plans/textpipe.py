@@ -276,3 +276,148 @@ def t_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed multivariate logistic-regression training as pure
+# relational algebra — the quality-classifier training stage (fasttext/
+# CCNet-style "does this doc look like the target domain?") run INSIDE
+# the engine rather than exported to sklearn. IRLS/Newton with p=2
+# features + intercept: each step is ONE pass over the corpus computing
+# the 3-gradient and 3×3 Hessian as DECIMAL-exact sums, then a
+# closed-form 3×3 adjugate solve — no MLlib, no LBFGS, no per-row
+# collect; the only driver-side object is the 3-value coefficient row.
+# At 100 TB each step is a map-side partial-aggregate (9 numbers per
+# task) exactly like the deconfound gramian; 4 fixed steps = 4 scans
+# (or 1 scan of a cached feature table).
+#
+# Determinism: every per-row term (sigmoid, products) is evaluated from
+# identical doubles by the same IEEE expression text in both engines
+# (the Spark side parses the SAME fragments via F.expr), each sum goes
+# through DECIMAL(25,6), and the Newton update is a fixed rational
+# function of those sums — so the trained coefficients themselves are
+# hash-checked, not just the scores.
+_LR_STEPS = 4
+_LR_STOP = "('the','a','of','and','to')"
+
+# shared expression fragments (identical text -> identical IEEE plans)
+_LR_P = "1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2)))"
+_LR_SUMS = {
+    "g0": f"({_LR_P} - y)",
+    "g1": f"({_LR_P} - y)*x1",
+    "g2": f"({_LR_P} - y)*x2",
+    "h00": f"{_LR_P}*(1.0 - {_LR_P})",
+    "h01": f"{_LR_P}*(1.0 - {_LR_P})*x1",
+    "h02": f"{_LR_P}*(1.0 - {_LR_P})*x2",
+    "h11": f"{_LR_P}*(1.0 - {_LR_P})*x1*x1",
+    "h12": f"{_LR_P}*(1.0 - {_LR_P})*x1*x2",
+    "h22": f"{_LR_P}*(1.0 - {_LR_P})*x2*x2",
+}
+_LR_ADJ = {
+    "a00": "(h11*h22 - h12*h12)",
+    "a01": "-(h01*h22 - h02*h12)",
+    "a02": "(h01*h12 - h02*h11)",
+    "a11": "(h00*h22 - h02*h02)",
+    "a12": "-(h00*h12 - h01*h02)",
+    "a22": "(h00*h11 - h01*h01)",
+}
+_LR_DET = "(h00*(h11*h22 - h12*h12) - h01*(h01*h22 - h12*h02) + h02*(h01*h12 - h11*h02))"
+_LR_UPD = {
+    "b0": f"b0 - (a00*g0 + a01*g1 + a02*g2)/{_LR_DET}",
+    "b1": f"b1 - (a01*g0 + a11*g1 + a12*g2)/{_LR_DET}",
+    "b2": f"b2 - (a02*g0 + a12*g1 + a22*g2)/{_LR_DET}",
+}
+
+
+def _lr_feat_sql() -> str:
+    return f"""
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             CAST(n_chars AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) AS x1,
+             CAST(len(list_filter({_TOKS}, t -> t IN {_LR_STOP})) AS DOUBLE)
+               / CAST(len({_TOKS}) AS DOUBLE) AS x2
+      FROM documents
+    """
+
+
+def _lr_oracle() -> str:
+    sums = ",\n             ".join(
+        f"CAST(SUM(CAST({e} AS DECIMAL(25,6))) AS DOUBLE) AS {k}"
+        for k, e in _LR_SUMS.items()
+    )
+    adj = ", ".join(f"{e} AS {k}" for k, e in _LR_ADJ.items())
+    upd = ", ".join(f"{e} AS {k}" for k, e in _LR_UPD.items())
+    layers = []
+    prev = "init"
+    for s in range(1, _LR_STEPS + 1):
+        layers.append(f"""
+    , s{s} AS (
+      SELECT MAX(b0) AS b0, MAX(b1) AS b1, MAX(b2) AS b2,
+             {sums}
+      FROM feat CROSS JOIN {prev}
+    ), u{s} AS (SELECT *, {adj} FROM s{s})
+    , n{s} AS (SELECT {upd} FROM u{s})""")
+        prev = f"n{s}"
+    return f"""
+    WITH feat AS ({_lr_feat_sql()}
+    ), init AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2){''.join(layers)}
+    SELECT {sql_trunc6('MAX(b0)')} AS b0, {sql_trunc6('MAX(b1)')} AS b1,
+           {sql_trunc6('MAX(b2)')} AS b2,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN ({_LR_P} >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+    FROM feat CROSS JOIN {prev}
+    """
+
+
+@_q(
+    "t_quality_logreg",
+    _lr_oracle(),
+    doc="relational IRLS logistic trainer (2 quality features + intercept, "
+    "4 Newton steps of DECIMAL-exact gramian sums + closed-form 3x3 "
+    "solve); trained coefficients hash-checked",
+)
+def t_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    toks = T.tokens(F.col("text"))
+    stop = [s.strip("'") for s in _LR_STOP.strip("()").split(",")]
+    n_tok = F.size(toks).cast("double")
+    feat = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars").cast("double") / n_tok).alias("x1"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(stop))).cast("double") / n_tok
+        ).alias("x2"),
+    ).persist()  # one feature table feeds all Newton steps + the final scoring
+
+    # each step collects ONLY the 3-value coefficient row (bit-exact
+    # double round-trip) and re-literalizes it — keeping the Newton
+    # chain out of the lineage so every step is one flat agg over the
+    # cached feature table instead of a 4-deep recomputed plan.
+    bvals = (0.0, 0.0, 0.0)
+    for _ in range(_LR_STEPS):
+        b = spark.createDataFrame([bvals], "b0 double, b1 double, b2 double")
+        s = feat.crossJoin(F.broadcast(b)).agg(
+            F.max("b0").alias("b0"),
+            F.max("b1").alias("b1"),
+            F.max("b2").alias("b2"),
+            *[
+                F.sum(F.expr(e).cast("decimal(25,6)")).cast("double").alias(k)
+                for k, e in _LR_SUMS.items()
+            ],
+        )
+        u = s.select("*", *[F.expr(e).alias(k) for k, e in _LR_ADJ.items()])
+        row = u.select(*[F.expr(e).alias(k) for k, e in _LR_UPD.items()]).collect()[0]
+        bvals = (float(row["b0"]), float(row["b1"]), float(row["b2"]))
+    b = spark.createDataFrame([bvals], "b0 double, b1 double, b2 double")
+    correct = F.expr(f"({_LR_P} >= 0.5) = (y = 1.0)")
+    return feat.crossJoin(F.broadcast(b)).agg(
+        trunc6(F.max("b0")).alias("b0"),
+        trunc6(F.max("b1")).alias("b1"),
+        trunc6(F.max("b2")).alias("b2"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(correct.cast("int")).cast("bigint").alias("n_correct"),
+    )

@@ -95,3 +95,38 @@ def test_bloom_decontam_flags_match_python(spark):
         )
         # Bloom never false-negatives: every exact hit is a bloom hit
         assert got.n_bloom_flagged >= got.n_exact_flagged
+
+
+def test_quality_logreg_matches_numpy_irls(spark):
+    import numpy as np
+
+    from daxos_spark.plans.textpipe import _LR_STEPS, t_quality_logreg
+
+    row = t_quality_logreg(spark, SF_DIR).collect()[0]
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    stop = {"the", "a", "of", "and", "to"}
+    toks = docs["text"].map(_toks)
+    n = toks.map(len).to_numpy(dtype=float)
+    y = (docs["lang"] == "en").to_numpy(dtype=float)
+    x1 = docs["n_chars"].to_numpy(dtype=float) / n
+    x2 = toks.map(lambda ts: sum(t in stop for t in ts)).to_numpy(dtype=float) / n
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+
+    b = np.zeros(3)
+    for _ in range(_LR_STEPS):
+        p = 1.0 / (1.0 + np.exp(-(X @ b)))
+        g = X.T @ (p - y)
+        H = (X * (p * (1 - p))[:, None]).T @ X
+        b = b - np.linalg.solve(H, g)
+
+    # engine sums are DECIMAL(25,6)-quantized per term; coefficients agree
+    # to well under the quantization propagation bound
+    got = np.array([row.b0, row.b1, row.b2])
+    assert np.allclose(got, b, atol=1e-3), (got, b)
+
+    p = 1.0 / (1.0 + np.exp(-(X @ b)))
+    assert row.n_docs == len(docs)
+    assert row.n_correct == int(((p >= 0.5) == (y == 1.0)).sum())
+    # the fit must beat always-predict-majority (it learned something)
+    assert row.n_correct > max(y.sum(), len(y) - y.sum())
