@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "v_mmr_rerank",
     "v_ivfpq_knn",
     "t_quality_logreg",
+    "t_leakage_split",
 ]
 
 

@@ -43,12 +43,20 @@ def connected_components(
             both.join(labels, both["u"] == labels["node"])
             .select(F.col("v").alias("node"), F.col("lab"))
         )
+        # localCheckpoint (not persist): TRUNCATES the lineage each round.
+        # With persist alone, round N's plan nests rounds 1..N-1 as
+        # InMemoryRelations and every downstream consumer re-analyzes a
+        # several-hundred-node tree (observed ~5x wall-clock on the
+        # leakage-split audits). Cost: executor-local storage only — on
+        # executor loss the job recomputes from the last action, which
+        # is the standard iterative-algorithm trade (use reliable
+        # spark.checkpoint with a checkpoint dir at cluster scale).
         new_labels = (
             labels.select("node", "lab")
             .unionByName(msgs)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
-        ).persist()
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))

@@ -421,3 +421,158 @@ def t_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(correct.cast("int")).cast("bigint").alias("n_correct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/test split: near-duplicate documents MUST land in
+# the same split, or eval leaks through paraphrases of training docs
+# (the standard failure the dedup literature warns about — cf. Lee et
+# al. 2022 §6). Construction: the d_dedup_clusters near-dup graph
+# (shingle-Jaccard pairs, hot-shingle DF cap) → connected components →
+# split decided by HASHING THE CLUSTER ID, so every member co-travels.
+# The output carries the leakage audit computed both ways: cross-split
+# near-dup pairs under the cluster split (0 by construction — and the
+# query PROVES it by counting) and under the naive per-doc hash split
+# (nonzero — the bug this op prevents).
+#
+# 100 TB: identical join/CC layout to d_dedup_clusters (candidate-
+# bounded, capped); the split itself adds one map-side hash on the
+# cluster id — no extra shuffle beyond the component join it already
+# consumes.
+_SPLIT_PCT_TRAIN = 8  # md5(cluster) % 10 < 8 -> train
+
+
+def _leakage_oracle() -> str:
+    from .docpipe import _MAX_SHINGLE_DF
+
+    shingle = "concat_ws(' ', tk[i], tk[i+1], tk[i+2])"
+    jacc_thr = 0.02  # _JACC_THR, mirrored from docpipe
+    csplit = f"CASE WHEN {md5_long_sql('CAST(cluster AS VARCHAR)')} % 10 < {_SPLIT_PCT_TRAIN} THEN 'train' ELSE 'test' END"
+    nsplit = lambda col: f"CASE WHEN {md5_long_sql(f'CAST({col} AS VARCHAR)')} % 10 < {_SPLIT_PCT_TRAIN} THEN 'train' ELSE 'test' END"
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source, {_TOKS} AS tk FROM documents
+    ), sh0 AS (
+      SELECT DISTINCT doc_id, source, {shingle} AS s
+      FROM (SELECT doc_id, source, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    ), sh AS (
+      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY s) <= {_MAX_SHINGLE_DF}
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT da, db
+      FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {jacc_thr}
+    ), edges AS (
+      SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs
+    ), reach AS (
+      SELECT u AS node, v AS r FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+    ), comp AS (
+      SELECT node, LEAST(node, MIN(r)) AS component
+      FROM reach GROUP BY node
+    ), allc AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ), sp AS (
+      SELECT doc_id, cluster, {csplit} AS split FROM allc
+    ), xc AS (
+      SELECT COUNT(*) AS n FROM pairs p
+      JOIN sp a ON a.doc_id = p.da JOIN sp b ON b.doc_id = p.db
+      WHERE a.split <> b.split
+    ), xn AS (
+      SELECT COUNT(*) AS n FROM pairs p
+      WHERE {nsplit('p.da')} <> {nsplit('p.db')}
+    )
+    SELECT sp.split, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT sp.cluster) AS BIGINT) AS n_clusters,
+           CAST(MAX(xc.n) AS BIGINT) AS cross_pairs_clustered,
+           CAST(MAX(xn.n) AS BIGINT) AS cross_pairs_naive
+    FROM sp CROSS JOIN xc CROSS JOIN xn
+    GROUP BY sp.split ORDER BY sp.split
+    """
+
+
+@_q(
+    "t_leakage_split",
+    _leakage_oracle(),
+    doc="leakage-safe train/test split: near-dup connected components "
+    "hashed BY CLUSTER so duplicates co-travel; audits cross-split dup "
+    "pairs under this split (proven 0) vs a naive per-doc split",
+)
+def t_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from .docpipe import _JACC_THR, _MAX_SHINGLE_DF, _cap_hot_shingles
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    sh0 = d.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
+    ).persist()
+    sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    pairs = (
+        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .filter(
+            F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+            >= _JACC_THR
+        )
+        .select("da", "db")
+        .persist()  # feeds CC + both leakage audits
+    )
+    comp = connected_components(pairs, "da", "db")
+    allc = d.select("doc_id").join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster")
+    )
+    split_of = lambda c: F.when(
+        F.pmod(md5_long(c.cast("string")), F.lit(10)) < _SPLIT_PCT_TRAIN, "train"
+    ).otherwise("test")
+    sp = allc.select(
+        "doc_id", "cluster", split_of(F.col("cluster")).alias("split")
+    ).persist()  # the CC chain above is iterative — never recompute it for
+    # the two audit joins + the final agg
+
+    spa, spb = sp.alias("spa"), sp.alias("spb")
+    xc = (
+        pairs.join(spa, F.col("da") == F.col("spa.doc_id"))
+        .join(spb, F.col("db") == F.col("spb.doc_id"))
+        .filter(F.col("spa.split") != F.col("spb.split"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    xn = pairs.filter(
+        split_of(F.col("da")) != split_of(F.col("db"))
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    return (
+        sp.crossJoin(F.broadcast(xc.withColumnRenamed("n", "nc")))
+        .crossJoin(F.broadcast(xn.withColumnRenamed("n", "nn")))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
+            F.max("nc").cast("bigint").alias("cross_pairs_clustered"),
+            F.max("nn").cast("bigint").alias("cross_pairs_naive"),
+        )
+        .orderBy("split")
+    )

@@ -130,3 +130,20 @@ def test_quality_logreg_matches_numpy_irls(spark):
     assert row.n_correct == int(((p >= 0.5) == (y == 1.0)).sum())
     # the fit must beat always-predict-majority (it learned something)
     assert row.n_correct > max(y.sum(), len(y) - y.sum())
+
+
+def test_leakage_split_invariants(spark):
+    from daxos_spark.plans.textpipe import _SPLIT_PCT_TRAIN, t_leakage_split
+
+    rows = t_leakage_split(spark, SF_DIR).collect()
+    by_split = {r.split: r for r in rows}
+    assert set(by_split) <= {"train", "test"} and "train" in by_split
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == len(docs)
+    for r in rows:
+        # THE invariant this op exists for: no near-dup pair crosses splits
+        assert r.cross_pairs_clustered == 0
+        assert r.n_clusters <= r.n_docs
+    # both rows carry the same global audit values
+    assert len({r.cross_pairs_naive for r in rows}) == 1
