@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "v_ivfpq_knn",
     "t_quality_logreg",
     "t_leakage_split",
+    "t_cms_heavy_hitters",
 ]
 
 

@@ -576,3 +576,97 @@ def t_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min-Sketch heavy hitters — the third sketch in the family (HLL
+# distinct counts: q_approx_distinct_check; Bloom membership:
+# t_bloom_decontam; CMS frequencies: here). A d×w counter matrix
+# (d=4 seeded hashes, w=1024) summarizes the token stream in
+# d·w·8 bytes regardless of vocabulary; est(tok) = min_i C[i][h_i(tok)]
+# is an OVER-estimate with error ≤ εN (ε = e/w) at 1−δ (δ = e^−d) —
+# Cormode & Muthukrishnan 2005. The op reports the top tokens by CMS
+# estimate WITH the exact count and realized overestimate alongside —
+# the audit that tells you whether w is sized right before you trust
+# the sketch alone at 100 TB (where the exact side is a shuffle you'd
+# rather not pay; the sketch build is a map-side partial agg of d·w
+# integers per task).
+#
+# Determinism: counters and estimates are exact integers (md5 bucket
+# hashing, integer sums, LEAST over integers), so ranking and values
+# hash-match bit-for-bit.
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # counters per row
+_CMS_TOPK = 25
+
+
+def _cms_oracle() -> str:
+    pos = lambda seed: f"{md5_long_sql('tk', seed=seed)} % {_CMS_W}"
+    counters = "\n      UNION ALL ".join(
+        f"SELECT {i} AS row_i, {pos(i)} AS bk, COUNT(*) AS c FROM tok GROUP BY bk"
+        for i in range(_CMS_D)
+    )
+    ests = ", ".join(
+        f"(SELECT c FROM cms WHERE row_i = {i} AND bk = {pos(i)})" for i in range(_CMS_D)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS tk FROM documents
+    ), cms AS (
+      {counters}
+    ), exact AS (
+      SELECT tk, COUNT(*) AS exact_cnt FROM tok GROUP BY tk
+    ), est AS (
+      SELECT tk, exact_cnt, LEAST({ests}) AS cms_est
+      FROM exact
+    )
+    SELECT tk AS token, cms_est, exact_cnt,
+           cms_est - exact_cnt AS overestimate
+    FROM est
+    ORDER BY cms_est DESC, tk
+    LIMIT {_CMS_TOPK}
+    """
+
+
+@_q(
+    "t_cms_heavy_hitters",
+    _cms_oracle(),
+    doc="Count-Min-Sketch heavy hitters (d=4, w=1024): top tokens by CMS "
+    "estimate with the exact count + realized overestimate audit",
+)
+def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    tok = d.select(F.explode(T.tokens(F.col("text"))).alias("tk")).persist()
+
+    # sketch build: one shuffle of <= d*w counter rows (map-side combine
+    # makes each task emit at most d*w partials)
+    cms = None
+    for i in range(_CMS_D):
+        part = tok.groupBy(
+            F.pmod(md5_long(F.col("tk"), seed=i), F.lit(_CMS_W)).alias("bk")
+        ).agg(F.count(F.lit(1)).alias("c")).select(F.lit(i).alias("row_i"), "bk", "c")
+        cms = part if cms is None else cms.unionByName(part)
+
+    exact = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # probe: join each row's bucket against the broadcast counter table
+    probed = exact
+    for i in range(_CMS_D):
+        ci = cms.filter(F.col("row_i") == i).select(
+            F.col("bk").alias(f"bk{i}"), F.col("c").alias(f"c{i}")
+        )
+        probed = probed.withColumn(
+            f"bk{i}", F.pmod(md5_long(F.col("tk"), seed=i), F.lit(_CMS_W))
+        ).join(F.broadcast(ci), f"bk{i}")
+    est = F.least(*[F.col(f"c{i}") for i in range(_CMS_D)])
+    return (
+        probed.select(
+            F.col("tk").alias("token"),
+            est.alias("cms_est"),
+            "exact_cnt",
+            (est - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.col("cms_est").desc(), "token")
+        .limit(_CMS_TOPK)
+    )

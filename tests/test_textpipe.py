@@ -147,3 +147,32 @@ def test_leakage_split_invariants(spark):
         assert r.n_clusters <= r.n_docs
     # both rows carry the same global audit values
     assert len({r.cross_pairs_naive for r in rows}) == 1
+
+
+def test_cms_heavy_hitters_matches_python(spark):
+    from daxos_spark.plans.textpipe import (
+        _CMS_D,
+        _CMS_TOPK,
+        _CMS_W,
+        t_cms_heavy_hitters,
+    )
+
+    rows = t_cms_heavy_hitters(spark, SF_DIR).collect()
+    assert len(rows) == _CMS_TOPK
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    toks = [t for txt in docs["text"] for t in _toks(txt)]
+
+    def pos(tk, seed):
+        return int(hashlib.md5(f"{tk}#{seed}".encode()).hexdigest()[:14], 16) % _CMS_W
+
+    cms = [Counter() for _ in range(_CMS_D)]
+    exact = Counter(toks)
+    for tk, c in exact.items():
+        for i in range(_CMS_D):
+            cms[i][pos(tk, i)] += c
+    for r in rows:
+        want_est = min(cms[i][pos(r.token, i)] for i in range(_CMS_D))
+        assert (r.cms_est, r.exact_cnt) == (want_est, exact[r.token])
+        # CMS never underestimates
+        assert r.overestimate >= 0
