@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "t_quality_logreg",
     "t_leakage_split",
     "t_cms_heavy_hitters",
+    "t_bpe_merges",
 ]
 
 

@@ -670,3 +670,131 @@ def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cms_est").desc(), "token")
         .limit(_CMS_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge induction — the first R rounds of byte-pair-encoding
+# tokenizer TRAINING (Sennrich et al. 2016) run relationally: count
+# adjacent symbol pairs over word TYPES weighted by frequency, adopt
+# the top pair, rebuild symbol sequences with a greedy left-to-right
+# non-overlapping fold, repeat. The learned merge table is the output
+# (it is driver-sized by definition — a tokenizer has O(vocab) merges,
+# so collecting ONE (x, y) row per round is the honest transfer).
+#
+# 100 TB: the corpus collapses to word types + counts in the first agg
+# (Zipf: types ≪ tokens), so each round is a types-sized pair agg + a
+# map-side array fold — the exact layout the public BPE trainers use,
+# minus their in-memory dictionaries. Spark rebuilds via an
+# array-aggregate fold; the duckdb oracle replays the SAME
+# last-element-match fold as a recursive position walk — both are
+# greedy left-to-right non-overlap, so merges, counts, and the final
+# symbol inventory match bit-for-bit (all-integer).
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    rounds = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        rounds.append(f"""
+    , pc{r} AS (
+      SELECT a[i] AS p1, a[i+1] AS p2, CAST(SUM(n) AS BIGINT) AS c
+      FROM (SELECT a, n, unnest(range(1, len(a))) AS i FROM w{r})
+      GROUP BY p1, p2
+    ), m{r} AS (
+      SELECT p1, p2, c FROM pc{r} ORDER BY c DESC, p1, p2 LIMIT 1
+    ), walk{r} AS (
+      SELECT w, n, 1 AS i, [a[1]] AS acc FROM w{r}
+      UNION ALL
+      SELECT k.w, k.n, k.i + 1,
+        CASE WHEN acc[-1] = m.p1 AND src.a[k.i+1] = m.p2
+             THEN list_append(list_slice(acc, 1, len(acc)-1), m.p1 || m.p2)
+             ELSE list_append(acc, src.a[k.i+1]) END
+      FROM walk{r} k JOIN w{r} src ON src.w = k.w CROSS JOIN m{r} m
+      WHERE k.i < len(src.a)
+    ), w{r + 1} AS (
+      SELECT k.w, k.n, k.acc AS a
+      FROM walk{r} k JOIN w{r} src ON src.w = k.w WHERE k.i = len(src.a)
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS round, p1 AS merge_left, p2 AS merge_right, c AS pair_count FROM m{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH RECURSIVE wt AS (
+      SELECT w, COUNT(*) AS n
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w
+    ), w1 AS (
+      SELECT w, n, string_split(w, '') AS a FROM wt
+    ){''.join(rounds)}
+    SELECT round, merge_left, merge_right, pair_count FROM ({unions}) u
+    ORDER BY round
+    """
+
+
+@_q(
+    "t_bpe_merges",
+    _bpe_oracle(),
+    doc="BPE tokenizer training, first 3 merge rounds: freq-weighted "
+    "pair counts over word types + greedy non-overlapping merge fold; "
+    "learned merges hash-checked",
+)
+def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    words = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w", "n", F.split(F.col("w"), "").alias("a"))
+        .persist()  # Zipf-collapsed word types feed every round
+    )
+
+    out = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        # sequence(1, 0) DESCENDS in Spark — single-symbol words must map
+        # to an empty pair list, not a reversed index range
+        pair = F.explode(
+            F.when(
+                F.size("a") > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 1),
+                    lambda i: F.struct(
+                        F.element_at("a", i).alias("p1"),
+                        F.element_at("a", i + 1).alias("p2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<p1:string,p2:string>>"))
+        )
+        top = (
+            words.select("n", pair.alias("p"))
+            .groupBy("p.p1", "p.p2")
+            .agg(F.sum("n").cast("bigint").alias("c"))
+            .orderBy(F.col("c").desc(), "p1", "p2")
+            .limit(1)
+            .collect()[0]
+        )
+        x, y, c = top["p1"], top["p2"], int(top["c"])
+        out.append((r, x, y, c))
+        if r < _BPE_ROUNDS:
+            # greedy left-to-right non-overlapping merge: fold symbols,
+            # merging when the accumulator's last element is x and the
+            # incoming symbol is y (a fresh merged token never re-merges
+            # because x||y != x)
+            merged = F.aggregate(
+                F.slice(F.col("a"), 2, F.greatest(F.size("a") - 1, F.lit(0))),
+                F.slice(F.col("a"), 1, 1),
+                lambda acc, cur: F.when(
+                    (F.element_at(acc, -1) == F.lit(x)) & (cur == F.lit(y)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(x + y))
+                    ),
+                ).otherwise(F.concat(acc, F.array(cur))),
+            )
+            new_words = words.select("w", "n", merged.alias("a")).persist()
+            words.unpersist()
+            words = new_words
+
+    return spark.createDataFrame(
+        out, "round int, merge_left string, merge_right string, pair_count long"
+    ).orderBy("round")

@@ -176,3 +176,32 @@ def test_cms_heavy_hitters_matches_python(spark):
         assert (r.cms_est, r.exact_cnt) == (want_est, exact[r.token])
         # CMS never underestimates
         assert r.overestimate >= 0
+
+
+def test_bpe_merges_match_reference_trainer(spark):
+    from daxos_spark.plans.textpipe import _BPE_ROUNDS, t_bpe_merges
+
+    rows = t_bpe_merges(spark, SF_DIR).collect()
+    assert [r.round for r in rows] == list(range(1, _BPE_ROUNDS + 1))
+
+    # reference BPE trainer (Sennrich et al. 2016 pseudo-code): word-type
+    # dict, pair counts weighted by freq, greedy non-overlapping merge
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    vocab = Counter(t for txt in docs["text"] for t in _toks(txt))
+    words = {w: list(w) for w in vocab}
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        (x, y), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        got = rows[r - 1]
+        assert (got.merge_left, got.merge_right, got.pair_count) == (x, y, c)
+        for w, syms in words.items():
+            out = [syms[0]]
+            for cur in syms[1:]:
+                if out[-1] == x and cur == y:
+                    out[-1] = x + y
+                else:
+                    out.append(cur)
+            words[w] = out
