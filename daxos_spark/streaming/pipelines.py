@@ -361,3 +361,39 @@ def ivf_assign_stream(
         "vnorm",
         (-best["negb"]).alias("bucket"),
     )
+
+
+def cms_counts_stream(
+    docs: DataFrame,
+    d_rows: int = 4,
+    w: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming Count-Min-Sketch build — the arriving-batch twin of
+    plans/textpipe.t_cms_heavy_hitters' sketch stage. CMS counters are
+    plain sums, so the sketch is mergeable and therefore
+    streaming-native: the aggregation state is EXACTLY the d×w counter
+    matrix (here 4×1024 rows) regardless of stream length or
+    vocabulary — the sketch's bounded-memory guarantee doubles as the
+    streaming state bound, no watermark needed. Run in complete/update
+    mode; the final counters equal the batch build bit-for-bit
+    (integer sums of the same md5 bucket hashes).
+    """
+    from functools import reduce
+
+    from ..functions.hashing import md5_long
+    from ..functions.text import tokens
+
+    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("tk"))
+    parts = [
+        tok.select(
+            F.lit(i).alias("row_i"),
+            F.pmod(md5_long(F.col("tk"), seed=i), F.lit(w)).alias("bk"),
+        )
+        for i in range(d_rows)
+    ]
+    return (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("row_i", "bk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

@@ -284,3 +284,38 @@ def test_read_events_stream_empty_dir_explicit_optin(spark, tmp_path):
     stream = read_events_stream(spark, empty, assume_nanos_if_empty=True)
     assert stream.isStreaming
     assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_cms_counts_stream_matches_batch(spark, tmp_path):
+    """Streaming CMS counters (complete mode, state = the d x w matrix)
+    == the batch sketch build on the same documents."""
+    import hashlib
+    from collections import Counter
+
+    from daxos_spark.streaming.pipelines import cms_counts_stream
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    doc_dir = str(tmp_path / "docs")
+    docs.select("doc_id", "text").write.parquet(doc_dir)
+
+    d_rows, w = 4, 1024
+    pdf = docs.select("text").toPandas()
+    want: Counter = Counter()
+    for txt in pdf["text"]:
+        for tk in txt.strip().lower().split():
+            for i in range(d_rows):
+                bk = int(hashlib.md5(f"{tk}#{i}".encode()).hexdigest()[:14], 16) % w
+                want[(i, bk)] += 1
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(doc_dir)
+    run_to_memory(
+        cms_counts_stream(stream, d_rows=d_rows, w=w), "cmsstream",
+        output_mode="complete",
+    )
+    got = {
+        (r["row_i"], r["bk"]): r["c"]
+        for r in spark.sql("SELECT row_i, bk, c FROM cmsstream").collect()
+    }
+    assert got == dict(want)
+    # state bound: at most d*w counter rows
+    assert len(got) <= d_rows * w
