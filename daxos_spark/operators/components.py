@@ -51,11 +51,30 @@ def connected_components(
         # executor loss the job recomputes from the last action, which
         # is the standard iterative-algorithm trade (use reliable
         # spark.checkpoint with a checkpoint dir at cluster scale).
-        new_labels = (
+        propagated = (
             labels.select("node", "lab")
             .unionByName(msgs)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
+        )
+        # pointer jumping (path halving): also adopt the label OF my
+        # label's node, so label distance halves every round and
+        # convergence is O(log diameter) instead of O(diameter) —
+        # plain neighbor-min propagation failed to converge in 10
+        # rounds on sf0.1's chain-shaped near-dup components. y.lab
+        # <= x.lab always (labels are monotone-decreasing node ids),
+        # so the jump never regresses.
+        new_labels = (
+            propagated.alias("x")
+            .join(
+                propagated.alias("y"),
+                F.col("x.lab") == F.col("y.node"),
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.coalesce(F.col("y.lab"), F.col("x.lab")).alias("lab"),
+            )
         ).localCheckpoint()
         changed = (
             new_labels.alias("n")
