@@ -545,29 +545,36 @@ def v_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_sub = _DIM // 8
 
-    @pandas_udf("struct<bucket: int, codes: array<int>>")
-    def assign_and_code(v: pd.Series) -> pd.DataFrame:
-        X = np.vstack(v.to_numpy())
-        bi = _assign(X)
-        r = X - cent[bi]
-        t = _grid_sq(r[:, None, :] - anchors[None, :, :])
-        sums = t.reshape(len(X), _IVFPQ_K, n_sub, 8).sum(axis=3)  # (n, K, M)
-        return pd.DataFrame(
-            {
-                "bucket": blabels[bi].astype(np.int32),
-                "codes": list(sums.argmin(axis=1).astype(np.int32)),
-            }
-        )
+    # mapInPandas emitting the exploded (vec_id, bucket, m, code) rows
+    # directly — a struct-returning pandas_udf + field projection gets
+    # its projections collapsed by Catalyst into TWO stacked
+    # ArrowEvalPython nodes (the UDF runs twice per row, once per
+    # accessed field; observed in .explain). One map pass, no exchange.
+    def assign_and_code(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            bi = _assign(X)
+            r = X - cent[bi]
+            t = _grid_sq(r[:, None, :] - anchors[None, :, :])
+            sums = t.reshape(len(X), _IVFPQ_K, n_sub, 8).sum(axis=3)  # (n, K, M)
+            cd = sums.argmin(axis=1).astype(np.int32)  # (n, M)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_sub),
+                    "bucket": np.repeat(blabels[bi].astype(np.int32), n_sub),
+                    "m": np.tile(np.arange(n_sub, dtype=np.int32), n),
+                    "code": cd.reshape(-1),
+                }
+            )
 
     corpus = e.filter(F.col("vec_id") >= 10).select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
-    codes = corpus.select(
-        "vec_id", assign_and_code(F.col("v")).alias("ac")
-    ).select(
-        "vec_id",
-        F.col("ac.bucket").alias("bucket"),
-        F.posexplode("ac.codes").alias("m", "code"),
+    codes = corpus.mapInPandas(
+        assign_and_code, schema="vec_id long, bucket int, m int, code int"
     )
 
     # query side (tiny): probes + residual distance table, relational
