@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "t_leakage_split",
     "t_cms_heavy_hitters",
     "t_bpe_merges",
+    "m_cdc_chunks",
 ]
 
 

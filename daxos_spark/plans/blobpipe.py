@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions.hashing import md5_long_sql
 from ..multimodal.columns import attach_blob, sample_frames
 from .registry import QuerySpec, register
 
@@ -217,4 +218,116 @@ def m_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nb").alias("total_bytes"),
         )
         .orderBy("mime")
+    )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking — the binary-asset dedup primitive (backup /
+# dataset-versioning systems; LBFS, Muthitacharoen et al. 2001): cut
+# each asset wherever the hash of the W-byte window starting there is
+# ≡ 0 (mod D), so boundaries move WITH the content and an insertion
+# near the front re-chunks only its neighborhood instead of shifting
+# every downstream chunk (what fixed-size chunking gets wrong). Chunk
+# identity = content hash; the corpus-wide chunk store deduplicates
+# shared sub-content across assets.
+#
+# Everything is JVM-side expression work (sequence/filter/transform +
+# md5 substring hashing): boundary detection is position-local — a
+# window-hash predicate, not a sequential scan — so the whole pass is
+# embarrassingly parallel and the only shuffle is the final per-source
+# agg. The same expressions run on `binary` columns at scale
+# (substring/md5 accept binary); here they run on the text bytes so
+# the duckdb oracle replays chunk-for-chunk.
+_CDC_W = 8  # window bytes
+_CDC_D = 32  # divisor -> expected chunk ~32 bytes
+
+
+def _cdc_cuts_sql() -> str:
+    h = md5_long_sql(f"substr(text, CAST(i AS INT), {_CDC_W})")
+    return f"""
+      list_sort(list_distinct(
+        [1] ||
+        CASE WHEN length(text) >= {_CDC_W + 1}
+             THEN list_filter(range(2, length(text) - {_CDC_W} + 2),
+                              i -> {h} % {_CDC_D} = 0)
+             ELSE [] END ||
+        [length(text) + 1]))
+    """
+
+
+@_q(
+    "m_cdc_chunks",
+    f"""
+    WITH c AS (
+      SELECT doc_id, source, text, {_cdc_cuts_sql()} AS cuts FROM documents
+    ), ch AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(cuts)),
+                    j -> substr(text, CAST(cuts[j] AS INT),
+                                CAST(cuts[j+1] - cuts[j] AS INT)))) AS chunk
+      FROM c
+    ), h AS (
+      SELECT doc_id, source, {md5_long_sql('chunk')} AS ch_hash,
+             length(chunk) AS nb
+      FROM ch
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_assets,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT ch_hash) AS n_unique_chunks,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes,
+           CAST(MAX(nb) AS BIGINT) AS max_chunk_bytes
+    FROM h GROUP BY source ORDER BY source
+    """,
+    doc="content-defined chunking (W=8 window hash, D=32): boundaries "
+    "move with content; per-source chunk-store dedup stats",
+)
+def m_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    d = load_tables(spark, sf_dir)["documents"]
+    ln = F.length("text")
+    win_hash = lambda i: md5_long(F.substring(F.col("text"), i, _CDC_W))
+    cuts = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.array(F.lit(1)),
+                F.when(
+                    ln >= _CDC_W + 1,
+                    F.filter(
+                        F.sequence(F.lit(2), ln - _CDC_W + 1),
+                        lambda i: F.pmod(win_hash(i), F.lit(_CDC_D)) == 0,
+                    ),
+                ).otherwise(F.array().cast("array<int>")),
+                F.array(ln + 1),
+            )
+        )
+    )
+    c = d.select("doc_id", "source", "text", cuts.alias("cuts"))
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("cuts") - 1),
+            lambda j: F.substring(
+                F.col("text"),
+                F.element_at(F.col("cuts"), j),
+                F.element_at(F.col("cuts"), j + 1) - F.element_at(F.col("cuts"), j),
+            ),
+        )
+    )
+    h = c.select("doc_id", "source", chunk.alias("chunk")).select(
+        "doc_id",
+        "source",
+        md5_long(F.col("chunk")).alias("ch_hash"),
+        F.length("chunk").alias("nb"),
+    )
+    return (
+        h.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_assets"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("ch_hash").alias("n_unique_chunks"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+            F.max("nb").cast("bigint").alias("max_chunk_bytes"),
+        )
+        .orderBy("source")
     )

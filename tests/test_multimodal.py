@@ -82,3 +82,54 @@ def test_byte_histogram_matches_python(spark):
         want = np.bincount(arr // 32, minlength=8)[:8].tolist()
         assert got[i] == want, t
         assert sum(got[i]) == len(t.encode())
+
+
+def test_cdc_chunks_content_defined_property(spark):
+    """The property CDC exists for: chunk boundaries are functions of
+    local content, so prepending bytes re-chunks only the prefix — the
+    downstream chunk hashes are unchanged (fixed-size chunking would
+    shift every one). Verified with a python replay of the same
+    window-hash rule, plus the engine row for the real corpus."""
+    import hashlib
+
+    from daxos_spark.plans.blobpipe import _CDC_D, _CDC_W, m_cdc_chunks
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    def chunks(text: str) -> list[str]:
+        cuts = {1, len(text) + 1}
+        for i in range(2, len(text) - _CDC_W + 2):
+            if h(text[i - 1 : i - 1 + _CDC_W]) % _CDC_D == 0:
+                cuts.add(i)
+        cs = sorted(cuts)
+        return [text[a - 1 : b - 1] for a, b in zip(cs, cs[1:])]
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = "INSERTED PREFIX " + base
+    cb, ce = chunks(base), chunks(edited)
+    # all but the first O(1) chunks survive the edit with identical
+    # content AND order: the edited stream's chunk sequence ends with
+    # the base's sequence minus its first chunk
+    assert len(cb) > 3
+    assert ce[-(len(cb) - 1):] == cb[1:]
+
+    # engine output matches the replay on the real corpus (per source)
+    import pandas as pd
+
+    rows = {r.source: r for r in m_cdc_chunks(spark, "/root/testdata/sf0.001").collect()}
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    for src, g in docs.groupby("source"):
+        n_chunks, uniq, total = 0, set(), 0
+        for txt in g["text"]:
+            cs = chunks(txt)
+            n_chunks += len(cs)
+            uniq |= {h(c) for c in cs}
+            total += sum(len(c) for c in cs)
+        r = rows[src]
+        assert (r.n_assets, r.n_chunks, r.n_unique_chunks, r.total_bytes) == (
+            len(g),
+            n_chunks,
+            len(uniq),
+            total,
+        )
