@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "t_cms_heavy_hitters",
     "t_bpe_merges",
     "m_cdc_chunks",
+    "q_trade_pagerank",
 ]
 
 

@@ -1838,3 +1838,97 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("dup_orderkeys"))
     )
     return orphan_li.crossJoin(orphan_o).crossJoin(null_keys).crossJoin(dups)
+
+
+# --------------------------------------------------------------------------
+# PageRank over the trade graph — iterative graph analytics as plain
+# join+agg rounds (the Pregel-free layout: rank table ⋈ edge table,
+# contributions grouped by destination; GraphX/Pregel compile to the
+# same shuffles). Nodes are suppliers and customers (namespaced ids),
+# edges the DISTINCT supplier↔customer trade relationships from
+# lineitem⋈orders, made bidirectional so every node has out-degree
+# (no dangling-mass correction needed — documented simplification).
+# 3 fixed damped iterations (d = 0.85) from the uniform vector.
+#
+# 100 TB: the edge list and degree table partition by node key and the
+# per-iteration shuffle is bounded by |E|; ranks are decimal(38,18)
+# sums (order-independent, identical cross-engine) and the output is
+# integer nano-ranks, so the whole iterative computation hash-checks.
+_PR_D = 0.85
+_PR_ITERS = 3
+_PR_TOPK = 15
+
+
+def _pagerank_oracle() -> str:
+    contrib = "CAST(SUM(CAST(r.r / dg.dg AS DECIMAL(38,18))) AS DOUBLE)"
+    layers = []
+    for i in range(1, _PR_ITERS + 1):
+        layers.append(f"""
+    , r{i} AS (
+      SELECT ee.v AS node,
+             (1.0 - {_PR_D}) / MAX(n.nn) + {_PR_D} * {contrib} AS r
+      FROM ee JOIN r{i-1} r ON r.node = ee.u
+      JOIN deg dg ON dg.u = ee.u
+      CROSS JOIN n
+      GROUP BY ee.v
+    )""")
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey * 2 + 1 AS u, o_custkey * 2 AS v
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), ee AS (
+      SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT u, COUNT(*) AS dg FROM ee GROUP BY u
+    ), n AS (
+      SELECT COUNT(*) AS nn FROM deg
+    ), r0 AS (
+      SELECT d.u AS node, 1.0 / n.nn AS r FROM deg d CROSS JOIN n
+    ){''.join(layers)}
+    SELECT node, CAST(FLOOR(r * 1000000000.0) AS BIGINT) AS rank_nano
+    FROM r{_PR_ITERS}
+    ORDER BY rank_nano DESC, node
+    LIMIT {_PR_TOPK}
+    """
+
+
+@_q(
+    "q_trade_pagerank",
+    _pagerank_oracle(),
+    doc="PageRank (3 damped iterations) over the bidirectional "
+    "supplier-customer trade graph; integer nano-ranks hash-checked",
+    tags=("relational", "graph"),
+)
+def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("l_suppkey") * 2 + 1).alias("u"), (F.col("o_custkey") * 2).alias("v")
+        )
+        .distinct()
+    )
+    ee = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    deg = ee.groupBy("u").agg(F.count(F.lit(1)).alias("dg")).persist()
+    nn = deg.count()  # node count — a scalar, the honest driver transfer
+
+    r = deg.select(F.col("u").alias("node"), (F.lit(1.0) / F.lit(float(nn))).alias("r"))
+    for _ in range(_PR_ITERS):
+        r = (
+            ee.join(r, ee["u"] == r["node"])
+            .join(deg, "u")
+            .select(F.col("v"), (F.col("r") / F.col("dg")).cast("decimal(38,18)").alias("c"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                (
+                    F.lit((1.0 - _PR_D) / float(nn))
+                    + F.lit(_PR_D) * F.sum("c").cast("double")
+                ).alias("r")
+            )
+        )
+    return (
+        r.select("node", F.floor(F.col("r") * 1e9).cast("bigint").alias("rank_nano"))
+        .orderBy(F.col("rank_nano").desc(), "node")
+        .limit(_PR_TOPK)
+    )

@@ -102,3 +102,42 @@ def test_asof_null_keys_never_match(spark):
     rows = {r["v"]: r for r in asof_join(left, right, "k", "lts", "rts").collect()}
     assert rows[0]["w_right"] == 100  # real key matches
     assert rows[1]["w_right"] is None  # null key matches nothing
+
+
+def test_trade_pagerank_matches_numpy(spark):
+    """3-iteration damped PageRank vs a dense numpy replay on the same
+    bidirectional trade graph (guards same-wrong-in-both-engines)."""
+    import numpy as np
+    import pandas as pd
+
+    from daxos_spark.plans.relational2 import _PR_D, _PR_ITERS, q_trade_pagerank
+
+    SF_DIR = "/root/testdata/sf0.001"
+    rows = q_trade_pagerank(spark, SF_DIR).collect()
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[["l_orderkey", "l_suppkey"]]
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    e = {(s * 2 + 1, c * 2) for s, c in zip(j["l_suppkey"], j["o_custkey"])}
+    ee = list(e) + [(v, u) for u, v in e]
+    nodes = sorted({u for u, _ in ee})
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    deg = np.zeros(N)
+    for u, _ in ee:
+        deg[idx[u]] += 1
+    r = np.full(N, 1.0 / N)
+    for _ in range(_PR_ITERS):
+        nxt = np.zeros(N)
+        contrib = r / deg
+        for u, v in ee:
+            nxt[idx[v]] += contrib[idx[u]]
+        r = (1.0 - _PR_D) / N + _PR_D * nxt
+    want = sorted(
+        ((int(np.floor(ri * 1e9)), n) for n, ri in zip(nodes, r)),
+        key=lambda t: (-t[0], t[1]),
+    )[: len(rows)]
+    got = [(rw.rank_nano, rw.node) for rw in rows]
+    # decimal(38,18) quantization vs float64: allow 1-nano drift per rank
+    for (gr, gn), (wr, wn) in zip(got, want):
+        assert gn == wn and abs(gr - wr) <= 1
