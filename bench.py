@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "t_bpe_merges",
     "m_cdc_chunks",
     "q_trade_pagerank",
+    "t_bm25_topk",
 ]
 
 

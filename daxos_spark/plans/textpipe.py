@@ -798,3 +798,116 @@ def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "round int, merge_left string, merge_right string, pair_count long"
     ).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval — the lexical search workload (Robertson et al.,
+# Okapi BM25) over an inverted-index layout: score(q, d) =
+# Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)). Queries
+# are the eval-suite docs' distinct tokens (doc_id % 97 = 0, first 3);
+# candidates come from the postings equi-join (only docs sharing a
+# term are touched — the inverted-index property; never a full
+# query×corpus product), then one group-by per (query, doc) sums the
+# term scores through DECIMAL(25,6). idf/tf inputs are exact integers,
+# |d|/avgdl is a ratio of identical doubles, so per-term scores are
+# identical cross-engine and the final ranking hash-checks.
+#
+# 100 TB: the postings list (term → doc) is the shuffle key; document
+# stats (lengths) broadcast-join; per-query top-k is the standard
+# window heap below one exchange.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t
+    ), df AS (
+      SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+    ), q AS (
+      SELECT doc_id AS qid, t FROM (
+        SELECT DISTINCT doc_id, t FROM tok WHERE doc_id % 97 = 0
+      ) WHERE qid < 97 * 3
+    ), scored AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(SUM(CAST(
+               LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * (dl.dlen / stats.avgdl)))
+             AS DECIMAL(25,6))) AS DOUBLE) AS score
+      FROM q
+      JOIN tf ON tf.t = q.t
+      JOIN df ON df.t = q.t
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      WHERE tf.doc_id % 97 <> 0
+      GROUP BY q.qid, tf.doc_id
+    )
+    SELECT qid, rk, doc_id, {sql_trunc6('score')} AS bm25
+    FROM (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+      FROM scored) t
+    WHERE rk <= {_BM25_TOPK} ORDER BY qid, rk
+    """
+
+
+@_q(
+    "t_bm25_topk",
+    _bm25_oracle(),
+    doc="Okapi BM25 retrieval: inverted-index postings join, per-query "
+    "top-10; term scores DECIMAL-summed so ranking hash-checks",
+)
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions import text as T
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t")).persist()
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    q = (
+        tok.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 97 * 3))
+        .select(F.col("doc_id").alias("qid"), "t")
+        .distinct()
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_term = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (F.col("dlen") / F.col("avgdl")))
+    )
+    scored = (
+        q.join(tf, "t")
+        .filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(df_), "t")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", (idf * tf_term).cast("decimal(25,6)").alias("s"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("s").cast("double").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("qid", "rk", "doc_id", trunc6(F.col("score")).alias("bm25"))
+        .orderBy("qid", "rk")
+    )

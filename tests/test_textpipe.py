@@ -205,3 +205,53 @@ def test_bpe_merges_match_reference_trainer(spark):
                 else:
                     out.append(cur)
             words[w] = out
+
+
+def test_bm25_topk_matches_python(spark):
+    import math
+
+    from daxos_spark.plans.textpipe import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TOPK,
+        t_bm25_topk,
+    )
+
+    rows = t_bm25_topk(spark, SF_DIR).collect()
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    toks = {r.doc_id: _toks(r.text) for r in docs.itertuples()}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n_docs = len(toks)
+    avgdl = sum(dl.values()) / n_docs
+    tf: dict = {}
+    df: Counter = Counter()
+    for d, ts in toks.items():
+        c = Counter(ts)
+        tf[d] = c
+        df.update(c.keys())
+
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r.qid, []).append(r)
+    assert set(got) == {0, 97, 194} & set(toks)
+    for qid, rs in got.items():
+        scores = {}
+        for d in toks:
+            if d % 97 == 0:
+                continue
+            s = 0.0
+            for t in set(toks[qid]):
+                if t not in tf[d]:
+                    continue
+                idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                f = tf[d][t]
+                s += idf * (f * (_BM25_K1 + 1.0)) / (
+                    f + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl[d] / avgdl)
+                )
+            if s > 0:
+                scores[d] = s
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_BM25_TOPK]
+        assert [r.doc_id for r in sorted(rs, key=lambda r: r.rk)] == [d for d, _ in want]
+        for r, (_, ws) in zip(sorted(rs, key=lambda r: r.rk), want):
+            assert abs(r.bm25 - ws) < 1e-4  # DECIMAL term quantization
