@@ -128,3 +128,90 @@ def test_decimal_sum_order_independent(spark, xs):
         .collect()[0]["s"]
     )
     assert fwd == rev  # bit-for-bit, not approx
+
+
+# ---------------------------------------------------------------- round 3 ops
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=400
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_cdc_chunks_reconstruct_exactly(text):
+    """CDC partition property: chunks are a PARTITION of the input —
+    concatenating them reproduces the asset byte-for-byte, for any
+    content (the python replay of m_cdc_chunks' boundary rule)."""
+    import hashlib
+
+    from daxos_spark.plans.blobpipe import _CDC_D, _CDC_W
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    cuts = {1, len(text) + 1}
+    for i in range(2, len(text) - _CDC_W + 2):
+        if h(text[i - 1 : i - 1 + _CDC_W]) % _CDC_D == 0:
+            cuts.add(i)
+    cs = sorted(cuts)
+    chunks = [text[a - 1 : b - 1] for a, b in zip(cs, cs[1:])]
+    assert "".join(chunks) == text
+    assert all(chunks)  # no empty chunk
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8), min_size=1, max_size=30
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_merge_fold_preserves_word(words):
+    """BPE merge property: for ANY pair (x, y), folding a word's symbol
+    sequence merges only adjacent (x, y) occurrences left-to-right and
+    concatenating the merged symbols always reproduces the word."""
+    for w in words:
+        syms = list(w)
+        for x, y in {(a, b) for a, b in zip(w, w[1:])} or {("a", "b")}:
+            out = [syms[0]]
+            for cur in syms[1:]:
+                if out[-1] == x and cur == y:
+                    out[-1] = x + y
+                else:
+                    out.append(cur)
+            assert "".join(out) == w
+            assert (x + y not in out) or (x + y != x)
+
+
+@given(
+    n=st.integers(min_value=2, max_value=12),
+    seed=st.integers(min_value=0, max_value=999),
+)
+@settings(max_examples=40, deadline=None)
+def test_mmr_greedy_invariants(n, seed):
+    """MMR greedy invariants on random candidate sets: picks are
+    distinct, the first pick is the max-relevance candidate, and each
+    later score is <= 0.5*rel of its own pick (the redundancy penalty
+    only subtracts)."""
+    rng = np.random.default_rng(seed)
+    rel = rng.uniform(size=n)
+    sims = rng.uniform(size=(n, n))
+    sims = (sims + sims.T) / 2
+    k = min(5, n)
+    sel, remaining = [], list(range(n))
+    out = []
+    for _ in range(k):
+        best, bs = None, None
+        for d in remaining:
+            ms = max((sims[d][s] for s in sel), default=0.0)
+            sc = 0.5 * rel[d] - 0.5 * ms
+            if bs is None or sc > bs:
+                best, bs = d, sc
+        out.append((best, bs))
+        sel.append(best)
+        remaining.remove(best)
+    ids = [i for i, _ in out]
+    assert len(set(ids)) == len(ids)
+    assert ids[0] == int(np.lexsort((np.arange(n), -rel))[0])
+    for i, s in out:
+        assert s <= 0.5 * rel[i] + 1e-12
