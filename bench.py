@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "m_cdc_chunks",
     "q_trade_pagerank",
     "t_bm25_topk",
+    "v_knn_blocked",
 ]
 
 

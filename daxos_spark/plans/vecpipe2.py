@@ -628,3 +628,82 @@ def v_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 trunc6(F.col("dist").cast("double")).alias("adc_dist"))
         .orderBy("qid", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Blocked-matmul exact kNN — the vectorized twin of e_knn_bruteforce.
+# The HOF-fold cosine evaluates ~64 expression nodes per (query, doc)
+# pair inside codegen; once the query set is a few hundred rows that
+# per-pair interpretation is the scan bottleneck. Here the broadcast
+# query code-matrix hits each Arrow batch as ONE int64 matmul
+# (C @ Q^T), each task emits only its per-query partial top-k (the
+# per-partition heap), and a single exchange of tasks×queries×k rows
+# finishes the global top-k. Scores are exact integer dots of the
+# fixed-point codes (floor(x·1000)), so ranking and scores hash-check.
+_BK_K = 5
+
+
+@_q(
+    "v_knn_blocked",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, {_CODE_SQL} AS qc FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS cid, {_CODE_SQL} AS cc FROM embeddings WHERE vec_id >= 10
+    ), s AS (
+      SELECT qid, cid, CAST(list_dot_product(qc, cc) AS BIGINT) AS score FROM q, c
+    )
+    SELECT qid, rk, cid AS neighbor_id, score FROM (
+      SELECT qid, cid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+      FROM s) t
+    WHERE rk <= {_BK_K} ORDER BY qid, rk
+    """,
+    doc="exact kNN via per-batch int64 matmul (broadcast query matrix, "
+    "per-task partial top-k) — the vectorized scan path for large "
+    "query sets",
+)
+def v_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+
+    q_rows = (
+        e.filter(F.col("vec_id") < 10)
+        .select("vec_id", int_code(to_double(F.col("embedding"))).alias("c"))
+        .collect()
+    )
+    q_rows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([int(r["vec_id"]) for r in q_rows])
+    Q = np.array([[int(x) for x in r["c"]] for r in q_rows], dtype=np.int64)
+
+    corpus = e.filter(F.col("vec_id") >= 10).select(
+        "vec_id", int_code(to_double(F.col("embedding"))).alias("c")
+    )
+
+    def block_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+            S = C @ Q.T  # (n, nq) exact int64
+            cids = pdf["vec_id"].to_numpy()
+            k = min(_BK_K, len(cids))
+            out = []
+            for j, qid in enumerate(qids):
+                col = S[:, j]
+                # partial top-k inside the task: (-score, cid) order
+                idx = np.lexsort((cids, -col))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {"qid": qid, "cid": cids[idx], "score": col[idx]}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partials = corpus.mapInPandas(block_topk, schema="qid long, cid long, score long")
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+    return (
+        partials.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BK_K)
+        .select("qid", "rk", F.col("cid").alias("neighbor_id"), "score")
+        .orderBy("qid", "rk")
+    )

@@ -202,3 +202,23 @@ def test_ivfpq_knn_invariants(spark):
         # ADC distances are monotone in rank
         ds = [r.adc_dist for r in sorted(rs, key=lambda r: r.rk)]
         assert ds == sorted(ds)
+
+
+def test_knn_blocked_matches_numpy(spark):
+    from daxos_spark.plans.vecpipe2 import _BK_K, v_knn_blocked
+
+    rows = v_knn_blocked(spark, SF_DIR).collect()
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    c = _codes(emb)
+    ids = emb["vec_id"].to_numpy()
+    Q, C = c[ids < 10], c[ids >= 10]
+    qids, cids = ids[ids < 10], ids[ids >= 10]
+    S = C @ Q.T
+    got = {}
+    for r in rows:
+        got.setdefault(r.qid, []).append((r.rk, r.neighbor_id, r.score))
+    for j, qid in enumerate(qids):
+        order = np.lexsort((cids, -S[:, j]))[:_BK_K]
+        want = [(k + 1, int(cids[i]), int(S[i, j])) for k, i in enumerate(order)]
+        assert sorted(got[qid]) == want
