@@ -634,17 +634,28 @@ def e_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
 
-    @pandas_udf("array<int>")
-    def pq_codes(v: pd.Series) -> pd.Series:
-        X = np.vstack(v.to_numpy())  # (n, dim)
-        diff = X[:, None, :] - codebook[None, :, :]  # (n, K, dim)
-        t = np.floor(diff * diff * 1e6 + 0.5).astype(np.int64)
-        sums = t.reshape(len(X), _PQ_K, n_sub, 8).sum(axis=3)  # (n, K, M)
-        return pd.Series(list(sums.argmin(axis=1).astype(np.int32)))
+    # mapInPandas emitting the exploded (vec_id, m, code) rows directly:
+    # an array-returning pandas_udf + posexplode got its projections
+    # collapsed into TWO stacked ArrowEvalPython nodes (the coding
+    # kernel ran twice per row — caught by tools/plan_audit.py).
+    def pq_codes(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy())  # (n, dim)
+            diff = X[:, None, :] - codebook[None, :, :]  # (n, K, dim)
+            t = np.floor(diff * diff * 1e6 + 0.5).astype(np.int64)
+            sums = t.reshape(len(X), _PQ_K, n_sub, 8).sum(axis=3)  # (n, K, M)
+            cd = sums.argmin(axis=1).astype(np.int32)  # (n, M)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_sub),
+                    "m": np.tile(np.arange(n_sub, dtype=np.int32), len(pdf)),
+                    "code": cd.reshape(-1),
+                }
+            )
 
-    codes = corpus.select("vec_id", pq_codes(F.col("v")).alias("cs")).select(
-        "vec_id", F.posexplode("cs").alias("m", "code")
-    )
+    codes = corpus.mapInPandas(pq_codes, schema="vec_id long, m int, code int")
 
     # query side: 10 vectors — the relational explode+join+agg is trivial
     anch = (
