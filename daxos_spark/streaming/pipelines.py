@@ -397,3 +397,35 @@ def cms_counts_stream(
         .groupBy("row_i", "bk")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def split_route_stream(
+    docs: DataFrame,
+    split_index: DataFrame,
+    fp_col: str = "fp",
+    pct_train: int = 8,
+) -> DataFrame:
+    """Route ARRIVING documents consistently with a frozen leakage-safe
+    train/test split (the streaming twin of plans/textpipe.
+    t_leakage_split's assignment): a doc whose content fingerprint
+    already exists in the corpus INHERITS that fingerprint's split —
+    never letting a duplicate of a test document leak into train —
+    and a genuinely-new doc is hashed fresh on its fingerprint
+    (md5 % 10 < pct_train). Stream-static LEFT join + stateless map;
+    at scale the index is the bucketed/Bloom-fronted fingerprint table
+    and the join is a bucket-local probe.
+
+    ``split_index`` is a static (fp, split) relation; ``docs`` must
+    already carry ``fp_col``.
+    """
+    from ..functions.hashing import md5_long
+
+    fresh = F.when(
+        F.pmod(md5_long(F.col(fp_col).cast("string")), F.lit(10)) < pct_train,
+        "train",
+    ).otherwise("test")
+    return (
+        docs.join(split_index.select(fp_col, "split"), fp_col, "left")
+        .withColumn("inherited", F.col("split").isNotNull())
+        .withColumn("split", F.coalesce(F.col("split"), fresh))
+    )

@@ -319,3 +319,44 @@ def test_cms_counts_stream_matches_batch(spark, tmp_path):
     assert got == dict(want)
     # state bound: at most d*w counter rows
     assert len(got) <= d_rows * w
+
+
+def test_split_route_stream_inherits_and_hashes(spark, tmp_path):
+    """Arriving docs with a known fingerprint inherit the frozen split;
+    new fingerprints get the deterministic hash split — identical to
+    the batch expression on the same rows."""
+    import hashlib
+
+    from daxos_spark.streaming.pipelines import split_route_stream
+
+    index = spark.createDataFrame(
+        [(100, "test"), (200, "train")], "fp long, split string"
+    )
+    arriving = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 555), (4, 777)], "doc_id long, fp long"
+    )
+    doc_dir = str(tmp_path / "arrivals")
+    arriving.write.parquet(doc_dir)
+    stream = spark.readStream.schema("doc_id long, fp long").parquet(doc_dir)
+    run_to_memory(split_route_stream(stream, index), "routed", output_mode="append")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in spark.sql("SELECT doc_id, split FROM routed").collect()
+    }
+    def fresh(fp):
+        h = int(hashlib.md5(str(fp).encode()).hexdigest()[:14], 16)
+        return "train" if h % 10 < 8 else "test"
+    assert got[1] == "test" and got[2] == "train"  # inherited, not re-hashed
+    assert got[3] == fresh(555) and got[4] == fresh(777)
+
+
+def test_split_route_stream_inherited_flag(spark, tmp_path):
+    from daxos_spark.streaming.pipelines import split_route_stream
+
+    index = spark.createDataFrame([(100, "test")], "fp long, split string")
+    arriving = spark.createDataFrame([(1, 100), (2, 555)], "doc_id long, fp long")
+    d = str(tmp_path / "arr2"); arriving.write.parquet(d)
+    stream = spark.readStream.schema("doc_id long, fp long").parquet(d)
+    run_to_memory(split_route_stream(stream, index), "routed2", output_mode="append")
+    got = {r["doc_id"]: r["inherited"] for r in spark.sql("SELECT * FROM routed2").collect()}
+    assert got == {1: True, 2: False}
