@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "q_trade_pagerank",
     "t_bm25_topk",
     "v_knn_blocked",
+    "t_refinery_funnel",
 ]
 
 

@@ -911,3 +911,157 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rk", "doc_id", trunc6(F.col("score")).alias("bm25"))
         .orderBy("qid", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# The full corpus-refinery funnel in ONE relational pipeline — the
+# per-ingest report every pretraining-data team builds (FineWeb/RefinedWeb
+# shape): raw → exact-dedup canonical → quality gate → n-gram
+# decontamination → temperature-mixed sampling weights, with per-source
+# counts surviving each stage. Each stage is a proven fragment from
+# this repo (d_exact_dedup's fingerprints, d_clean_corpus's quality
+# rule, d_decontamination's eval-shingle join, d_temperature_mix's
+# ∝ sqrt(tokens) weights); the point of the query is that they COMPOSE
+# as one declarative plan Catalyst can globally optimize — one text
+# scan feeds every stage, and the funnel is a chain of narrow
+# projections, not four pipeline jobs re-reading the corpus.
+_FUNNEL_QUALITY = 0.5  # stop_hits * 5 / n_tokens threshold (d_clean_corpus)
+
+
+def _funnel_oracle() -> str:
+    norm_ws = f"regexp_replace({_NORM}, '\\s+', ' ', 'g')"
+    sw = "', '".join(
+        ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+    )
+    return f"""
+    WITH f AS (
+      SELECT doc_id, source, lang,
+             {md5_long_sql(norm_ws)} AS fp,
+             {_TOKS} AS tk,
+             len({_TOKS}) AS n_tokens,
+             len(list_filter({_TOKS}, t -> list_contains(['{sw}'], t))) AS stop_hits
+      FROM documents WHERE doc_id % 97 <> 0
+    ), canon AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f
+    ), quality AS (
+      SELECT *, (stop_hits * 5.0 / n_tokens) >= {_FUNNEL_QUALITY} AS good
+      FROM canon WHERE rn = 1
+    ), sh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+      FROM (SELECT doc_id, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i
+            FROM quality WHERE good)
+    ), eval_sh AS (
+      SELECT DISTINCT concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+      FROM (SELECT tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i
+            FROM (SELECT {_TOKS} AS tk FROM documents WHERE doc_id % 97 = 0))
+    ), contam AS (
+      SELECT doc_id FROM sh WHERE s IN (SELECT s FROM eval_sh) GROUP BY doc_id
+    ), survivors AS (
+      SELECT q.source, q.doc_id, q.n_tokens,
+             q.good AND c.doc_id IS NULL AS clean
+      FROM quality q LEFT JOIN contam c ON c.doc_id = q.doc_id
+    ), per_src AS (
+      SELECT f.source,
+             COUNT(*) AS n_raw,
+             COUNT(DISTINCT CASE WHEN canon.rn = 1 THEN f.doc_id END) AS n_canonical
+      FROM f JOIN canon ON canon.doc_id = f.doc_id
+      GROUP BY f.source
+    ), surv_src AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+             SUM(CASE WHEN clean THEN n_tokens ELSE 0 END) AS clean_tokens
+      FROM survivors GROUP BY source
+    ), wsum AS (
+      SELECT CAST(SUM(CAST(SQRT(CAST(clean_tokens AS DOUBLE)) AS DECIMAL(25,6)))
+                  AS DOUBLE) AS z
+      FROM surv_src
+    )
+    SELECT p.source, p.n_raw, p.n_canonical, s.n_clean,
+           CAST(FLOOR(1000000.0 * SQRT(CAST(s.clean_tokens AS DOUBLE)) / w.z)
+                AS BIGINT) AS mix_w_micro
+    FROM per_src p JOIN surv_src s ON s.source = p.source CROSS JOIN wsum w
+    ORDER BY p.source
+    """
+
+
+@_q(
+    "t_refinery_funnel",
+    _funnel_oracle(),
+    doc="full corpus-refinery funnel in one plan: raw -> exact-dedup "
+    "canonical -> quality gate -> n-gram decontam -> temperature mix "
+    "weights, per-source survival counts",
+)
+def t_refinery_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions import text as T
+    from ..functions.text import fingerprint
+
+    sw = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    f = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        "source",
+        fingerprint(F.col("text")).alias("fp"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.stopword_hits(F.col("text"), sw).alias("stop_hits"),
+        word_shingles(F.lower(F.trim(F.col("text"))), 3).alias("shingles"),
+    ).persist()  # one text scan feeds dedup, quality, decontam, and mix
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    canon = f.withColumn("rn", F.row_number().over(w))
+    quality = canon.filter(F.col("rn") == 1).withColumn(
+        "good", (F.col("stop_hits") * 5.0 / F.col("n_tokens")) >= _FUNNEL_QUALITY
+    )
+    eval_sh = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"))
+        .distinct()
+    )
+    contam = (
+        quality.filter(F.col("good"))
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(eval_sh), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = quality.join(
+        contam.withColumn("hit", F.lit(1)), "doc_id", "left"
+    ).select(
+        "source",
+        "n_tokens",
+        (F.col("good") & F.col("hit").isNull()).alias("clean"),
+    )
+    per_src = canon.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum((F.col("rn") == 1).cast("int")).cast("bigint").alias("n_canonical"),
+    )
+    surv_src = survivors.groupBy("source").agg(
+        F.sum(F.col("clean").cast("int")).cast("bigint").alias("n_clean"),
+        F.sum(F.when(F.col("clean"), F.col("n_tokens")).otherwise(0)).alias(
+            "clean_tokens"
+        ),
+    )
+    z = surv_src.agg(
+        F.sum(
+            F.sqrt(F.col("clean_tokens").cast("double")).cast("decimal(25,6)")
+        )
+        .cast("double")
+        .alias("z")
+    )
+    return (
+        per_src.join(surv_src, "source")
+        .crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_raw",
+            "n_canonical",
+            "n_clean",
+            F.floor(
+                1e6 * F.sqrt(F.col("clean_tokens").cast("double")) / F.col("z")
+            )
+            .cast("bigint")
+            .alias("mix_w_micro"),
+        )
+        .orderBy("source")
+    )

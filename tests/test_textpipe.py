@@ -255,3 +255,54 @@ def test_bm25_topk_matches_python(spark):
         assert [r.doc_id for r in sorted(rs, key=lambda r: r.rk)] == [d for d, _ in want]
         for r, (_, ws) in zip(sorted(rs, key=lambda r: r.rk), want):
             assert abs(r.bm25 - ws) < 1e-4  # DECIMAL term quantization
+
+
+def test_refinery_funnel_monotone_and_python_replay(spark):
+    from daxos_spark.plans.textpipe import _FUNNEL_QUALITY, t_refinery_funnel
+
+    rows = t_refinery_funnel(spark, SF_DIR).collect()
+    assert rows
+    total_w = sum(r.mix_w_micro for r in rows)
+    assert 0 < total_w <= 1_000_000  # floor'd micro-weights sum to <= 1
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    sw = {"the", "a", "of", "and", "to", "in", "is", "for", "on", "with"}
+
+    def shingles(t):
+        tk = _toks(t)
+        n = max(len(tk) - 2, 1)
+        return {" ".join(tk[i : i + 3]) for i in range(n)}
+
+    eval_sh = set()
+    for t in docs[docs.doc_id % 97 == 0]["text"]:
+        eval_sh |= shingles(t)
+    import re
+
+    got = {r.source: r for r in rows}
+    # fingerprint dedup is GLOBAL (the canonical doc may sit in another
+    # source), so replay globally in doc_id order and attribute counts
+    # to each row's own source
+    train = docs[docs.doc_id % 97 != 0].sort_values("doc_id")
+    seen_fp: set = set()
+    n_raw: dict = {}
+    n_canon: dict = {}
+    n_clean: dict = {}
+    for _, r in train.iterrows():
+        src = r["source"]
+        n_raw[src] = n_raw.get(src, 0) + 1
+        fp = re.sub(r"\s+", " ", r["text"].strip().lower())
+        if fp in seen_fp:
+            continue
+        seen_fp.add(fp)
+        n_canon[src] = n_canon.get(src, 0) + 1
+        tk = _toks(r["text"])
+        good = sum(t in sw for t in tk) * 5.0 / len(tk) >= _FUNNEL_QUALITY
+        if good and not (shingles(r["text"]) & eval_sh):
+            n_clean[src] = n_clean.get(src, 0) + 1
+    for src, rr in got.items():
+        assert (rr.n_raw, rr.n_canonical, rr.n_clean) == (
+            n_raw[src],
+            n_canon.get(src, 0),
+            n_clean.get(src, 0),
+        )
+        assert rr.n_raw >= rr.n_canonical >= rr.n_clean  # funnel is monotone
