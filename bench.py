@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "t_bm25_topk",
     "v_knn_blocked",
     "t_refinery_funnel",
+    "v_hybrid_search",
 ]
 
 

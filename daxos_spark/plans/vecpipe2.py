@@ -707,3 +707,138 @@ def v_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rk", F.col("cid").alias("neighbor_id"), "score")
         .orderBy("qid", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid two-stage retrieval — the standard RAG/search stack: BM25
+# lexical RECALL (cheap, inverted-index postings join — t_bm25_topk's
+# construction with a wider k) followed by embedding RERANK of only
+# those candidates (exact integer-code dot against the query's own
+# embedding; doc_id == vec_id as in d_semantic_neardup). The semantic
+# model never scans the corpus — it scores recall_k candidates per
+# query, which is the whole economics of two-stage retrieval at scale.
+# Both stages deterministic → final ranking, bm25 AND semantic scores
+# all hash-check.
+_HY_RECALL = 20
+_HY_K = 5
+_HY_K1 = 1.2
+_HY_B = 0.75
+
+
+def _hybrid_oracle() -> str:
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({toks}) AS t FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t
+    ), df AS (
+      SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+    ), q AS (
+      SELECT doc_id AS qid, t FROM (
+        SELECT DISTINCT doc_id, t FROM tok WHERE doc_id % 97 = 0
+      ) WHERE qid < 97 * 3
+    ), scored AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(SUM(CAST(
+               LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({_HY_K1} + 1.0))
+               / (tf.tf + {_HY_K1} * (1.0 - {_HY_B} + {_HY_B} * (dl.dlen / stats.avgdl)))
+             AS DECIMAL(25,6))) AS DOUBLE) AS bm25
+      FROM q JOIN tf ON tf.t = q.t JOIN df ON df.t = q.t
+      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+      WHERE tf.doc_id % 97 <> 0
+      GROUP BY q.qid, tf.doc_id
+    ), recall AS (
+      SELECT qid, doc_id, bm25 FROM (
+        SELECT qid, doc_id, bm25,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rn
+        FROM scored) t WHERE rn <= {_HY_RECALL}
+    ), qv AS (
+      SELECT vec_id AS qid, {_CODE_SQL} AS qc FROM embeddings
+    ), cv AS (
+      SELECT vec_id AS doc_id, {_CODE_SQL} AS cc FROM embeddings
+    ), rr AS (
+      SELECT r.qid, r.doc_id, r.bm25,
+             CAST(list_dot_product(qv.qc, cv.cc) AS BIGINT) AS sem_dot
+      FROM recall r JOIN qv ON qv.qid = r.qid JOIN cv ON cv.doc_id = r.doc_id
+    )
+    SELECT qid, rk, doc_id, {sql_trunc6('bm25')} AS bm25, sem_dot FROM (
+      SELECT qid, doc_id, bm25, sem_dot,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sem_dot DESC, doc_id) AS rk
+      FROM rr) t
+    WHERE rk <= {_HY_K} ORDER BY qid, rk
+    """
+
+
+@_q(
+    "v_hybrid_search",
+    _hybrid_oracle(),
+    doc="two-stage retrieval: BM25 lexical recall (top-20 postings join) "
+    "then exact embedding rerank of only those candidates; both scores "
+    "hash-checked",
+)
+def v_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t")).persist()
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    q = (
+        tok.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 97 * 3))
+        .select(F.col("doc_id").alias("qid"), "t")
+        .distinct()
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tt = (F.col("tf") * (_HY_K1 + 1.0)) / (
+        F.col("tf") + _HY_K1 * (1.0 - _HY_B + _HY_B * (F.col("dlen") / F.col("avgdl")))
+    )
+    scored = (
+        q.join(tf, "t")
+        .filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(df_), "t")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", (idf * tt).cast("decimal(25,6)").alias("s"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("s").cast("double").alias("bm25"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("bm25").desc(), "doc_id")
+    recall = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _HY_RECALL)
+        .select("qid", "doc_id", "bm25")
+    )
+    e = t["embeddings"]
+    codes = e.select(F.col("vec_id"), int_code(to_double(F.col("embedding"))).alias("c"))
+    idot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda p, q_: p * q_), F.lit(0).cast("bigint"), lambda a, v: a + v
+    )
+    rr = (
+        recall.join(
+            codes.select(F.col("vec_id").alias("qid"), F.col("c").alias("qc")), "qid"
+        )
+        .join(
+            codes.select(F.col("vec_id").alias("doc_id"), F.col("c").alias("cc")),
+            "doc_id",
+        )
+        .select("qid", "doc_id", "bm25", idot(F.col("qc"), F.col("cc")).alias("sem_dot"))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("sem_dot").desc(), "doc_id")
+    return (
+        rr.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _HY_K)
+        .select("qid", "rk", "doc_id", trunc6(F.col("bm25")).alias("bm25"), "sem_dot")
+        .orderBy("qid", "rk")
+    )

@@ -222,3 +222,27 @@ def test_knn_blocked_matches_numpy(spark):
         order = np.lexsort((cids, -S[:, j]))[:_BK_K]
         want = [(k + 1, int(cids[i]), int(S[i, j])) for k, i in enumerate(order)]
         assert sorted(got[qid]) == want
+
+
+def test_hybrid_search_reranks_bm25_recall(spark):
+    """The rerank stage must (a) only surface docs from the BM25 recall
+    set and (b) order them by exact integer code dot."""
+    from daxos_spark.plans.textpipe import t_bm25_topk  # noqa: F401  (same corpus)
+    from daxos_spark.plans.vecpipe2 import _HY_K, v_hybrid_search
+
+    rows = v_hybrid_search(spark, SF_DIR).collect()
+    assert rows
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    c = _codes(emb)
+    by_id = {int(v): c[i] for i, v in enumerate(emb["vec_id"])}
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rk)
+        assert len(rs) <= _HY_K
+        dots = [int(by_id[r.qid] @ by_id[r.doc_id]) for r in rs]
+        assert [r.sem_dot for r in rs] == dots
+        assert dots == sorted(dots, reverse=True)
+        assert all(r.doc_id % 97 != 0 for r in rs)  # eval never retrieved
