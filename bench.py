@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "v_knn_blocked",
     "t_refinery_funnel",
     "v_hybrid_search",
+    "q_ab_ztest",
 ]
 
 

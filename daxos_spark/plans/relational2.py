@@ -1932,3 +1932,109 @@ def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_nano").desc(), "node")
         .limit(_PR_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Experiment analysis — the A/B readout every analytics engine ships:
+# assign users to arms (hash parity), compare a conversion rate
+# (two-proportion z-test) and a continuous metric (Welch's t from
+# exact moments). One pass over events builds per-user outcomes, one
+# agg per arm builds the sufficient statistics (n, conversions, Σv,
+# Σv² through DECIMAL — order-independent), and the test statistics
+# are closed-form arithmetic on those identical numbers, so z and t
+# hash-check to 6 decimals. At 100 TB this is two shuffles (user
+# rollup, arm rollup), both with map-side partial aggregation.
+@_q(
+    "q_ab_ztest",
+    f"""
+    WITH pu AS (
+      SELECT user_id, user_id % 2 AS arm,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch,
+             {sql_dsum('value')} AS total_value
+      FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT SUM(n_purch) AS total_p, COUNT(*) AS n_users FROM pu
+    ), per_user AS (
+      -- converted = strictly-above-mean purchase frequency: the
+      -- integer-exact cross-multiplied comparison avoids a division
+      -- and is non-degenerate at any SF (unlike has-any-purchase,
+      -- which saturates at p = 1)
+      SELECT pu.*, CASE WHEN pu.n_purch * tot.n_users > tot.total_p
+                        THEN 1 ELSE 0 END AS converted
+      FROM pu CROSS JOIN tot
+    ), arms AS (
+      SELECT arm, COUNT(*) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv,
+             {sql_dsum('total_value')} AS sv,
+             {sql_dsum('total_value * total_value')} AS svv
+      FROM per_user GROUP BY arm
+    ), w AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        MAX(CASE WHEN arm = 0 THEN conv END) AS c0,
+        MAX(CASE WHEN arm = 1 THEN conv END) AS c1,
+        MAX(CASE WHEN arm = 0 THEN sv END) AS sv0,
+        MAX(CASE WHEN arm = 1 THEN sv END) AS sv1,
+        MAX(CASE WHEN arm = 0 THEN svv END) AS svv0,
+        MAX(CASE WHEN arm = 1 THEN svv END) AS svv1
+      FROM arms
+    )
+    SELECT n0, n1, c0, c1,
+      {sql_trunc6('''
+        (CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0)
+        / SQRT( (CAST(c0+c1 AS DOUBLE)/(n0+n1)) * (1.0 - CAST(c0+c1 AS DOUBLE)/(n0+n1))
+                * (1.0/n0 + 1.0/n1) )''')} AS z_conversion,
+      {sql_trunc6('''
+        (sv1/n1 - sv0/n0)
+        / SQRT( ((svv0 - sv0*sv0/n0)/(n0-1))/n0 + ((svv1 - sv1*sv1/n1)/(n1-1))/n1 )''')}
+        AS t_value
+    FROM w
+    """,
+    doc="A/B experiment readout: two-proportion z-test on conversion + "
+    "Welch's t on user value from exact DECIMAL moments",
+    tags=("relational", "stats"),
+)
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purch"
+        ),
+        dsum(F.col("value")).alias("total_value"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    tot = pu.agg(
+        F.sum("n_purch").alias("total_p"), F.count(F.lit(1)).alias("n_users")
+    )
+    per_user = pu.crossJoin(F.broadcast(tot)).withColumn(
+        "converted",
+        (F.col("n_purch") * F.col("n_users") > F.col("total_p")).cast("int"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+        dsum(F.col("total_value")).alias("sv"),
+        dsum(F.col("total_value") * F.col("total_value")).alias("svv"),
+    )
+    pick = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))
+    w = arms.agg(
+        pick(0, "n").alias("n0"), pick(1, "n").alias("n1"),
+        pick(0, "conv").alias("c0"), pick(1, "conv").alias("c1"),
+        pick(0, "sv").alias("sv0"), pick(1, "sv").alias("sv1"),
+        pick(0, "svv").alias("svv0"), pick(1, "svv").alias("svv1"),
+    )
+    p = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (
+        F.col("c1").cast("double") / F.col("n1")
+        - F.col("c0").cast("double") / F.col("n0")
+    ) / F.sqrt(p * (1.0 - p) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    var = lambda s, ss, n: (ss - s * s / n) / (n - 1)
+    tstat = (F.col("sv1") / F.col("n1") - F.col("sv0") / F.col("n0")) / F.sqrt(
+        var(F.col("sv0"), F.col("svv0"), F.col("n0")) / F.col("n0")
+        + var(F.col("sv1"), F.col("svv1"), F.col("n1")) / F.col("n1")
+    )
+    return w.select(
+        "n0", "n1", "c0", "c1",
+        trunc6(z).alias("z_conversion"),
+        trunc6(tstat).alias("t_value"),
+    )

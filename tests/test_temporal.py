@@ -141,3 +141,35 @@ def test_trade_pagerank_matches_numpy(spark):
     # decimal(38,18) quantization vs float64: allow 1-nano drift per rank
     for (gr, gn), (wr, wn) in zip(got, want):
         assert gn == wn and abs(gr - wr) <= 1
+
+
+def test_ab_ztest_matches_scipy_free_python(spark):
+    """z and t statistics vs a from-scratch python replay (no scipy)."""
+    import math
+
+    import pandas as pd
+
+    from daxos_spark.plans.relational2 import q_ab_ztest
+
+    row = q_ab_ztest(spark, "/root/testdata/sf0.001").collect()[0]
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pu = ev.groupby("user_id").agg(
+        n_purch=("event_type", lambda s: (s == "purchase").sum()),
+        total_value=("value", "sum"),
+    )
+    mean_p = pu["n_purch"].sum() / len(pu)
+    pu["conv"] = (pu["n_purch"] > mean_p).astype(int)
+    pu["arm"] = pu.index % 2
+    g = pu.groupby("arm")
+    n = g.size()
+    c = g["conv"].sum()
+    sv = g["total_value"].sum()
+    svv = g["total_value"].apply(lambda s: (s * s).sum())
+    assert (row.n0, row.n1, row.c0, row.c1) == (n[0], n[1], c[0], c[1])
+    p = (c[0] + c[1]) / (n[0] + n[1])
+    z = (c[1] / n[1] - c[0] / n[0]) / math.sqrt(p * (1 - p) * (1 / n[0] + 1 / n[1]))
+    var = lambda a: (svv[a] - sv[a] ** 2 / n[a]) / (n[a] - 1)
+    t = (sv[1] / n[1] - sv[0] / n[0]) / math.sqrt(var(0) / n[0] + var(1) / n[1])
+    assert abs(row.z_conversion - z) < 1e-4
+    assert abs(row.t_value - t) < 1e-4
