@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "t_refinery_funnel",
     "v_hybrid_search",
     "q_ab_ztest",
+    "q_copurchase_triangles",
 ]
 
 

@@ -2038,3 +2038,96 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(z).alias("z_conversion"),
         trunc6(tstat).alias("t_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting + global clustering coefficient over the
+# co-purchase graph (parts sharing ≥2 orders — the q_part_cooccurrence
+# projection). The classic ordered-wedge plan (Suri & Vassilvitskii
+# 2011 "Counting Triangles and the Curse of the Last Reducer"): edges
+# stored once as a < b, wedges enumerated by joining the edge list on
+# its middle vertex with the order constraint a < b < c, then closed
+# by probing (a, c) against the same edge list — join cardinality is
+# Σ deg², never |V|³, and every join is an equi-join on a vertex key.
+# All counts integer; the coefficient is emitted in exact micro units.
+@_q(
+    "q_copurchase_triangles",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_orders
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING COUNT(*) >= 2
+    ), e AS (
+      SELECT pa AS a, pb AS b FROM pairs
+    ), deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) t GROUP BY v
+    ), wedges AS (
+      SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS w FROM deg
+    ), tri AS (
+      SELECT COUNT(*) AS t
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*) FROM deg) AS n_vertices,
+           wedges.w AS n_wedges,
+           CAST(tri.t AS BIGINT) AS n_triangles,
+           CAST(FLOOR(3000000.0 * tri.t / NULLIF(wedges.w, 0)) AS BIGINT)
+             AS clustering_micro
+    FROM wedges CROSS JOIN tri
+    """,
+    doc="triangle count + global clustering coefficient over the "
+    "co-purchase part graph (ordered-wedge equi-join plan)",
+    tags=("relational", "graph"),
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    e = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b")).persist()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("w"),
+        F.count(F.lit(1)).alias("n_vertices"),
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_vertices",
+            F.col("w").alias("n_wedges"),
+            F.col("t").cast("bigint").alias("n_triangles"),
+            F.floor(3e6 * F.col("t") / F.nullif(F.col("w"), F.lit(0)))
+            .cast("bigint")
+            .alias("clustering_micro"),
+        )
+    )

@@ -173,3 +173,40 @@ def test_ab_ztest_matches_scipy_free_python(spark):
     t = (sv[1] / n[1] - sv[0] / n[0]) / math.sqrt(var(0) / n[0] + var(1) / n[1])
     assert abs(row.z_conversion - z) < 1e-4
     assert abs(row.t_value - t) < 1e-4
+
+
+def test_copurchase_triangles_matches_networkx_free_python(spark):
+    """Triangle/wedge counts vs a from-scratch python replay."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    from daxos_spark.plans.relational2 import q_copurchase_triangles
+
+    row = q_copurchase_triangles(spark, "/root/testdata/sf0.001").collect()[0]
+
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    from collections import Counter
+
+    pc: Counter = Counter()
+    for _, g in op.groupby("l_orderkey"):
+        for a, b in combinations(sorted(g["l_partkey"]), 2):
+            pc[(a, b)] += 1
+    edges = {e for e, n in pc.items() if n >= 2}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    tri = sum(
+        1 for a, b in edges for c in (adj[a] & adj[b]) if b < c
+    )
+    assert (row.n_edges, row.n_vertices, row.n_wedges, row.n_triangles) == (
+        len(edges),
+        len(adj),
+        wedges,
+        tri,
+    )
+    if wedges:
+        assert row.clustering_micro == (3_000_000 * tri) // wedges
