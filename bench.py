@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "v_hybrid_search",
     "q_ab_ztest",
     "q_copurchase_triangles",
+    "q_ivm_merge_proof",
 ]
 
 

@@ -210,3 +210,22 @@ def test_copurchase_triangles_matches_networkx_free_python(spark):
     )
     if wedges:
         assert row.clustering_micro == (3_000_000 * tri) // wedges
+
+
+def test_ivm_merge_proof_zero_mismatch(spark):
+    from daxos_spark.plans.relational2 import q_ivm_merge_proof
+
+    rows = q_ivm_merge_proof(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    # the query's own claim: incremental merge == full recompute
+    assert all(r.n_mismatch == 0 for r in rows)
+
+    import pandas as pd
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    g = ev.groupby("user_id")
+    assert len(rows) == len(g)
+    for r in rows[:20]:
+        grp = ev[ev.user_id == r.user_id]
+        assert r.n == len(grp)
+        assert abs(r.sum_value - grp["value"].sum()) < 1e-4
