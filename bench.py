@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "q_ab_ztest",
     "q_copurchase_triangles",
     "q_ivm_merge_proof",
+    "v_ivfpq_recall",
 ]
 
 

@@ -842,3 +842,79 @@ def v_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rk", "doc_id", trunc6(F.col("bm25")).alias("bm25"), "sem_dot")
         .orderBy("qid", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ recall audit — every approximation in this repo ships with its
+# quality measurement (HLL/Bloom/CMS audits, e_knn_recall for IVF);
+# this is the composite index's: per query, how many of the EXACT
+# squared-L2 top-5 the IVF-PQ search recovered. Both sides
+# deterministic (DECIMAL L2 sums / grid-integer ADC), so the recall
+# numbers themselves hash-check. At 100 TB this is the query you run
+# after building the index to pick nprobe/K before trusting it.
+@_q(
+    "v_ivfpq_recall",
+    f"""
+    WITH ipq AS ({_ivfpq_oracle().replace(';', '')}
+    ), u2 AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), exact_d AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             SUM(CAST((q.x - c.x) * (q.x - c.x) AS DECIMAL(25,6))) AS d
+      FROM u2 q JOIN u2 c ON c.pos = q.pos AND c.vec_id >= 10
+      WHERE q.vec_id < 10
+      GROUP BY qid, cid
+    ), exact_top AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cid) AS rk
+        FROM exact_d) t WHERE rk <= 5
+    )
+    SELECT e.qid,
+           COUNT(*) AS k_exact,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_recovered
+    FROM exact_top e
+    LEFT JOIN ipq i ON i.qid = e.qid AND i.neighbor_id = e.cid
+    GROUP BY e.qid ORDER BY e.qid
+    """,
+    doc="IVF-PQ recall vs exact squared-L2 top-5 — the composite "
+    "index's quality audit, recall numbers hash-checked",
+)
+def v_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    dec = "decimal(25,6)"
+    u = e.select(
+        "vec_id", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x")
+    )
+    q = u.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("x").alias("qx")
+    )
+    c = u.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("x").alias("cx")
+    )
+    d = (
+        q.join(c, "pos")
+        .groupBy("qid", "cid")
+        .agg(F.sum(((F.col("qx") - F.col("cx")) * (F.col("qx") - F.col("cx"))).cast(dec)).alias("d"))
+    )
+    w = Window.partitionBy("qid").orderBy("d", "cid")
+    exact_top = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    ipq = v_ivfpq_knn(spark, sf_dir).select(
+        F.col("qid").alias("iqid"), F.col("neighbor_id").alias("icid")
+    )
+    return (
+        exact_top.join(
+            ipq,
+            (F.col("qid") == F.col("iqid")) & (F.col("cid") == F.col("icid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("k_exact"),
+            F.sum(F.col("icid").isNotNull().cast("int")).cast("bigint").alias("n_recovered"),
+        )
+        .orderBy("qid")
+    )

@@ -246,3 +246,16 @@ def test_hybrid_search_reranks_bm25_recall(spark):
         assert [r.sem_dot for r in rs] == dots
         assert dots == sorted(dots, reverse=True)
         assert all(r.doc_id % 97 != 0 for r in rs)  # eval never retrieved
+
+
+def test_ivfpq_recall_bounds(spark):
+    from daxos_spark.plans.vecpipe2 import v_ivfpq_recall
+
+    rows = v_ivfpq_recall(spark, SF_DIR).collect()
+    assert len(rows) == 10  # one per query
+    for r in rows:
+        assert r.k_exact == 5
+        assert 0 <= r.n_recovered <= 5
+    # the index must beat random chance overall (nprobe=3 of 10 cells
+    # would give ~1.5/5 by cell coverage alone if codes were noise)
+    assert sum(r.n_recovered for r in rows) >= 15
