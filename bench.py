@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "q_copurchase_triangles",
     "q_ivm_merge_proof",
     "v_ivfpq_recall",
+    "q_touch_attribution",
 ]
 
 

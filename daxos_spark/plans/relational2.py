@@ -2224,3 +2224,94 @@ def q_ivm_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(F.col("m.sv")).alias("sum_value"),
         mism.cast("bigint").alias("n_mismatch"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution — the marketing-analytics credit assignment:
+# each purchase distributes credit over the user's preceding
+# touchpoints (non-purchase events within a 30-minute lookback):
+# last-touch gives the whole credit to the nearest preceding touch,
+# linear splits it evenly across all touches in the window. The
+# touch⋈conversion pairing is an equi-join on user_id + a time-band
+# filter (the range-join shape, never a cross join), and the credit
+# arithmetic is exact integers (micro-credits = floor(1e6 / n_touches)
+# per touch) so the attribution report hash-checks. One shuffle on
+# user_id; at 100 TB add coarse time-bucket keys exactly as
+# q_range_views_after_error documents.
+_ATTR_WINDOW_US = 30 * 60 * 1_000_000
+
+
+@_q(
+    "q_touch_attribution",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ), conv AS (
+      SELECT user_id, event_id AS conv_id, us AS conv_us FROM ev
+      WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, event_id AS touch_id, event_type AS channel, us AS touch_us
+      FROM ev WHERE event_type <> 'purchase'
+    ), pairs AS (
+      SELECT c.conv_id, t.channel, t.touch_id, t.touch_us,
+             ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                                ORDER BY t.touch_us DESC, t.touch_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.conv_id) AS n_touches
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.touch_us < c.conv_us
+       AND t.touch_us >= c.conv_us - {_ATTR_WINDOW_US}
+    )
+    SELECT channel,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch_convs,
+           CAST(SUM(1000000 // n_touches) AS BIGINT) AS linear_credit_micro,
+           COUNT(*) AS n_touchpoints
+    FROM pairs GROUP BY channel ORDER BY channel
+    """,
+    doc="multi-touch attribution: last-touch + linear credit over a "
+    "30-min lookback (user-keyed time-band join, integer micro-credits)",
+    tags=("relational", "attribution"),
+)
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("user_id", "event_id", "event_type", us(F.col("ts")).alias("us"))
+        .persist()
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), F.col("us").alias("conv_us")
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("us").alias("touch_us"),
+    )
+    pairs = conv.join(
+        touch,
+        (conv["user_id"] == touch["user_id"])
+        & (F.col("touch_us") < F.col("conv_us"))
+        & (F.col("touch_us") >= F.col("conv_us") - _ATTR_WINDOW_US),
+    )
+    wlast = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_us").desc(), "touch_id"
+    )
+    wall = Window.partitionBy("conv_id")
+    p = pairs.select(
+        "conv_id",
+        "channel",
+        F.row_number().over(wlast).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_touches"),
+    )
+    return (
+        p.groupBy("channel")
+        .agg(
+            F.sum((F.col("rn") == 1).cast("int")).cast("bigint").alias("last_touch_convs"),
+            F.sum(F.floor(1_000_000 / F.col("n_touches"))).cast("bigint").alias(
+                "linear_credit_micro"
+            ),
+            F.count(F.lit(1)).alias("n_touchpoints"),
+        )
+        .orderBy("channel")
+    )

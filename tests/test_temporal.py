@@ -229,3 +229,35 @@ def test_ivm_merge_proof_zero_mismatch(spark):
         grp = ev[ev.user_id == r.user_id]
         assert r.n == len(grp)
         assert abs(r.sum_value - grp["value"].sum()) < 1e-4
+
+
+def test_touch_attribution_matches_python(spark):
+    import pandas as pd
+
+    from daxos_spark.plans.relational2 import _ATTR_WINDOW_US, q_touch_attribution
+
+    rows = {r.channel: r for r in q_touch_attribution(spark, "/root/testdata/sf0.001").collect()}
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    # pandas stores datetime64[ns]; convert to exact epoch micros
+    ev["us"] = ev["ts"].values.astype("datetime64[us]").astype("int64")
+    conv = ev[ev.event_type == "purchase"]
+    touch = ev[ev.event_type != "purchase"]
+    want: dict = {}
+    for _, c in conv.iterrows():
+        t = touch[
+            (touch.user_id == c.user_id)
+            & (touch.us < c.us)
+            & (touch.us >= c.us - _ATTR_WINDOW_US)
+        ].sort_values(["us", "event_id"], ascending=[False, True])
+        if not len(t):
+            continue
+        n = len(t)
+        for i, (_, r) in enumerate(t.iterrows()):
+            w = want.setdefault(r.event_type, [0, 0, 0])
+            w[0] += i == 0
+            w[1] += 1_000_000 // n
+            w[2] += 1
+    for ch, (lt, lc, np_) in want.items():
+        r = rows[ch]
+        assert (r.last_touch_convs, r.linear_credit_micro, r.n_touchpoints) == (lt, lc, np_)
