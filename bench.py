@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q_ivm_merge_proof",
     "v_ivfpq_recall",
     "q_touch_attribution",
+    "q_salted_join_check",
 ]
 
 

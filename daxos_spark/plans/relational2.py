@@ -2315,3 +2315,46 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Salted skew join, externally verified: the q08-shape lineitem⋈orders
+# join run through operators/skew.salted_join (left side salted, right
+# side replicated 8×) and aggregated — the oracle is the PLAIN join, so
+# the hash gate itself proves salting changes the shuffle layout but
+# not one output value. This is the pathological-hot-key mitigation you
+# reach for when AQE's skew split is not enough (a single key carrying
+# a double-digit share of the fact table); registering it makes the
+# equality externally checked every round, not just unit-tested.
+@_q(
+    "q_salted_join_check",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           {sql_dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="salted skew join (8 salts) vs the plain-join oracle — the hash "
+    "gate proves salting preserves every output value",
+    tags=("relational", "skew"),
+)
+def q_salted_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice", "l_discount"
+    )
+    o = t["orders"].select(F.col("o_orderkey").alias("k"), "o_orderpriority")
+    j = salted_join(li, o, on=["k"], n_salts=8)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
