@@ -7,6 +7,14 @@ value hash (columns sorted by name, rows sorted, values stringified
 with float normalization).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --vanilla --window [sf_dir]
+
+--vanilla: use an untuned SparkSession mirroring the external driver's
+  (local[8], shuffle.partitions=8) instead of daxos_spark.session
+  defaults — values must be identical (the DECIMAL/trunc6 determinism
+  design is config-independent); this flag lets each round PROVE it.
+--window: check only the alphabetically-first 50 names — exactly the
+  set the driver records in CORRECTNESS_r{N}.json.
 """
 
 from __future__ import annotations
@@ -49,15 +57,34 @@ def frame_digest(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    vanilla = "--vanilla" in args
+    window = "--window" in args
+    args = [a for a in args if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
-    from daxos_spark.session import get_spark
 
-    spark = get_spark("check_oracle")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .appName("check_oracle_vanilla")
+            .getOrCreate()
+        )
+    else:
+        from daxos_spark.session import get_spark
+
+        spark = get_spark("check_oracle")
     qs = entry_mod.queries()
+    if window:
+        keep = set(sorted(qs)[:50])
+        only = keep if not only else (only & keep)
     oracles = entry_mod.oracle_sql()
 
     con = duckdb.connect()
