@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "v_ivfpq_recall",
     "q_touch_attribution",
     "q_salted_join_check",
+    "q_variant_shred",
 ]
 
 

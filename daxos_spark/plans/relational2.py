@@ -2358,3 +2358,45 @@ def q_salted_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 VARIANT ingestion — the modern semi-structured path:
+# parse_json(props) shreds once into the binary VARIANT encoding and
+# typed reads (`variant_get`) replace per-access string re-parsing
+# (get_json_object re-tokenizes the JSON text on every call — fine for
+# one field, wrong for many). At 100 TB you materialize the variant
+# column at bronze→silver and every downstream read is a typed extract
+# against the binary encoding. Values identical to duckdb's JSON
+# extraction on the same strings, so the rollup hash-checks.
+@_q(
+    "q_variant_shred",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(CASE WHEN json_extract(props, '$.missing') IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS n_missing_key,
+           MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Spark 4 VARIANT shredding: parse_json once, typed variant_get "
+    "reads (vs re-parsing strings per access); rollup hash-checked vs "
+    "duckdb JSON",
+    tags=("relational", "semistructured"),
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    v = ev.select("event_type", F.parse_json(F.col("props")).alias("pv"))
+    k = F.expr("variant_get(pv, '$.k', 'int')")
+    missing = F.expr("variant_get(pv, '$.missing', 'string')")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.count(missing).cast("bigint").alias("n_missing_key"),
+            F.min(k).alias("min_k"),
+        )
+        .orderBy("event_type")
+    )
