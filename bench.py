@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "q_touch_attribution",
     "q_salted_join_check",
     "q_variant_shred",
+    "ml_hwe_filter",
 ]
 
 

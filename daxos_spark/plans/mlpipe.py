@@ -1097,3 +1097,83 @@ def ml_saabas_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(F.col("contribs").getItem(0)).alias("contrib_x0"),
         trunc6(F.col("contribs").getItem(1)).alias("contrib_x1"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Hardy-Weinberg equilibrium QC (plink --hwe, the classic companion to
+# the Q1 MAF filter): per SNP, compare observed genotype counts
+# (n0, n1, n2) against HWE expectations from the allele frequency
+# (E = n·[(1-p)², 2p(1-p), p²]) with a 1-df chi-square; SNPs whose
+# deviation exceeds the 0.05 critical value are flagged for exclusion.
+# Same deterministic dosage derivation as ml_gwas_allelic_or, so the
+# chi-square values themselves hash-check (counts are integers, p is a
+# ratio of integers, and the three (O-E)²/E terms are summed in a
+# fixed written order — identical doubles in both engines). One
+# aggregation over the exploded matrix; at 100 TB this is the same
+# map-side-combine scan as the MAF filter.
+_HWE_CRIT = 3.841459  # chi2 0.95, 1 df
+
+
+def _hwe_chi2_sql() -> str:
+    p = "(CAST(2 * n2 + n1 AS DOUBLE) / CAST(2 * (n0 + n1 + n2) AS DOUBLE))"
+    n = "CAST(n0 + n1 + n2 AS DOUBLE)"
+    e0 = f"({n} * (1.0 - {p}) * (1.0 - {p}))"
+    e1 = f"({n} * 2.0 * {p} * (1.0 - {p}))"
+    e2 = f"({n} * {p} * {p})"
+    return (
+        f"((n0 - {e0}) * (n0 - {e0}) / {e0}"
+        f" + (n1 - {e1}) * (n1 - {e1}) / {e1}"
+        f" + (n2 - {e2}) * (n2 - {e2}) / {e2})"
+    )
+
+
+@_qo(
+    "ml_hwe_filter",
+    f"""
+    WITH u AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+             (vec_id + 7 * (generate_subscripts(embedding, 1) - 1)) % 3 AS dosage
+      FROM embeddings
+    ), cnt AS (
+      SELECT pos,
+             CAST(SUM(CASE WHEN dosage = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN dosage = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN dosage = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM u GROUP BY pos
+    )
+    SELECT pos, n0, n1, n2,
+           {sql_trunc6(_hwe_chi2_sql())} AS chi2,
+           CASE WHEN {_hwe_chi2_sql()} <= {_HWE_CRIT} THEN 1 ELSE 0 END AS hwe_pass
+    FROM cnt ORDER BY pos
+    """,
+    doc="Hardy-Weinberg chi-square QC per SNP (plink --hwe companion to "
+    "the Q1 MAF filter); chi2 values hash-checked",
+)
+def ml_hwe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    u = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "_x")
+    ).select("pos", F.pmod(F.col("vec_id") + 7 * F.col("pos"), F.lit(3)).alias("dosage"))
+    cnt = u.groupBy("pos").agg(
+        *[
+            F.sum((F.col("dosage") == i).cast("int")).cast("bigint").alias(f"n{i}")
+            for i in range(3)
+        ]
+    )
+    n = (F.col("n0") + F.col("n1") + F.col("n2")).cast("double")
+    p = (2 * F.col("n2") + F.col("n1")).cast("double") / (
+        2 * (F.col("n0") + F.col("n1") + F.col("n2"))
+    ).cast("double")
+    e0 = n * (1.0 - p) * (1.0 - p)
+    e1 = n * 2.0 * p * (1.0 - p)
+    e2 = n * p * p
+    chi2 = (
+        (F.col("n0") - e0) * (F.col("n0") - e0) / e0
+        + (F.col("n1") - e1) * (F.col("n1") - e1) / e1
+        + (F.col("n2") - e2) * (F.col("n2") - e2) / e2
+    )
+    return cnt.select(
+        "pos", "n0", "n1", "n2",
+        trunc6(chi2).alias("chi2"),
+        (chi2 <= _HWE_CRIT).cast("int").alias("hwe_pass"),
+    ).orderBy("pos")

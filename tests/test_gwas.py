@@ -82,3 +82,29 @@ def test_null_on_empty_cell(spark):
     out = {r["pos"]: r for r in allelic_odds_ratios(df).collect()}
     assert out[0]["odds_ratio"] is None
     assert out[1]["odds_ratio"] is not None
+
+
+def test_hwe_filter_matches_scipy_free_python(spark):
+    """chi-square and pass flags vs a from-scratch replay of the HWE
+    expectations on the same deterministic dosages."""
+    from daxos_spark.plans.mlpipe import _HWE_CRIT, ml_hwe_filter
+
+    rows = ml_hwe_filter(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+
+    import pandas as pd
+
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb["embedding"].iloc[0])
+    vec_ids = emb["vec_id"].to_numpy()
+    for r in rows[:16]:
+        dos = (vec_ids + 7 * r.pos) % 3
+        n0, n1, n2 = int((dos == 0).sum()), int((dos == 1).sum()), int((dos == 2).sum())
+        assert (r.n0, r.n1, r.n2) == (n0, n1, n2)
+        n = n0 + n1 + n2
+        p = (2 * n2 + n1) / (2 * n)
+        e = [n * (1 - p) ** 2, n * 2 * p * (1 - p), n * p * p]
+        chi2 = sum((o - ei) ** 2 / ei for o, ei in zip((n0, n1, n2), e))
+        assert abs(r.chi2 - chi2) < 1e-5
+        assert r.hwe_pass == int(chi2 <= _HWE_CRIT)
+    assert len(rows) == dim
