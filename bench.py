@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q_salted_join_check",
     "q_variant_shred",
     "ml_hwe_filter",
+    "v_pca_power",
 ]
 
 

@@ -918,3 +918,80 @@ def v_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# Top principal direction by POWER ITERATION, fully relational — the
+# population-structure PCA precursor (GWAS confounder control; the
+# reference handles confounders via covariates, this is the matrix-free
+# complement). The corpus is touched ONCE (the e_gram_matrix map-side
+# block-matmul pass); the iteration then runs on the dim² Gram table:
+# w = G v (join + DECIMAL-sum matvec), v = w / ||w||, 3 fixed rounds
+# from the all-ones start. Uncentered Gram → top singular direction
+# (documented; center the codes first for textbook PCA). Every matvec
+# term is bigint·double with DECIMAL accumulation and the norm is a
+# DECIMAL sum of squares, so the loadings hash-check bit-for-bit.
+_PI_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    mv = """
+    , w{k} AS (
+      SELECT g.i AS pos,
+             CAST(SUM(CAST(g.gram * v.x AS DECIMAL(38,12))) AS DOUBLE) AS w
+      FROM gf g JOIN v{p} v ON v.pos = g.j GROUP BY g.i
+    ), n{k} AS (
+      SELECT SQRT(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS z FROM w{k}
+    ), v{k} AS (
+      SELECT pos, w / n{k}.z AS x FROM w{k} CROSS JOIN n{k}
+    )"""
+    layers = "".join(mv.format(k=k, p=k - 1) for k in range(1, _PI_ITERS + 1))
+    return f"""
+    WITH u AS (
+      SELECT vec_id, generate_subscripts(c, 1) - 1 AS pos, unnest(c) AS v
+      FROM (SELECT vec_id, {_CODE_SQL} AS c FROM embeddings)
+    ), gram AS (
+      SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS gram
+      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      GROUP BY i, j
+    ), gf AS (
+      SELECT i, j, gram FROM gram
+      UNION ALL
+      SELECT j, i, gram FROM gram WHERE i < j
+    ), v0 AS (
+      SELECT DISTINCT i AS pos, 1.0 AS x FROM gf
+    ){layers}
+    SELECT pos, {sql_trunc6('x')} AS pc1_loading
+    FROM v{_PI_ITERS} ORDER BY pos
+    """
+
+
+@_q(
+    "v_pca_power",
+    _pca_oracle(),
+    doc="top principal direction via 3 relational power-iteration rounds "
+    "on the distributed Gram (one corpus pass; loadings hash-checked)",
+)
+def v_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gram = e_gram_matrix(spark, sf_dir)  # (i, j, gram) upper triangle
+    gf = gram.unionByName(
+        gram.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "gram"
+        )
+    ).coalesce(1).persist()  # dim^2 rows (~4k): one partition keeps the
+    # 3 iteration matvecs out of 64-task shuffle territory
+    v = gf.select(F.col("i").alias("pos")).distinct().withColumn("x", F.lit(1.0))
+    dec = "decimal(38,12)"
+    for _ in range(_PI_ITERS):
+        w = (
+            gf.join(v.withColumnRenamed("pos", "j"), "j")
+            .groupBy(F.col("i").alias("pos"))
+            .agg(F.sum((F.col("gram") * F.col("x")).cast(dec)).cast("double").alias("w"))
+        )
+        z = w.agg(
+            F.sqrt(F.sum((F.col("w") * F.col("w")).cast(dec)).cast("double")).alias("z")
+        )
+        v = w.crossJoin(F.broadcast(z)).select(
+            "pos", (F.col("w") / F.col("z")).alias("x")
+        )
+    return v.select("pos", trunc6(F.col("x")).alias("pc1_loading")).orderBy("pos")

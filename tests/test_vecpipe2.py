@@ -262,3 +262,23 @@ def test_ivfpq_recall_bounds(spark):
     # query you run before trusting an index on real data). We assert
     # only the audit's own guarantees, not a recall floor the data
     # cannot support.
+
+
+def test_pca_power_matches_numpy(spark):
+    from daxos_spark.plans.vecpipe2 import _PI_ITERS, v_pca_power
+
+    rows = v_pca_power(spark, SF_DIR).collect()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    c = _codes(emb).astype(np.float64)
+    G = c.T @ c
+    v = np.ones(G.shape[0])
+    for _ in range(_PI_ITERS):
+        w = G @ v
+        v = w / np.sqrt((w * w).sum())
+    got = np.array([r.pc1_loading for r in sorted(rows, key=lambda r: r.pos)])
+    assert np.allclose(got, v, atol=1e-4)
+    # unit vector and dominant-direction sanity: Rayleigh quotient is
+    # within a few percent of the true top eigenvalue after 3 rounds
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-3
+    top = np.linalg.eigvalsh(G)[-1]
+    assert (got @ G @ got) / top > 0.9
