@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q_variant_shred",
     "ml_hwe_filter",
     "v_pca_power",
+    "q_seasonal_decompose",
 ]
 
 

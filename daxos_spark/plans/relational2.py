@@ -2400,3 +2400,88 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Classical seasonal decomposition (the moving-average STL ancestor —
+# Cleveland's decompose()): gap-filled hourly series → trend = centered
+# 24-term moving average (full windows only) → seasonal = per
+# hour-of-day mean of the detrended series → residual implied. All
+# counts are integers, the MA is an integer sum / 24.0, and the
+# seasonal means go through DECIMAL — identical in both engines, so
+# the seasonal profile hash-checks. The spine join is the
+# q_hourly_gap_fill pattern; the MA is one ordered window per series
+# (partition by series key at scale, exactly like the interpolation
+# queries).
+@_q(
+    "q_seasonal_decompose",
+    f"""
+    WITH bounds AS (
+      SELECT CAST(FLOOR(MIN(epoch_us(ts)) / 3600000000) AS BIGINT) AS h0,
+             CAST(FLOOR(MAX(epoch_us(ts)) / 3600000000) AS BIGINT) AS h1
+      FROM events
+    ), spine AS (
+      -- duckdb range() rejects lateral column bounds: over-generate a
+      -- fixed range and filter (hours in a decade < 90k)
+      SELECT h0 + g.range AS hour_idx FROM bounds CROSS JOIN range(90000) g
+      WHERE h0 + g.range <= h1
+    ), cnt AS (
+      SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_idx,
+             COUNT(*) AS c
+      FROM events GROUP BY hour_idx
+    ), series AS (
+      SELECT s.hour_idx, COALESCE(cnt.c, 0) AS c
+      FROM spine s LEFT JOIN cnt ON cnt.hour_idx = s.hour_idx
+    ), ma AS (
+      SELECT hour_idx, c,
+             SUM(c) OVER w AS wsum, COUNT(*) OVER w AS wn
+      FROM series
+      WINDOW w AS (ORDER BY hour_idx ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+    ), det AS (
+      SELECT hour_idx % 24 AS hour_of_day,
+             c - CAST(wsum AS DOUBLE) / 24.0 AS d
+      FROM ma WHERE wn = 24
+    )
+    SELECT hour_of_day,
+           COUNT(*) AS n_obs,
+           {sql_trunc6(sql_davg('d'))} AS seasonal
+    FROM det GROUP BY hour_of_day ORDER BY hour_of_day
+    """,
+    doc="classical seasonal decomposition: gap-filled hourly series, "
+    "centered 24-term MA trend, hour-of-day seasonal means (DECIMAL)",
+    tags=("relational", "timeseries"),
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.floor(us(F.col("ts")) / 3_600_000_000).cast("bigint").alias("hour_idx")
+    )
+    bounds = ev.agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    ).collect()[0]
+    spine = spark.range(int(bounds["h0"]), int(bounds["h1"]) + 1).select(
+        F.col("id").alias("hour_idx")
+    )
+    cnt = ev.groupBy("hour_idx").agg(F.count(F.lit(1)).alias("c"))
+    series = spine.join(cnt, "hour_idx", "left").select(
+        "hour_idx", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w = Window.orderBy("hour_idx").rowsBetween(-12, 11)
+    ma = series.select(
+        "hour_idx",
+        "c",
+        F.sum("c").over(w).alias("wsum"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    det = ma.filter(F.col("wn") == 24).select(
+        F.pmod(F.col("hour_idx"), F.lit(24)).alias("hour_of_day"),
+        (F.col("c") - F.col("wsum").cast("double") / 24.0).alias("d"),
+    )
+    return (
+        det.groupBy("hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            trunc6(davg(F.col("d"))).alias("seasonal"),
+        )
+        .orderBy("hour_of_day")
+    )

@@ -261,3 +261,36 @@ def test_touch_attribution_matches_python(spark):
     for ch, (lt, lc, np_) in want.items():
         r = rows[ch]
         assert (r.last_touch_convs, r.linear_credit_micro, r.n_touchpoints) == (lt, lc, np_)
+
+
+def test_seasonal_decompose_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from daxos_spark.plans.relational2 import q_seasonal_decompose
+
+    rows = {r.hour_of_day: r for r in q_seasonal_decompose(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) <= set(range(24))
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    hi = (ev["ts"].values.astype("datetime64[us]").astype("int64") // 3_600_000_000)
+    h0, h1 = hi.min(), hi.max()
+    c = np.zeros(h1 - h0 + 1)
+    for h in hi:
+        c[h - h0] += 1
+    s = pd.Series(c)
+    trend = s.rolling(24, center=False).sum().shift(-11) / 24.0  # rows -12..+11
+    det = s - trend
+    hod = (np.arange(h0, h1 + 1)) % 24
+    valid = ~trend.isna()
+    for h in range(24):
+        mask = valid & (hod == h)
+        if not mask.any():
+            continue
+        r = rows[h]
+        assert r.n_obs == int(mask.sum())
+        assert abs(r.seasonal - det[mask].mean()) < 1e-4
+    # seasonal components of a complete cycle set sum to ~0
+    tot = sum(r.seasonal * r.n_obs for r in rows.values())
+    n = sum(r.n_obs for r in rows.values())
+    assert abs(tot / n) < 1.0
