@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "ml_hwe_filter",
     "v_pca_power",
     "q_seasonal_decompose",
+    "q_cusum_drift",
 ]
 
 

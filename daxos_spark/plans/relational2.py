@@ -2485,3 +2485,82 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day")
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detection over the event-rate series — the monitoring
+# workload. The one-sided CUSUM recurrence s_t = max(0, s_{t-1} + x_t − k)
+# looks sequential, but it has the closed window form
+# s_t = C_t − min_{j≤t} C_j with C_t = Σ_{i≤t}(x_i − k): one cumulative
+# sum and one running min — two ordered windows, no recursion, no UDF.
+# Reference point k = the global mean rate (exact integer ratio), alarm
+# threshold h = 4·sqrt(k). Both windows accumulate in the same ORDER BY
+# in both engines, so the excursion values and alarm counts hash-check.
+# Partition by series key at scale (this corpus is one series).
+@_q(
+    "q_cusum_drift",
+    f"""
+    WITH bounds AS (
+      SELECT CAST(FLOOR(MIN(epoch_us(ts)) / 3600000000) AS BIGINT) AS h0,
+             CAST(FLOOR(MAX(epoch_us(ts)) / 3600000000) AS BIGINT) AS h1
+      FROM events
+    ), spine AS (
+      SELECT h0 + g.range AS hour_idx FROM bounds CROSS JOIN range(90000) g
+      WHERE h0 + g.range <= h1
+    ), cnt AS (
+      SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_idx,
+             COUNT(*) AS c
+      FROM events GROUP BY hour_idx
+    ), series AS (
+      SELECT s.hour_idx, COALESCE(cnt.c, 0) AS c
+      FROM spine s LEFT JOIN cnt ON cnt.hour_idx = s.hour_idx
+    ), k AS (
+      SELECT CAST(SUM(c) AS DOUBLE) / COUNT(*) AS k FROM series
+    ), cum AS (
+      SELECT hour_idx, c,
+             SUM(c - k.k) OVER (ORDER BY hour_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+      FROM series CROSS JOIN k
+    ), exc AS (
+      SELECT hour_idx, c, ct,
+             ct - MIN(ct) OVER (ORDER BY hour_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM cum
+    )
+    SELECT COUNT(*) AS n_hours,
+           CAST(SUM(CASE WHEN exc.s > 4.0 * SQRT(k.k) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_hours,
+           MIN(CASE WHEN exc.s > 4.0 * SQRT(k.k) THEN hour_idx END) AS first_alarm_hour,
+           {sql_trunc6('MAX(exc.s)')} AS max_excursion
+    FROM exc CROSS JOIN k
+    """,
+    doc="CUSUM drift detection via the cumsum-minus-running-min closed "
+    "form (two ordered windows, no recursion); excursions hash-checked",
+    tags=("relational", "timeseries"),
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.floor(us(F.col("ts")) / 3_600_000_000).cast("bigint").alias("hour_idx")
+    )
+    bounds = ev.agg(F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")).collect()[0]
+    spine = spark.range(int(bounds["h0"]), int(bounds["h1"]) + 1).select(
+        F.col("id").alias("hour_idx")
+    )
+    cnt = ev.groupBy("hour_idx").agg(F.count(F.lit(1)).alias("c"))
+    series = spine.join(cnt, "hour_idx", "left").select(
+        "hour_idx", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    kdf = series.agg((F.sum("c").cast("double") / F.count(F.lit(1))).alias("k"))
+    wc = Window.orderBy("hour_idx").rowsBetween(Window.unboundedPreceding, 0)
+    cum = series.crossJoin(F.broadcast(kdf)).select(
+        "hour_idx", "c", "k", F.sum(F.col("c") - F.col("k")).over(wc).alias("ct")
+    )
+    exc = cum.select(
+        "hour_idx", "k", (F.col("ct") - F.min("ct").over(wc)).alias("s")
+    )
+    alarm = F.col("s") > 4.0 * F.sqrt(F.col("k"))
+    return exc.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(alarm.cast("int")).cast("bigint").alias("n_alarm_hours"),
+        F.min(F.when(alarm, F.col("hour_idx"))).alias("first_alarm_hour"),
+        trunc6(F.max("s")).alias("max_excursion"),
+    )

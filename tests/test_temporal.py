@@ -294,3 +294,36 @@ def test_seasonal_decompose_matches_pandas(spark):
     tot = sum(r.seasonal * r.n_obs for r in rows.values())
     n = sum(r.n_obs for r in rows.values())
     assert abs(tot / n) < 1.0
+
+
+def test_cusum_drift_matches_sequential_python(spark):
+    """The closed window form equals the literal sequential CUSUM
+    recurrence s_t = max(0, s_{t-1} + x_t - k)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from daxos_spark.plans.relational2 import q_cusum_drift
+
+    row = q_cusum_drift(spark, "/root/testdata/sf0.001").collect()[0]
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    hi = ev["ts"].values.astype("datetime64[us]").astype("int64") // 3_600_000_000
+    h0, h1 = hi.min(), hi.max()
+    c = np.zeros(h1 - h0 + 1)
+    for h in hi:
+        c[h - h0] += 1
+    k = c.sum() / len(c)
+    s, n_alarm, first, mx = 0.0, 0, None, 0.0
+    for i, x in enumerate(c):
+        s = max(0.0, s + x - k)
+        mx = max(mx, s)
+        if s > 4.0 * math.sqrt(k):
+            n_alarm += 1
+            if first is None:
+                first = h0 + i
+    assert row.n_hours == len(c)
+    assert row.n_alarm_hours == n_alarm
+    assert row.first_alarm_hour == first
+    assert abs(row.max_excursion - mx) < 1e-6
