@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "v_pca_power",
     "q_seasonal_decompose",
     "q_cusum_drift",
+    "q_benford_audit",
 ]
 
 

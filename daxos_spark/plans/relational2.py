@@ -2564,3 +2564,62 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(alarm, F.col("hour_idx"))).alias("first_alarm_hour"),
         trunc6(F.max("s")).alias("max_excursion"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit — the fraud/quality screen for financial
+# columns: the first significant digit of naturally-occurring amounts
+# follows P(d) = log10(1 + 1/d); a chi-square against that expectation
+# flags fabricated or truncated data. First digits are exact string/
+# integer ops, expected counts are log10 of integer ratios (identical
+# doubles), and the chi-square sums in fixed written order — fully
+# hash-checked. One scan + a 9-row aggregate; the synthetic uniform
+# prices here FAIL Benford loudly (huge chi²), which is exactly what
+# the audit should say about them.
+@_q(
+    "q_benford_audit",
+    f"""
+    WITH d AS (
+      -- FLOOR, not CAST: duckdb rounds double->BIGINT casts, Spark truncates
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+               AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), cnt AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ), tot AS (
+      SELECT SUM(n) AS total FROM cnt
+    )
+    SELECT cnt.digit, cnt.n,
+           {sql_trunc6('CAST(tot.total AS DOUBLE) * LOG10(1.0 + 1.0 / cnt.digit)')}
+             AS expected,
+           {sql_trunc6('''
+             (cnt.n - CAST(tot.total AS DOUBLE) * LOG10(1.0 + 1.0 / cnt.digit))
+             * (cnt.n - CAST(tot.total AS DOUBLE) * LOG10(1.0 + 1.0 / cnt.digit))
+             / (CAST(tot.total AS DOUBLE) * LOG10(1.0 + 1.0 / cnt.digit))''')}
+             AS chi2_term
+    FROM cnt CROSS JOIN tot ORDER BY cnt.digit
+    """,
+    doc="Benford first-digit audit of order totals: observed vs log10 "
+    "expectation with per-digit chi-square terms, hash-checked",
+    tags=("relational", "audit"),
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    cnt = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.agg(F.sum("n").alias("total"))
+    exp = F.col("total").cast("double") * F.log10(1.0 + 1.0 / F.col("digit"))
+    chi = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "digit", "n",
+            trunc6(exp).alias("expected"),
+            trunc6(chi).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -327,3 +327,33 @@ def test_cusum_drift_matches_sequential_python(spark):
     assert row.n_alarm_hours == n_alarm
     assert row.first_alarm_hour == first
     assert abs(row.max_excursion - mx) < 1e-6
+
+
+def test_benford_audit_matches_python(spark):
+    import math
+
+    import pandas as pd
+
+    from daxos_spark.plans.relational2 import q_benford_audit
+
+    rows = {r.digit: r for r in q_benford_audit(spark, "/root/testdata/sf0.001").collect()}
+
+    o = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    v = o[o.o_totalprice >= 1]["o_totalprice"]
+    digits = v.map(lambda x: int(str(int(math.floor(x)))[0]))
+    total = len(digits)
+    from collections import Counter
+
+    cnt = Counter(digits)
+    for d in range(1, 10):
+        if d not in rows:
+            assert cnt.get(d, 0) == 0
+            continue
+        exp = total * math.log10(1 + 1 / d)
+        r = rows[d]
+        assert r.n == cnt[d]
+        assert abs(r.expected - exp) < 1e-4
+        assert abs(r.chi2_term - (cnt[d] - exp) ** 2 / exp) < 1e-3
+    # synthetic uniform prices should FAIL Benford loudly
+    chi2 = sum(r.chi2_term for r in rows.values())
+    assert chi2 > 15.51  # chi2 0.95, 8 df
