@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "q_seasonal_decompose",
     "q_cusum_drift",
     "q_benford_audit",
+    "q_ewma_forecast",
 ]
 
 

@@ -2623,3 +2623,103 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA level + one-step forecast error — the exponential-smoothing
+# recurrence l_t = α·x_t + (1−α)·l_{t-1} truncated to its 48-term
+# closed form l_t = Σ_{i<48} α(1−α)^i x_{t−i} (truncation error
+# (1−α)^48 ≈ 4e-8 of the weight mass at α=0.3). Window sums of doubles
+# reassociate differently across engines, so each weighted term is cast
+# to DECIMAL(25,6) and summed through an explicit LAG BAND SELF-JOIN —
+# order-independent by construction. Forecast error is then
+# |x_t − l_{t−1}| aggregated the same way. The band join is
+# series-length × 48 rows regardless of event volume (the series is
+# already the hourly rollup); partition by series key at scale.
+_EWMA_ALPHA = 0.3
+_EWMA_WIN = 48
+
+
+@_q(
+    "q_ewma_forecast",
+    f"""
+    WITH bounds AS (
+      SELECT CAST(FLOOR(MIN(epoch_us(ts)) / 3600000000) AS BIGINT) AS h0,
+             CAST(FLOOR(MAX(epoch_us(ts)) / 3600000000) AS BIGINT) AS h1
+      FROM events
+    ), spine AS (
+      SELECT h0 + g.range AS hour_idx FROM bounds CROSS JOIN range(90000) g
+      WHERE h0 + g.range <= h1
+    ), cnt AS (
+      SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_idx,
+             COUNT(*) AS c
+      FROM events GROUP BY hour_idx
+    ), series AS (
+      SELECT s.hour_idx, COALESCE(cnt.c, 0) AS c
+      FROM spine s LEFT JOIN cnt ON cnt.hour_idx = s.hour_idx
+    ), lvl AS (
+      SELECT t.hour_idx, t.c,
+             CAST(SUM(CAST({_EWMA_ALPHA} * POW(1.0 - {_EWMA_ALPHA}, t.hour_idx - s.hour_idx) * s.c
+                           AS DECIMAL(25,6))) AS DOUBLE) AS level
+      FROM series t JOIN series s
+        ON s.hour_idx <= t.hour_idx AND s.hour_idx > t.hour_idx - {_EWMA_WIN}
+      WHERE t.hour_idx >= (SELECT h0 FROM bounds) + {_EWMA_WIN} - 1
+      GROUP BY t.hour_idx, t.c
+    ), err AS (
+      SELECT t.hour_idx, ABS(t.c - l.level) AS e
+      FROM series t JOIN lvl l ON l.hour_idx = t.hour_idx - 1
+    )
+    SELECT (SELECT COUNT(*) FROM lvl) AS n_levels,
+           (SELECT {sql_trunc6('level')} FROM lvl ORDER BY hour_idx DESC LIMIT 1)
+             AS last_level,
+           {sql_trunc6(sql_davg('e'))} AS mae
+    FROM err
+    """,
+    doc="48-term truncated EWMA level + one-step forecast MAE via a lag "
+    "band self-join with DECIMAL-summed weighted terms",
+    tags=("relational", "timeseries"),
+)
+def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.floor(us(F.col("ts")) / 3_600_000_000).cast("bigint").alias("hour_idx")
+    )
+    bounds = ev.agg(F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")).collect()[0]
+    h0 = int(bounds["h0"])
+    spine = spark.range(h0, int(bounds["h1"]) + 1).select(F.col("id").alias("hour_idx"))
+    cnt = ev.groupBy("hour_idx").agg(F.count(F.lit(1)).alias("c"))
+    series = spine.join(cnt, "hour_idx", "left").select(
+        "hour_idx", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    ).persist()  # both sides of the band join + the error join
+    t, s = series.alias("t"), series.alias("s")
+    term = (
+        F.lit(_EWMA_ALPHA)
+        * F.pow(F.lit(1.0 - _EWMA_ALPHA), F.col("t.hour_idx") - F.col("s.hour_idx"))
+        * F.col("s.c")
+    ).cast("decimal(25,6)")
+    lvl = (
+        t.join(
+            s,
+            (F.col("s.hour_idx") <= F.col("t.hour_idx"))
+            & (F.col("s.hour_idx") > F.col("t.hour_idx") - _EWMA_WIN),
+        )
+        .filter(F.col("t.hour_idx") >= h0 + _EWMA_WIN - 1)
+        .groupBy(F.col("t.hour_idx").alias("hour_idx"), F.col("t.c").alias("c"))
+        .agg(F.sum(term).cast("double").alias("level"))
+        .persist()  # feeds last-level, count, and the error join
+    )
+    err = series.alias("x").join(
+        lvl.alias("l"), F.col("l.hour_idx") == F.col("x.hour_idx") - 1
+    ).select(F.abs(F.col("x.c") - F.col("l.level")).alias("e"))
+    n_levels = lvl.agg(F.count(F.lit(1)).alias("n_levels"))
+    last = (
+        lvl.orderBy(F.col("hour_idx").desc())
+        .limit(1)
+        .select(trunc6(F.col("level")).alias("last_level"))
+    )
+    return (
+        err.agg(trunc6(davg(F.col("e"))).alias("mae"))
+        .crossJoin(F.broadcast(n_levels))
+        .crossJoin(F.broadcast(last))
+        .select("n_levels", "last_level", "mae")
+    )

@@ -357,3 +357,34 @@ def test_benford_audit_matches_python(spark):
     # synthetic uniform prices should FAIL Benford loudly
     chi2 = sum(r.chi2_term for r in rows.values())
     assert chi2 > 15.51  # chi2 0.95, 8 df
+
+
+def test_ewma_forecast_matches_recurrence(spark):
+    """The truncated closed form tracks the literal recurrence
+    l_t = a*x_t + (1-a)*l_{t-1} to within the truncation mass."""
+    import numpy as np
+    import pandas as pd
+
+    from daxos_spark.plans.relational2 import _EWMA_ALPHA, _EWMA_WIN, q_ewma_forecast
+
+    row = q_ewma_forecast(spark, "/root/testdata/sf0.001").collect()[0]
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    hi = ev["ts"].values.astype("datetime64[us]").astype("int64") // 3_600_000_000
+    h0, h1 = hi.min(), hi.max()
+    c = np.zeros(h1 - h0 + 1)
+    for h in hi:
+        c[h - h0] += 1
+    # literal recurrence (untruncated, from l_0 = a*x_0 start)
+    a = _EWMA_ALPHA
+    lvl = np.zeros(len(c))
+    lvl[0] = a * c[0]
+    for i in range(1, len(c)):
+        lvl[i] = a * c[i] + (1 - a) * lvl[i - 1]
+    n_lv = len(c) - (_EWMA_WIN - 1)
+    assert row.n_levels == n_lv
+    # truncation: |closed_48 - recurrence| <= (1-a)^48 * max|x|
+    tol = (1 - a) ** _EWMA_WIN * c.max() + 1e-4
+    assert abs(row.last_level - lvl[-1]) < tol
+    errs = [abs(c[i] - lvl[i - 1]) for i in range(_EWMA_WIN, len(c))]
+    assert abs(row.mae - np.mean(errs)) < tol + 1e-3
