@@ -429,3 +429,68 @@ def split_route_stream(
         .withColumn("inherited", F.col("split").isNotNull())
         .withColumn("split", F.coalesce(F.col("split"), fresh))
     )
+
+
+def cusum_monitor_stream(
+    hourly: DataFrame,
+    k: float,
+    h: float,
+    series_col: str = "series",
+) -> DataFrame:
+    """Streaming CUSUM monitor — the sequential recurrence
+    s_t = max(0, s_{t-1} + x_t − k) run where it naturally lives: as
+    keyed state over an arriving finalized-hour stream (the upstream
+    watermark aggregation emits one (series, hour_idx, c) row per
+    closed hour). State per series is (s, last_hour); gap hours are
+    replayed as zero counts so the excursion decays exactly as the
+    batch closed form (q_cusum_drift) computes it. Emits one row per
+    processed hour with the excursion and alarm flag.
+
+    The batch twin equivalence is tested in test_streaming.py; the
+    reference rate k and threshold h come from batch history (they are
+    model parameters, not stream state).
+    """
+    import pandas as pd  # executors need it
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("series", StringType()),
+            StructField("hour_idx", LongType()),
+            StructField("s", DoubleType()),
+            StructField("alarm", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("s", DoubleType()), StructField("last_hour", LongType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        s, last = state.get if state.exists else (0.0, None)
+        rows = []
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values("hour_idx")
+        for r in pdf.itertuples(index=False):
+            hr, c = int(r.hour_idx), float(r.c)
+            if last is not None:
+                for gap in range(last + 1, hr):  # closed hours with no row
+                    s = max(0.0, s + 0.0 - k)
+                    rows.append((key[0], gap, s, int(s > h)))
+            s = max(0.0, s + c - k)
+            rows.append((key[0], hr, s, int(s > h)))
+            last = hr
+        state.update((s, last if last is not None else -1))
+        yield pd.DataFrame(rows, columns=["series", "hour_idx", "s", "alarm"])
+
+    return hourly.groupBy(series_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -360,3 +360,55 @@ def test_split_route_stream_inherited_flag(spark, tmp_path):
     run_to_memory(split_route_stream(stream, index), "routed2", output_mode="append")
     got = {r["doc_id"]: r["inherited"] for r in spark.sql("SELECT * FROM routed2").collect()}
     assert got == {1: True, 2: False}
+
+
+def test_cusum_monitor_stream_matches_batch_recurrence(spark, tmp_path):
+    """Streaming stateful CUSUM (applyInPandasWithState, state carried
+    ACROSS micro-batches) == the literal batch recurrence on the same
+    hourly series."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from daxos_spark.streaming.pipelines import cusum_monitor_stream
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    hi = ev["ts"].values.astype("datetime64[us]").astype("int64") // 3_600_000_000
+    h0, h1 = hi.min(), hi.max()
+    c = np.zeros(h1 - h0 + 1)
+    for h in hi:
+        c[h - h0] += 1
+    k = c.sum() / len(c)
+    thr = 4.0 * math.sqrt(k)
+
+    # two file-batches -> state must survive the batch boundary
+    rows = [("s0", int(h0 + i), float(x)) for i, x in enumerate(c)]
+    cutoff = len(rows) // 2
+    d = str(tmp_path / "hours")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(rows[:cutoff], columns=["series", "hour_idx", "c"]).to_parquet(
+        f"{d}/b0.parquet"
+    )
+    pd.DataFrame(rows[cutoff:], columns=["series", "hour_idx", "c"]).to_parquet(
+        f"{d}/b1.parquet"
+    )
+    stream = spark.readStream.schema("series string, hour_idx long, c double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    run_to_memory(
+        cusum_monitor_stream(stream, k=k, h=thr), "cusum_mon", output_mode="append"
+    )
+    got = {
+        r["hour_idx"]: (r["s"], r["alarm"])
+        for r in spark.sql("SELECT * FROM cusum_mon").collect()
+    }
+    s = 0.0
+    for i, x in enumerate(c):
+        s = max(0.0, s + x - k)
+        hr = int(h0 + i)
+        assert abs(got[hr][0] - s) < 1e-9
+        assert got[hr][1] == int(s > thr)
+    assert len(got) == len(c)
