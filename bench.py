@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "q_cusum_drift",
     "q_benford_audit",
     "q_ewma_forecast",
+    "q_basket_rules",
+    "t_zipf_fit",
 ]
 
 

@@ -2723,3 +2723,78 @@ def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(last))
         .select("n_levels", "last_level", "mae")
     )
+
+
+# --------------------------------------------------------------------------
+# Association rules over order baskets — support / confidence / lift
+# for the top co-occurring part pairs (the q_part_cooccurrence
+# projection extended with the actual rule metrics). Counts are
+# integers; confidence and lift are ratios of identical integers
+# emitted in exact micro units, so the whole rule table hash-checks.
+# Same Σw² pair-join bound as the co-occurrence query.
+@_q(
+    "q_basket_rules",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n FROM op
+    ), item AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM op GROUP BY l_partkey
+    ), pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS both_cnt
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING COUNT(*) >= 3
+    )
+    SELECT p.pa, p.pb, p.both_cnt,
+           ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+           CAST(FLOOR(1000000.0 * p.both_cnt / ia.cnt) AS BIGINT) AS confidence_micro,
+           CAST(FLOOR(1000000.0 * p.both_cnt * n.n / (ia.cnt * ib.cnt)) AS BIGINT)
+             AS lift_micro
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.pa
+    JOIN item ib ON ib.l_partkey = p.pb
+    CROSS JOIN n_orders n
+    ORDER BY lift_micro DESC, p.pa, p.pb
+    LIMIT 20
+    """,
+    doc="association rules (support/confidence/lift) over order baskets "
+    "in exact integer micro units",
+    tags=("relational", "basket"),
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct().persist()
+    n_orders = op.select("l_orderkey").distinct().count()
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+        .filter(F.col("both_cnt") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("cnt_b"))
+    return (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .select(
+            "pa", "pb", "both_cnt", "cnt_a", "cnt_b",
+            F.floor(1e6 * F.col("both_cnt") / F.col("cnt_a")).cast("bigint").alias(
+                "confidence_micro"
+            ),
+            F.floor(
+                1e6 * F.col("both_cnt") * F.lit(n_orders)
+                / (F.col("cnt_a") * F.col("cnt_b"))
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+        .orderBy(F.col("lift_micro").desc(), "pa", "pb")
+        .limit(20)
+    )

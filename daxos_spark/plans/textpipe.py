@@ -41,7 +41,7 @@ from pyspark.sql.functions import pandas_udf
 from ..catalog import load_tables
 from ..functions.hashing import md5_long, md5_long_sql, word_shingles
 from .docpipe import _fanout
-from .registry import QuerySpec, register, sql_trunc6, trunc6
+from .registry import QuerySpec, register, sql_dsum, sql_trunc6, trunc6
 
 _NORM = "lower(trim(text))"
 _TOKS = f"string_split_regex({_NORM}, '\\s+')"
@@ -1064,4 +1064,80 @@ def t_refinery_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mix_w_micro"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf exponent fit — the corpus-linguistics diagnostic behind every
+# "Zipf: types ≪ tokens" claim in this repo, measured rather than
+# assumed: rank the vocabulary by frequency and fit
+# ln(freq) = a − s·ln(rank) by closed-form OLS over the top-R ranks.
+# Frequencies and ranks are exact integers, their logs identical
+# doubles, and the OLS moments go through DECIMAL — so the fitted
+# exponent itself hash-checks. One vocabulary agg + one rank window
+# over the (tiny) top-R relation.
+_ZIPF_TOPR = 200
+
+
+@_q(
+    "t_zipf_fit",
+    f"""
+    WITH vocab AS (
+      SELECT tk, COUNT(*) AS f
+      FROM (SELECT unnest({_TOKS}) AS tk FROM documents) GROUP BY tk
+    ), ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tk) AS r FROM vocab
+    ), top AS (
+      SELECT LN(CAST(r AS DOUBLE)) AS x, LN(CAST(f AS DOUBLE)) AS y
+      FROM ranked WHERE r <= {_ZIPF_TOPR}
+    ), m AS (
+      SELECT COUNT(*) AS n,
+             {sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy,
+             {sql_dsum('x * x')} AS sxx, {sql_dsum('x * y')} AS sxy
+      FROM top
+    )
+    SELECT n,
+           {sql_trunc6('-( (n * sxy - sx * sy) / (n * sxx - sx * sx) )')} AS zipf_s,
+           {sql_trunc6('(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n')}
+             AS intercept
+    FROM m
+    """,
+    doc="Zipf exponent by closed-form OLS on log-rank/log-freq of the "
+    "top-200 vocabulary; fitted exponent hash-checked",
+)
+def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions import text as T
+    from .registry import dsum
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    vocab = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), "tk")
+    top = (
+        vocab.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _ZIPF_TOPR)
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    m = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "n",
+        trunc6(-slope).alias("zipf_s"),
+        trunc6((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )

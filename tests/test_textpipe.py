@@ -306,3 +306,25 @@ def test_refinery_funnel_monotone_and_python_replay(spark):
             n_clean.get(src, 0),
         )
         assert rr.n_raw >= rr.n_canonical >= rr.n_clean  # funnel is monotone
+
+
+def test_zipf_fit_matches_numpy_ols(spark):
+    import math
+
+    import numpy as np
+
+    from daxos_spark.plans.textpipe import _ZIPF_TOPR, t_zipf_fit
+
+    row = t_zipf_fit(spark, SF_DIR).collect()[0]
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    vocab = Counter(t for txt in docs["text"] for t in _toks(txt))
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOPR]
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+    y = np.log(np.array([f for _, f in ranked], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row.n == len(ranked)
+    assert abs(row.zipf_s - (-slope)) < 1e-4
+    assert abs(row.intercept - intercept) < 1e-3
+    # a natural-ish corpus has a meaningful decay exponent
+    assert row.zipf_s > 0.1
