@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "q_ewma_forecast",
     "q_basket_rules",
     "t_zipf_fit",
+    "m_asset_neardup",
 ]
 
 

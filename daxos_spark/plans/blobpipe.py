@@ -331,3 +331,97 @@ def m_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Asset near-dup via shared CDC chunks — what the chunk store from
+# m_cdc_chunks is FOR: two assets sharing ≥3 content-defined chunks are
+# versions/copies of each other (the backup-dedup and multimodal-asset
+# dedup primitive). Candidate generation is a chunk-hash inverted-index
+# equi-join (bounded by chunk-duplication mass, never assets²), exactly
+# the shingle-index pattern of the text dedup family applied to binary
+# content.
+_NEARDUP_MIN_SHARED = 3
+
+
+@_q(
+    "m_asset_neardup",
+    f"""
+    WITH c AS (
+      SELECT doc_id, source, text, {_cdc_cuts_sql()} AS cuts FROM documents
+    ), ch AS (
+      SELECT DISTINCT doc_id, source,
+             {md5_long_sql('''substr(text, CAST(cuts[j] AS INT),
+                              CAST(cuts[j+1] - cuts[j] AS INT))''')} AS ch_hash
+      FROM (SELECT doc_id, source, text, cuts, unnest(range(1, len(cuts))) AS j FROM c)
+    ), pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+      FROM ch a JOIN ch b ON a.ch_hash = b.ch_hash AND a.doc_id < b.doc_id
+      GROUP BY da, db HAVING COUNT(*) >= {_NEARDUP_MIN_SHARED}
+    )
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(shared) AS BIGINT) AS total_shared_chunks,
+           CAST(MAX(shared) AS BIGINT) AS max_shared,
+           COUNT(DISTINCT da) + COUNT(DISTINCT db) AS n_involved_upper
+    FROM pairs
+    """,
+    doc="binary-asset near-dup via shared CDC chunks (>=3): chunk-hash "
+    "inverted-index join, the backup-dedup primitive",
+)
+def m_asset_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_long
+
+    d = load_tables(spark, sf_dir)["documents"]
+    ln = F.length("text")
+    win_hash = lambda i: md5_long(F.substring(F.col("text"), i, _CDC_W))
+    cuts = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.array(F.lit(1)),
+                F.when(
+                    ln >= _CDC_W + 1,
+                    F.filter(
+                        F.sequence(F.lit(2), ln - _CDC_W + 1),
+                        lambda i: F.pmod(win_hash(i), F.lit(_CDC_D)) == 0,
+                    ),
+                ).otherwise(F.array().cast("array<int>")),
+                F.array(ln + 1),
+            )
+        )
+    )
+    c = d.select("doc_id", "text", cuts.alias("cuts"))
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("cuts") - 1),
+            lambda j: F.substring(
+                F.col("text"),
+                F.element_at(F.col("cuts"), j),
+                F.element_at(F.col("cuts"), j + 1) - F.element_at(F.col("cuts"), j),
+            ),
+        )
+    )
+    ch = (
+        c.select("doc_id", chunk.alias("chunk"))
+        .select("doc_id", md5_long(F.col("chunk")).alias("ch_hash"))
+        .distinct()
+        .persist()  # both sides of the inverted-index join
+    )
+    a, b = ch.alias("a"), ch.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ch_hash") == F.col("b.ch_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _NEARDUP_MIN_SHARED)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("shared").cast("bigint").alias("total_shared_chunks"),
+        F.max("shared").cast("bigint").alias("max_shared"),
+        (F.countDistinct("da") + F.countDistinct("db")).alias("n_involved_upper"),
+    )
