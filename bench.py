@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "q_basket_rules",
     "t_zipf_fit",
     "m_asset_neardup",
+    "t_containment_dedup",
+    "q_spearman_orders_spend",
 ]
 
 

@@ -2798,3 +2798,63 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_micro").desc(), "pa", "pb")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation — the robust (monotone) association metric:
+# do customers who order MORE also spend more per order? Exact integer
+# ranks (row_number with a deterministic id tie-break — documented
+# simplification vs average-ties ranks), then the closed form
+# ρ = 1 − 6Σd²/(n(n²−1)) on exact integers: fully hash-checked.
+@_q(
+    "q_spearman_orders_spend",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             {sql_dsum('o_totalprice')} AS spend
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey,
+             ROW_NUMBER() OVER (ORDER BY n_orders, o_custkey) AS rn_orders,
+             ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS rn_spend
+      FROM per_cust
+    ), d AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM((rn_orders - rn_spend) * (rn_orders - rn_spend)) AS BIGINT)
+               AS sum_d2
+      FROM ranked
+    )
+    SELECT n, sum_d2,
+           {sql_trunc6('1.0 - 6.0 * sum_d2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1.0))')}
+             AS spearman_rho
+    FROM d
+    """,
+    doc="Spearman rank correlation (order count vs spend per customer) "
+    "from exact integer ranks and the closed 6*sum(d^2) form",
+    tags=("relational", "stats"),
+)
+def q_spearman_orders_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice")).alias("spend")
+    )
+    w1 = Window.orderBy("n_orders", "o_custkey")
+    w2 = Window.orderBy("spend", "o_custkey")
+    ranked = per_cust.select(
+        F.row_number().over(w1).alias("rn_orders"),
+        F.row_number().over(w2).alias("rn_spend"),
+    )
+    d = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("rn_orders") - F.col("rn_spend"))
+            * (F.col("rn_orders") - F.col("rn_spend"))
+        )
+        .cast("bigint")
+        .alias("sum_d2"),
+    )
+    rho = 1.0 - 6.0 * F.col("sum_d2") / (
+        F.col("n").cast("double") * (F.col("n").cast("double") * F.col("n") - 1.0)
+    )
+    return d.select("n", "sum_d2", trunc6(rho).alias("spearman_rho"))

@@ -1141,3 +1141,84 @@ def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(-slope).alias("zipf_s"),
         trunc6((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Containment near-dup — the ASYMMETRIC complement of Jaccard:
+# containment(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| is
+# high when A is an excerpt/quote of B even though Jaccard is tiny
+# (the case symmetric dedup misses: boilerplate headers, quoted
+# passages, partial scrapes — Broder's original resemblance vs
+# containment distinction). Same capped shingle inverted-index join
+# as the Jaccard family; the only change is the one-sided denominator.
+# Integer-exact micro-containment, so the flagged pairs hash-check.
+_CONT_THR_MICRO = 800_000  # containment >= 0.8
+
+
+@_q(
+    "t_containment_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS tk FROM documents
+    ), sh0 AS (
+      SELECT DISTINCT doc_id, source, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+      FROM (SELECT doc_id, source, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    ), sh AS (
+      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY s) <= 200
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source = b.source AND a.doc_id <> b.doc_id
+      GROUP BY da, db
+    ), scored AS (
+      SELECT i.da, i.db,
+             CAST(FLOOR(1000000.0 * i.n_inter / sa.n_sh) AS BIGINT) AS cont_micro
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.da
+    )
+    SELECT COUNT(*) AS n_contained_pairs,
+           COUNT(DISTINCT da) AS n_contained_docs,
+           CAST(MAX(cont_micro) AS BIGINT) AS max_cont_micro
+    FROM scored WHERE cont_micro >= {_CONT_THR_MICRO}
+    """,
+    doc="asymmetric containment dedup (Broder): |A∩B|/|A| >= 0.8 flags "
+    "excerpts/quotes symmetric Jaccard misses; integer-exact",
+)
+def t_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    sh = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
+        )
+        .persist()
+    )
+    from pyspark.sql.window import Window as W
+
+    capped = sh.withColumn(
+        "df_", F.count(F.lit(1)).over(W.partitionBy("s"))
+    ).filter(F.col("df_") <= 200).drop("df_")
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = inter.join(
+        sizes.withColumnRenamed("doc_id", "da"), "da"
+    ).select(
+        "da", "db",
+        F.floor(1e6 * F.col("n_inter") / F.col("n_sh")).cast("bigint").alias("cont_micro"),
+    )
+    return scored.filter(F.col("cont_micro") >= _CONT_THR_MICRO).agg(
+        F.count(F.lit(1)).alias("n_contained_pairs"),
+        F.countDistinct("da").alias("n_contained_docs"),
+        F.max("cont_micro").cast("bigint").alias("max_cont_micro"),
+    )

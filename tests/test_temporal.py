@@ -388,3 +388,27 @@ def test_ewma_forecast_matches_recurrence(spark):
     assert abs(row.last_level - lvl[-1]) < tol
     errs = [abs(c[i] - lvl[i - 1]) for i in range(_EWMA_WIN, len(c))]
     assert abs(row.mae - np.mean(errs)) < tol + 1e-3
+
+
+def test_spearman_matches_scipy_free_python(spark):
+    import pandas as pd
+
+    from daxos_spark.plans.relational2 import q_spearman_orders_spend
+
+    row = q_spearman_orders_spend(spark, "/root/testdata/sf0.001").collect()[0]
+
+    o = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    g = o.groupby("o_custkey").agg(
+        n_orders=("o_orderkey", "count"), spend=("o_totalprice", "sum")
+    ).reset_index()
+    r1 = g.sort_values(["n_orders", "o_custkey"]).reset_index(drop=True)
+    r1["rn_orders"] = r1.index + 1
+    r2 = g.sort_values(["spend", "o_custkey"]).reset_index(drop=True)
+    r2["rn_spend"] = r2.index + 1
+    m = r1[["o_custkey", "rn_orders"]].merge(r2[["o_custkey", "rn_spend"]], on="o_custkey")
+    d2 = int(((m.rn_orders - m.rn_spend) ** 2).sum())
+    n = len(m)
+    rho = 1 - 6 * d2 / (n * (n * n - 1))
+    assert (row.n, row.sum_d2) == (n, d2)
+    assert abs(row.spearman_rho - rho) < 1e-6
+    assert row.spearman_rho > 0.5  # more orders -> more spend, strongly

@@ -328,3 +328,36 @@ def test_zipf_fit_matches_numpy_ols(spark):
     assert abs(row.intercept - intercept) < 1e-3
     # a natural-ish corpus has a meaningful decay exponent
     assert row.zipf_s > 0.1
+
+
+def test_containment_dedup_matches_python(spark):
+    from daxos_spark.plans.textpipe import _CONT_THR_MICRO, t_containment_dedup
+
+    row = t_containment_dedup(spark, SF_DIR).collect()[0]
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def shingles(t):
+        tk = _toks(t)
+        n = max(len(tk) - 2, 1)
+        return {" ".join(tk[i : i + 3]) for i in range(n)}
+
+    sh = {r.doc_id: (r.source, shingles(r.text)) for r in docs.itertuples()}
+    # DF cap at 200 never binds at sf0.001 (500 docs); replay without it
+    n_pairs, docs_flagged, mx = 0, set(), 0
+    items = list(sh.items())
+    for da, (sa, A) in items:
+        for db, (sb, B) in items:
+            if da == db or sa != sb:
+                continue
+            inter = len(A & B)
+            if inter == 0:
+                continue
+            cm = (1_000_000 * inter) // len(A)
+            if cm >= _CONT_THR_MICRO:
+                n_pairs += 1
+                docs_flagged.add(da)
+                mx = max(mx, cm)
+    assert (row.n_contained_pairs, row.n_contained_docs) == (n_pairs, len(docs_flagged))
+    if n_pairs:
+        assert row.max_cont_micro == mx
