@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "m_asset_neardup",
     "t_containment_dedup",
     "q_spearman_orders_spend",
+    "ml_ld_clump_r2",
 ]
 
 

@@ -1177,3 +1177,119 @@ def ml_hwe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(chi2).alias("chi2"),
         (chi2 <= _HWE_CRIT).cast("int").alias("hwe_pass"),
     ).orderBy("pos")
+
+
+# --------------------------------------------------------------------------
+# Q2 with the FULL plink --clump semantics under the external hash
+# gate: greedy p-ordered selection where a candidate drops only if it
+# is within the bp window of a selected index SNP AND its genotype r²
+# exceeds the threshold (reference Snakefile:106-155, r²=0.75). The
+# Spark side runs operators/clumping.ld_clump_r2 — real distributed
+# Gram-pass correlations over the engine's fact layout. The duckdb
+# oracle computes every pairwise r² decision INTEGER-EXACTLY
+# (cross-multiplied moment form: 4(nΣxy−ΣxΣy)² > 3(nΣxx−Σx²)(nΣyy−Σy²)
+# — no float r² at all), pre-aggregates each candidate's conflict
+# list, and replays the greedy as a recursive walk with
+# list_intersect. A numeric drift between numpy's r² and the exact
+# integer comparison would flip a selection and fail the hash.
+_CLR2_WINDOW = 100_000
+_CLR2_THR = 0.75  # compared as 4*num2 > 3*den in exact integers
+
+
+def _clr2_oracle() -> str:
+    return f"""
+    WITH RECURSIVE slots AS (
+      SELECT g.range AS p,
+             g.range % 4 AS chrom,
+             (g.range * 9973) % 500000 AS bp,
+             (g.range * 37) % 64 AS pval
+      FROM range(64) g
+    ), u AS (
+      SELECT e.vec_id AS i, s.p, s.chrom, (e.vec_id + 7 * s.p) % 3 AS x
+      FROM embeddings e CROSS JOIN slots s
+    ), mom AS (
+      SELECT a.p AS pa, b.p AS pb,
+             COUNT(*) AS n,
+             SUM(a.x) AS sx, SUM(b.x) AS sy,
+             SUM(a.x * b.x) AS sxy, SUM(a.x * a.x) AS sxx, SUM(b.x * b.x) AS syy
+      FROM u a JOIN u b ON a.i = b.i AND a.chrom = b.chrom AND a.p <> b.p
+      GROUP BY pa, pb
+    ), conflict AS (
+      SELECT m.pa, m.pb
+      FROM mom m
+      JOIN slots sa ON sa.p = m.pa JOIN slots sb ON sb.p = m.pb
+      WHERE ABS(sa.bp - sb.bp) <= {_CLR2_WINDOW}
+        AND 4 * (m.n * m.sxy - m.sx * m.sy) * (m.n * m.sxy - m.sx * m.sy)
+            > 3 * (m.n * m.sxx - m.sx * m.sx) * (m.n * m.syy - m.sy * m.sy)
+    ), ranked AS (
+      SELECT s.*, ROW_NUMBER() OVER (PARTITION BY chrom ORDER BY pval, bp, p) AS rk,
+             COALESCE((SELECT LIST(c.pb) FROM conflict c WHERE c.pa = s.p), []) AS conf
+      FROM slots s
+    ), walk AS (
+      SELECT chrom, CAST(0 AS BIGINT) AS rk, []::BIGINT[] AS sel,
+             CAST(0 AS BIGINT) AS n_sel, CAST(NULL AS BIGINT) AS min_slot,
+             CAST(0 AS BIGINT) AS bp_sum
+      FROM (SELECT DISTINCT chrom FROM ranked)
+      UNION ALL
+      SELECT s.chrom, s.rk,
+             CASE WHEN s.ok THEN list_append(s.sel, s.p) ELSE s.sel END,
+             s.n_sel + CASE WHEN s.ok THEN 1 ELSE 0 END,
+             CASE WHEN s.ok THEN LEAST(COALESCE(s.min_slot, s.p), s.p) ELSE s.min_slot END,
+             s.bp_sum + CASE WHEN s.ok THEN s.bp ELSE 0 END
+      FROM (
+        SELECT w.chrom, r.rk, w.sel, w.n_sel, w.min_slot, w.bp_sum, r.p, r.bp,
+               len(list_intersect(r.conf, w.sel)) = 0 AS ok
+        FROM walk w JOIN ranked r ON r.chrom = w.chrom AND r.rk = w.rk + 1
+      ) s
+    )
+    SELECT chrom, n_sel AS n_index_snps, min_slot, bp_sum
+    FROM walk w1
+    WHERE rk = (SELECT MAX(rk) FROM ranked r2 WHERE r2.chrom = w1.chrom)
+    ORDER BY chrom
+    """
+
+
+@_qo(
+    "ml_ld_clump_r2",
+    _clr2_oracle(),
+    doc="plink --clump full semantics (window AND genotype r^2 > 0.75) "
+    "under the hash gate; oracle r^2 decisions are integer-exact "
+    "cross-multiplied moments + recursive greedy replay",
+)
+def ml_ld_clump_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clumping import ld_clump_r2
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    matrix = e.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda p: F.pmod(F.col("vec_id") + 7 * p, F.lit(3)).cast("double"),
+        ).alias("features"),
+    )
+    cols = spark.createDataFrame(
+        [(p, f"s{p}") for p in range(64)], "pos int, snp string"
+    )
+    sumstats = spark.createDataFrame(
+        [
+            (int(p % 4), int((p * 9973) % 500000), float((p * 37) % 64), f"s{p}", int(p))
+            for p in range(64)
+        ],
+        "chrom int, pos long, pval double, snp string, slot int",
+    )
+    kept = ld_clump_r2(
+        sumstats,
+        matrix,
+        cols,
+        r2_threshold=_CLR2_THR,
+        window=_CLR2_WINDOW,
+    )
+    return (
+        kept.groupBy("chrom")
+        .agg(
+            F.count(F.lit(1)).alias("n_index_snps"),
+            F.min("slot").cast("bigint").alias("min_slot"),
+            F.sum("pos").cast("bigint").alias("bp_sum"),
+        )
+        .orderBy("chrom")
+    )

@@ -101,3 +101,46 @@ def test_r2_clump_matches_bruteforce(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ld_clump_r2_query_eliminates_and_matches_bruteforce(spark):
+    """The registered query's selection == a numpy brute-force replay
+    of window+r2 greedy on the same deterministic dosage matrix."""
+    import numpy as np
+
+    from daxos_spark.plans.mlpipe import (
+        _CLR2_THR,
+        _CLR2_WINDOW,
+        ml_ld_clump_r2,
+    )
+
+    rows = {r.chrom: r for r in ml_ld_clump_r2(spark, "/root/testdata/sf0.001").collect()}
+
+    import pandas as pd
+
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    X = np.stack([(ids + 7 * p) % 3 for p in range(64)], axis=1).astype(float)
+    for chrom in range(4):
+        slots = [p for p in range(64) if p % 4 == chrom]
+        bp = {p: (p * 9973) % 500000 for p in slots}
+        pv = {p: (p * 37) % 64 for p in slots}
+        order = sorted(slots, key=lambda p: (pv[p], bp[p], p))
+        sub = X[:, order]
+        r2 = np.corrcoef(sub.T) ** 2
+        alive = np.ones(len(order), bool)
+        picked = []
+        for i in range(len(order)):
+            if not alive[i]:
+                continue
+            picked.append(order[i])
+            for j in range(len(order)):
+                if alive[j] and abs(bp[order[j]] - bp[order[i]]) <= _CLR2_WINDOW and r2[i, j] > _CLR2_THR:
+                    alive[j] = False
+            alive[i] = False
+        r = rows[chrom]
+        assert r.n_index_snps == len(picked)
+        assert r.min_slot == min(picked)
+        assert r.bp_sum == sum(bp[p] for p in picked)
+        # r2 elimination is non-vacuous: some SNPs were clumped away
+        assert len(picked) < len(slots)
