@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "t_containment_dedup",
     "q_spearman_orders_spend",
     "ml_ld_clump_r2",
+    "t_minhash_accuracy",
 ]
 
 

@@ -1222,3 +1222,121 @@ def t_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("da").alias("n_contained_docs"),
         F.max("cont_micro").cast("bigint").alias("max_cont_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator accuracy audit — the audit-family pattern applied
+# to the MinHash approximation itself: on the candidate pairs the
+# shingle index produces, compare the 8-hash MinHash Jaccard estimate
+# (matching signature slots / 8) against the EXACT Jaccard, and report
+# the realized error distribution. Sketch error is what you size the
+# signature length against before trusting banded LSH alone at 100 TB;
+# both estimate and truth are exact integers (micro units), so the
+# audit hash-checks.
+_MH_HASHES = 8
+
+
+def _mh_acc_oracle() -> str:
+    mins = ", ".join(
+        f"MIN({md5_long_sql('s', seed=i)}) AS m{i}" for i in range(_MH_HASHES)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(_MH_HASHES)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS tk FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, source, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+      FROM (SELECT doc_id, source, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    ), sig AS (
+      SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY da, db HAVING COUNT(*) >= 3
+    ), pairs AS (
+      SELECT i.da, i.db,
+             CAST(FLOOR(1000000.0 * i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)) AS BIGINT)
+               AS exact_micro,
+             CAST(FLOOR(1000000.0 * ({matches}) / {_MH_HASHES}.0) AS BIGINT) AS est_micro
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.da JOIN sizes sb ON sb.doc_id = i.db
+      JOIN sig a ON a.doc_id = i.da JOIN sig b ON b.doc_id = i.db
+    )
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(ABS(est_micro - exact_micro)) AS BIGINT) AS total_abs_err_micro,
+           CAST(MAX(ABS(est_micro - exact_micro)) AS BIGINT) AS max_abs_err_micro,
+           CAST(SUM(CASE WHEN ABS(est_micro - exact_micro) <= 250000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_quarter
+    FROM pairs
+    """
+
+
+@_q(
+    "t_minhash_accuracy",
+    _mh_acc_oracle(),
+    doc="MinHash estimator accuracy audit: 8-hash Jaccard estimate vs "
+    "exact Jaccard on index candidate pairs, integer micro-unit errors",
+)
+def t_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import minhash_signature
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
+    ).persist()
+    sig = d.select(
+        "doc_id",
+        minhash_signature(
+            word_shingles(F.lower(F.trim(F.col("text"))), 3), num_hashes=_MH_HASHES
+        ).alias("sig"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(F.col("n_inter") >= 3)
+    )
+    sa = sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na")
+    sb = sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb")
+    siga = sig.withColumnRenamed("doc_id", "da").withColumnRenamed("sig", "siga")
+    sigb = sig.withColumnRenamed("doc_id", "db").withColumnRenamed("sig", "sigb")
+    nmatch = F.size(
+        F.filter(
+            F.zip_with(F.col("siga"), F.col("sigb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    pairs = (
+        inter.join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+        .join(F.broadcast(siga), "da")
+        .join(F.broadcast(sigb), "db")
+        .select(
+            F.floor(
+                1e6 * F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            )
+            .cast("bigint")
+            .alias("exact_micro"),
+            F.floor(1e6 * nmatch / float(_MH_HASHES)).cast("bigint").alias("est_micro"),
+        )
+    )
+    err = F.abs(F.col("est_micro") - F.col("exact_micro"))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(err).cast("bigint").alias("total_abs_err_micro"),
+        F.max(err).cast("bigint").alias("max_abs_err_micro"),
+        F.sum((err <= 250_000).cast("int")).cast("bigint").alias("n_within_quarter"),
+    )

@@ -361,3 +361,46 @@ def test_containment_dedup_matches_python(spark):
     assert (row.n_contained_pairs, row.n_contained_docs) == (n_pairs, len(docs_flagged))
     if n_pairs:
         assert row.max_cont_micro == mx
+
+
+def test_minhash_accuracy_audit_matches_python(spark):
+    from daxos_spark.plans.textpipe import _MH_HASHES, t_minhash_accuracy
+
+    row = t_minhash_accuracy(spark, SF_DIR).collect()[0]
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def shingles(t):
+        tk = _toks(t)
+        n = max(len(tk) - 2, 1)
+        return {" ".join(tk[i : i + 3]) for i in range(n)}
+
+    def mh(sh):
+        return [
+            min(int(hashlib.md5(f"{s}#{i}".encode()).hexdigest()[:14], 16) for s in sh)
+            for i in range(_MH_HASHES)
+        ]
+
+    info = {r.doc_id: (r.source, shingles(r.text)) for r in docs.itertuples()}
+    sigs = {d: mh(sh) for d, (_, sh) in info.items()}
+    ids = sorted(info)
+    n_pairs = tot = mx = within = 0
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            if info[da][0] != info[db][0]:
+                continue
+            A, B = info[da][1], info[db][1]
+            inter = len(A & B)
+            if inter < 3:
+                continue
+            exact = (1_000_000 * inter) // (len(A) + len(B) - inter)
+            m = sum(x == y for x, y in zip(sigs[da], sigs[db]))
+            est = (1_000_000 * m) // _MH_HASHES
+            e = abs(est - exact)
+            n_pairs += 1
+            tot += e
+            mx = max(mx, e)
+            within += e <= 250_000
+    assert (row.n_pairs, row.total_abs_err_micro, row.max_abs_err_micro, row.n_within_quarter) == (
+        n_pairs, tot, mx, within,
+    )
