@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "q_spearman_orders_spend",
     "ml_ld_clump_r2",
     "t_minhash_accuracy",
+    "ml_gc_lambda",
 ]
 
 

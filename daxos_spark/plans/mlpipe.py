@@ -1293,3 +1293,83 @@ def ml_ld_clump_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chrom")
     )
+
+
+# --------------------------------------------------------------------------
+# Genomic-control inflation factor λ_GC — the QQ-plot diagnostic every
+# GWAS reports (Devlin & Roeder 1999): λ = median(χ²_allelic) / 0.4549
+# (the median of a 1-df chi-square). λ ≫ 1 flags population
+# stratification/confounding — the condition the deconfound pipeline
+# (M1-M4) exists to fix, so this is the measurement on the reference's
+# own workflow boundary. Allelic χ² from the same 2×2 tables as
+# ml_gwas_allelic_or (integer counts → identical doubles); the median
+# interpolates identically in both engines (quantile_cont formula on
+# identical doubles); λ in exact trunc6.
+_GC_MEDIAN_1DF = 0.4549364231195724  # scipy.stats.chi2.ppf(0.5, 1), a constant
+
+
+@_qo(
+    "ml_gc_lambda",
+    f"""
+    WITH g AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS is_case,
+             vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ), u AS (
+      SELECT is_case, pos, (vec_id + 7 * pos) % 3 AS dosage FROM g
+    ), tab AS (
+      SELECT pos,
+             CAST(SUM(CASE WHEN is_case = 1 THEN dosage ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN is_case = 1 THEN 2 - dosage ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN is_case = 0 THEN dosage ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN is_case = 0 THEN 2 - dosage ELSE 0 END) AS BIGINT) AS d
+      FROM u GROUP BY pos
+    ), chi AS (
+      SELECT pos,
+             CAST(a + b + c + d AS DOUBLE)
+               * CAST((a * d - b * c) AS DOUBLE) * CAST((a * d - b * c) AS DOUBLE)
+               / (CAST((a + b) AS DOUBLE) * (c + d) * (a + c) * (b + d)) AS chi2
+      FROM tab
+    )
+    SELECT COUNT(*) AS n_snps,
+           {sql_trunc6('MEDIAN(chi2)')} AS median_chi2,
+           {sql_trunc6(f'MEDIAN(chi2) / {_GC_MEDIAN_1DF}')} AS lambda_gc
+    FROM chi
+    """,
+    doc="genomic-control inflation factor: lambda_GC = median allelic "
+    "chi2 / 0.4549 (Devlin & Roeder 1999), hash-checked",
+)
+def ml_gc_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    u = e.select(
+        (F.col("label") >= 5).cast("int").alias("is_case"),
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos", "_x"),
+    ).select(
+        "is_case", "pos", F.pmod(F.col("vec_id") + 7 * F.col("pos"), F.lit(3)).alias("dosage")
+    )
+    tab = u.groupBy("pos").agg(
+        F.sum(F.when(F.col("is_case") == 1, F.col("dosage")).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(F.col("is_case") == 1, 2 - F.col("dosage")).otherwise(0)).cast("bigint").alias("b"),
+        F.sum(F.when(F.col("is_case") == 0, F.col("dosage")).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(F.col("is_case") == 0, 2 - F.col("dosage")).otherwise(0)).cast("bigint").alias("d"),
+    )
+    num = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    chi2 = (
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+        * num * num
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+        )
+    )
+    c = tab.select(chi2.alias("chi2"))
+    med = F.expr("percentile(chi2, 0.5)")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_snps"),
+        trunc6(med).alias("median_chi2"),
+        trunc6(med / F.lit(_GC_MEDIAN_1DF)).alias("lambda_gc"),
+    )

@@ -108,3 +108,27 @@ def test_hwe_filter_matches_scipy_free_python(spark):
         assert abs(r.chi2 - chi2) < 1e-5
         assert r.hwe_pass == int(chi2 <= _HWE_CRIT)
     assert len(rows) == dim
+
+
+def test_gc_lambda_matches_python(spark):
+    import numpy as np
+    import pandas as pd
+
+    from daxos_spark.plans.mlpipe import _GC_MEDIAN_1DF, ml_gc_lambda
+
+    row = ml_gc_lambda(spark, "/root/testdata/sf0.001").collect()[0]
+
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    case = (emb["label"].to_numpy() >= 5).astype(int)
+    chis = []
+    for p in range(64):
+        dos = (ids + 7 * p) % 3
+        a = int(dos[case == 1].sum()); b = int((2 - dos)[case == 1].sum())
+        c = int(dos[case == 0].sum()); d = int((2 - dos)[case == 0].sum())
+        n = a + b + c + d
+        chis.append(n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d)))
+    med = float(np.median(chis))
+    assert row.n_snps == 64
+    assert abs(row.median_chi2 - med) < 1e-4
+    assert abs(row.lambda_gc - med / _GC_MEDIAN_1DF) < 1e-3
