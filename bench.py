@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "ml_ld_clump_r2",
     "t_minhash_accuracy",
     "ml_gc_lambda",
+    "q_ks_length_shift",
 ]
 
 

@@ -2858,3 +2858,91 @@ def q_spearman_orders_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double") * (F.col("n").cast("double") * F.col("n") - 1.0)
     )
     return d.select("n", "sum_d2", trunc6(rho).alias("spearman_rho"))
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov — distribution-shift testing without
+# parametric assumptions (the third leg of the stats family: z/t =
+# means, Spearman = association, KS = whole-distribution). D =
+# max |F1 − F2| over the pooled support, computed EXACTLY as integers:
+# at each distinct value, |c1·n2 − c2·n1| with cumulative counts from
+# one ordered window — D_micro = floor(1e6·max/(n1·n2)) never touches
+# a float until the final ratio. Compared samples: document token
+# counts of src0 vs src1 (the ingest-shift question). The 0.05
+# rejection bound 1.36·sqrt((n1+n2)/(n1·n2)) is evaluated on identical
+# doubles.
+@_q(
+    "q_ks_length_shift",
+    f"""
+    WITH s AS (
+      SELECT CASE WHEN source = 'src0' THEN 1 ELSE 2 END AS grp,
+             len({{toks}}) AS v
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), n AS (
+      SELECT SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS n2
+      FROM s
+    ), pts AS (
+      SELECT v,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS a1,
+             SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS a2
+      FROM s GROUP BY v
+    ), cum AS (
+      SELECT v,
+             SUM(a1) OVER (ORDER BY v) AS c1,
+             SUM(a2) OVER (ORDER BY v) AS c2
+      FROM pts
+    )
+    SELECT n.n1, n.n2,
+           CAST(MAX(ABS(c1 * n.n2 - c2 * n.n1)) AS BIGINT) AS max_gap_scaled,
+           CAST(FLOOR(1000000.0 * MAX(ABS(c1 * n.n2 - c2 * n.n1)) / (n.n1 * n.n2)) AS BIGINT)
+             AS d_micro,
+           CASE WHEN CAST(MAX(ABS(c1 * n.n2 - c2 * n.n1)) AS DOUBLE) / (n.n1 * n.n2)
+                     > 1.36 * SQRT((n.n1 + n.n2) / (CAST(n.n1 AS DOUBLE) * n.n2))
+                THEN 1 ELSE 0 END AS reject_05
+    FROM cum CROSS JOIN n
+    GROUP BY n.n1, n.n2
+    """.replace("{toks}", "string_split_regex(lower(trim(text)), '\\s+')"),
+    doc="two-sample KS test on doc token-length distributions (src0 vs "
+    "src1); D computed in exact integers, 0.05 rejection flag",
+    tags=("relational", "stats"),
+)
+def q_ks_length_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("source").isin("src0", "src1")
+    )
+    s = d.select(
+        F.when(F.col("source") == "src0", 1).otherwise(2).alias("grp"),
+        F.size(T.tokens(F.col("text"))).alias("v"),
+    )
+    n = s.agg(
+        F.sum((F.col("grp") == 1).cast("int")).alias("n1"),
+        F.sum((F.col("grp") == 2).cast("int")).alias("n2"),
+    )
+    pts = s.groupBy("v").agg(
+        F.sum((F.col("grp") == 1).cast("int")).alias("a1"),
+        F.sum((F.col("grp") == 2).cast("int")).alias("a2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        "v", F.sum("a1").over(w).alias("c1"), F.sum("a2").over(w).alias("c2")
+    )
+    gap = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    agg = (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(F.max(gap).cast("bigint").alias("max_gap_scaled"))
+    )
+    dstat = F.col("max_gap_scaled").cast("double") / (F.col("n1") * F.col("n2"))
+    bound = 1.36 * F.sqrt(
+        (F.col("n1") + F.col("n2")) / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return agg.select(
+        "n1", "n2", "max_gap_scaled",
+        F.floor(1e6 * F.col("max_gap_scaled") / (F.col("n1") * F.col("n2")))
+        .cast("bigint")
+        .alias("d_micro"),
+        (dstat > bound).cast("int").alias("reject_05"),
+    )

@@ -412,3 +412,29 @@ def test_spearman_matches_scipy_free_python(spark):
     assert (row.n, row.sum_d2) == (n, d2)
     assert abs(row.spearman_rho - rho) < 1e-6
     assert row.spearman_rho > 0.5  # more orders -> more spend, strongly
+
+
+def test_ks_length_shift_matches_scipy_free_python(spark):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from daxos_spark.plans.relational2 import q_ks_length_shift
+
+    row = q_ks_length_shift(spark, "/root/testdata/sf0.001").collect()[0]
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    v1 = [len(t.strip().lower().split()) for t in docs[docs.source == "src0"]["text"]]
+    v2 = [len(t.strip().lower().split()) for t in docs[docs.source == "src1"]["text"]]
+    n1, n2 = len(v1), len(v2)
+    pooled = sorted(set(v1) | set(v2))
+    mx = 0
+    for x in pooled:
+        c1 = sum(1 for a in v1 if a <= x)
+        c2 = sum(1 for a in v2 if a <= x)
+        mx = max(mx, abs(c1 * n2 - c2 * n1))
+    assert (row.n1, row.n2, row.max_gap_scaled) == (n1, n2, mx)
+    assert row.d_micro == (1_000_000 * mx) // (n1 * n2)
+    d = mx / (n1 * n2)
+    assert row.reject_05 == int(d > 1.36 * math.sqrt((n1 + n2) / (n1 * n2)))
