@@ -47,10 +47,12 @@ def connected_components(
         # With persist alone, round N's plan nests rounds 1..N-1 as
         # InMemoryRelations and every downstream consumer re-analyzes a
         # several-hundred-node tree (observed ~5x wall-clock on the
-        # leakage-split audits). Cost: executor-local storage only — on
-        # executor loss the job recomputes from the last action, which
-        # is the standard iterative-algorithm trade (use reliable
-        # spark.checkpoint with a checkpoint dir at cluster scale).
+        # leakage-split audits). Cost: lineage truncation means blocks
+        # on a LOST executor are unrecoverable — the job fails and must
+        # be restarted (strictly weaker fault tolerance than persist,
+        # which keeps lineage for recompute). At cluster scale, set
+        # spark.sparkContext.setCheckpointDir and use reliable
+        # checkpoint() instead to survive executor loss.
         propagated = (
             labels.select("node", "lab")
             .unionByName(msgs)

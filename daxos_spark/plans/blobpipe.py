@@ -304,15 +304,22 @@ def m_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c = d.select("doc_id", "source", "text", cuts.alias("cuts"))
+    # Empty text collapses cuts to [1]; sequence(1, 0) is DESCENDING in
+    # Spark, so the unguarded transform would hit element_at(cuts, 0) and
+    # raise. Guard to an empty array so explode drops the row, matching
+    # the oracle's range(1, 1) → zero chunks.
     chunk = F.explode(
-        F.transform(
-            F.sequence(F.lit(1), F.size("cuts") - 1),
-            lambda j: F.substring(
-                F.col("text"),
-                F.element_at(F.col("cuts"), j),
-                F.element_at(F.col("cuts"), j + 1) - F.element_at(F.col("cuts"), j),
+        F.when(
+            F.size("cuts") > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size("cuts") - 1),
+                lambda j: F.substring(
+                    F.col("text"),
+                    F.element_at(F.col("cuts"), j),
+                    F.element_at(F.col("cuts"), j + 1) - F.element_at(F.col("cuts"), j),
+                ),
             ),
-        )
+        ).otherwise(F.array().cast("array<string>"))
     )
     h = c.select("doc_id", "source", chunk.alias("chunk")).select(
         "doc_id",
@@ -392,15 +399,22 @@ def m_asset_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c = d.select("doc_id", "text", cuts.alias("cuts"))
+    # Empty text collapses cuts to [1]; sequence(1, 0) is DESCENDING in
+    # Spark, so the unguarded transform would hit element_at(cuts, 0) and
+    # raise. Guard to an empty array so explode drops the row, matching
+    # the oracle's range(1, 1) → zero chunks.
     chunk = F.explode(
-        F.transform(
-            F.sequence(F.lit(1), F.size("cuts") - 1),
-            lambda j: F.substring(
-                F.col("text"),
-                F.element_at(F.col("cuts"), j),
-                F.element_at(F.col("cuts"), j + 1) - F.element_at(F.col("cuts"), j),
+        F.when(
+            F.size("cuts") > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size("cuts") - 1),
+                lambda j: F.substring(
+                    F.col("text"),
+                    F.element_at(F.col("cuts"), j),
+                    F.element_at(F.col("cuts"), j + 1) - F.element_at(F.col("cuts"), j),
+                ),
             ),
-        )
+        ).otherwise(F.array().cast("array<string>"))
     )
     ch = (
         c.select("doc_id", chunk.alias("chunk"))

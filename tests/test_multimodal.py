@@ -106,6 +106,9 @@ def test_cdc_chunks_content_defined_property(spark):
         return [text[a - 1 : b - 1] for a, b in zip(cs, cs[1:])]
 
     base = "the quick brown fox jumps over the lazy dog " * 8
+    # regression: chunks("") must be [] (the oracle's range(1,1)), and
+    # the Spark plan below must not crash on an empty-text document
+    assert chunks("") == []
     edited = "INSERTED PREFIX " + base
     cb, ce = chunks(base), chunks(edited)
     # all but the first O(1) chunks survive the edit with identical
@@ -133,3 +136,36 @@ def test_cdc_chunks_content_defined_property(spark):
             len(uniq),
             total,
         )
+
+
+def test_cdc_chunks_empty_doc(spark, tmp_path):
+    """An empty-text document must yield zero chunks, not crash: the
+    unguarded sequence(1, size(cuts)-1) = sequence(1, 0) is DESCENDING
+    in Spark and element_at(cuts, 0) raises. Both m_cdc_chunks and
+    m_asset_neardup hit the same transform."""
+    import os
+
+    import pandas as pd
+
+    from daxos_spark.plans.blobpipe import m_asset_neardup, m_cdc_chunks
+
+    src = "/root/testdata/sf0.001"
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(src, f), tmp_path / f)
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["", "alpha beta gamma delta " * 6, "a"],
+            "lang": ["en"] * 3,
+            "source": ["s0", "s0", "s1"],
+            "n_chars": [0, 138, 1],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    rows = {r.source: r for r in m_cdc_chunks(spark, str(tmp_path)).collect()}
+    # empty doc contributes no chunks; the other s0 doc still counts
+    assert rows["s0"].n_assets == 1  # countDistinct(doc_id) over chunk rows
+    assert rows["s0"].n_chunks >= 1
+    assert rows["s1"].n_chunks == 1  # single-char doc → one chunk "a"
+    m_asset_neardup(spark, str(tmp_path)).collect()  # must not raise
