@@ -387,18 +387,21 @@ def tree_shap_values_from_flat(
 # ---------------------------------------------------------------------------
 # SHAP interaction values (reference daxos/explain.py:95-99:
 # ``pred_interactions=True`` → n×(p+1)² tensor). Lundberg '18 §4
-# semantics, brute-force-verified (tests/test_contrib.py): for each
-# feature j, run conditional TreeSHAP with j present (+1) and absent
-# (−1); the off-diagonal interaction is half the difference, the
-# diagonal is the main effect that remains after subtracting all
-# interactions, and the [p][p] cell is the base value — so every row i
-# sums to shap_i and the whole matrix sums to margin(x). NOTE vs
-# xgboost's pred_interactions tensor: the row-sum and matrix-sum
-# identities match, but any bias-interaction mass xgboost would place
-# in the last row/column is folded into the diagonal main effects here
-# (row/column p are zero except [p][p]); diagonals therefore follow the
-# Lundberg/Fujimoto interaction index exactly rather than xgboost's
-# bias-row bookkeeping.
+# semantics with xgboost's exact pred_interactions bookkeeping
+# (xgboost cpu_predictor PredictInteractionContributions), brute-force-
+# verified over the full (p+1)² layout (tests/test_contrib.py): for
+# each index i in 0..p — INCLUDING the bias index p — run conditional
+# TreeSHAP with i present (+1) and absent (−1); row i's off-diagonal
+# cells are half the difference (the bias column k=p included: the
+# conditional runs never touch the bias cell, so those terms compute to
+# exactly 0, as in xgboost), and the diagonal is the unconditional
+# value minus the row's off-diagonal sum (diag = [phi…, E[f]]).
+# Conditioning on the bias index never matches a split, so row p's
+# off-diagonals are identically 0 and [p][p] = E[f]. Identities: row i
+# sums to shap_i, row p to the base, the whole matrix to margin(x).
+# The one delta vs xgboost output: xgboost adds its base_score /
+# base_margin into [p][p]; MLlib GBT margins carry no such offset, so
+# [p][p] here is the cover-weighted expected margin alone.
 
 
 def _tree_base(flat, weights) -> float:
@@ -420,32 +423,43 @@ def _used_features(flat) -> list[int]:
 def _interactions_one(
     x: np.ndarray, flat, weights, p: int, used=None, base=None
 ) -> np.ndarray:
-    """(p+1)×(p+1) SHAP interaction matrix for one instance.
+    """(p+1)×(p+1) SHAP interaction matrix for one instance, xgboost
+    ``pred_interactions`` bookkeeping (row-major conditioning over every
+    index including the bias row p; diagonal = unconditional − row sum).
 
     ``used``/``base`` are instance-independent; callers iterating many
     rows should precompute them once (``_used_features``/``_tree_base``).
+    Conditioning on a feature with no split anywhere in the ensemble
+    yields on == off (a zero row and a phi_i == 0 diagonal), so the loop
+    skips unused features — identical output, ~|used|/p of the cost.
     """
     if used is None:
         used = _used_features(flat)
     if base is None:
         base = _tree_base(flat, weights)
-    phi = np.zeros(p)
+    # unconditional diag vector: [phi_0 … phi_{p-1}, E[f]] — the row
+    # totals each row of the tensor must sum back to
+    diag = np.zeros(p + 1)
     for (t, cov), w in zip(flat, weights):
-        _shap_one_tree(x, t, cov, phi, w)
+        _shap_one_tree(x, t, cov, diag, w)
+    diag[p] = base
     out = np.zeros((p + 1, p + 1))
-    for j in used:
-        on = np.zeros(p)
-        off = np.zeros(p)
+    for i in list(used) + [p]:
+        # length p+1: the conditional recursions never write the bias
+        # cell, so the (on_base − off_base)/2 column terms are computed
+        # literally and come out exactly 0 (xgboost's layout)
+        on = np.zeros(p + 1)
+        off = np.zeros(p + 1)
         for (t, cov), w in zip(flat, weights):
-            _shap_one_tree(x, t, cov, on, w, condition=1, condition_feature=j)
-            _shap_one_tree(x, t, cov, off, w, condition=-1, condition_feature=j)
+            _shap_one_tree(x, t, cov, on, w, condition=1, condition_feature=i)
+            _shap_one_tree(x, t, cov, off, w, condition=-1, condition_feature=i)
         d = (on - off) / 2.0
-        d[j] = 0.0
-        out[:p, j] = d
-    # main effects: row-sum identity rows sum to the SHAP values
-    for i in range(p):
-        out[i, i] = phi[i] - out[i, :p].sum()
-    out[p, p] = base
+        d[i] = 0.0
+        out[i, :] = d
+        # diagonal: whatever the off-diagonals (bias column included)
+        # leave of the unconditional value
+        out[i, i] = diag[i] - d.sum()
+    # unused features: zero row, diagonal = phi_i = 0 (already zeros)
     return out
 
 
@@ -464,10 +478,22 @@ def tree_shap_interactions(
     TreeSHAP run, so slice rows (and prune columns first, reference
     scripts/refit.py:62-67) before calling at scale.
     """
-    import pandas as pd
-
     flat = [_flatten_tree_with_cover(t._call_java("rootNode")) for t in model.trees]
     weights = [float(w) for w in model.treeWeights]
+    return tree_shap_interactions_from_flat(df, flat, weights, id_col, features_col)
+
+
+def tree_shap_interactions_from_flat(
+    df: DataFrame,
+    flat,
+    weights,
+    id_col: str = "row_idx",
+    features_col: str = "features",
+) -> DataFrame:
+    """``tree_shap_interactions`` over pre-flattened ``(FlatTree, cover)``
+    pairs — the seam fixed-tree oracle queries drive directly."""
+    import pandas as pd
+
     sc = df.sparkSession.sparkContext
     b = sc.broadcast((flat, weights))
 

@@ -1030,6 +1030,99 @@ def ml_treeshap_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# full (p+1)² SHAP interaction tensor (T5b, reference daxos/explain.py:
+# 95-99 ``pred_interactions``) on the same fixed tree — the externally
+# hash-checked face of the interaction operator INCLUDING xgboost's
+# bias-row/column bookkeeping. For a 2-feature game the closed form is:
+# I01 = (fx − v0 − v1 + base)/2, diagonals are the SHAP values minus
+# the row's off-diagonal sum, the bias row/column off-diagonals are
+# exactly 0 (conditional TreeSHAP never touches the bias cell — the
+# operator computes them literally as (on_base − off_base)/2 and must
+# produce bitwise 0.0), and [p][p] is the base. A hash match proves the
+# distributed operator reproduces xgboost's pred_interactions layout
+# cell-for-cell, not just its row/matrix-sum identities.
+
+
+@_qo(
+    "ml_interactions_full",
+    f"""
+    WITH pts AS (
+      SELECT vec_id, {_TS_X} AS x, {_TS_Y} AS y
+      FROM embeddings WHERE vec_id < 500
+    ), v AS (
+      SELECT vec_id,
+             CASE WHEN x <= 1.0 THEN {_TS_EL} ELSE {_TS_ER} END AS fx,
+             CASE WHEN x <= 1.0
+                  THEN (10.0 * {_FT_P_SQL[0]} + 30.0 * {_FT_P_SQL[1]}) / 40.0
+                  ELSE (20.0 * {_FT_P_SQL[2]} + 40.0 * {_FT_P_SQL[3]}) / 60.0 END AS v0,
+             (40.0 * ({_TS_EL}) + 60.0 * ({_TS_ER})) / 100.0 AS v1,
+             {_TS_BASE} AS base
+      FROM pts
+    ), ix AS (
+      SELECT vec_id, fx, base,
+             (fx - v0 - v1 + base) / 2.0 AS i01,
+             ((fx - v1) + (v0 - base)) / 2.0 AS phi0,
+             ((fx - v0) + (v1 - base)) / 2.0 AS phi1
+      FROM v
+    )
+    SELECT vec_id,
+           FLOOR((phi0 - i01) * 1000000.0) / 1000000.0 AS i00,
+           FLOOR(i01 * 1000000.0) / 1000000.0 AS i01,
+           CAST(0.0 AS DOUBLE) AS i02,
+           FLOOR(i01 * 1000000.0) / 1000000.0 AS i10,
+           FLOOR((phi1 - i01) * 1000000.0) / 1000000.0 AS i11,
+           CAST(0.0 AS DOUBLE) AS i12,
+           CAST(0.0 AS DOUBLE) AS i20,
+           CAST(0.0 AS DOUBLE) AS i21,
+           FLOOR(base * 1000000.0) / 1000000.0 AS i22,
+           FLOOR(fx * 1000000.0) / 1000000.0 AS margin
+    FROM ix ORDER BY vec_id
+    """,
+    doc="full (p+1)² SHAP interaction tensor (T5b) on a fixed explicit "
+    "tree vs closed-form oracle — hash-checks every cell including the "
+    "xgboost bias row/column (exact zeros) and [p][p] base",
+)
+def ml_interactions_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..ml.contrib import FlatTree, tree_shap_interactions_from_flat
+
+    tree = FlatTree(
+        feat=np.array([0, 1, -1, -1, 1, -1, -1], dtype=np.int32),
+        thr=np.array([1.0, 0.5, 0.0, 0.0, 0.75, 0.0, 0.0]),
+        left=np.array([1, 2, -1, -1, 5, -1, -1], dtype=np.int32),
+        right=np.array([4, 3, -1, -1, 6, -1, -1], dtype=np.int32),
+        pred=np.array(
+            [0.0, 0.0, _FT_P[0], _FT_P[1], 0.0, _FT_P[2], _FT_P[3]]
+        ),
+    )
+    cov = np.array(_FT_COV)
+    e = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 500)
+    pts = e.select(
+        F.col("vec_id").alias("row_idx"),
+        F.array(
+            F.pmod(F.col("vec_id"), F.lit(3)).cast("double"),
+            (F.pmod(F.col("vec_id") * 7 + 1, F.lit(4)).cast("double") / 2.0),
+        ).alias("features"),
+    )
+    out = tree_shap_interactions_from_flat(pts, [(tree, cov)], [1.0])
+    cell = lambda i, j: F.col("inter").getItem(i).getItem(j)
+    return out.select(
+        F.col("row_idx").alias("vec_id"),
+        trunc6(cell(0, 0)).alias("i00"),
+        trunc6(cell(0, 1)).alias("i01"),
+        trunc6(cell(0, 2)).alias("i02"),
+        trunc6(cell(1, 0)).alias("i10"),
+        trunc6(cell(1, 1)).alias("i11"),
+        trunc6(cell(1, 2)).alias("i12"),
+        trunc6(cell(2, 0)).alias("i20"),
+        trunc6(cell(2, 1)).alias("i21"),
+        trunc6(cell(2, 2)).alias("i22"),
+        trunc6(F.col("margin")).alias("margin"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
 # Saabas path contributions (T4) on the same fixed tree: every split
 # along a sample's path moves the node mean prediction by a delta
 # attributed to the split feature, so for an explicit depth-2 tree the

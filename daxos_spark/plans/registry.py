@@ -123,6 +123,11 @@ RENAMES: dict[str, str] = {
     "ml_platt_identity": "a2_platt_identity",
     "ml_treeshap_fixed": "a2_treeshap_fixed",
     "ml_saabas_fixed": "a2_saabas_fixed",
+    # round 4 (judge-requested): the full (p+1)² interaction tensor with
+    # xgboost bias-row bookkeeping, hash-checked on a fixed tree. Its
+    # entry into the first-50 window shifts d_prefix_filter_jaccard
+    # (50th) out; that query stays hash-checked in the full local gate.
+    "ml_interactions_full": "a2_interactions_full",
 }
 
 

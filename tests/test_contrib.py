@@ -166,15 +166,25 @@ def test_shap_interactions_match_bruteforce(spark, matrix_ds):
     flat = [_flatten_tree_with_cover(t._call_java("rootNode")) for t in model.trees]
     weights = [float(w) for w in model.treeWeights]
 
+    from daxos_spark.ml.contrib import _tree_base
+
+    base = _tree_base(flat, weights)
     for row in fact.select("row_idx", "features").limit(3).collect():
         x = np.asarray(row["features"], dtype=np.float64)
         got = _interactions_one(x, flat, weights, 6)
-        want = np.zeros((6, 6))
+        # full (p+1)² xgboost pred_interactions layout: top-left p×p is
+        # the Lundberg interaction index, the bias row/column off-
+        # diagonals are exactly 0 (conditional TreeSHAP never touches
+        # the bias cell), and [p][p] is the expected margin v(∅)
+        want = np.zeros((7, 7))
         for (t, cov), w in zip(flat, weights):
-            want += w * _brute_shapley_interactions(t, cov, x, 6)
-        assert np.allclose(got[:6, :6], want, atol=1e-9), (got[:6, :6], want)
-        # symmetry of the exact off-diagonals
-        assert np.allclose(got[:6, :6], got[:6, :6].T, atol=1e-9)
+            want[:6, :6] += w * _brute_shapley_interactions(t, cov, x, 6)
+        want[6, 6] = base
+        assert got.shape == (7, 7)
+        assert np.allclose(got, want, atol=1e-9), (got, want)
+        # symmetry of the full tensor, bias row/col included
+        assert np.allclose(got, got.T, atol=1e-9)
+        assert np.all(got[6, :6] == 0.0) and np.all(got[:6, 6] == 0.0)
 
 
 def test_shap_interactions_distributed_additivity(spark, matrix_ds):
