@@ -63,6 +63,7 @@ def _params_from(args, overrides: dict | None = None):
         n_boost_round=args.n_boost_round,
         objective=_infer_mode(args.label_col, args.objective),
         seed=args.seed,
+        device=getattr(args, "device", "cpu"),
     )
     if overrides:
         from dataclasses import replace
@@ -334,6 +335,10 @@ def _add_common_ml(p: argparse.ArgumentParser) -> None:
     p.add_argument("--colsample-bytree", type=float, default=1.0)
     p.add_argument("--n-boost-round", type=int, default=20)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--device", default="cpu",
+                   help="'cpu' (default), 'cuda', or 'cuda:<n>' — honored by the "
+                   "xgboost backend (reference config_gpu.yaml workflow); the "
+                   "MLlib path raises on non-cpu devices (no GPU impl)")
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -34,7 +34,17 @@ from pyspark.sql import functions as F
 
 @dataclass
 class GBTParams:
-    """Hyperparameters in reference vocabulary (crossvalidate.py:112-122)."""
+    """Hyperparameters in reference vocabulary (crossvalidate.py:112-122).
+
+    ``device`` gives the reference's GPU workflow (daxos/distribute.py:
+    50-71 LocalCUDACluster + ``gpu_hist``; config_gpu.yaml) a syntactic
+    home: "cpu" (default), "cuda", or "cuda:<ordinal>" — xgboost ≥ 2.0
+    vocabulary, where ``device="cuda"`` replaces the retired
+    ``tree_method="gpu_hist"``. Honored by the xgboost backend only;
+    MLlib GBT has no GPU implementation, so a non-cpu device on the
+    MLlib path raises loudly instead of silently training on CPU
+    (documented delta, same policy as warm-start continuation).
+    """
 
     eta: float = 0.1
     max_depth: int = 4
@@ -43,7 +53,17 @@ class GBTParams:
     n_boost_round: int = 20
     objective: str = "binary:logistic"  # or "reg:squarederror"
     seed: int = 42
+    device: str = "cpu"
     extra: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.device != "cpu" and not (
+            self.device == "cuda"
+            or (self.device.startswith("cuda:") and self.device[5:].isdigit())
+        ):
+            raise ValueError(
+                f"device must be 'cpu', 'cuda', or 'cuda:<ordinal>', got {self.device!r}"
+            )
 
     @property
     def is_classification(self) -> bool:
@@ -105,6 +125,7 @@ def _xgb_estimator(params: GBTParams):
         subsample=params.subsample,
         colsample_bytree=params.colsample_bytree,
         seed=params.seed,
+        device=params.device,
         **params.extra,
     )
     if params.is_classification:
@@ -156,11 +177,17 @@ class XGBBoosterModel:
         return df.mapInPandas(score, out_schema)
 
 
-# Loud guard for the driver-collected continuation fit: the reference's
+# Loud guards for the driver-collected continuation fit: the reference's
 # incremental refit (crossvalidate.py:203-240) runs on a read-time
 # subsample, so the continuation batch is a small fraction of the fact
 # table — but never let an accidental full-table collect OOM the driver.
+# Both bounds apply: row count, and the float32 feature-matrix bytes the
+# driver would hold (rows × p × 4 — the row cap alone is meaningless at
+# the reference's 215k-wide production shape, where 2M rows would be
+# 1.7 TB). See SCALE.md "T7 continuation collect" for the measured
+# probe and the distributed-continuation design once xgboost ships.
 MAX_CONTINUE_ROWS = 2_000_000
+MAX_CONTINUE_BYTES = 8 << 30
 
 
 def _xgb_continue(
@@ -186,17 +213,20 @@ def _xgb_continue(
     if hasattr(init_model, "get_booster"):
         init_model = init_model.get_booster()
 
-    pdf = (
-        df.select(features_col, label_col)
-        .limit(MAX_CONTINUE_ROWS + 1)
-        .toPandas()
-    )
-    if len(pdf) > MAX_CONTINUE_ROWS:
+    # byte-aware row cap: probe the feature width once (a 1-row job),
+    # then never collect more float32 matrix than MAX_CONTINUE_BYTES
+    head = df.select(F.size(F.col(features_col)).alias("p")).first()
+    p = int(head["p"]) if head is not None else 0
+    max_rows = min(MAX_CONTINUE_ROWS, MAX_CONTINUE_BYTES // max(4 * p, 1))
+    pdf = df.select(features_col, label_col).limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
-            f"warm-start continuation batch exceeds {MAX_CONTINUE_ROWS} rows; "
-            "subsample the round's training chunk (the reference's incremental "
-            "refit trains each round on a read-time subsample, "
-            "crossvalidate.py:203-240) or raise MAX_CONTINUE_ROWS explicitly"
+            f"warm-start continuation batch exceeds {max_rows} rows "
+            f"(= min({MAX_CONTINUE_ROWS} rows, {MAX_CONTINUE_BYTES} float32 "
+            f"matrix bytes at p={p})); subsample the round's training chunk "
+            "(the reference's incremental refit trains each round on a "
+            "read-time subsample, crossvalidate.py:203-240) or raise the "
+            "MAX_CONTINUE_* bounds explicitly"
         )
     X = np.asarray(pdf[features_col].tolist(), dtype=np.float32)
     y = pdf[label_col].to_numpy(dtype="float64")
@@ -207,6 +237,7 @@ def _xgb_continue(
         "colsample_bytree": params.colsample_bytree,
         "objective": params.objective,
         "seed": params.seed,
+        "device": params.device,
         **params.extra,
     }
     bst = xgb.train(
@@ -252,6 +283,11 @@ def fit_gbt(
         raise NotImplementedError(
             "warm-start continuation requires the xgboost backend "
             "(MLlib GBT cannot resume a booster); install xgboost or drop init_model"
+        )
+    if params.device != "cpu":
+        raise NotImplementedError(
+            f"device={params.device!r} requires the xgboost backend "
+            "(MLlib GBT has no GPU implementation); install xgboost or use device='cpu'"
         )
     return _estimator(params).fit(_prep(df, features_col, label_col))
 
