@@ -105,6 +105,33 @@ def read_events_stream(
         .parquet(sf_dir)
     )
     if ts_is_nanos:
+        # Loud misparse guard: an INT64 micros-precision file read
+        # through the bigint nanos schema does NOT fail in the parquet
+        # reader (the physical type matches; only INT96 files raise a
+        # conversion error) — it silently yields values ~1000x too
+        # small, landing every timestamp in 1970. Nanos for any instant
+        # after 1973-03 exceed 1e17 while micros stay below 1e17 until
+        # year ~5138, so one threshold separates the layouts; fail the
+        # batch instead of shifting time. (Verified by
+        # test_read_events_stream_optin_micros_first_file_fails_loudly.)
+        guard = F.when(
+            F.col("ts").isNull() | (F.col("ts") > F.lit(100_000_000_000_000_000)),
+            F.col("ts"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("events stream: ts value "),
+                    F.col("ts").cast("string"),
+                    F.lit(
+                        " is too small for the TIMESTAMP(NANOS) layout — a "
+                        "micros-precision file likely arrived in a stream "
+                        "constructed for the nanos layout; rebuild the stream "
+                        "so read_events_stream can re-sniff the physical type"
+                    ),
+                )
+            ).cast("long")
+        )
+        raw = raw.withColumn("ts", guard)
         # integer div, NOT double: int64 nanos exceed double's 2^53
         # exact range (same rationale as catalog.load_tables)
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

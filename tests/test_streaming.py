@@ -286,6 +286,82 @@ def test_read_events_stream_empty_dir_explicit_optin(spark, tmp_path):
     assert dict(stream.dtypes)["ts"] == "timestamp"
 
 
+def _write_micros_events(spark, dirpath: str) -> None:
+    """Rewrite the sf0.001 events as a micros-precision (INT64
+    TIMESTAMP(MICROS) physical) single FILE ``dirpath/events.parquet``
+    — the harness layout the stream's pathGlobFilter expects."""
+    import glob
+    import os
+    import shutil
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    tmp = dirpath + "__tmp"
+    try:
+        ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+    finally:
+        if old:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+    os.makedirs(dirpath, exist_ok=True)
+    (part,) = glob.glob(tmp + "/part-*.parquet")
+    shutil.move(part, os.path.join(dirpath, "events.parquet"))
+    shutil.rmtree(tmp)
+
+
+def test_read_events_stream_micros_layout(spark, tmp_path, batch_events):
+    """The sniff's OTHER branch: a micros-precision first file must
+    stream through EVENT_SCHEMA (plain timestamp, no nanos restore) and
+    produce identical hourly counts to the nanos-layout harness stream
+    (round-3 ADVICE: a micros-layout first file, actually exercised)."""
+    d = str(tmp_path / "micros")
+    _write_micros_events(spark, d)
+    stream = read_events_stream(spark, d)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    run_to_memory(hourly_event_counts(stream), "t_hourly_micros", output_mode="complete")
+    got = {
+        (r["hour"], r["event_type"]): r["n_events"]
+        for r in spark.table("t_hourly_micros").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in batch_events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_read_events_stream_optin_micros_first_file_fails_loudly(spark, tmp_path):
+    """assume_nanos_if_empty=True assumes the harness nanos layout; if
+    the FIRST arriving file is micros-precision instead, processing
+    must fail loudly (Spark's parquet reader raises a column-type
+    mismatch) — never silently misparse micros as nanos (which would
+    shift every timestamp ~1000x)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    d = str(tmp_path / "arriving_micros")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    stream = read_events_stream(spark, d, assume_nanos_if_empty=True)
+    _write_micros_events(spark, d)
+    q = (
+        hourly_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("t_micros_mismatch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(
+        StreamingQueryException, match="too small for the TIMESTAMP\\(NANOS\\) layout"
+    ):
+        q.awaitTermination()
+
+
 def test_cms_counts_stream_matches_batch(spark, tmp_path):
     """Streaming CMS counters (complete mode, state = the d x w matrix)
     == the batch sketch build on the same documents."""
