@@ -313,15 +313,28 @@ _LR_SUMS = {
     "h12": f"{_LR_P}*(1.0 - {_LR_P})*x1*x2",
     "h22": f"{_LR_P}*(1.0 - {_LR_P})*x2*x2",
 }
+# Ridge-regularized Hessian (H + λI, λ=1e-6): on a degenerate feature
+# (e.g. an ingest batch where a ratio feature is constant 0, so its
+# Hessian row/col vanish) the plain Newton solve hits det=0 and the
+# whole job dies with DIVIDE_BY_ZERO — found by the 10x scale probe.
+# With the ridge the determinant stays > 0, the degenerate coefficient
+# gets a 0 update (its gradient is 0 too), and on well-conditioned data
+# the shift is O(λ/n) — far below the 1e-6 output grid. Both engines
+# parse the SAME regularized expression text, so the coefficients stay
+# hash-checked.
 _LR_ADJ = {
-    "a00": "(h11*h22 - h12*h12)",
-    "a01": "-(h01*h22 - h02*h12)",
-    "a02": "(h01*h12 - h02*h11)",
-    "a11": "(h00*h22 - h02*h02)",
-    "a12": "-(h00*h12 - h01*h02)",
-    "a22": "(h00*h11 - h01*h01)",
+    "a00": "((h11 + 1e-6)*(h22 + 1e-6) - h12*h12)",
+    "a01": "-(h01*(h22 + 1e-6) - h02*h12)",
+    "a02": "(h01*h12 - h02*(h11 + 1e-6))",
+    "a11": "((h00 + 1e-6)*(h22 + 1e-6) - h02*h02)",
+    "a12": "-((h00 + 1e-6)*h12 - h01*h02)",
+    "a22": "((h00 + 1e-6)*(h11 + 1e-6) - h01*h01)",
 }
-_LR_DET = "(h00*(h11*h22 - h12*h12) - h01*(h01*h22 - h12*h02) + h02*(h01*h12 - h11*h02))"
+_LR_DET = (
+    "((h00 + 1e-6)*((h11 + 1e-6)*(h22 + 1e-6) - h12*h12)"
+    " - h01*(h01*(h22 + 1e-6) - h12*h02)"
+    " + h02*(h01*h12 - (h11 + 1e-6)*h02))"
+)
 _LR_UPD = {
     "b0": f"b0 - (a00*g0 + a01*g1 + a02*g2)/{_LR_DET}",
     "b1": f"b1 - (a01*g0 + a11*g1 + a12*g2)/{_LR_DET}",
@@ -977,8 +990,9 @@ def _funnel_oracle() -> str:
       FROM surv_src
     )
     SELECT p.source, p.n_raw, p.n_canonical, s.n_clean,
-           CAST(FLOOR(1000000.0 * SQRT(CAST(s.clean_tokens AS DOUBLE)) / w.z)
-                AS BIGINT) AS mix_w_micro
+           CAST(CASE WHEN w.z > 0
+                THEN FLOOR(1000000.0 * SQRT(CAST(s.clean_tokens AS DOUBLE)) / w.z)
+                ELSE 0 END AS BIGINT) AS mix_w_micro
     FROM per_src p JOIN surv_src s ON s.source = p.source CROSS JOIN wsum w
     ORDER BY p.source
     """
@@ -1057,9 +1071,16 @@ def t_refinery_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_raw",
             "n_canonical",
             "n_clean",
-            F.floor(
-                1e6 * F.sqrt(F.col("clean_tokens").cast("double")) / F.col("z")
+            # z = 0 (an ingest where NOTHING survives the funnel, e.g.
+            # a batch failing the quality gate wholesale) must yield 0
+            # weights, not DIVIDE_BY_ZERO — found by the 10x scale probe
+            F.when(
+                F.col("z") > 0,
+                F.floor(
+                    1e6 * F.sqrt(F.col("clean_tokens").cast("double")) / F.col("z")
+                ),
             )
+            .otherwise(F.lit(0))
             .cast("bigint")
             .alias("mix_w_micro"),
         )
@@ -1339,4 +1360,103 @@ def t_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(err).cast("bigint").alias("total_abs_err_micro"),
         F.max(err).cast("bigint").alias("max_abs_err_micro"),
         F.sum((err <= 250_000).cast("int")).cast("bigint").alias("n_within_quarter"),
+    )
+
+
+# --------------------------------------------------------------------------
+# exact duplicated-substring spans (Lee et al. '22 "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr
+# modality; their tool builds a corpus suffix array on one machine).
+# Spark-first shape: every K-token window is hashed (map-side, linear),
+# windows whose hash repeats anywhere in the corpus are "duplicated
+# positions", and per doc the consecutive duplicated positions merge
+# into maximal spans via gaps-and-islands (row_number partitioned BY
+# doc — no global window). Shuffles: one k-gram-cardinality count, the
+# semi-join back on the same key (co-partitioned), the doc-partitioned
+# window, one source-cardinality agg. A suffix array finds spans at
+# exact character granularity; the K-token hash grid finds every
+# duplicated run of >= K tokens (Lee et al. use a 50-token threshold
+# the same way) with no single-machine index — the 100 TB trade.
+_SS_K = 8
+
+
+@_q(
+    "t_substring_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS tk FROM documents
+    ), pos AS (
+      SELECT doc_id, source, i,
+             {md5_long_sql(f"array_to_string(list_slice(tk, i, i + {_SS_K - 1}), ' ')")} AS h
+      FROM (
+        SELECT doc_id, source, tk,
+               unnest(range(1, len(tk) - {_SS_K} + 2)) AS i
+        FROM toks WHERE len(tk) >= {_SS_K}
+      )
+    ), dup AS (
+      SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= 2
+    ), dp AS (
+      SELECT p.doc_id, p.source, p.i FROM pos p JOIN dup USING (h)
+    ), isl AS (
+      SELECT doc_id, source, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM dp
+    ), sp AS (
+      SELECT doc_id, source, MIN(i) AS a, MAX(i) AS b
+      FROM isl GROUP BY doc_id, source, g
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs_with_dups,
+           COUNT(*) AS n_spans,
+           CAST(SUM(b - a + {_SS_K}) AS BIGINT) AS total_span_tokens,
+           CAST(MAX(b - a + {_SS_K}) AS BIGINT) AS max_span_tokens
+    FROM sp GROUP BY source ORDER BY source
+    """,
+    doc="exact duplicated-substring spans (ExactSubstr dedup): corpus-"
+    "repeated K-token windows merged into maximal per-doc spans via "
+    "gaps-and-islands; per-source span stats",
+)
+def t_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    k = _SS_K
+    # sequence(1, n-K+1) DESCENDS when n < K — guard to empty instead
+    npos = F.size(F.col("tk")) - F.lit(k - 1)
+    pos = (
+        d.select("doc_id", "source", toks.alias("tk"))
+        .select(
+            "doc_id",
+            "source",
+            "tk",
+            F.explode(
+                F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "i",
+            md5_long(F.array_join(F.slice(F.col("tk"), F.col("i"), k), " ")).alias("h"),
+        )
+    )
+    dup = pos.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
+    dp = pos.join(dup.select("h"), "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    isl = dp.withColumn("g", F.col("i") - F.row_number().over(w))
+    sp = isl.groupBy("doc_id", "source", "g").agg(
+        F.min("i").alias("a"), F.max("i").alias("b")
+    )
+    return (
+        sp.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_with_dups"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("b") - F.col("a") + k).cast("bigint").alias("total_span_tokens"),
+            F.max(F.col("b") - F.col("a") + k).cast("bigint").alias("max_span_tokens"),
+        )
+        .orderBy("source")
     )

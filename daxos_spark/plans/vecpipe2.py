@@ -995,3 +995,191 @@ def v_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", (F.col("w") / F.col("z")).alias("x")
         )
     return v.select("pos", trunc6(F.col("x")).alias("pc1_loading")).orderBy("pos")
+
+
+# --------------------------------------------------------------------------
+# 1-bit binary-quantization ANN (sign-bit signatures + Hamming
+# candidate generation + exact-cosine rerank) — the third point on the
+# repo's compression-vs-recall curve after int8 SQ (e_sq_knn, 8x) and
+# PQ-ADC (e_pq_knn, 32x): BQ stores ONE BIT per dimension (64x smaller
+# than float64; the 64-dim corpus signature is exactly two bigint
+# words), Hamming distance is two XOR+popcount instructions per
+# candidate, and the float vectors are touched only for the C
+# re-ranked survivors per query. At 100 TB the signature table is
+# 16 B/vector — memory-resident where even the PQ code table may spill
+# — and candidate generation is a broadcast-queries map-side pass with
+# per-query top-C, no shuffle of the corpus. The packing (2^j powers,
+# exact in double), Hamming counts, and int-only output make the whole
+# ranking hash-checked cross-engine.
+_BQ_C = 30  # Hamming candidates per query before exact rerank
+
+_BQ_W0 = "CAST(list_sum([CASE WHEN {v}[x+1] > 0 THEN 2**x ELSE 0 END FOR x IN range(0,32)]) AS BIGINT)"
+_BQ_W1 = "CAST(list_sum([CASE WHEN {v}[x+33] > 0 THEN 2**x ELSE 0 END FOR x IN range(0,32)]) AS BIGINT)"
+_BQ_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _bq_word(col, off: int):
+    """Σ_{j=0..31} [col[j+off] > 0]·2^j as bigint (2^j exact in double)."""
+    return (
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.when(
+                F.element_at(col, j + F.lit(off + 1)) > 0, F.pow(F.lit(2.0), j)
+            ).otherwise(F.lit(0.0)),
+        )
+    ).cast("bigint")
+
+
+def _bq_hamming(a0, a1, b0, b1):
+    return F.bit_count(a0.bitwiseXOR(b0)) + F.bit_count(a1.bitwiseXOR(b1))
+
+
+@_q(
+    "v_bq_knn",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+             {_BQ_W0.format(v='embedding')} AS q0, {_BQ_W1.format(v='embedding')} AS q1
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+             {_BQ_W0.format(v='embedding')} AS c0, {_BQ_W1.format(v='embedding')} AS c1
+      FROM embeddings WHERE vec_id >= 10
+    ), ham AS (
+      SELECT qid, cid,
+             bit_count(xor(q0, c0)) + bit_count(xor(q1, c1)) AS ham
+      FROM q, c
+    ), cand AS (
+      SELECT qid, cid, ham FROM (
+        SELECT qid, cid, ham,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, cid) AS rn
+        FROM ham)
+      WHERE rn <= {_BQ_C}
+    ), rr AS (
+      SELECT cand.qid, cand.cid, cand.ham,
+             {_BQ_COS.format(a='q.qv', b='c.cv')} AS cos
+      FROM cand JOIN q ON q.qid = cand.qid JOIN c ON c.cid = cand.cid
+    )
+    SELECT qid, rk, cid AS neighbor_id, ham FROM (
+      SELECT qid, cid, ham,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      FROM rr)
+    WHERE rk <= 5 ORDER BY qid, rk
+    """,
+    doc="1-bit binary-quantization ANN: sign-bit signatures (two bigint "
+    "words), Hamming top-C candidates, exact-cosine rerank to top-5",
+)
+def v_bq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    emb = F.col("embedding")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        to_double(emb).alias("qv"),
+        l2_norm(emb).alias("qn"),
+        _bq_word(emb, 0).alias("q0"),
+        _bq_word(emb, 32).alias("q1"),
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"),
+        to_double(emb).alias("cv"),
+        l2_norm(emb).alias("cn"),
+        _bq_word(emb, 0).alias("c0"),
+        _bq_word(emb, 32).alias("c1"),
+    )
+    # candidate stage reads ONLY the signature words (column pruning
+    # keeps the float vectors out of the scan)
+    ham = c.select("cid", "c0", "c1").crossJoin(
+        F.broadcast(q.select("qid", "q0", "q1"))
+    ).select(
+        "qid",
+        "cid",
+        _bq_hamming(F.col("q0"), F.col("q1"), F.col("c0"), F.col("c1")).alias("ham"),
+    )
+    wc = Window.partitionBy("qid").orderBy("ham", "cid")
+    cand = ham.withColumn("rn", F.row_number().over(wc)).filter(F.col("rn") <= _BQ_C)
+    rr = (
+        cand.select("qid", "cid", "ham")
+        .join(F.broadcast(q.select("qid", "qv", "qn")), "qid")
+        .join(c.select("cid", "cv", "cn"), "cid")
+        .select(
+            "qid",
+            "cid",
+            "ham",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        rr.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "rk", F.col("cid").alias("neighbor_id"), "ham")
+        .orderBy("qid", "rk")
+    )
+
+
+@_q(
+    "v_bq_recall",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+             {_BQ_W0.format(v='embedding')} AS q0, {_BQ_W1.format(v='embedding')} AS q1
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+             {_BQ_W0.format(v='embedding')} AS c0, {_BQ_W1.format(v='embedding')} AS c1
+      FROM embeddings WHERE vec_id >= 10
+    ), exact_top AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 {_BQ_COS.format(a='q.qv', b='c.cv')} DESC, c.cid) AS rk
+        FROM q, c)
+      WHERE rk <= 5
+    ), cand AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                 bit_count(xor(q0, c0)) + bit_count(xor(q1, c1)), cid) AS rn
+        FROM q, c)
+      WHERE rn <= {_BQ_C}
+    ), bq_top AS (
+      SELECT qid, cid FROM (
+        SELECT cand.qid, cand.cid,
+               ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+                 {_BQ_COS.format(a='q.qv', b='c.cv')} DESC, cand.cid) AS rk
+        FROM cand JOIN q ON q.qid = cand.qid JOIN c ON c.cid = cand.cid)
+      WHERE rk <= 5
+    )
+    SELECT e.qid,
+           COUNT(*) AS k_exact,
+           CAST(SUM(CASE WHEN b.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered
+    FROM exact_top e LEFT JOIN bq_top b ON b.qid = e.qid AND b.cid = e.cid
+    GROUP BY e.qid ORDER BY e.qid
+    """,
+    doc="BQ ANN realized-recall audit vs exact top-5 (every "
+    "approximate index ships its audit)",
+)
+def v_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vecpipe import e_knn_bruteforce
+
+    exact = e_knn_bruteforce(spark, sf_dir).select(
+        "qid", F.col("neighbor_id").alias("cid")
+    )
+    bq = v_bq_knn(spark, sf_dir).select("qid", F.col("neighbor_id").alias("bcid"))
+    return (
+        exact.join(
+            bq, (exact["qid"] == bq["qid"]) & (F.col("cid") == F.col("bcid")), "left"
+        )
+        .select(exact["qid"].alias("q"), "cid", "bcid")
+        .groupBy(F.col("q").alias("qid"))
+        .agg(
+            F.count(F.lit(1)).alias("k_exact"),
+            F.sum(F.col("bcid").isNotNull().cast("int")).cast("bigint").alias("n_recovered"),
+        )
+        .orderBy("qid")
+    )

@@ -404,3 +404,57 @@ def test_minhash_accuracy_audit_matches_python(spark):
     assert (row.n_pairs, row.total_abs_err_micro, row.max_abs_err_micro, row.n_within_quarter) == (
         n_pairs, tot, mx, within,
     )
+
+
+def test_substring_spans_matches_python(spark):
+    """Python replay of the ExactSubstr span semantics: hash every
+    8-token window, keep corpus-repeated windows, merge consecutive
+    positions into maximal spans, per-source stats."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from daxos_spark.plans.textpipe import _SS_K, t_substring_spans
+
+    docs = pd.read_parquet(SF_DIR + "/documents.parquet")
+    kgrams = {}  # (doc_id) -> list of (pos, hash)
+    counts = Counter()
+    for r in docs.itertuples():
+        tk = r.text.strip().lower().split()
+        row = []
+        for i in range(1, len(tk) - _SS_K + 2):
+            h = hashlib.md5(" ".join(tk[i - 1 : i - 1 + _SS_K]).encode()).hexdigest()[:14]
+            row.append((i, h))
+            counts[h] += 1
+        kgrams[r.doc_id] = (r.source, row)
+    stats = defaultdict(lambda: [set(), 0, 0, 0])  # docs, n_spans, total, mx
+    for doc_id, (src, row) in kgrams.items():
+        dup = [i for i, h in row if counts[h] >= 2]
+        if not dup:
+            continue
+        spans = []
+        start = prev = dup[0]
+        for i in dup[1:]:
+            if i == prev + 1:
+                prev = i
+            else:
+                spans.append((start, prev))
+                start = prev = i
+        spans.append((start, prev))
+        s = stats[src]
+        s[0].add(doc_id)
+        for a, b in spans:
+            s[1] += 1
+            s[2] += b - a + _SS_K
+            s[3] = max(s[3], b - a + _SS_K)
+    got = {r["source"]: r for r in t_substring_spans(spark, SF_DIR).collect()}
+    assert set(got) == set(stats)
+    for src, (dset, n_spans, total, mx) in stats.items():
+        g = got[src]
+        assert (
+            g["n_docs_with_dups"],
+            g["n_spans"],
+            g["total_span_tokens"],
+            g["max_span_tokens"],
+        ) == (len(dset), n_spans, total, mx), src

@@ -285,3 +285,47 @@ def test_pca_power_matches_numpy(spark):
     v0 = np.ones(G.shape[0]) / np.sqrt(G.shape[0])
     assert got @ G @ got >= v0 @ G @ v0 - 1e-6
     assert got @ G @ got <= np.linalg.eigvalsh(G)[-1] + 1e-6
+
+
+def test_bq_knn_matches_numpy(spark):
+    """Numpy replay of the BQ pipeline: sign-bit pack, Hamming top-C,
+    exact-cosine rerank — ranks must match exactly; and the recall
+    audit's n_recovered equals the replay overlap."""
+    import numpy as np
+    import pandas as pd
+
+    from daxos_spark.plans.vecpipe2 import _BQ_C, v_bq_knn, v_bq_recall
+
+    emb = pd.read_parquet(SF_DIR + "/embeddings.parquet")
+    V = np.asarray(emb.embedding.tolist(), dtype=np.float64)
+    ids = emb.vec_id.to_numpy()
+    bits = (V > 0).astype(np.int64)
+    qm, cm = ids < 10, ids >= 10
+    want_rows = set()
+    exact_top, bq_top = {}, {}
+    for qi in np.where(qm)[0]:
+        ham = (bits[qi] != bits[cm]).sum(axis=1)
+        cids = ids[cm]
+        order = np.lexsort((cids, ham))[:_BQ_C]
+        cand = cids[order]
+        qv = V[qi]
+        cv = V[cm][order]
+        cos = cv @ qv / (np.linalg.norm(cv, axis=1) * np.linalg.norm(qv))
+        rer = np.lexsort((cand, -cos))[:5]
+        for rk, j in enumerate(rer, 1):
+            want_rows.add((int(ids[qi]), rk, int(cand[j]), int(ham[np.where(cids == cand[j])[0][0]])))
+        bq_top[int(ids[qi])] = {int(cand[j]) for j in rer}
+        cos_all = V[cm] @ qv / (np.linalg.norm(V[cm], axis=1) * np.linalg.norm(qv))
+        ex = np.lexsort((cids, -cos_all))[:5]
+        exact_top[int(ids[qi])] = {int(cids[j]) for j in ex}
+    got = {
+        (r["qid"], r["rk"], r["neighbor_id"], r["ham"])
+        for r in v_bq_knn(spark, SF_DIR).collect()
+    }
+    assert got == want_rows
+    rec = {r["qid"]: r["n_recovered"] for r in v_bq_recall(spark, SF_DIR).collect()}
+    assert rec == {
+        q: len(exact_top[q] & bq_top[q]) for q in exact_top
+    }
+    # BQ with rerank should recover most of the exact top-5
+    assert sum(rec.values()) >= 0.5 * 5 * len(rec)

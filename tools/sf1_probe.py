@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""sf0.1 → 10× ("sf1") scale-up bench of the heaviest queries.
+
+The driver ships no sf1 testdata, so this probe synthesizes one: every
+fact table replicated 10× with consistent key offsets (custkey/orderkey/
+partkey/suppkey/doc_id/vec_id/user_id), dims (region/nation) untouched.
+Replica text is token-bijected (every token suffixed with the replica
+number) so each replica carries the SAME internal duplicate/shingle
+structure as the base but shares no tokens across replicas — the
+duplicate mass scales LINEARLY, making the measurement read on plan
+shape, not on a quadratically-planted workload (the adversarial
+quadratic variant is tools/scale_probe.py). Embedding replicas perturb
+dim0 by 1e-3·replica to avoid degenerate exact-tie kNN.
+
+For each probe query: warm run then timed run at sf0.1 and at the 10×
+dir; prints per-query wall ratios. A ratio ≲ 10 is linear-or-better
+(more parallelism amortizes fixed cost); anything well above 10 is a
+super-linear outlier to investigate. Results are recorded in SCALE.md.
+
+Usage: python tools/sf1_probe.py [out_dir]   (default /root/repo/tmp_sf1;
+       synthesis is skipped when out_dir already has all tables)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+BASE = "/root/testdata/sf0.1"
+N_REP = 10
+
+# key spaces (max+1 probed at synthesis time, offset = rep * span)
+FACT_KEYS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+PROBES = [
+    "d_prefix_filter_jaccard",
+    "t_leakage_split",
+    "a2_kmeans_lloyd",
+    "m_cdc_chunks",
+    "v_ivfpq_recall",
+    "v_ivfpq_knn",
+    "q_trade_pagerank",
+    "t_quality_logreg",
+    "q_salted_join_check",
+    "e_semdedup",
+    "t_refinery_funnel",
+    "t_bpe_merges",
+    "t_bloom_decontam",
+    "ml_ld_clump_r2",
+    "q_basket_rules",
+    "q_part_cooccurrence",
+    "t_kl_source_drift",
+    "t_containment_dedup",
+    "t_cms_heavy_hitters",
+    "t_bm25_topk",
+]
+
+
+def synthesize(spark, out_dir: str) -> None:
+    from daxos_spark.catalog import TABLES, load_tables
+
+    os.makedirs(out_dir, exist_ok=True)
+    tables = load_tables(spark, BASE)
+    spans = {}
+    for name, keys in FACT_KEYS.items():
+        row = tables[name].agg(*[F.max(k).alias(k) for k in keys]).first()
+        spans[name] = {k: int(row[k]) + 1 for k in keys}
+    for name in TABLES:
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = tables[name]
+        if name not in FACT_KEYS:  # dims pass through
+            df.write.mode("overwrite").parquet(dst)
+            continue
+        reps = []
+        for r in range(N_REP):
+            d = df
+            for k, span in spans[name].items():
+                d = d.withColumn(k, F.col(k) + F.lit(r * span))
+            if name == "documents":
+                # token bijection on CONTENT tokens only: same internal
+                # structure, disjoint content-token space per replica —
+                # but stopwords survive untouched so quality/langid
+                # features stay live (suffixing them zeroed the
+                # stopword-ratio feature corpus-wide and every replica
+                # failed the funnel's quality gate: an interesting
+                # robustness find, now guarded in the product, but not
+                # the workload this probe means to measure)
+                stop = "('the','a','of','and','to','in','is','for','on','with')"
+                d = d.withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda t: F.when(
+                                t.isin(
+                                    *[s.strip("'") for s in stop.strip("()").split(",")]
+                                ),
+                                t,
+                            ).otherwise(F.concat(t, F.lit(str(r)))),
+                        ),
+                    ),
+                ).withColumn("n_chars", F.length("text"))
+            if name == "embeddings":
+                d = d.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.array(
+                            (F.element_at("embedding", 1) + F.lit(r * 1e-3)).cast(
+                                "float"
+                            )
+                        ),
+                        F.slice("embedding", 2, 10_000),
+                    ),
+                )
+            reps.append(d)
+        out = reps[0]
+        for d in reps[1:]:
+            out = out.unionByName(d)
+        out.repartition(32).write.mode("overwrite").parquet(dst)
+        print(f"synthesized {name} x{N_REP}")
+
+
+def bench(spark, qs, sf_dir: str, names) -> dict[str, float]:
+    times = {}
+    for name in names:
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 2)
+        except Exception as e:  # noqa: BLE001 — record, keep probing
+            times[name] = f"ERR {type(e).__name__}"
+        print(f"  {name:30s} {times[name]}", flush=True)
+    return times
+
+
+def main() -> int:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/tmp_sf1"
+    from daxos_spark.session import get_spark
+
+    spark = get_spark()
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    synthesize(spark, out_dir)
+    print("== base sf0.1")
+    base = bench(spark, qs, BASE, PROBES)
+    print("== 10x")
+    big = bench(spark, qs, out_dir, PROBES)
+    report = {
+        n: {
+            "sf0.1_s": base[n],
+            "x10_s": big[n],
+            "ratio": (
+                round(big[n] / max(base[n], 0.05), 1)
+                if isinstance(big[n], float) and isinstance(base[n], float)
+                else None
+            ),
+        }
+        for n in PROBES
+    }
+    print(json.dumps(report, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
