@@ -173,12 +173,25 @@ def _semdedup_oracle() -> str:
     "cosine near-dups (keep lowest id) — Abbas et al. 2023",
 )
 def e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_tables(spark, sf_dir)["embeddings"]
+    return semdedup_summary(load_tables(spark, sf_dir)["embeddings"], _SD_K)
+
+
+def semdedup_summary(e: DataFrame, n_clusters: int) -> DataFrame:
+    """SemDeDup over an embedding table with a CALLER-CHOSEN cluster
+    count — the scale-correct entry point. The within-cluster pair join
+    costs Σ|cluster|², so K must grow with the corpus (the paper runs
+    K≈50k on LAION-scale data): hold target cluster size constant with
+    ``n_clusters ≈ n_rows / target``, and the per-cluster pair mass —
+    and therefore total cost — stays linear in N. The 10× scale probe
+    measures exactly this: fixed K=32 degrades 24.7× at 10× data, the
+    K-scaled call stays ~linear (tools/sf1_probe.py, SCALE.md).
+    ``e_semdedup`` is the fixed-K (=32, first-K init) hash-checked
+    correctness face of this operator."""
     u = e.select(
         "vec_id", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x")
     ).persist()  # feeds init, both assignment rounds, and the centroid update
     dec = "decimal(25,6)"
-    ct = u.filter(F.col("vec_id") < _SD_K).select(
+    ct = u.filter(F.col("vec_id") < n_clusters).select(
         F.col("vec_id").alias("cluster"), "pos", F.col("x").alias("c")
     )
 

@@ -152,8 +152,29 @@ def bench(spark, qs, sf_dir: str, names) -> dict[str, float]:
     return times
 
 
+def bench_semdedup_scaled(spark, out_dir: str) -> dict:
+    """The K-scaling counter-measurement to the fixed-K e_semdedup
+    outlier: hold target cluster size constant (K = 32 at 1×, 320 at
+    10×) and the within-cluster pair mass — the quadratic term — stays
+    per-cluster constant, so wall time should scale ~linearly."""
+    from daxos_spark.catalog import load_tables
+    from daxos_spark.plans.vecpipe2 import semdedup_summary
+
+    res = {}
+    for label, dirn, k in (("base_k32_s", BASE, 32), ("x10_k320_s", out_dir, 320)):
+        e = load_tables(spark, dirn)["embeddings"]
+        semdedup_summary(e, k).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        semdedup_summary(e, k).write.format("noop").mode("overwrite").save()
+        res[label] = round(time.time() - t0, 2)
+    res["ratio"] = round(res["x10_k320_s"] / max(res["base_k32_s"], 0.05), 1)
+    print("semdedup_scaledK " + json.dumps(res), flush=True)
+    return res
+
+
 def main() -> int:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/tmp_sf1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_dir = args[0] if args else "/root/repo/tmp_sf1"
     from daxos_spark.session import get_spark
 
     spark = get_spark()
@@ -161,6 +182,9 @@ def main() -> int:
 
     qs = E.queries()
     synthesize(spark, out_dir)
+    if "--semdedup-only" in sys.argv:
+        bench_semdedup_scaled(spark, out_dir)
+        return 0
     print("== base sf0.1")
     base = bench(spark, qs, BASE, PROBES)
     print("== 10x")
@@ -178,6 +202,7 @@ def main() -> int:
         for n in PROBES
     }
     print(json.dumps(report, indent=1))
+    bench_semdedup_scaled(spark, out_dir)
     return 0
 
 
