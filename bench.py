@@ -156,6 +156,11 @@ BENCH_QUERIES = [
     "t_minhash_accuracy",
     "ml_gc_lambda",
     "q_ks_length_shift",
+    # round 4
+    "a2_interactions_full",
+    "t_substring_spans",
+    "v_bq_knn",
+    "v_bq_recall",
 ]
 
 
