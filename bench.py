@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "t_substring_spans",
     "v_bq_knn",
     "v_bq_recall",
+    "ml_prs_score",
+    "ml_king_kinship",
 ]
 
 

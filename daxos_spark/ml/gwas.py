@@ -85,3 +85,69 @@ def allelic_odds_ratios(
         F.posexplode(F.col(features_col)).alias("pos", "dosage"),
     ).select("is_case", "pos", F.col("dosage").cast("double").alias("dosage"))
     return allelic_or_from_long(long_df)
+
+
+def prs_score(
+    long_df: DataFrame, weights: DataFrame, sample_col: str = "vec_id"
+) -> DataFrame:
+    """Polygenic risk score per sample (plink ``--score`` analogue; the
+    downstream consumer of the reference's sumstats/clumping surface,
+    cf. daxos scripts' clump→refit flow and SURVEY §2 Q2).
+
+    ``long_df``: (sample, pos, dosage) long genotypes; ``weights``:
+    (pos, w) per-SNP effect weights — selected/clumped upstream and
+    dimension-table sized, so the join broadcasts and the whole score
+    is one map-side join + one groupBy(sample) sum: a full-biobank
+    scoring pass shuffles sample-cardinality rows, nothing else.
+    Weight×dosage products are summed in DECIMAL(25,6): with weights on
+    the 1e-6 grid and integer dosages the sum is exact (associative →
+    order-independent, the cross-engine hash discipline).
+    """
+    t = long_df.join(F.broadcast(weights), "pos")
+    return (
+        t.groupBy(sample_col)
+        .agg(
+            F.sum((F.col("w") * F.col("dosage")).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("prs"),
+            F.count(F.lit(1)).alias("n_snps"),
+        )
+    )
+
+
+def king_kinship(long_df: DataFrame, sample_col: str = "vec_id") -> DataFrame:
+    """Pairwise KING-robust kinship (Manichaikul et al. 2010, eq. 11 —
+    the ``plink2 --make-king`` estimator; the relatedness-QC companion
+    to the reference's sample-exclusion step, SURVEY §2 Q3):
+
+        φ̂_ij = (N_Aa,Aa − 2·N_AA,aa) / (N_Aa^(i) + N_Aa^(j))
+
+    with N_Aa,Aa = SNPs where both samples are heterozygous, N_AA,aa =
+    SNPs with opposite homozygotes, N_Aa^(s) = sample s's heterozygous
+    count over the shared SNP set. Input: (sample, pos, dosage 0/1/2)
+    long genotypes. The pair enumeration is a pos-keyed self-join
+    (never all-pairs × all-SNPs materialized driver-side); at biobank
+    scale the sample side is blocked (plink's own strategy) and each
+    block pair is an independent task.
+    """
+    a = long_df.select(
+        F.col(sample_col).alias("si"), "pos", F.col("dosage").alias("gi")
+    )
+    b = long_df.select(
+        F.col(sample_col).alias("sj"), "pos", F.col("dosage").alias("gj")
+    )
+    pairs = a.join(b, "pos").filter(F.col("si") < F.col("sj"))
+    gi, gj = F.col("gi"), F.col("gj")
+    agg = pairs.groupBy("si", "sj").agg(
+        F.sum(((gi == 1) & (gj == 1)).cast("int")).cast("bigint").alias("n_het_het"),
+        F.sum((((gi == 0) & (gj == 2)) | ((gi == 2) & (gj == 0))).cast("int"))
+        .cast("bigint")
+        .alias("n_opp_hom"),
+        F.sum((gi == 1).cast("int")).cast("bigint").alias("n_het_i"),
+        F.sum((gj == 1).cast("int")).cast("bigint").alias("n_het_j"),
+        F.count(F.lit(1)).cast("bigint").alias("n_snps"),
+    )
+    phi = (F.col("n_het_het") - 2.0 * F.col("n_opp_hom")).cast("double") / (
+        F.col("n_het_i") + F.col("n_het_j")
+    ).cast("double")
+    return agg.withColumn("phi", phi)

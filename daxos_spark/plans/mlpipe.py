@@ -1466,3 +1466,150 @@ def ml_gc_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(med).alias("median_chi2"),
         trunc6(med / F.lit(_GC_MEDIAN_1DF)).alias("lambda_gc"),
     )
+
+
+# --------------------------------------------------------------------------
+# polygenic risk scoring (plink --score): the GWAS surface's downstream
+# consumer — run the allelic-OR scan, keep the top-8 associated SNPs
+# (finite-OR guard, OR-desc/pos tie-break), floor their ORs to the
+# 1e-6 grid as weights (grid doubles are identical cross-engine), and
+# score EVERY sample as Σ w·dosage in one broadcast join + one
+# sample-cardinality groupBy. DECIMAL sums of grid-weight × integer
+# dosage are exact → the per-sample scores themselves hash-check.
+_PRS_TOP = 8
+_PRS_OR = (
+    "CAST(case_alt * (2 * n_ctrl - ctrl_alt) AS DOUBLE)"
+    " / CAST((2 * n_case - case_alt) * ctrl_alt AS DOUBLE)"
+)
+
+
+@_qo(
+    "ml_prs_score",
+    f"""
+    WITH g AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS is_case,
+             vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ), u AS (
+      SELECT is_case, vec_id, pos, (vec_id + 7 * pos) % 3 AS dosage FROM g
+    ), agg AS (
+      SELECT pos,
+             CAST(SUM(CASE WHEN is_case = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_case,
+             CAST(SUM(CASE WHEN is_case = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+             CAST(SUM(CASE WHEN is_case = 1 THEN dosage ELSE 0 END) AS BIGINT) AS case_alt,
+             CAST(SUM(CASE WHEN is_case = 0 THEN dosage ELSE 0 END) AS BIGINT) AS ctrl_alt
+      FROM u GROUP BY pos
+    ), sel AS (
+      SELECT pos, FLOOR(({_PRS_OR}) * 1000000.0) / 1000000.0 AS w
+      FROM (
+        SELECT pos, n_case, n_ctrl, case_alt, ctrl_alt,
+               ROW_NUMBER() OVER (ORDER BY {_PRS_OR} DESC, pos) AS rk
+        FROM agg
+        WHERE ctrl_alt > 0 AND (2 * n_case - case_alt) > 0)
+      WHERE rk <= {_PRS_TOP}
+    )
+    SELECT u.vec_id, MAX(u.is_case) AS is_case,
+           COUNT(*) AS n_snps,
+           {sql_trunc6("CAST(SUM(CAST(sel.w * u.dosage AS DECIMAL(25,6))) AS DOUBLE)")} AS prs
+    FROM u JOIN sel ON sel.pos = u.pos
+    GROUP BY u.vec_id ORDER BY u.vec_id
+    """,
+    doc="polygenic risk score (plink --score): GWAS scan -> top-8 SNP "
+    "weights -> per-sample Σ w·dosage, scores hash-checked",
+)
+def ml_prs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.gwas import allelic_or_from_long, prs_score
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    u = e.select(
+        (F.col("label") >= 5).cast("int").alias("is_case"),
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos", "_x"),
+    ).select(
+        "is_case",
+        "vec_id",
+        "pos",
+        F.pmod(F.col("vec_id") + 7 * F.col("pos"), F.lit(3)).cast("double").alias("dosage"),
+    )
+    ors = allelic_or_from_long(u.select("is_case", "pos", "dosage"))
+    finite = ors.filter(
+        (F.col("ctrl_alt") > 0) & ((2 * F.col("n_case") - F.col("case_alt")) > 0)
+    )
+    from pyspark.sql.window import Window as W
+
+    wsel = (
+        finite.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.col("odds_ratio").desc(), "pos")),
+        )
+        .filter(F.col("rk") <= _PRS_TOP)
+        .select("pos", (F.floor(F.col("odds_ratio") * 1e6) / 1e6).alias("w"))
+    )
+    scores = prs_score(u, wsel)
+    cases = u.groupBy("vec_id").agg(F.max("is_case").alias("is_case"))
+    return (
+        scores.join(cases, "vec_id")
+        .select("vec_id", "is_case", "n_snps", trunc6(F.col("prs")).alias("prs"))
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# KING-robust pairwise kinship (plink2 --make-king; Manichaikul 2010
+# eq. 11) — the relatedness-QC companion to the Q3 sample-exclusion
+# operators: pairs with φ̂ > 0.354 are duplicates/MZ twins, > 0.177
+# first-degree. Integer genotype-category counts → the φ̂ ratio is the
+# same IEEE double in both engines; the whole kinship table
+# hash-checks. The sample set is the first 12 ids (66 pairs at any sf).
+@_qo(
+    "ml_king_kinship",
+    f"""
+    WITH g AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings WHERE vec_id < 12
+    ), u AS (
+      SELECT vec_id, pos, (vec_id + 7 * pos) % 3 AS dosage FROM g
+    ), pr AS (
+      SELECT a.vec_id AS si, b.vec_id AS sj, a.dosage AS gi, b.dosage AS gj
+      FROM u a JOIN u b ON a.pos = b.pos AND a.vec_id < b.vec_id
+    ), agg AS (
+      SELECT si, sj,
+             CAST(SUM(CASE WHEN gi = 1 AND gj = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het_het,
+             CAST(SUM(CASE WHEN (gi = 0 AND gj = 2) OR (gi = 2 AND gj = 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_opp_hom,
+             CAST(SUM(CASE WHEN gi = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het_i,
+             CAST(SUM(CASE WHEN gj = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het_j,
+             COUNT(*) AS n_snps
+      FROM pr GROUP BY si, sj
+    )
+    SELECT si, sj, n_het_het, n_opp_hom, n_het_i, n_het_j, n_snps,
+           {sql_trunc6('CAST(n_het_het - 2 * n_opp_hom AS DOUBLE) / CAST(n_het_i + n_het_j AS DOUBLE)')} AS phi
+    FROM agg ORDER BY si, sj
+    """,
+    doc="KING-robust pairwise kinship (plink2 --make-king): genotype-"
+    "category counts + φ̂ ratio per sample pair, hash-checked",
+)
+def ml_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.gwas import king_kinship
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    u = (
+        e.filter(F.col("vec_id") < 12)
+        .select("vec_id", F.posexplode(F.col("embedding")).alias("pos", "_x"))
+        .select(
+            "vec_id",
+            "pos",
+            F.pmod(F.col("vec_id") + 7 * F.col("pos"), F.lit(3)).alias("dosage"),
+        )
+    )
+    k = king_kinship(u)
+    return k.select(
+        "si",
+        "sj",
+        "n_het_het",
+        "n_opp_hom",
+        "n_het_i",
+        "n_het_j",
+        "n_snps",
+        trunc6(F.col("phi")).alias("phi"),
+    ).orderBy("si", "sj")

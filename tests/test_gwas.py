@@ -132,3 +132,69 @@ def test_gc_lambda_matches_python(spark):
     assert row.n_snps == 64
     assert abs(row.median_chi2 - med) < 1e-4
     assert abs(row.lambda_gc - med / _GC_MEDIAN_1DF) < 1e-3
+
+
+def test_king_kinship_known_relationships(spark):
+    """KING φ̂ on constructed genotypes with known relatedness: a
+    duplicated sample must score φ̂ = 0.5 (the estimator's value for
+    MZ/duplicate pairs: N_Aa,Aa = N_Aa, opposite homs = 0) and
+    unrelated random samples ~0, matching a direct numpy replay."""
+    import pandas as pd
+
+    from daxos_spark.ml.gwas import king_kinship
+
+    rng = np.random.RandomState(3)
+    n_snps = 400
+    base = rng.binomial(2, 0.4, size=n_snps)
+    other = rng.binomial(2, 0.4, size=(3, n_snps))
+    G = np.vstack([base, base, other])  # samples 0,1 duplicates
+    rows = [
+        {"vec_id": s, "pos": p, "dosage": int(G[s, p])}
+        for s in range(G.shape[0])
+        for p in range(n_snps)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {(r["si"], r["sj"]): r for r in king_kinship(df).collect()}
+    assert len(got) == 10  # C(5,2)
+    assert abs(got[(0, 1)]["phi"] - 0.5) < 1e-12
+    # numpy replay of every pair
+    for (si, sj), r in got.items():
+        gi, gj = G[si], G[sj]
+        hh = int(((gi == 1) & (gj == 1)).sum())
+        opp = int((((gi == 0) & (gj == 2)) | ((gi == 2) & (gj == 0))).sum())
+        hi, hj = int((gi == 1).sum()), int((gj == 1).sum())
+        assert (r["n_het_het"], r["n_opp_hom"], r["n_het_i"], r["n_het_j"]) == (
+            hh,
+            opp,
+            hi,
+            hj,
+        )
+        assert abs(r["phi"] - (hh - 2 * opp) / (hi + hj)) < 1e-12
+    # unrelated pairs: |phi| well below the 3rd-degree cutoff's scale
+    unrelated = [abs(got[(2, 3)]["phi"]), abs(got[(2, 4)]["phi"]), abs(got[(3, 4)]["phi"])]
+    assert all(p < 0.15 for p in unrelated)
+
+
+def test_prs_score_matches_numpy(spark):
+    """PRS = Σ w·dosage replayed in numpy, including the broadcast-join
+    n_snps accounting."""
+    import pandas as pd
+
+    from daxos_spark.ml.gwas import prs_score
+
+    rng = np.random.RandomState(5)
+    n_s, n_p = 50, 12
+    G = rng.randint(0, 3, size=(n_s, n_p))
+    w = {p: round(float(rng.uniform(-0.5, 1.5)), 6) for p in [1, 3, 7, 9]}
+    long_rows = [
+        {"vec_id": s, "pos": p, "dosage": float(G[s, p])}
+        for s in range(n_s)
+        for p in range(n_p)
+    ]
+    ldf = spark.createDataFrame(pd.DataFrame(long_rows))
+    wdf = spark.createDataFrame(pd.DataFrame([{"pos": p, "w": v} for p, v in w.items()]))
+    got = {r["vec_id"]: r for r in prs_score(ldf, wdf).collect()}
+    for s in range(n_s):
+        want = sum(v * G[s, p] for p, v in w.items())
+        assert got[s]["n_snps"] == len(w)
+        assert abs(got[s]["prs"] - want) < 1e-9
