@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "v_bq_recall",
     "ml_prs_score",
     "ml_king_kinship",
+    "v_ivf_incremental",
 ]
 
 

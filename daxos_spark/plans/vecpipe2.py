@@ -1196,3 +1196,112 @@ def v_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF index maintenance — the at-scale story for a LIVE vector index:
+# an arriving batch is assigned to the EXISTING centroids map-side
+# (broadcast centroid table; the base corpus is never re-read, the
+# index table is append-only), and a per-bucket drift audit decides
+# when a recluster is actually warranted — the trigger most pipelines
+# hand-wave. Completes the incremental-maintenance triad with
+# d_incremental_dedup (dedup index) and q_ivm_merge_proof (aggregate
+# view): dedup/agg/ANN all maintain state by appending, never by
+# recomputing. A bucket is flagged when the new batch's share of it is
+# more than 3x the batch's overall share (integer cross-multiplication
+# — no float ratio, hash-proof).
+_IVF_INC_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@_q(
+    "v_ivf_incremental",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings WHERE vec_id >= 100
+    ), batch AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id >= 10 AND vec_id < 100
+    ), dims AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings WHERE vec_id >= 100
+    ), cm AS (
+      SELECT label, pos, CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM dims GROUP BY label, pos
+    ), cent AS (
+      SELECT label AS bucket, list(m ORDER BY pos) AS cv FROM cm GROUP BY label
+    ), a_base AS (
+      SELECT vec_id, bucket FROM (
+        SELECT b.vec_id, ct.bucket,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                 {_IVF_INC_COS.format(a='b.ev', b='ct.cv')} DESC, ct.bucket) AS rn
+        FROM base b CROSS JOIN cent ct)
+      WHERE rn = 1
+    ), a_new AS (
+      SELECT vec_id, bucket FROM (
+        SELECT b.vec_id, ct.bucket,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                 {_IVF_INC_COS.format(a='b.ev', b='ct.cv')} DESC, ct.bucket) AS rn
+        FROM batch b CROSS JOIN cent ct)
+      WHERE rn = 1
+    ), per AS (
+      SELECT ct.bucket,
+             (SELECT COUNT(*) FROM a_base ab WHERE ab.bucket = ct.bucket) AS n_base,
+             (SELECT COUNT(*) FROM a_new an WHERE an.bucket = ct.bucket) AS n_new
+      FROM cent ct
+    ), tot AS (
+      SELECT SUM(n_base) AS tb, SUM(n_new) AS tn FROM per
+    )
+    SELECT p.bucket,
+           CAST(p.n_base AS BIGINT) AS n_base,
+           CAST(p.n_new AS BIGINT) AS n_new,
+           CAST(p.n_base + p.n_new AS BIGINT) AS n_total,
+           (p.n_new * t.tb > 3 * p.n_base * t.tn) AS recluster_flag
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.bucket
+    """,
+    doc="IVF index maintenance: map-side assignment of an arriving batch "
+    "to existing centroids (append-only index) + integer-exact per-"
+    "bucket drift audit deciding when to recluster",
+)
+def v_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import assign_buckets, label_centroids
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    base = e.filter(F.col("vec_id") >= 100)
+    batch = e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 100))
+    cent = label_centroids(base)
+    ab = assign_buckets(base, cent).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_base")
+    )
+    an = assign_buckets(batch, cent).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    per = (
+        cent.select("bucket")
+        .join(ab, "bucket", "left")
+        .join(an, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_new").alias("tn")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("n_base").cast("bigint").alias("n_base"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            (F.col("n_base") + F.col("n_new")).cast("bigint").alias("n_total"),
+            (F.col("n_new") * F.col("tb") > 3 * F.col("n_base") * F.col("tn")).alias(
+                "recluster_flag"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -329,3 +329,23 @@ def test_bq_knn_matches_numpy(spark):
     }
     # BQ with rerank should recover most of the exact top-5
     assert sum(rec.values()) >= 0.5 * 5 * len(rec)
+
+
+def test_ivf_incremental_invariants(spark):
+    """Mass conservation + the integer drift rule: every base/batch
+    vector lands in exactly one bucket, and recluster_flag replays as
+    n_new·Σbase > 3·n_base·Σnew."""
+    import pandas as pd
+
+    from daxos_spark.plans.vecpipe2 import v_ivf_incremental
+
+    emb = pd.read_parquet(SF_DIR + "/embeddings.parquet")
+    n_base = int((emb.vec_id >= 100).sum())
+    n_batch = int(((emb.vec_id >= 10) & (emb.vec_id < 100)).sum())
+    rows = v_ivf_incremental(spark, SF_DIR).collect()
+    assert sum(r["n_base"] for r in rows) == n_base
+    assert sum(r["n_new"] for r in rows) == n_batch
+    tb, tn = n_base, n_batch
+    for r in rows:
+        assert r["n_total"] == r["n_base"] + r["n_new"]
+        assert r["recluster_flag"] == (r["n_new"] * tb > 3 * r["n_base"] * tn)
