@@ -125,10 +125,15 @@ def king_kinship(long_df: DataFrame, sample_col: str = "vec_id") -> DataFrame:
     with N_Aa,Aa = SNPs where both samples are heterozygous, N_AA,aa =
     SNPs with opposite homozygotes, N_Aa^(s) = sample s's heterozygous
     count over the shared SNP set. Input: (sample, pos, dosage 0/1/2)
-    long genotypes. The pair enumeration is a pos-keyed self-join
-    (never all-pairs × all-SNPs materialized driver-side); at biobank
-    scale the sample side is blocked (plink's own strategy) and each
-    block pair is an independent task.
+    long genotypes. A pair with NO heterozygous sites on either side
+    (fully homozygous samples, or a tiny shared-SNP set after QC) has
+    an undefined estimator — φ̂ is NULL for such pairs, never a
+    divide-by-zero job abort. The pair enumeration is a pos-keyed
+    self-join (never all-pairs × all-SNPs materialized driver-side);
+    this shuffles O(n²/2 · shared SNPs) pair rows, which is fine for
+    QC-sized panels — at biobank scale block the sample set upstream
+    (plink's own strategy) and run each block pair as an independent
+    call; no blocking is implemented here.
     """
     a = long_df.select(
         F.col(sample_col).alias("si"), "pos", F.col("dosage").alias("gi")
@@ -147,7 +152,9 @@ def king_kinship(long_df: DataFrame, sample_col: str = "vec_id") -> DataFrame:
         F.sum((gj == 1).cast("int")).cast("bigint").alias("n_het_j"),
         F.count(F.lit(1)).cast("bigint").alias("n_snps"),
     )
-    phi = (F.col("n_het_het") - 2.0 * F.col("n_opp_hom")).cast("double") / (
-        F.col("n_het_i") + F.col("n_het_j")
-    ).cast("double")
+    denom = (F.col("n_het_i") + F.col("n_het_j")).cast("double")
+    phi = F.when(
+        denom > 0,
+        (F.col("n_het_het") - 2.0 * F.col("n_opp_hom")).cast("double") / denom,
+    )  # NULL when no hets on either side — never a DIVIDE_BY_ZERO abort
     return agg.withColumn("phi", phi)

@@ -947,6 +947,37 @@ def ml_platt_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FT_P = (1.0 / 3.0, 5.0 / 7.0, -1.0 / 3.0, 3.0 / 7.0)
 _FT_COV = (100.0, 40.0, 10.0, 30.0, 60.0, 20.0, 40.0)
 
+
+def _fixed_tree(internal_preds=(0.0, 0.0, 0.0)):
+    """The ONE fixed depth-2 tree every fixed-tree oracle query drives
+    (treeshap/saabas/interactions share it — a single construction so
+    an edit can never desynchronize the hash-checked family).
+    ``internal_preds`` = (root, left-child, right-child) node values —
+    zeros for TreeSHAP (unused), node means for the Saabas walk."""
+    import numpy as np
+
+    from ..ml.contrib import FlatTree
+
+    p0, p1, p4 = internal_preds
+    return FlatTree(
+        feat=np.array([0, 1, -1, -1, 1, -1, -1], dtype=np.int32),
+        thr=np.array([1.0, 0.5, 0.0, 0.0, 0.75, 0.0, 0.0]),
+        left=np.array([1, 2, -1, -1, 5, -1, -1], dtype=np.int32),
+        right=np.array([4, 3, -1, -1, 6, -1, -1], dtype=np.int32),
+        pred=np.array([p0, p1, _FT_P[0], _FT_P[1], p4, _FT_P[2], _FT_P[3]]),
+    )
+
+
+def _fixed_pts(e: DataFrame) -> DataFrame:
+    """The deterministic 2-feature point set (twin of _TS_X/_TS_Y)."""
+    return e.select(
+        F.col("vec_id").alias("row_idx"),
+        F.array(
+            F.pmod(F.col("vec_id"), F.lit(3)).cast("double"),
+            (F.pmod(F.col("vec_id") * 7 + 1, F.lit(4)).cast("double") / 2.0),
+        ).alias("features"),
+    )
+
 _TS_X = "CAST(vec_id % 3 AS DOUBLE)"
 _TS_Y = "CAST((vec_id * 7 + 1) % 4 AS DOUBLE) / 2.0"
 # SQL-side leaf constants as explicit double divisions (a repr'd float
@@ -991,34 +1022,12 @@ _TS_BASE = (
 def ml_treeshap_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    from ..ml.contrib import FlatTree, tree_shap_values_from_flat
+    from ..ml.contrib import tree_shap_values_from_flat
 
-    tree = FlatTree(
-        feat=np.array([0, 1, -1, -1, 1, -1, -1], dtype=np.int32),
-        thr=np.array([1.0, 0.5, 0.0, 0.0, 0.75, 0.0, 0.0]),
-        left=np.array([1, 2, -1, -1, 5, -1, -1], dtype=np.int32),
-        right=np.array([4, 3, -1, -1, 6, -1, -1], dtype=np.int32),
-        pred=np.array(
-            [
-                0.0,  # internal preds unused by TreeSHAP
-                0.0,
-                _FT_P[0],
-                _FT_P[1],
-                0.0,
-                _FT_P[2],
-                _FT_P[3],
-            ]
-        ),
-    )
+    tree = _fixed_tree()  # internal preds unused by TreeSHAP
     cov = np.array(_FT_COV)
     e = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 500)
-    pts = e.select(
-        F.col("vec_id").alias("row_idx"),
-        F.array(
-            F.pmod(F.col("vec_id"), F.lit(3)).cast("double"),
-            (F.pmod(F.col("vec_id") * 7 + 1, F.lit(4)).cast("double") / 2.0),
-        ).alias("features"),
-    )
+    pts = _fixed_pts(e)
     out = tree_shap_values_from_flat(pts, [(tree, cov)], [1.0])
     return out.select(
         F.col("row_idx").alias("vec_id"),
@@ -1085,26 +1094,12 @@ def ml_treeshap_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_interactions_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    from ..ml.contrib import FlatTree, tree_shap_interactions_from_flat
+    from ..ml.contrib import tree_shap_interactions_from_flat
 
-    tree = FlatTree(
-        feat=np.array([0, 1, -1, -1, 1, -1, -1], dtype=np.int32),
-        thr=np.array([1.0, 0.5, 0.0, 0.0, 0.75, 0.0, 0.0]),
-        left=np.array([1, 2, -1, -1, 5, -1, -1], dtype=np.int32),
-        right=np.array([4, 3, -1, -1, 6, -1, -1], dtype=np.int32),
-        pred=np.array(
-            [0.0, 0.0, _FT_P[0], _FT_P[1], 0.0, _FT_P[2], _FT_P[3]]
-        ),
-    )
+    tree = _fixed_tree()  # internal preds unused by TreeSHAP
     cov = np.array(_FT_COV)
     e = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 500)
-    pts = e.select(
-        F.col("vec_id").alias("row_idx"),
-        F.array(
-            F.pmod(F.col("vec_id"), F.lit(3)).cast("double"),
-            (F.pmod(F.col("vec_id") * 7 + 1, F.lit(4)).cast("double") / 2.0),
-        ).alias("features"),
-    )
+    pts = _fixed_pts(e)
     out = tree_shap_interactions_from_flat(pts, [(tree, cov)], [1.0])
     cell = lambda i, j: F.col("inter").getItem(i).getItem(j)
     return out.select(
@@ -1160,28 +1155,14 @@ _TS_P0 = f"(40.0 * ({_TS_P1}) + 60.0 * ({_TS_P4})) / 100.0"
     "vectorized tree-descent walk itself",
 )
 def ml_saabas_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    from ..ml.contrib import FlatTree, tree_contributions_from_flat
+    from ..ml.contrib import tree_contributions_from_flat
 
     p1 = (10.0 * (1.0 / 3.0) + 30.0 * (5.0 / 7.0)) / 40.0
     p4 = (20.0 * (-1.0 / 3.0) + 40.0 * (3.0 / 7.0)) / 60.0
     p0 = (40.0 * p1 + 60.0 * p4) / 100.0
-    tree = FlatTree(
-        feat=np.array([0, 1, -1, -1, 1, -1, -1], dtype=np.int32),
-        thr=np.array([1.0, 0.5, 0.0, 0.0, 0.75, 0.0, 0.0]),
-        left=np.array([1, 2, -1, -1, 5, -1, -1], dtype=np.int32),
-        right=np.array([4, 3, -1, -1, 6, -1, -1], dtype=np.int32),
-        pred=np.array([p0, p1, _FT_P[0], _FT_P[1], p4, _FT_P[2], _FT_P[3]]),
-    )
+    tree = _fixed_tree(internal_preds=(p0, p1, p4))
     e = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 500)
-    pts = e.select(
-        F.col("vec_id").alias("row_idx"),
-        F.array(
-            F.pmod(F.col("vec_id"), F.lit(3)).cast("double"),
-            (F.pmod(F.col("vec_id") * 7 + 1, F.lit(4)).cast("double") / 2.0),
-        ).alias("features"),
-    )
+    pts = _fixed_pts(e)
     out = tree_contributions_from_flat(pts, [tree], [1.0])
     return out.select(
         F.col("row_idx").alias("vec_id"),
@@ -1547,7 +1528,11 @@ def ml_prs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pos", (F.floor(F.col("odds_ratio") * 1e6) / 1e6).alias("w"))
     )
     scores = prs_score(u, wsel)
-    cases = u.groupBy("vec_id").agg(F.max("is_case").alias("is_case"))
+    # is_case straight off the embeddings table — one row per sample,
+    # no re-execution of the 64x-exploded lineage just to re-aggregate it
+    cases = e.select(
+        "vec_id", (F.col("label") >= 5).cast("int").alias("is_case")
+    )
     return (
         scores.join(cases, "vec_id")
         .select("vec_id", "is_case", "n_snps", trunc6(F.col("prs")).alias("prs"))
@@ -1583,7 +1568,9 @@ def ml_prs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pr GROUP BY si, sj
     )
     SELECT si, sj, n_het_het, n_opp_hom, n_het_i, n_het_j, n_snps,
-           {sql_trunc6('CAST(n_het_het - 2 * n_opp_hom AS DOUBLE) / CAST(n_het_i + n_het_j AS DOUBLE)')} AS phi
+           CASE WHEN n_het_i + n_het_j > 0
+                THEN {sql_trunc6('CAST(n_het_het - 2 * n_opp_hom AS DOUBLE) / CAST(n_het_i + n_het_j AS DOUBLE)')}
+                END AS phi
     FROM agg ORDER BY si, sj
     """,
     doc="KING-robust pairwise kinship (plink2 --make-king): genotype-"

@@ -55,9 +55,23 @@ RAW_EVENT_SCHEMA = StructType(
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, assume_nanos_if_empty: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    assume_nanos_if_empty: bool = False,
+    min_valid_nanos: int = 100_000_000_000_000_000,
 ) -> DataFrame:
     """File-source stream over the harness events parquet.
+
+    ``min_valid_nanos`` drives the nanos-branch misparse guard: raw int64
+    ts values in (0, min_valid_nanos) fail the batch loudly (an INT64
+    micros file read through the nanos schema yields values ~1000×
+    small — see the guard comment below). NULL and exactly-0 sentinel
+    rows pass through. The default (1e17 ≈ 1973-03 in nanos) means a
+    legitimately-nanos stream of PRE-1973 nonzero instants needs the
+    threshold lowered (or 0 to disable the guard) — event streams
+    essentially never carry such timestamps, but the knob exists so the
+    guard can't permanently wedge one that does. ``min_valid_nanos <= 0``
+    skips the guard column entirely (negative pre-1970 nanos included).
 
     ``readStream`` needs a directory; ``pathGlobFilter`` narrows it to
     the events file. ``maxFilesPerTrigger=1`` gives deterministic
@@ -115,7 +129,9 @@ def read_events_stream(
         # batch instead of shifting time. (Verified by
         # test_read_events_stream_optin_micros_first_file_fails_loudly.)
         guard = F.when(
-            F.col("ts").isNull() | (F.col("ts") > F.lit(100_000_000_000_000_000)),
+            F.col("ts").isNull()
+            | (F.col("ts") == 0)  # epoch-0 sentinel rows are legitimate
+            | (F.col("ts") > F.lit(min_valid_nanos)),
             F.col("ts"),
         ).otherwise(
             F.raise_error(
@@ -131,7 +147,8 @@ def read_events_stream(
                 )
             ).cast("long")
         )
-        raw = raw.withColumn("ts", guard)
+        if min_valid_nanos > 0:
+            raw = raw.withColumn("ts", guard)
         # integer div, NOT double: int64 nanos exceed double's 2^53
         # exact range (same rationale as catalog.load_tables)
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

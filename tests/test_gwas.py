@@ -175,6 +175,30 @@ def test_king_kinship_known_relationships(spark):
     assert all(p < 0.15 for p in unrelated)
 
 
+def test_king_kinship_no_hets_yields_null_phi(spark):
+    """A pair with zero heterozygous sites on either side has an
+    undefined estimator: φ̂ must be NULL, never a DIVIDE_BY_ZERO job
+    abort (ANSI mode) — the same crash class the 10x probe caught in
+    the IRLS trainer."""
+    import pandas as pd
+
+    from daxos_spark.ml.gwas import king_kinship
+
+    G = {0: [0, 2, 0, 2], 1: [2, 0, 0, 2], 2: [1, 1, 0, 2]}  # 0,1 all-hom
+    rows = [
+        {"vec_id": s, "pos": p, "dosage": d}
+        for s, gs in G.items()
+        for p, d in enumerate(gs)
+    ]
+    got = {
+        (r["si"], r["sj"]): r
+        for r in king_kinship(spark.createDataFrame(pd.DataFrame(rows))).collect()
+    }
+    assert got[(0, 1)]["phi"] is None
+    assert got[(0, 1)]["n_het_i"] == 0 and got[(0, 1)]["n_het_j"] == 0
+    assert got[(0, 2)]["phi"] is not None  # sample 2 has hets → defined
+
+
 def test_prs_score_matches_numpy(spark):
     """PRS = Σ w·dosage replayed in numpy, including the broadcast-join
     n_snps accounting."""
