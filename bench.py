@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "ml_prs_score",
     "ml_king_kinship",
     "v_ivf_incremental",
+    "q_recursive_trade_reach",
+    "q_lateral_topk",
 ]
 
 

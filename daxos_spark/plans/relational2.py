@@ -2946,3 +2946,84 @@ def q_ks_length_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d_micro"),
         (dstat > bound).cast("int").alias("reject_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 recursive CTE: multi-hop reachability over the trade graph.
+# The sparse edge set is each nation's top-2 outgoing trade corridors
+# (DECIMAL-exact revenue ranking, deterministic tie-break), and the
+# recursion expands frontier-by-frontier from the hub nation with a
+# hop-counter bound — the declarative twin of the pointer-jumping /
+# pagerank loops elsewhere in the repo, now expressible as ONE SQL
+# statement in both engines since Spark 4 shipped WITH RECURSIVE.
+# The hop bound (< 4) caps recursion depth independently of cycles.
+_REACH_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT sn, cn FROM (
+    SELECT sn, cn, ROW_NUMBER() OVER (PARTITION BY sn ORDER BY rev DESC, cn) AS rk FROM (
+      SELECT s.s_nationkey AS sn, c.c_nationkey AS cn,
+             CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY s.s_nationkey, c.c_nationkey) t) r
+  WHERE rk <= 2
+), reach(nk, hop) AS (
+  SELECT CAST(9 AS INT) AS nk, CAST(0 AS INT) AS hop
+  UNION ALL
+  SELECT CAST(e.cn AS INT), CAST(r.hop + 1 AS INT)
+  FROM reach r JOIN edges e ON e.sn = r.nk
+  WHERE r.hop < 4
+)
+SELECT n.n_name, CAST(MIN(r.hop) AS BIGINT) AS min_hops
+FROM reach r JOIN nation n ON n.n_nationkey = r.nk
+GROUP BY n.n_name ORDER BY min_hops, n_name
+"""
+
+
+@_q(
+    "q_recursive_trade_reach",
+    _REACH_SQL,
+    doc="Spark-4 WITH RECURSIVE: min-hop reachability from the hub "
+    "nation over each nation's top-2 trade corridors (hop-bounded "
+    "frontier expansion, identical statement on both engines)",
+)
+def q_recursive_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REACH_SQL)
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery: per-customer top-2 orders WITHOUT a
+# window function — the per-row dependent subplan shape (the SQL form
+# ORM-generated "top-N per key" queries arrive in). Catalyst rewrites
+# the correlated LATERAL into a join; the window form
+# (a1_window_top3_per_cust) is its plan-level twin.
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice_micro
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT) AS o_totalprice_micro
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey < 50
+ORDER BY c.c_custkey, o_totalprice_micro DESC, o_orderkey
+"""
+
+
+@_q(
+    "q_lateral_topk",
+    _LATERAL_SQL,
+    doc="LATERAL correlated subquery: top-2 orders per customer as a "
+    "dependent subplan (the ORM top-N-per-key shape), micro-int output",
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
