@@ -1442,6 +1442,10 @@ def t_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             md5_long(F.array_join(F.slice(F.col("tk"), F.col("i"), k), " ")).alias("h"),
         )
+        # persist: the position stream feeds BOTH the k-gram count and
+        # the semi-join back — without it the full tokenize/explode/hash
+        # lineage runs twice (two corpus scans at 100 TB)
+        .persist()
     )
     dup = pos.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
     dp = pos.join(dup.select("h"), "h", "left_semi")
