@@ -197,11 +197,11 @@ def main() -> None:
     # (warm and measured) is individually guarded, failures are recorded
     # under "errors", and the JSON line is emitted regardless.
     errors: dict[str, str] = {}
-    nrows: dict[str, int] = {}
     for name in BENCH_QUERIES:
         try:
-            df = specs[name].spark(spark, SF_DIR)
-            nrows[name] = df.count()
+            # one noop warm (codegen + JIT); row counts are the
+            # correctness gate's job — a separate .count() here was a
+            # third full execution per query, ~1/3 of total bench wall
             _materialize(specs[name].spark(spark, SF_DIR))
         except Exception as e:  # noqa: BLE001 — isolate per query
             errors[name] = f"{type(e).__name__}: {e}"[:300]
@@ -226,7 +226,7 @@ def main() -> None:
             print(f"# {name}: FAIL {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({nrows[name]} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
