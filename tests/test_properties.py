@@ -215,3 +215,77 @@ def test_mmr_greedy_invariants(n, seed):
     assert ids[0] == int(np.lexsort((np.arange(n), -rel))[0])
     for i, s in out:
         assert s <= 0.5 * rel[i] + 1e-12
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_bq_sign_packing_roundtrip(seed):
+    """The two-word sign-bit packing (plans/vecpipe2) is a bijection on
+    sign patterns, and XOR+popcount Hamming equals the direct sign-
+    mismatch count — pure python replay of the exact 2^j arithmetic
+    both engines execute."""
+    rng = np.random.RandomState(seed)
+    V = rng.normal(size=(4, 64))
+    V[rng.rand(4, 64) < 0.1] = 0.0  # exact zeros hit the > 0 boundary
+
+    def pack(v):
+        w0 = sum((1 << j) for j in range(32) if v[j] > 0)
+        w1 = sum((1 << j) for j in range(32) if v[j + 32] > 0)
+        return w0, w1
+
+    words = [pack(v) for v in V]
+    for (a0, a1), va in zip(words, V):
+        # roundtrip: bits recover the sign pattern exactly
+        bits = [(a0 >> j) & 1 for j in range(32)] + [(a1 >> j) & 1 for j in range(32)]
+        assert bits == [int(x > 0) for x in va]
+    for i in range(4):
+        for j in range(4):
+            a0, a1 = words[i]
+            b0, b1 = words[j]
+            ham = bin(a0 ^ b0).count("1") + bin(a1 ^ b1).count("1")
+            want = int(((V[i] > 0) != (V[j] > 0)).sum())
+            assert ham == want
+            if i == j:
+                assert ham == 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(6, 60))
+def test_substring_span_invariants(seed, n_tok):
+    """Gaps-and-islands span merge (plans/textpipe t_substring_spans
+    semantics): spans are maximal (no two adjacent), ordered, within
+    position bounds, and their union covers exactly the duplicated
+    positions."""
+    from collections import Counter
+
+    K = 8
+    rng = np.random.RandomState(seed)
+    # small vocab → plenty of repeated K-grams
+    docs = [[f"w{v}" for v in rng.randint(0, 4, n_tok)] for _ in range(3)]
+    counts = Counter()
+    pos = {}
+    for d, tk in enumerate(docs):
+        row = [(i, tuple(tk[i - 1 : i - 1 + K])) for i in range(1, len(tk) - K + 2)]
+        pos[d] = row
+        counts.update(h for _, h in row)
+    for d, row in pos.items():
+        dup = [i for i, h in row if counts[h] >= 2]
+        spans = []
+        if dup:
+            start = prev = dup[0]
+            for i in dup[1:]:
+                if i == prev + 1:
+                    prev = i
+                else:
+                    spans.append((start, prev))
+                    start = prev = i
+            spans.append((start, prev))
+        covered = set()
+        last_b = None
+        for a, b in spans:
+            assert 1 <= a <= b <= len(docs[d]) - K + 1
+            if last_b is not None:
+                assert a > last_b + 1  # maximality: a gap separates spans
+            last_b = b
+            covered |= set(range(a, b + 1))
+        assert covered == set(dup)
