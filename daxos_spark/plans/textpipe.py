@@ -1454,7 +1454,7 @@ def t_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = isl.groupBy("doc_id", "source", "g").agg(
         F.min("i").alias("a"), F.max("i").alias("b")
     )
-    return (
+    out = (
         sp.groupBy("source")
         .agg(
             F.countDistinct("doc_id").alias("n_docs_with_dups"),
@@ -1464,3 +1464,150 @@ def t_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    # Materialize the (tiny, per-source) result eagerly so the persisted
+    # position stream can be released NOW — without this, every
+    # invocation leaked a cached corpus-sized DataFrame for the rest of
+    # the session (round-4 advice). The checkpoint runs the pipeline
+    # once (populating and consuming the cache within one job).
+    out = out.localCheckpoint(eager=True)
+    pos.unpersist()
+    return out
+
+
+# --------------------------------------------------------------------------
+# ExactSubstr span REMOVAL (round-5 ask #3): the consumable output of
+# the Lee et al. '22 pipeline is the CLEANED corpus — every duplicated
+# span is cut, keeping the first occurrence corpus-wide. Token-level
+# semantics on the K-token hash grid:
+#   * a window (doc, i) is a "dup occurrence" if its K-gram hash occurs
+#     >= 2 times corpus-wide AND it is not the canonical (lexicographic
+#     first (doc_id, i)) occurrence of that hash;
+#   * every token covered by a dup occurrence is removed; the retained
+#     tokens form maximal contiguous segments (gaps-and-islands).
+# Invariant (tested in test_textpipe.py): no K-gram appears twice
+# across the cleaned segments — a surviving window maps to an original
+# window whose hash is either unique or canonical, and the canonical
+# occurrence is unique per hash. Over-removal at span overlaps (a
+# canonical window destroyed by a DIFFERENT overlapping dup span) is
+# accepted, exactly as in the suffix-array tool.
+# Scale shape: canon is a groupBy-min (map-side combinable — no
+# hash-partitioned ROW_NUMBER window over hot K-grams); the covered-
+# token explode is K x dup-position mass (duplicated minority of the
+# corpus); the only corpus-mass shuffles are the K-gram count and the
+# doc-keyed anti-join/window, both doc- or hash-partitioned.
+@_q(
+    "t_substring_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), pos AS (
+      SELECT doc_id, i,
+             {md5_long_sql(f"array_to_string(list_slice(tk, i, i + {_SS_K - 1}), ' ')")} AS h
+      FROM (
+        SELECT doc_id, tk, unnest(range(1, len(tk) - {_SS_K} + 2)) AS i
+        FROM toks WHERE len(tk) >= {_SS_K}
+      )
+    ), canon AS (
+      SELECT h, MIN((doc_id, i)) AS mo FROM pos GROUP BY h HAVING COUNT(*) >= 2
+    ), dp AS (
+      SELECT p.doc_id, p.i FROM pos p JOIN canon c USING (h)
+      WHERE (p.doc_id, p.i) <> c.mo
+    ), cov AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id, unnest(range(i, i + {_SS_K})) AS t FROM dp
+      )
+    ), alltok AS (
+      SELECT doc_id, i AS t, tk[i] AS tok FROM (
+        SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM toks
+      )
+    ), ret AS (
+      SELECT a.doc_id, a.t, a.tok FROM alltok a
+      ANTI JOIN cov c ON a.doc_id = c.doc_id AND a.t = c.t
+    ), seg AS (
+      SELECT doc_id, t, tok,
+             t - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t) AS g
+      FROM ret
+    )
+    SELECT doc_id, CAST(MIN(t) AS BIGINT) AS seg_start,
+           COUNT(*) AS n_toks,
+           {md5_long_sql("string_agg(tok, ' ' ORDER BY t)")} AS seg_h
+    FROM seg GROUP BY doc_id, g ORDER BY doc_id, seg_start
+    """,
+    doc="ExactSubstr span removal (Lee et al. '22): cut every token "
+    "covered by a non-canonical duplicated K-token window (first "
+    "corpus-wide occurrence kept); output = retained contiguous "
+    "segments as (doc_id, seg_start, n_toks, md5 of segment text)",
+)
+def t_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    k = _SS_K
+    tk = d.select("doc_id", toks.alias("tk"))
+    npos = F.size(F.col("tk")) - F.lit(k - 1)
+    # position stream: persisted — it feeds the canon aggregate AND the
+    # probe side of the canon join (released after the eager
+    # materialization below)
+    pos = (
+        tk.select(
+            "doc_id",
+            "tk",
+            F.explode(
+                F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            md5_long(F.array_join(F.slice(F.col("tk"), F.col("i"), k), " ")).alias("h"),
+        )
+        .persist()
+    )
+    # canonical occurrence per duplicated hash: groupBy-min over a
+    # lexicographic struct — partial-aggregable, no window over hot
+    # K-gram partitions
+    canon = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"), F.min(F.struct("doc_id", "i")).alias("mo"))
+        .filter(F.col("c") >= 2)
+    )
+    dup_pos = (
+        pos.join(canon, "h")
+        .filter(F.struct("doc_id", "i") != F.col("mo"))
+        .select("doc_id", "i")
+    )
+    covered = dup_pos.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias("t"),
+    ).distinct()
+    alltok = tk.select(
+        "doc_id", F.posexplode("tk").alias("t0", "tok")
+    ).select("doc_id", (F.col("t0") + 1).alias("t"), "tok")
+    retained = alltok.join(covered, ["doc_id", "t"], "left_anti")
+    w = Window.partitionBy("doc_id").orderBy("t")
+    seg = retained.withColumn("g", F.col("t") - F.row_number().over(w))
+    seg_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "tok"))), lambda x: x["tok"]
+        ),
+        " ",
+    )
+    out = (
+        seg.groupBy("doc_id", "g")
+        .agg(
+            F.min("t").cast("bigint").alias("seg_start"),
+            F.count(F.lit(1)).alias("n_toks"),
+            md5_long(seg_text).alias("seg_h"),
+        )
+        .select("doc_id", "seg_start", "n_toks", "seg_h")
+        .orderBy("doc_id", "seg_start")
+    )
+    # eager materialization bounds the cache lifetime (see
+    # t_substring_spans); the output IS the cleaned corpus, which a real
+    # pipeline would be writing to a sink at this point anyway
+    out = out.localCheckpoint(eager=True)
+    pos.unpersist()
+    return out

@@ -458,3 +458,70 @@ def test_substring_spans_matches_python(spark):
             g["total_span_tokens"],
             g["max_span_tokens"],
         ) == (len(dset), n_spans, total, mx), src
+
+
+def test_substring_dedup_no_kgram_survives_twice(spark):
+    """The cleaned corpus produced by t_substring_dedup contains NO
+    K-gram twice: every surviving window maps to an original window
+    whose hash is either corpus-unique or the canonical (first)
+    occurrence, and canon is unique per hash. Also checks segment
+    self-consistency (ranges reproduce the hashed text) and that
+    dup-free docs are retained whole."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    from daxos_spark.plans.textpipe import _SS_K, t_substring_dedup
+
+    docs = pd.read_parquet(SF_DIR + "/documents.parquet")
+    toks = {r.doc_id: r.text.strip().lower().split() for r in docs.itertuples()}
+
+    def h14(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    counts = Counter()
+    for tk in toks.values():
+        for i in range(len(tk) - _SS_K + 1):
+            counts[h14(" ".join(tk[i : i + _SS_K]))] += 1
+
+    segs = t_substring_dedup(spark, SF_DIR).collect()
+
+    # 1) segments reproduce original token slices (range -> text -> hash)
+    by_doc = {}
+    for r in segs:
+        tk = toks[r["doc_id"]]
+        a = r["seg_start"] - 1
+        piece = tk[a : a + r["n_toks"]]
+        assert len(piece) == r["n_toks"], (r["doc_id"], r["seg_start"])
+        assert h14(" ".join(piece)) == r["seg_h"], (r["doc_id"], r["seg_start"])
+        by_doc.setdefault(r["doc_id"], []).append((a, piece))
+
+    # 2) segments within a doc are disjoint, maximal (no two adjacent)
+    for doc_id, pieces in by_doc.items():
+        pieces.sort()
+        for (a1, p1), (a2, _p2) in zip(pieces, pieces[1:]):
+            assert a1 + len(p1) < a2, doc_id  # gap of >= 1 removed token
+
+    # 3) NO K-gram appears twice across the cleaned segments
+    clean_counts = Counter()
+    for pieces in by_doc.values():
+        for _a, piece in pieces:
+            for i in range(len(piece) - _SS_K + 1):
+                clean_counts[h14(" ".join(piece[i : i + _SS_K]))] += 1
+    worst = clean_counts.most_common(1)
+    assert not worst or worst[0][1] == 1, worst
+
+    # 4) a doc with no duplicated window is retained whole
+    n_whole = 0
+    for doc_id, tk in toks.items():
+        has_dup = any(
+            counts[h14(" ".join(tk[i : i + _SS_K]))] >= 2
+            for i in range(len(tk) - _SS_K + 1)
+        )
+        if not has_dup:
+            pieces = by_doc.get(doc_id)
+            assert pieces is not None and len(pieces) == 1, doc_id
+            assert pieces[0][0] == 0 and len(pieces[0][1]) == len(tk), doc_id
+            n_whole += 1
+    assert n_whole > 0  # the fixture corpus has dup-free docs
