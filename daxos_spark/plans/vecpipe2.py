@@ -108,7 +108,7 @@ _SD_TAU2 = 0.09  # cosine > 0.3 ≈ p95 of within-cluster pair cosine here;
 # at 100 TB with real near-dup mass the paper's τ ≈ 0.95+ applies unchanged
 
 
-def _semdedup_oracle() -> str:
+def _semdedup_oracle(k_sql: str = str(_SD_K)) -> str:
     dist = """
       SELECT u.vec_id, ct.cluster,
              SUM(CAST((u.x - ct.c)*(u.x - ct.c) AS DECIMAL(25,6))) AS d
@@ -127,7 +127,7 @@ def _semdedup_oracle() -> str:
              CAST(unnest(embedding) AS DOUBLE) AS x
       FROM embeddings
     ), ct0 AS (
-      SELECT vec_id AS cluster, pos, x AS c FROM u WHERE vec_id < {_SD_K}
+      SELECT vec_id AS cluster, pos, x AS c FROM u WHERE vec_id < {k_sql}
     ), d0 AS ({dist.format(prev='ct0')}
     ), a0 AS ({pick.format(src='d0')}
     ), cm0 AS (
@@ -174,6 +174,35 @@ def _semdedup_oracle() -> str:
 )
 def e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_summary(load_tables(spark, sf_dir)["embeddings"], _SD_K)
+
+
+# The at-scale SemDeDup configuration, under the hash gate (round-5 ask
+# #4): K grows with the corpus so the target cluster size — and with it
+# the within-cluster pair mass Σ|cluster|², the operator's cost driver —
+# stays constant. Fixed K is the paper's own scaling knob: the 10× probe
+# measured fixed-K=32 at 24.7× wall while this K-scaled form stays
+# ~linear (SCALE.md). At sf0.01 (n=500) this yields K=32, so the gated
+# rows coincide with e_semdedup's — by construction, not coincidence.
+_SDS_TARGET = 16  # target vectors per cluster
+
+
+@_q(
+    "v_semdedup_scaled",
+    _semdedup_oracle(
+        f"(SELECT CAST(CEIL(COUNT(*) / {_SDS_TARGET}.0) AS BIGINT) FROM embeddings)"
+    ),
+    doc="SemDeDup with corpus-scaled cluster count K = ceil(n/16): the "
+    "configuration that holds per-cluster pair mass constant as the "
+    "corpus grows (the paper's LAION-scale setting), hash-checked",
+)
+def v_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    # one count() to size K — a scalar the driver must own anyway (the
+    # paper picks K from corpus size the same way)
+    k = math.ceil(e.count() / _SDS_TARGET)
+    return semdedup_summary(e, k)
 
 
 def semdedup_summary(e: DataFrame, n_clusters: int) -> DataFrame:
