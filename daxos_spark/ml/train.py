@@ -54,6 +54,12 @@ class GBTParams:
     objective: str = "binary:logistic"  # or "reg:squarederror"
     seed: int = 42
     device: str = "cpu"
+    # barrier-task count for the DISTRIBUTED continuation path (the
+    # xgboost.spark estimators' num_workers vocabulary); None = auto
+    # (min of cluster parallelism, input partitions, rows). Only
+    # consulted when a continuation batch exceeds the driver-collect
+    # bounds — see _xgb_continue.
+    num_workers: int | None = None
     extra: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -64,6 +70,8 @@ class GBTParams:
             raise ValueError(
                 f"device must be 'cpu', 'cuda', or 'cuda:<ordinal>', got {self.device!r}"
             )
+        if self.num_workers is not None and self.num_workers < 1:
+            raise ValueError(f"num_workers must be >= 1, got {self.num_workers!r}")
 
     @property
     def is_classification(self) -> bool:
@@ -198,14 +206,17 @@ def _xgb_continue(
     label_col: str,
 ) -> "XGBBoosterModel":
     """True boosting continuation: native ``xgboost.train`` with
-    ``xgb_model`` set to the prior booster, on Arrow-collected data.
+    ``xgb_model`` set to the prior booster.
 
     xgboost.spark exposes no continuation parameter (see
     ``_xgb_estimator``), so the only correct route is the native
-    trainer's documented ``xgb_model`` argument. The batch is collected
-    to the driver (bounded by MAX_CONTINUE_ROWS — raises loudly rather
-    than spilling); scoring of the returned model is still distributed
-    (``XGBBoosterModel.predict_df``).
+    trainer's documented ``xgb_model`` argument. Batches within the
+    driver-collect bounds (min of MAX_CONTINUE_ROWS and
+    MAX_CONTINUE_BYTES of float32 matrix) are Arrow-collected — the
+    fast path for the reference's read-time-subsampled rounds; larger
+    batches route to ``_xgb_continue_distributed`` (barrier tasks +
+    xgboost collective). Scoring of the returned model is always
+    distributed (``XGBBoosterModel.predict_df``).
     """
     import numpy as np
     import xgboost as xgb
@@ -214,23 +225,56 @@ def _xgb_continue(
         init_model = init_model.get_booster()
 
     # byte-aware row cap: probe the feature width once (a 1-row job),
-    # then never collect more float32 matrix than MAX_CONTINUE_BYTES
-    head = df.select(F.size(F.col(features_col)).alias("p")).first()
-    p = int(head["p"]) if head is not None else 0
+    # then never collect more float32 matrix than MAX_CONTINUE_BYTES.
+    # F.size only analyzes on array-typed features (the type this path
+    # takes as input — `pdf[features_col].tolist()` below assumes it
+    # too); on anything else (e.g. an MLlib VectorUDT column from
+    # _prep) fall back to the row-cap-only bound rather than dying with
+    # an analysis error before the intended loud guard can fire.
+    from pyspark.sql.types import ArrayType
+
+    p = 0
+    if isinstance(df.schema[features_col].dataType, ArrayType):
+        head = df.select(F.size(F.col(features_col)).alias("p")).first()
+        p = int(head["p"]) if head is not None else 0
     max_rows = min(MAX_CONTINUE_ROWS, MAX_CONTINUE_BYTES // max(4 * p, 1))
-    pdf = df.select(features_col, label_col).limit(max_rows + 1).toPandas()
-    if len(pdf) > max_rows:
-        raise ValueError(
-            f"warm-start continuation batch exceeds {max_rows} rows "
-            f"(= min({MAX_CONTINUE_ROWS} rows, {MAX_CONTINUE_BYTES} float32 "
-            f"matrix bytes at p={p})); subsample the round's training chunk "
-            "(the reference's incremental refit trains each round on a "
-            "read-time subsample, crossvalidate.py:203-240) or raise the "
-            "MAX_CONTINUE_* bounds explicitly"
-        )
+    n_rows = df.count()
+    if n_rows > max_rows:
+        # past the driver-collect bounds the continuation goes
+        # DISTRIBUTED (barrier tasks + xgboost collective, the
+        # reference's xgb.dask.train shape); the loud refusal below
+        # remains only for xgboost builds without the collective API
+        try:
+            return _xgb_continue_distributed(
+                df, params, init_model, features_col, label_col, n_rows
+            )
+        except ImportError as e:
+            raise ValueError(
+                f"warm-start continuation batch has {n_rows} rows, past the "
+                f"driver-collect bound of {max_rows} "
+                f"(= min({MAX_CONTINUE_ROWS} rows, {MAX_CONTINUE_BYTES} float32 "
+                f"matrix bytes at p={p})), and this xgboost build lacks the "
+                f"distributed-continuation dependencies ({e}); subsample the "
+                "round's training chunk (the reference's incremental refit "
+                "trains each round on a read-time subsample, "
+                "crossvalidate.py:203-240) or raise the MAX_CONTINUE_* bounds "
+                "explicitly"
+            ) from e
+    pdf = df.select(features_col, label_col).toPandas()
     X = np.asarray(pdf[features_col].tolist(), dtype=np.float32)
     y = pdf[label_col].to_numpy(dtype="float64")
-    native = {
+    native = _xgb_native_params(params)
+    bst = xgb.train(
+        native,
+        xgb.DMatrix(X, label=y),
+        num_boost_round=params.n_boost_round,
+        xgb_model=init_model,
+    )
+    return XGBBoosterModel(bst, params.objective)
+
+
+def _xgb_native_params(params: GBTParams) -> dict:
+    return {
         "eta": params.eta,
         "max_depth": params.max_depth,
         "subsample": params.subsample,
@@ -240,12 +284,113 @@ def _xgb_continue(
         "device": params.device,
         **params.extra,
     }
-    bst = xgb.train(
-        native,
-        xgb.DMatrix(X, label=y),
-        num_boost_round=params.n_boost_round,
-        xgb_model=init_model,
+
+
+def _xgb_submodule(name: str):
+    """``xgboost.<name>`` whether xgboost is the real package (lazy
+    submodule — import it) or the single-file test fake (attribute)."""
+    import importlib
+
+    import xgboost as xgb
+
+    mod = getattr(xgb, name, None)
+    if mod is None:
+        mod = importlib.import_module(f"xgboost.{name}")
+    return mod
+
+
+def _xgb_continue_distributed(
+    df: DataFrame,
+    params: GBTParams,
+    init_model,
+    features_col: str,
+    label_col: str,
+    n_rows: int,
+) -> "XGBBoosterModel":
+    """Distributed boosting continuation — the reference's
+    ``xgb.dask.train(..., xgb_model=prior)`` shape (crossvalidate.py:
+    228-232) re-expressed on Spark barrier execution, for batches past
+    the driver-collect bounds.
+
+    xgboost.spark's estimators cannot do this (no ``xgb_model`` param —
+    see ``_xgb_estimator``), so this reimplements the essential part of
+    their internals on public APIs (xgboost >= 2.1 vocabulary): a
+    RabitTracker on the driver, one barrier task per worker, each rank
+    entering ``collective.CommunicatorContext`` so ``xgboost.train``'s
+    histogram building allreduces across ranks, and the rank-0 booster
+    serialized back. Every rank participates in every allreduce, so the
+    returned ensemble is trained on ALL partitions — identical
+    semantics to the single-node fit, unlike naive per-partition
+    training. The 1-rank path (num_workers=1) is executed in the sealed
+    environment against tests/fake_pkgs/xgboost.py's 1-rank collective;
+    multi-rank needs the real dependency's allreduce.
+    """
+    import socket
+
+    import xgboost as xgb
+
+    tracker_mod = _xgb_submodule("tracker")
+    _xgb_submodule("collective")  # fail fast on the driver if absent
+
+    if hasattr(init_model, "get_booster"):
+        init_model = init_model.get_booster()
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    n = params.num_workers or min(
+        sc.defaultParallelism, df.rdd.getNumPartitions(), int(n_rows)
     )
+    # repartition(n) round-robins, so with n <= n_rows every rank holds
+    # >= 1 row — an empty DMatrix on any rank would stall the collective
+    n = max(1, min(int(n), int(n_rows)))
+    b_prior = sc.broadcast(bytes(init_model.save_raw(raw_format="json")))
+    native = _xgb_native_params(params)
+    n_round = params.n_boost_round
+
+    host = sc.getConf().get("spark.driver.host", None) or socket.gethostbyname(
+        socket.gethostname()
+    )
+    tracker = tracker_mod.RabitTracker(host_ip=host, n_workers=n)
+    tracker.start()
+    worker_args = dict(tracker.worker_args())
+
+    def train_partition(iterator):
+        import numpy as np  # noqa: PLC0415 — executor-side imports
+        import xgboost as xgb  # noqa: PLC0415
+        from pyspark import BarrierTaskContext  # noqa: PLC0415
+
+        ctx = BarrierTaskContext.get()
+        rank = ctx.partitionId()
+        rows = [(r[0], r[1]) for r in iterator]
+        if rows and hasattr(rows[0][0], "toArray"):  # MLlib VectorUDT
+            X = np.asarray([v.toArray() for v, _ in rows], dtype=np.float32)
+        else:
+            X = np.asarray([list(v) for v, _ in rows], dtype=np.float32)
+        y = np.asarray([lbl for _, lbl in rows], dtype=np.float64)
+        prior = xgb.Booster()
+        prior.load_model(bytearray(b_prior.value))
+        coll = getattr(xgb, "collective", None)
+        if coll is None:
+            import importlib  # noqa: PLC0415
+
+            coll = importlib.import_module("xgboost.collective")
+        args = dict(worker_args)
+        args["dmlc_task_id"] = str(rank)
+        ctx.barrier()  # all ranks up before the tracker handshake
+        with coll.CommunicatorContext(**args):
+            bst = xgb.train(
+                native,
+                xgb.DMatrix(X, label=y),
+                num_boost_round=n_round,
+                xgb_model=prior,
+            )
+        if rank == 0:
+            yield bytes(bst.save_raw(raw_format="json"))
+
+    part = df.select(features_col, label_col).repartition(n)
+    out = part.rdd.barrier().mapPartitions(train_partition).collect()
+    getattr(tracker, "free", lambda: None)()  # release tracker sockets
+    bst = xgb.Booster()
+    bst.load_model(bytearray(out[0]))
     return XGBBoosterModel(bst, params.objective)
 
 

@@ -114,6 +114,56 @@ def train(params, dtrain, num_boost_round=10, xgb_model=None, **_kw):
     return bst
 
 
+# ------------------------------------------------------- collective/tracker
+# 1-rank stand-ins for the distributed-continuation seam
+# (ml/train.py::_xgb_continue_distributed): the same public names as
+# xgboost >= 2.1 (tracker.RabitTracker, collective.CommunicatorContext),
+# honest about their limit — a world size above 1 raises instead of
+# silently training rank-0-shard-only models (the fake has no real
+# allreduce; the real package's collective handles multi-rank).
+
+
+class _FakeTracker:
+    def __init__(self, host_ip=None, n_workers=1, **_kw):
+        self.n_workers = int(n_workers)
+
+    def start(self):
+        if self.n_workers > 1:
+            raise NotImplementedError(
+                "mini-xgboost tracker is 1-rank only (no allreduce); "
+                "multi-rank continuation needs the real xgboost"
+            )
+
+    def worker_args(self):
+        return {"n_workers": self.n_workers}
+
+    def free(self):
+        pass
+
+
+class _FakeCommunicatorContext:
+    def __init__(self, **args):
+        if int(args.get("n_workers", 1)) > 1:
+            raise NotImplementedError(
+                "mini-xgboost collective is 1-rank only (no allreduce)"
+            )
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _NS:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+tracker = _NS(RabitTracker=_FakeTracker)
+collective = _NS(CommunicatorContext=_FakeCommunicatorContext)
+
+
 # ---------------------------------------------------------------- spark API
 
 

@@ -93,6 +93,19 @@ def _load_fake_xgb():
 @pytest.fixture()
 def fake_xgb(monkeypatch):
     """Install the mini-xgboost at every seam ml/train.py touches."""
+    # With a REAL xgboost installed the driver uses the monkeypatched
+    # module but executors (addPyFile in the distributed tests) would
+    # import the genuine package and fail to unpickle the fake Booster
+    # (module-name collision). The real-xgboost variant covers the seam
+    # in that environment; the mini-backend run is for the sealed one.
+    # (addPyFile in the distributed test copies the fake into Spark's
+    # userFiles dir and puts it on the driver's sys.path for the rest of
+    # the session — don't let our own single-file fake masquerade as a
+    # real installation. Real xgboost is a PACKAGE, so discriminate on
+    # submodule_search_locations, not on the path.)
+    spec = importlib.util.find_spec("xgboost")
+    if spec is not None and spec.submodule_search_locations is not None:
+        pytest.skip("real xgboost installed — mini-backend seam run not needed")
     import daxos_spark.ml.train as train_mod
 
     mod, path = _load_fake_xgb()
@@ -231,14 +244,61 @@ def test_device_param_surface(tiny, fake_xgb):
     assert fake_xgb.LAST_TRAIN_CALLS[-1]["params"]["device"] == "cuda:0"
 
 
-def test_xgb_continue_row_guard(tiny, fake_xgb, monkeypatch):
-    """The loud driver-collect bound: past MAX_CONTINUE_ROWS the
-    continuation refuses instead of spilling."""
+def test_xgb_continue_distributed_branch(tiny, fake_xgb, spark, monkeypatch):
+    """Past the driver-collect bounds the continuation routes to the
+    DISTRIBUTED branch (barrier tasks + collective); at num_workers=1
+    the result must be bitwise-identical to the collect-path fit on the
+    same data — executed end-to-end against the fake 1-rank collective."""
+    import daxos_spark.ml.train as train_mod
+
+    spark.sparkContext.addPyFile(fake_xgb._path)  # worker-side import
+    params = GBTParams(
+        eta=0.5,
+        n_boost_round=3,
+        max_depth=2,
+        objective="reg:squarederror",
+        seed=9,
+        num_workers=1,
+    )
+    native = train_mod._xgb_native_params(params)
+    pdf = tiny.select("features", "label").toPandas()
+    X = np.asarray(pdf["features"].tolist(), dtype=np.float32)
+    y = pdf["label"].to_numpy(dtype="float64")
+    prior = fake_xgb.train(native, fake_xgb.DMatrix(X, label=y), num_boost_round=2)
+    expected = fit_gbt(tiny, params, init_model=prior, backend="xgboost")
+
+    monkeypatch.setattr(train_mod, "MAX_CONTINUE_ROWS", 10)  # 40 rows > 10
+    model = fit_gbt(tiny, params, init_model=prior, backend="xgboost")
+    assert model.get_booster().trees == expected.get_booster().trees
+    assert len(model.get_booster().trees) == 5  # 2 prior + 3 continued
+
+
+def test_xgb_continue_distributed_multirank_honesty(tiny, fake_xgb, monkeypatch):
+    """The fake collective refuses world sizes above 1 rather than
+    silently returning a rank-0-shard-only model (no real allreduce)."""
     import daxos_spark.ml.train as train_mod
 
     monkeypatch.setattr(train_mod, "MAX_CONTINUE_ROWS", 10)
     prior = fake_xgb.Booster(params={"objective": "reg:squarederror"})
-    with pytest.raises(ValueError, match="continuation batch exceeds"):
+    with pytest.raises(NotImplementedError, match="1-rank only"):
+        fit_gbt(
+            tiny,
+            GBTParams(n_boost_round=1, objective="reg:squarederror", num_workers=3),
+            init_model=prior,
+            backend="xgboost",
+        )
+
+
+def test_xgb_continue_row_guard(tiny, fake_xgb, monkeypatch):
+    """When the distributed dependencies are absent, an over-bound batch
+    still refuses loudly instead of spilling to the driver (the pre-
+    round-5 guard, now the no-collective fallback)."""
+    import daxos_spark.ml.train as train_mod
+
+    monkeypatch.setattr(train_mod, "MAX_CONTINUE_ROWS", 10)
+    monkeypatch.delattr(fake_xgb, "tracker")
+    prior = fake_xgb.Booster(params={"objective": "reg:squarederror"})
+    with pytest.raises(ValueError, match="past the driver-collect bound"):
         train_mod.fit_gbt(
             tiny,
             GBTParams(n_boost_round=1, objective="reg:squarederror"),
