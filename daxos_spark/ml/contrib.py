@@ -444,7 +444,7 @@ def _interactions_one(
         _shap_one_tree(x, t, cov, diag, w)
     diag[p] = base
     out = np.zeros((p + 1, p + 1))
-    for i in list(used) + [p]:
+    for i in used:
         # length p+1: the conditional recursions never write the bias
         # cell, so the (on_base − off_base)/2 column terms are computed
         # literally and come out exactly 0 (xgboost's layout)
@@ -459,6 +459,12 @@ def _interactions_one(
         # diagonal: whatever the off-diagonals (bias column included)
         # leave of the unconditional value
         out[i, i] = diag[i] - d.sum()
+    # bias row (i = p): no split anywhere references feature p, so the
+    # two conditional ensemble passes are provably identical (on == off,
+    # d == 0) — fill the known result analytically instead of paying two
+    # ensemble recursions for a constant: off-diagonals 0, diagonal =
+    # diag[p] = E[f]. Bitwise identical to the looped computation.
+    out[p, p] = diag[p]
     # unused features: zero row, diagonal = phi_i = 0 (already zeros)
     return out
 

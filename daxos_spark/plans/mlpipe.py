@@ -1487,7 +1487,8 @@ _PRS_OR = (
         SELECT pos, n_case, n_ctrl, case_alt, ctrl_alt,
                ROW_NUMBER() OVER (ORDER BY {_PRS_OR} DESC, pos) AS rk
         FROM agg
-        WHERE ctrl_alt > 0 AND (2 * n_case - case_alt) > 0)
+        WHERE case_alt > 0 AND (2 * n_ctrl - ctrl_alt) > 0
+          AND ctrl_alt > 0 AND (2 * n_case - case_alt) > 0)
       WHERE rk <= {_PRS_TOP}
     )
     SELECT u.vec_id, MAX(u.is_case) AS is_case,
@@ -1514,8 +1515,17 @@ def ml_prs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("vec_id") + 7 * F.col("pos"), F.lit(3)).cast("double").alias("dosage"),
     )
     ors = allelic_or_from_long(u.select("is_case", "pos", "dosage"))
+    # isNotNull == all four contingency cells > 0 (allelic_or_from_long
+    # NULLs the OR on any empty cell). Without it a degenerate SNP
+    # (case_alt == 0 or d == 0) survives the two explicit cell guards
+    # with a NULL weight here but a literal 0.0 in the SQL twin — a
+    # latent cross-engine divergence if one ever ranked top-8. Both
+    # engines now rank exactly the same SNP set (the SQL twin carries
+    # the matching cell conditions).
     finite = ors.filter(
-        (F.col("ctrl_alt") > 0) & ((2 * F.col("n_case") - F.col("case_alt")) > 0)
+        (F.col("ctrl_alt") > 0)
+        & ((2 * F.col("n_case") - F.col("case_alt")) > 0)
+        & F.col("odds_ratio").isNotNull()
     )
     from pyspark.sql.window import Window as W
 
