@@ -105,6 +105,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # queries persist() intermediates for their own jobs; the
+            # harness clears between queries so leaked caches don't
+            # accumulate across the 193-query gate (see bench.py)
+            spark.catalog.clearCache()
         dt = time.time() - t0
         if name not in oracles:
             print(f"rows {name}: {len(sdf)} rows ({dt:.1f}s) [rows-only]")

@@ -68,6 +68,15 @@ PROBES = [
     "t_containment_dedup",
     "t_cms_heavy_hitters",
     "t_bm25_topk",
+    # round-5 additions: the GWAS/stat family that drifted in BENCH_r4
+    # (judge ask #6) + the new hash-gated queries worth a scale row
+    "ml_prs_score",
+    "ml_king_kinship",
+    "ml_gc_lambda",
+    "q_ks_length_shift",
+    "v_semdedup_scaled",
+    "t_substring_dedup",
+    "q_recursive_trade_reach",
 ]
 
 
@@ -149,6 +158,10 @@ def bench(spark, qs, sf_dir: str, names) -> dict[str, float]:
         except Exception as e:  # noqa: BLE001 — record, keep probing
             times[name] = f"ERR {type(e).__name__}"
         print(f"  {name:30s} {times[name]}", flush=True)
+        # queries persist() intermediates for their own jobs and rely on
+        # the harness to clear between queries (see bench.py) — without
+        # this the leaked caches accumulate and pressure the 10× runs
+        spark.catalog.clearCache()
     return times
 
 
@@ -185,10 +198,14 @@ def main() -> int:
     if "--semdedup-only" in sys.argv:
         bench_semdedup_scaled(spark, out_dir)
         return 0
+    probes = PROBES
+    for a in sys.argv[1:]:  # --only=q1,q2 probes a subset (re-measure)
+        if a.startswith("--only="):
+            probes = [n for n in a.split("=", 1)[1].split(",") if n]
     print("== base sf0.1")
-    base = bench(spark, qs, BASE, PROBES)
+    base = bench(spark, qs, BASE, probes)
     print("== 10x")
-    big = bench(spark, qs, out_dir, PROBES)
+    big = bench(spark, qs, out_dir, probes)
     report = {
         n: {
             "sf0.1_s": base[n],
@@ -199,10 +216,11 @@ def main() -> int:
                 else None
             ),
         }
-        for n in PROBES
+        for n in probes
     }
     print(json.dumps(report, indent=1))
-    bench_semdedup_scaled(spark, out_dir)
+    if probes is PROBES:
+        bench_semdedup_scaled(spark, out_dir)
     return 0
 
 
