@@ -73,6 +73,11 @@ class QuerySpec:
     oracle: str | None  # None → non-SQL-expressible, rows-only check
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # For queries whose registered callable EAGERLY materializes (the
+    # localCheckpoint + unpersist cache-lifetime pattern): a builder of
+    # the equivalent LAZY pipeline, so tools/plan_audit.py can inspect
+    # the real physical plan instead of the post-checkpoint RDD scan.
+    lazy_plan: Callable[[SparkSession, str], DataFrame] | None = None
 
 
 ALL_SPECS: dict[str, QuerySpec] = {}

@@ -21,7 +21,18 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_tables
 from ..operators.temporal import asof_join
-from .registry import DEC, QuerySpec, davg, dsum, register, sql_davg, sql_dsum, sql_trunc6, trunc6
+from .registry import (
+    ALL_SPECS,
+    DEC,
+    QuerySpec,
+    davg,
+    dsum,
+    register,
+    sql_davg,
+    sql_dsum,
+    sql_trunc6,
+    trunc6,
+)
 
 
 def _q(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
@@ -3046,6 +3057,18 @@ def q_recursive_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = spark.sql(_REACH_EDGES_SQL).localCheckpoint(eager=True)
     edges.createOrReplaceTempView("reach_edges_mat")
     return spark.sql(_REACH_RECURSE_SQL)
+
+
+def _reach_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-statement form for plan_audit (the registered callable
+    checkpoints the edge relation eagerly, hiding the fact-join plan)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REACH_SQL)
+
+
+ALL_SPECS["q_recursive_trade_reach"].lazy_plan = _reach_lazy
 
 
 # --------------------------------------------------------------------------

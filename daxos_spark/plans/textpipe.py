@@ -41,7 +41,7 @@ from pyspark.sql.functions import pandas_udf
 from ..catalog import load_tables
 from ..functions.hashing import md5_long, md5_long_sql, word_shingles
 from .docpipe import _fanout
-from .registry import QuerySpec, register, sql_dsum, sql_trunc6, trunc6
+from .registry import ALL_SPECS, QuerySpec, register, sql_dsum, sql_trunc6, trunc6
 
 _NORM = "lower(trim(text))"
 _TOKS = f"string_split_regex({_NORM}, '\\s+')"
@@ -1417,6 +1417,21 @@ _SS_K = 8
     "gaps-and-islands; per-source span stats",
 )
 def t_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, pos = _substring_spans_lazy(spark, sf_dir)
+    # Materialize the (tiny, per-source) result eagerly so the persisted
+    # position stream can be released NOW — without this, every
+    # invocation leaked a cached corpus-sized DataFrame for the rest of
+    # the session (round-4 advice). The checkpoint runs the pipeline
+    # once (populating and consuming the cache within one job).
+    out = out.localCheckpoint(eager=True)
+    pos.unpersist()
+    return out
+
+
+def _substring_spans_lazy(spark: SparkSession, sf_dir: str):
+    """The lazy span-stats pipeline + its persisted position stream
+    (returned so the eager caller can bound the cache lifetime, and so
+    plan_audit can inspect the real plan via ``lazy_plan``)."""
     from pyspark.sql import Window
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
@@ -1464,14 +1479,7 @@ def t_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
-    # Materialize the (tiny, per-source) result eagerly so the persisted
-    # position stream can be released NOW — without this, every
-    # invocation leaked a cached corpus-sized DataFrame for the rest of
-    # the session (round-4 advice). The checkpoint runs the pipeline
-    # once (populating and consuming the cache within one job).
-    out = out.localCheckpoint(eager=True)
-    pos.unpersist()
-    return out
+    return out, pos
 
 
 # --------------------------------------------------------------------------
@@ -1539,6 +1547,18 @@ def t_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segments as (doc_id, seg_start, n_toks, md5 of segment text)",
 )
 def t_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, pos = _substring_dedup_lazy(spark, sf_dir)
+    # eager materialization bounds the cache lifetime (see
+    # t_substring_spans); the output IS the cleaned corpus, which a real
+    # pipeline would be writing to a sink at this point anyway
+    out = out.localCheckpoint(eager=True)
+    pos.unpersist()
+    return out
+
+
+def _substring_dedup_lazy(spark: SparkSession, sf_dir: str):
+    """The lazy cleaned-corpus pipeline + its persisted position stream
+    (see ``_substring_spans_lazy`` for the shape rationale)."""
     from pyspark.sql import Window
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
@@ -1605,9 +1625,15 @@ def t_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "seg_start", "n_toks", "seg_h")
         .orderBy("doc_id", "seg_start")
     )
-    # eager materialization bounds the cache lifetime (see
-    # t_substring_spans); the output IS the cleaned corpus, which a real
-    # pipeline would be writing to a sink at this point anyway
-    out = out.localCheckpoint(eager=True)
-    pos.unpersist()
-    return out
+    return out, pos
+
+
+# expose the lazy pipelines to tools/plan_audit.py (the registered
+# callables checkpoint eagerly, so their returned plan is just an RDD
+# scan — the audit should see the real pipeline)
+ALL_SPECS["t_substring_spans"].lazy_plan = (
+    lambda spark, sf_dir: _substring_spans_lazy(spark, sf_dir)[0]
+)
+ALL_SPECS["t_substring_dedup"].lazy_plan = (
+    lambda spark, sf_dir: _substring_dedup_lazy(spark, sf_dir)[0]
+)

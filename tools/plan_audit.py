@@ -49,21 +49,30 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as E
+    from daxos_spark.plans import get_specs
     from daxos_spark.session import get_spark
 
     spark = get_spark()
     qs = E.queries()
+    specs = get_specs()
     bad = 0
     for name in sorted(qs):
         if only and name not in only:
             continue
+        # eager (checkpoint-pattern) queries expose their real pipeline
+        # via lazy_plan — auditing the registered callable would only
+        # see the post-checkpoint RDD scan
+        spec = specs.get(name)
+        fn = spec.lazy_plan if spec is not None and spec.lazy_plan else qs[name]
         try:
-            df = qs[name](spark, sf_dir)
+            df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # construction failure is itself a finding
             print(f"ERROR {name}: {type(e).__name__}: {str(e)[:140]}")
             bad += 1
             continue
+        finally:
+            spark.catalog.clearCache()  # lazy builders may mark persists
         problems = audit_plan(plan)
         if problems:
             print(f"FLAG {name}: {'; '.join(problems)}")
