@@ -237,9 +237,13 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"# {name}: FAIL {errors[name]}", file=sys.stderr)
             continue
+        finally:
+            # ALWAYS clear (see warm-pass comment) — a failing query
+            # must not leave its leaked caches pressuring every
+            # subsequent measurement
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
-        spark.catalog.clearCache()  # see warm-pass comment
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -226,32 +226,46 @@ def _xgb_continue(
 
     # byte-aware row cap: probe the feature width once (a 1-row job),
     # then never collect more float32 matrix than MAX_CONTINUE_BYTES.
-    # F.size only analyzes on array-typed features (the type this path
-    # takes as input — `pdf[features_col].tolist()` below assumes it
-    # too); on anything else (e.g. an MLlib VectorUDT column from
-    # _prep) fall back to the row-cap-only bound rather than dying with
-    # an analysis error before the intended loud guard can fire.
+    # Both feature encodings this path accepts are probed — a silent
+    # p=0 on MLlib vectors would disable the byte guard on exactly the
+    # widest input type; anything else fails loudly up front.
+    from pyspark.ml.linalg import VectorUDT
     from pyspark.sql.types import ArrayType
 
-    p = 0
-    if isinstance(df.schema[features_col].dataType, ArrayType):
-        head = df.select(F.size(F.col(features_col)).alias("p")).first()
-        p = int(head["p"]) if head is not None else 0
+    ftype = df.schema[features_col].dataType
+    if isinstance(ftype, ArrayType):
+        fcol = F.col(features_col)
+    elif isinstance(ftype, VectorUDT):
+        fcol = vector_to_array(F.col(features_col))
+    else:
+        raise TypeError(
+            "warm-start continuation features must be array<numeric> or an "
+            f"MLlib vector column, got {ftype.simpleString()}"
+        )
+    head = df.select(F.size(fcol).alias("p")).first()
+    p = max(int(head["p"]), 0) if head is not None and head["p"] is not None else 0
     max_rows = min(MAX_CONTINUE_ROWS, MAX_CONTINUE_BYTES // max(4 * p, 1))
-    n_rows = df.count()
-    if n_rows > max_rows:
-        # past the driver-collect bounds the continuation goes
-        # DISTRIBUTED (barrier tasks + xgboost collective, the
-        # reference's xgb.dask.train shape); the loud refusal below
-        # remains only for xgboost builds without the collective API
+    # one bounded collect decides the path: within bounds it already IS
+    # the training batch (no separate count() job re-running the
+    # subsample lineage); past bounds the rows are discarded and the fit
+    # goes DISTRIBUTED (barrier tasks + xgboost collective, the
+    # reference's xgb.dask.train shape) — the loud refusal below remains
+    # only for xgboost builds without the collective API.
+    pdf = (
+        df.select(fcol.alias("__feat"), F.col(label_col).alias("__lbl"))
+        .limit(max_rows + 1)
+        .toPandas()
+    )
+    if len(pdf) > max_rows:
+        del pdf
         try:
             return _xgb_continue_distributed(
-                df, params, init_model, features_col, label_col, n_rows
+                df, params, init_model, features_col, label_col, df.count(), p
             )
         except ImportError as e:
             raise ValueError(
-                f"warm-start continuation batch has {n_rows} rows, past the "
-                f"driver-collect bound of {max_rows} "
+                f"warm-start continuation batch is past the driver-collect "
+                f"bound of {max_rows} rows "
                 f"(= min({MAX_CONTINUE_ROWS} rows, {MAX_CONTINUE_BYTES} float32 "
                 f"matrix bytes at p={p})), and this xgboost build lacks the "
                 f"distributed-continuation dependencies ({e}); subsample the "
@@ -260,9 +274,8 @@ def _xgb_continue(
                 "crossvalidate.py:203-240) or raise the MAX_CONTINUE_* bounds "
                 "explicitly"
             ) from e
-    pdf = df.select(features_col, label_col).toPandas()
-    X = np.asarray(pdf[features_col].tolist(), dtype=np.float32)
-    y = pdf[label_col].to_numpy(dtype="float64")
+    X = np.asarray(pdf["__feat"].tolist(), dtype=np.float32)
+    y = pdf["__lbl"].to_numpy(dtype="float64")
     native = _xgb_native_params(params)
     bst = xgb.train(
         native,
@@ -306,6 +319,7 @@ def _xgb_continue_distributed(
     features_col: str,
     label_col: str,
     n_rows: int,
+    p: int = 0,
 ) -> "XGBBoosterModel":
     """Distributed boosting continuation — the reference's
     ``xgb.dask.train(..., xgb_model=prior)`` shape (crossvalidate.py:
@@ -339,8 +353,11 @@ def _xgb_continue_distributed(
     n = params.num_workers or min(
         sc.defaultParallelism, df.rdd.getNumPartitions(), int(n_rows)
     )
-    # repartition(n) round-robins, so with n <= n_rows every rank holds
-    # >= 1 row — an empty DMatrix on any rank would stall the collective
+    # n <= n_rows makes empty ranks unlikely under round-robin
+    # repartitioning, but RoundRobinPartitioning starts each input
+    # partition at a random offset, so emptiness is NOT guaranteed away
+    # — an empty rank below still participates in every allreduce with
+    # a (0, p) DMatrix rather than stalling the collective
     n = max(1, min(int(n), int(n_rows)))
     b_prior = sc.broadcast(bytes(init_model.save_raw(raw_format="json")))
     native = _xgb_native_params(params)
@@ -361,11 +378,15 @@ def _xgb_continue_distributed(
         ctx = BarrierTaskContext.get()
         rank = ctx.partitionId()
         rows = [(r[0], r[1]) for r in iterator]
-        if rows and hasattr(rows[0][0], "toArray"):  # MLlib VectorUDT
-            X = np.asarray([v.toArray() for v, _ in rows], dtype=np.float32)
+        if not rows:  # rare round-robin emptiness — still join the collective
+            X = np.zeros((0, p), dtype=np.float32)
+            y = np.zeros((0,), dtype=np.float64)
         else:
-            X = np.asarray([list(v) for v, _ in rows], dtype=np.float32)
-        y = np.asarray([lbl for _, lbl in rows], dtype=np.float64)
+            if hasattr(rows[0][0], "toArray"):  # MLlib VectorUDT
+                X = np.asarray([v.toArray() for v, _ in rows], dtype=np.float32)
+            else:
+                X = np.asarray([list(v) for v, _ in rows], dtype=np.float32)
+            y = np.asarray([lbl for _, lbl in rows], dtype=np.float64)
         prior = xgb.Booster()
         prior.load_model(bytearray(b_prior.value))
         coll = getattr(xgb, "collective", None)
@@ -387,8 +408,14 @@ def _xgb_continue_distributed(
             yield bytes(bst.save_raw(raw_format="json"))
 
     part = df.select(features_col, label_col).repartition(n)
-    out = part.rdd.barrier().mapPartitions(train_partition).collect()
-    getattr(tracker, "free", lambda: None)()  # release tracker sockets
+    try:
+        out = part.rdd.barrier().mapPartitions(train_partition).collect()
+    finally:
+        # release the tracker sockets and the broadcast prior even when
+        # the barrier job dies — repeated failed attempts must not leak
+        # a listener thread + booster blob per call
+        getattr(tracker, "free", lambda: None)()
+        b_prior.unpersist()
     bst = xgb.Booster()
     bst.load_model(bytearray(out[0]))
     return XGBBoosterModel(bst, params.objective)

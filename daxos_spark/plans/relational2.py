@@ -2978,34 +2978,9 @@ def q_ks_length_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only the tiny cached relation) and recurses over the temp view; the
 # duckdb oracle keeps the single-statement form, which duckdb already
 # evaluates once. Same rows either way — hash-checked.
-_REACH_SQL = """
-WITH RECURSIVE edges AS (
-  SELECT sn, cn FROM (
-    SELECT sn, cn, ROW_NUMBER() OVER (PARTITION BY sn ORDER BY rev DESC, cn) AS rk FROM (
-      SELECT s.s_nationkey AS sn, c.c_nationkey AS cn,
-             CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS rev
-      FROM lineitem l
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      WHERE s.s_nationkey <> c.c_nationkey
-      GROUP BY s.s_nationkey, c.c_nationkey) t) r
-  WHERE rk <= 2
-), reach(nk, hop) AS (
-  SELECT CAST(9 AS INT) AS nk, CAST(0 AS INT) AS hop
-  UNION ALL
-  SELECT CAST(e.cn AS INT), CAST(r.hop + 1 AS INT)
-  FROM reach r JOIN edges e ON e.sn = r.nk
-  WHERE r.hop < 4
-)
-SELECT n.n_name, CAST(MIN(r.hop) AS BIGINT) AS min_hops
-FROM reach r JOIN nation n ON n.n_nationkey = r.nk
-GROUP BY n.n_name ORDER BY min_hops, n_name
-"""
-
-# Spark path, stage 1: the edge relation alone (same text as the
-# oracle's `edges` CTE). Materialized once; <=50 rows (top-2 corridors
-# per nation).
+# The edge relation (top-2 trade corridors per nation, <=50 rows) and
+# the recursion tail exist ONCE; both statement forms are composed from
+# them so the oracle and the Spark two-stage path cannot drift.
 _REACH_EDGES_SQL = """
 SELECT sn, cn FROM (
   SELECT sn, cn, ROW_NUMBER() OVER (PARTITION BY sn ORDER BY rev DESC, cn) AS rk FROM (
@@ -3020,20 +2995,30 @@ SELECT sn, cn FROM (
 WHERE rk <= 2
 """
 
-# Spark path, stage 2: the recursion over the materialized view. Each
-# UnionLoop iteration now scans only the checkpointed edge table.
-_REACH_RECURSE_SQL = """
-WITH RECURSIVE reach(nk, hop) AS (
+_REACH_TAIL_SQL = """reach(nk, hop) AS (
   SELECT CAST(9 AS INT) AS nk, CAST(0 AS INT) AS hop
   UNION ALL
   SELECT CAST(e.cn AS INT), CAST(r.hop + 1 AS INT)
-  FROM reach r JOIN reach_edges_mat e ON e.sn = r.nk
+  FROM reach r JOIN {edge_rel} e ON e.sn = r.nk
   WHERE r.hop < 4
 )
 SELECT n.n_name, CAST(MIN(r.hop) AS BIGINT) AS min_hops
 FROM reach r JOIN nation n ON n.n_nationkey = r.nk
 GROUP BY n.n_name ORDER BY min_hops, n_name
 """
+
+# single-statement form (the duckdb oracle; duckdb evaluates the edges
+# CTE once, so it needs no materialization stage)
+_REACH_SQL = (
+    "WITH RECURSIVE edges AS (" + _REACH_EDGES_SQL + "),\n"
+    + _REACH_TAIL_SQL.format(edge_rel="edges")
+)
+
+# Spark stage 2: the recursion over the materialized view — each
+# UnionLoop iteration scans only the checkpointed edge table.
+_REACH_RECURSE_SQL = "WITH RECURSIVE " + _REACH_TAIL_SQL.format(
+    edge_rel="reach_edges_mat"
+)
 
 
 @_q(

@@ -1428,22 +1428,25 @@ def t_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _substring_spans_lazy(spark: SparkSession, sf_dir: str):
-    """The lazy span-stats pipeline + its persisted position stream
-    (returned so the eager caller can bound the cache lifetime, and so
-    plan_audit can inspect the real plan via ``lazy_plan``)."""
-    from pyspark.sql import Window
+def _ss_position_stream(d: DataFrame, extra_cols: tuple = ()):
+    """Tokenization + persisted K-gram position stream shared by the two
+    ExactSubstr queries (`extra_cols` passes ``source`` through for the
+    span stats). The descending-sequence guard (``sequence(1, n-K+1)``
+    DESCENDS when n < K) lives here exactly once.
 
-    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    Persist rationale: the position stream feeds BOTH the k-gram count
+    and a join back on the same key — without it the full
+    tokenize/explode/hash lineage runs twice (two corpus scans at
+    100 TB). Callers eagerly materialize their output and unpersist.
+    """
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     k = _SS_K
-    # sequence(1, n-K+1) DESCENDS when n < K — guard to empty instead
+    tk = d.select("doc_id", *extra_cols, toks.alias("tk"))
     npos = F.size(F.col("tk")) - F.lit(k - 1)
     pos = (
-        d.select("doc_id", "source", toks.alias("tk"))
-        .select(
+        tk.select(
             "doc_id",
-            "source",
+            *extra_cols,
             "tk",
             F.explode(
                 F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
@@ -1453,15 +1456,24 @@ def _substring_spans_lazy(spark: SparkSession, sf_dir: str):
         )
         .select(
             "doc_id",
-            "source",
+            *extra_cols,
             "i",
             md5_long(F.array_join(F.slice(F.col("tk"), F.col("i"), k), " ")).alias("h"),
         )
-        # persist: the position stream feeds BOTH the k-gram count and
-        # the semi-join back — without it the full tokenize/explode/hash
-        # lineage runs twice (two corpus scans at 100 TB)
         .persist()
     )
+    return tk, pos
+
+
+def _substring_spans_lazy(spark: SparkSession, sf_dir: str):
+    """The lazy span-stats pipeline + its persisted position stream
+    (returned so the eager caller can bound the cache lifetime, and so
+    plan_audit can inspect the real plan via ``lazy_plan``)."""
+    from pyspark.sql import Window
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    k = _SS_K
+    _tk, pos = _ss_position_stream(d, ("source",))
     dup = pos.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
     dp = pos.join(dup.select("h"), "h", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("i")
@@ -1562,30 +1574,8 @@ def _substring_dedup_lazy(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     k = _SS_K
-    tk = d.select("doc_id", toks.alias("tk"))
-    npos = F.size(F.col("tk")) - F.lit(k - 1)
-    # position stream: persisted — it feeds the canon aggregate AND the
-    # probe side of the canon join (released after the eager
-    # materialization below)
-    pos = (
-        tk.select(
-            "doc_id",
-            "tk",
-            F.explode(
-                F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
-                    F.array().cast("array<int>")
-                )
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            "i",
-            md5_long(F.array_join(F.slice(F.col("tk"), F.col("i"), k), " ")).alias("h"),
-        )
-        .persist()
-    )
+    tk, pos = _ss_position_stream(d)
     # canonical occurrence per duplicated hash: groupBy-min over a
     # lexicographic struct — partial-aggregable, no window over hot
     # K-gram partitions
