@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "a2_interactions_full",
     "t_substring_spans",
     "t_substring_dedup",
+    "t_bpe_encode",
     "v_bq_knn",
     "v_bq_recall",
     "ml_prs_score",

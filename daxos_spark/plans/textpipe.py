@@ -705,7 +705,11 @@ def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 
-def _bpe_oracle() -> str:
+def _bpe_rounds_cte() -> str:
+    """The shared WITH-chain learning {_BPE_ROUNDS} merges over word
+    types: w1 (char symbols) → m{{r}} (round-r merge) → w{{r+1}}
+    (re-encoded word types). Used by both the trainer oracle (reads the
+    m{{r}}) and the encoder oracle (reads the final w{{R+1}})."""
     rounds = []
     for r in range(1, _BPE_ROUNDS + 1):
         rounds.append(f"""
@@ -728,17 +732,21 @@ def _bpe_oracle() -> str:
       SELECT k.w, k.n, k.acc AS a
       FROM walk{r} k JOIN w{r} src ON src.w = k.w WHERE k.i = len(src.a)
     )""")
-    unions = " UNION ALL ".join(
-        f"SELECT {r} AS round, p1 AS merge_left, p2 AS merge_right, c AS pair_count FROM m{r}"
-        for r in range(1, _BPE_ROUNDS + 1)
-    )
     return f"""
     WITH RECURSIVE wt AS (
       SELECT w, COUNT(*) AS n
       FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w
     ), w1 AS (
       SELECT w, n, string_split(w, '') AS a FROM wt
-    ){''.join(rounds)}
+    ){''.join(rounds)}"""
+
+
+def _bpe_oracle() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS round, p1 AS merge_left, p2 AS merge_right, c AS pair_count FROM m{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""{_bpe_rounds_cte()}
     SELECT round, merge_left, merge_right, pair_count FROM ({unions}) u
     ORDER BY round
     """
@@ -752,6 +760,17 @@ def _bpe_oracle() -> str:
     "learned merges hash-checked",
 )
 def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, _words = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        out, "round int, merge_left string, merge_right string, pair_count long"
+    ).orderBy("round")
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str, apply_last: bool = False):
+    """Learn ``_BPE_ROUNDS`` merges over word types; returns the merge
+    list and the (persisted) word-type table — re-encoded through all
+    learned merges when ``apply_last`` (the encoder needs w_{R+1}; the
+    trainer skips the final application it never reads)."""
     from ..functions import text as T
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
@@ -789,7 +808,7 @@ def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         x, y, c = top["p1"], top["p2"], int(top["c"])
         out.append((r, x, y, c))
-        if r < _BPE_ROUNDS:
+        if r < _BPE_ROUNDS or apply_last:
             # greedy left-to-right non-overlapping merge: fold symbols,
             # merging when the accumulator's last element is x and the
             # incoming symbol is y (a fresh merged token never re-merges
@@ -808,9 +827,74 @@ def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             words.unpersist()
             words = new_words
 
-    return spark.createDataFrame(
-        out, "round int, merge_left string, merge_right string, pair_count long"
-    ).orderBy("round")
+    return out, words
+
+
+# --------------------------------------------------------------------------
+# BPE APPLICATION — the other half of the tokenizer story: encode the
+# corpus with the learned merges and report what the vocabulary bought.
+# The merges come from the same `_bpe_learn` loop; the word-type table
+# re-encoded through ALL learned merges (w_{R+1} in the oracle's CTE
+# chain) joins back to the corpus token stream — the standard trick
+# that encodes each distinct word ONCE regardless of its corpus
+# frequency (the Zipf collapse), so application cost is
+# vocabulary-sized, not corpus-sized. Per-source output: token count,
+# character-symbol count (pre-BPE), BPE-symbol count, and exact symbols
+# saved. At 100 TB the encoded word-type table is the broadcast side of
+# the corpus join.
+@_q(
+    "t_bpe_encode",
+    f"""{_bpe_rounds_cte()}
+    , enc AS (
+      SELECT w, CAST(len(a) AS BIGINT) AS n_sym FROM w{_BPE_ROUNDS + 1}
+    ), ct AS (
+      SELECT source, unnest({_TOKS}) AS w FROM documents
+    )
+    SELECT ct.source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(LENGTH(ct.w)) AS BIGINT) AS n_char_symbols,
+           CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_symbols,
+           CAST(SUM(LENGTH(ct.w)) - SUM(e.n_sym) AS BIGINT) AS n_saved
+    FROM ct JOIN enc e USING (w)
+    GROUP BY ct.source ORDER BY ct.source
+    """,
+    doc="BPE application: encode the corpus with the 3 learned merges "
+    "(each distinct word encoded once, joined back by frequency) — "
+    "per-source symbol compression, hash-checked",
+)
+def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, words = _bpe_encode_lazy(spark, sf_dir)
+    # tiny per-source result: materialize eagerly and release the
+    # word-type cache _bpe_learn left persisted (see t_substring_spans)
+    out = out.localCheckpoint(eager=True)
+    words.unpersist()
+    return out
+
+
+def _bpe_encode_lazy(spark: SparkSession, sf_dir: str):
+    from ..functions import text as T
+
+    _merges, words = _bpe_learn(spark, sf_dir, apply_last=True)
+    enc = words.select("w", F.size("a").cast("bigint").alias("n_sym"))
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    ct = d.select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+    out = (
+        ct.join(enc, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_char_symbols"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_symbols"),
+            (F.sum(F.length("w")) - F.sum("n_sym")).cast("bigint").alias("n_saved"),
+        )
+        .orderBy("source")
+    )
+    return out, words
+
+
+ALL_SPECS["t_bpe_encode"].lazy_plan = (
+    lambda spark, sf_dir: _bpe_encode_lazy(spark, sf_dir)[0]
+)
 
 
 # --------------------------------------------------------------------------

@@ -525,3 +525,48 @@ def test_substring_dedup_no_kgram_survives_twice(spark):
             assert pieces[0][0] == 0 and len(pieces[0][1]) == len(tk), doc_id
             n_whole += 1
     assert n_whole > 0  # the fixture corpus has dup-free docs
+
+
+def test_bpe_encode_matches_python_application(spark):
+    """The encoder's per-source compression stats equal a python replay:
+    learn the merges with the reference trainer, apply ALL of them to
+    each word type, sum per source over the corpus token stream."""
+    from daxos_spark.plans.textpipe import _BPE_ROUNDS, t_bpe_encode
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    vocab = Counter(t for txt in docs["text"] for t in _toks(txt))
+    words = {w: list(w) for w in vocab}
+    for _r in range(_BPE_ROUNDS):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        (x, y), _c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in words.items():
+            out = [syms[0]]
+            for cur in syms[1:]:
+                if out[-1] == x and cur == y:
+                    out[-1] = x + y
+                else:
+                    out.append(cur)
+            words[w] = out
+
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0, 0])  # n_tokens, char_syms, bpe_syms
+    for src, txt in zip(docs["source"], docs["text"]):
+        for t in _toks(txt):
+            s = want[src]
+            s[0] += 1
+            s[1] += len(t)
+            s[2] += len(words[t])
+
+    got = {r["source"]: r for r in t_bpe_encode(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for src, (nt, nc, nb) in want.items():
+        g = got[src]
+        assert (g["n_tokens"], g["n_char_symbols"], g["n_bpe_symbols"], g["n_saved"]) == (
+            nt, nc, nb, nc - nb
+        ), src
+    # the merges actually bought something on at least one source
+    assert any(g["n_saved"] > 0 for g in got.values())
