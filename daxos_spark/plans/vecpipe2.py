@@ -108,7 +108,10 @@ _SD_TAU2 = 0.09  # cosine > 0.3 ≈ p95 of within-cluster pair cosine here;
 # at 100 TB with real near-dup mass the paper's τ ≈ 0.95+ applies unchanged
 
 
-def _semdedup_oracle(k_sql: str = str(_SD_K)) -> str:
+def _semdedup_cte(k_sql: str = str(_SD_K)) -> str:
+    """The shared WITH-chain (assignment rounds → within-cluster
+    near-dup pairs → `rm` = removed ids); the summary and keep-list
+    oracles put different SELECTs on top of the same chain."""
     dist = """
       SELECT u.vec_id, ct.cluster,
              SUM(CAST((u.x - ct.c)*(u.x - ct.c) AS DECIMAL(25,6))) AS d
@@ -157,7 +160,11 @@ def _semdedup_oracle(k_sql: str = str(_SD_K)) -> str:
       WHERE num > 0 AND CAST(num AS DOUBLE) * CAST(num AS DOUBLE) >
             ({_SD_TAU2} * CAST(na AS DOUBLE)) * CAST(nb AS DOUBLE)
       GROUP BY cluster, dup_id
-    )
+    )"""
+
+
+def _semdedup_oracle(k_sql: str = str(_SD_K)) -> str:
+    return f"""{_semdedup_cte(k_sql)}
     SELECT af2.cluster,
            COUNT(*) AS n_vectors,
            CAST(COUNT(rm.dup_id) AS BIGINT) AS n_removed
@@ -216,6 +223,21 @@ def semdedup_summary(e: DataFrame, n_clusters: int) -> DataFrame:
     K-scaled call stays ~linear (tools/sf1_probe.py, SCALE.md).
     ``e_semdedup`` is the fixed-K (=32, first-K init) hash-checked
     correctness face of this operator."""
+    af, rm = _semdedup_marks(e, n_clusters)
+    return (
+        af.join(rm, (rm["cluster"] == af["cluster"]) & (rm["dup_id"] == af["vec_id"]), "left")
+        .groupBy(af["cluster"])
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count(rm["dup_id"]).cast("bigint").alias("n_removed"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _semdedup_marks(e: DataFrame, n_clusters: int):
+    """Shared SemDeDup core: returns (``af`` assignments — persisted,
+    read by both callers' final joins — and ``rm`` removed ids)."""
     u = e.select(
         "vec_id", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x")
     ).persist()  # feeds init, both assignment rounds, and the centroid update
@@ -279,14 +301,35 @@ def semdedup_summary(e: DataFrame, n_clusters: int) -> DataFrame:
         .select("cluster", "dup_id")
         .distinct()
     )
+    return af, rm
+
+
+# The CONSUMABLE face of SemDeDup (the same pattern as
+# t_substring_dedup next to t_substring_spans): per-vector keep/remove
+# verdicts, the row set a corpus-assembly join actually filters on —
+# not just the per-cluster removal counts.
+@_q(
+    "v_semdedup_keep",
+    f"""{_semdedup_cte()}
+    SELECT af2.vec_id, af2.cluster,
+           CASE WHEN rm.dup_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM af af2 LEFT JOIN rm ON rm.cluster = af2.cluster AND rm.dup_id = af2.vec_id
+    ORDER BY af2.vec_id
+    """,
+    doc="SemDeDup keep-list: per-vector (cluster, keep) verdict — the "
+    "consumable row set downstream corpus assembly anti-joins on "
+    "(keep-lowest-id within cosine near-dup groups)",
+)
+def v_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    af, rm = _semdedup_marks(load_tables(spark, sf_dir)["embeddings"], _SD_K)
     return (
         af.join(rm, (rm["cluster"] == af["cluster"]) & (rm["dup_id"] == af["vec_id"]), "left")
-        .groupBy(af["cluster"])
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.count(rm["dup_id"]).cast("bigint").alias("n_removed"),
+        .select(
+            af["vec_id"],
+            af["cluster"],
+            F.when(rm["dup_id"].isNull(), 1).otherwise(0).alias("keep"),
         )
-        .orderBy("cluster")
+        .orderBy("vec_id")
     )
 
 

@@ -349,3 +349,25 @@ def test_ivf_incremental_invariants(spark):
     for r in rows:
         assert r["n_total"] == r["n_base"] + r["n_new"]
         assert r["recluster_flag"] == (r["n_new"] * tb > 3 * r["n_base"] * tn)
+
+
+def test_semdedup_keep_consistent_with_summary(spark):
+    """The keep-list is the row-level face of the summary: per-cluster
+    keep=0 counts equal n_removed, every vector appears exactly once,
+    and a cluster's lowest id is always kept (it can never be the
+    larger side of a within-cluster near-dup pair)."""
+    from daxos_spark.plans.vecpipe2 import e_semdedup, v_semdedup_keep
+
+    keep = v_semdedup_keep(spark, SF_DIR).collect()
+    summ = {r["cluster"]: r for r in e_semdedup(spark, SF_DIR).collect()}
+
+    assert len({r["vec_id"] for r in keep}) == len(keep)
+    by_cluster: dict = {}
+    for r in keep:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert set(by_cluster) == set(summ)
+    for c, rows in by_cluster.items():
+        assert len(rows) == summ[c]["n_vectors"], c
+        assert sum(1 for r in rows if r["keep"] == 0) == summ[c]["n_removed"], c
+        lowest = min(rows, key=lambda r: r["vec_id"])
+        assert lowest["keep"] == 1, c

@@ -38,6 +38,12 @@ PROBES = [
     "t_bm25_topk",
     "q_trade_pagerank",  # reads lineitem/orders — unaffected by the Nx
     "m_cdc_chunks",
+    # round 5: under this probe EVERY doc gains N-1 exact copies, so
+    # every K-gram window is corpus-repeated and the dedup has to cover
+    # (and cut) nearly the whole corpus — the worst case for the
+    # covered-token explode and the canon groupBy-min
+    "t_substring_spans",
+    "t_substring_dedup",
 ]
 
 
@@ -85,6 +91,7 @@ def main() -> int:
         if verdict != "OK":
             flagged += 1
         print(f"{name:24s} 1x {t1:6.1f}s  {n}x {tn:6.1f}s  ratio {ratio:5.1f}  {verdict}")
+        spark.catalog.clearCache()  # see bench.py — queries persist, harness clears
     shutil.rmtree(out, ignore_errors=True)
     print(f"== {flagged} flagged")
     return 1 if flagged else 0
