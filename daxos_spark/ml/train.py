@@ -245,22 +245,23 @@ def _xgb_continue(
     head = df.select(F.size(fcol).alias("p")).first()
     p = max(int(head["p"]), 0) if head is not None and head["p"] is not None else 0
     max_rows = min(MAX_CONTINUE_ROWS, MAX_CONTINUE_BYTES // max(4 * p, 1))
-    # one bounded collect decides the path: within bounds it already IS
-    # the training batch (no separate count() job re-running the
-    # subsample lineage); past bounds the rows are discarded and the fit
-    # goes DISTRIBUTED (barrier tasks + xgboost collective, the
-    # reference's xgb.dask.train shape) — the loud refusal below remains
-    # only for xgboost builds without the collective API.
-    pdf = (
-        df.select(fcol.alias("__feat"), F.col(label_col).alias("__lbl"))
-        .limit(max_rows + 1)
-        .toPandas()
-    )
-    if len(pdf) > max_rows:
-        del pdf
+    # Route decision: a LIMIT-bounded count — partial execution that
+    # ships 8 bytes, never the batch. The alternatives both lose: a
+    # bounded collect-then-discard ships up to MAX_CONTINUE_BYTES to
+    # the driver just to learn it must go distributed, and an unbounded
+    # count() re-runs the full lineage even when over-bound. The fast
+    # path below does re-execute the lineage once for the real collect,
+    # but compute-only re-execution is small next to the Arrow
+    # serialize+transfer it precedes (tools/continue_probe.py measured
+    # the transfer at 21-40 MB/s — the dominant term).
+    n_capped = df.limit(max_rows + 1).count()
+    if n_capped > max_rows:
         try:
+            # n_capped (> max_rows >= any realistic task parallelism) is
+            # a sufficient lower bound for worker sizing — no need to
+            # pay a full count of the over-bound batch
             return _xgb_continue_distributed(
-                df, params, init_model, features_col, label_col, df.count(), p
+                df, params, init_model, features_col, label_col, n_capped, p
             )
         except ImportError as e:
             raise ValueError(
@@ -274,6 +275,13 @@ def _xgb_continue(
                 "crossvalidate.py:203-240) or raise the MAX_CONTINUE_* bounds "
                 "explicitly"
             ) from e
+    # the limit keeps the collect hard-bounded even if the input plan
+    # were nondeterministic between the probe and this job
+    pdf = (
+        df.select(fcol.alias("__feat"), F.col(label_col).alias("__lbl"))
+        .limit(max_rows)
+        .toPandas()
+    )
     X = np.asarray(pdf["__feat"].tolist(), dtype=np.float32)
     y = pdf["__lbl"].to_numpy(dtype="float64")
     native = _xgb_native_params(params)

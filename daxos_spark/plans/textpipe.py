@@ -760,7 +760,8 @@ def _bpe_oracle() -> str:
     "learned merges hash-checked",
 )
 def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out, _words = _bpe_learn(spark, sf_dir)
+    out, words = _bpe_learn(spark, sf_dir)
+    words.unpersist()  # merges are driver-side rows by now
     return spark.createDataFrame(
         out, "round int, merge_left string, merge_right string, pair_count long"
     ).orderBy("round")

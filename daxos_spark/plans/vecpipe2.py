@@ -40,7 +40,7 @@ from pyspark.sql.window import Window
 from ..catalog import load_tables
 from ..functions.similarity import int_code
 from ..functions.vectors import dot, l2_norm, to_double
-from .registry import QuerySpec, register, sql_trunc6, trunc6
+from .registry import ALL_SPECS, QuerySpec, register, sql_trunc6, trunc6
 
 _DIM = 64
 
@@ -223,8 +223,19 @@ def semdedup_summary(e: DataFrame, n_clusters: int) -> DataFrame:
     K-scaled call stays ~linear (tools/sf1_probe.py, SCALE.md).
     ``e_semdedup`` is the fixed-K (=32, first-K init) hash-checked
     correctness face of this operator."""
-    af, rm = _semdedup_marks(e, n_clusters)
-    return (
+    out, caches = _semdedup_summary_lazy(e, n_clusters)
+    # K-row result: materialize eagerly and release the corpus-exploded
+    # position cache + assignment cache (see t_substring_spans — callers
+    # outside the cache-clearing harnesses must not accumulate these)
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
+def _semdedup_summary_lazy(e: DataFrame, n_clusters: int):
+    af, rm, caches = _semdedup_marks(e, n_clusters)
+    out = (
         af.join(rm, (rm["cluster"] == af["cluster"]) & (rm["dup_id"] == af["vec_id"]), "left")
         .groupBy(af["cluster"])
         .agg(
@@ -233,11 +244,13 @@ def semdedup_summary(e: DataFrame, n_clusters: int) -> DataFrame:
         )
         .orderBy("cluster")
     )
+    return out, caches
 
 
 def _semdedup_marks(e: DataFrame, n_clusters: int):
-    """Shared SemDeDup core: returns (``af`` assignments — persisted,
-    read by both callers' final joins — and ``rm`` removed ids)."""
+    """Shared SemDeDup core: returns (``af`` assignments, ``rm``
+    removed ids, and the persisted intermediates the caller must
+    unpersist after materializing its result)."""
     u = e.select(
         "vec_id", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x")
     ).persist()  # feeds init, both assignment rounds, and the centroid update
@@ -301,7 +314,7 @@ def _semdedup_marks(e: DataFrame, n_clusters: int):
         .select("cluster", "dup_id")
         .distinct()
     )
-    return af, rm
+    return af, rm, (u, af)
 
 
 # The CONSUMABLE face of SemDeDup (the same pattern as
@@ -321,8 +334,18 @@ def _semdedup_marks(e: DataFrame, n_clusters: int):
     "(keep-lowest-id within cosine near-dup groups)",
 )
 def v_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    af, rm = _semdedup_marks(load_tables(spark, sf_dir)["embeddings"], _SD_K)
-    return (
+    out, caches = _semdedup_keep_lazy(spark, sf_dir)
+    # vector-cardinality keep-list (3 ints/row): checkpoint + release
+    # the much larger exploded-position and assignment caches
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
+def _semdedup_keep_lazy(spark: SparkSession, sf_dir: str):
+    af, rm, caches = _semdedup_marks(load_tables(spark, sf_dir)["embeddings"], _SD_K)
+    out = (
         af.join(rm, (rm["cluster"] == af["cluster"]) & (rm["dup_id"] == af["vec_id"]), "left")
         .select(
             af["vec_id"],
@@ -331,6 +354,26 @@ def v_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+    return out, caches
+
+
+# plan_audit hooks: the registered callables checkpoint eagerly
+ALL_SPECS["e_semdedup"].lazy_plan = lambda spark, sf_dir: _semdedup_summary_lazy(
+    load_tables(spark, sf_dir)["embeddings"], _SD_K
+)[0]
+ALL_SPECS["v_semdedup_keep"].lazy_plan = (
+    lambda spark, sf_dir: _semdedup_keep_lazy(spark, sf_dir)[0]
+)
+
+
+def _semdedup_scaled_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return _semdedup_summary_lazy(e, math.ceil(e.count() / _SDS_TARGET))[0]
+
+
+ALL_SPECS["v_semdedup_scaled"].lazy_plan = _semdedup_scaled_lazy
 
 
 # --------------------------------------------------------------------------

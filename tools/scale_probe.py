@@ -83,6 +83,9 @@ def main() -> int:
         t0 = time.time()
         qs[name](spark, base).write.format("noop").mode("overwrite").save()
         t1 = time.time() - t0
+        # the 1x run's leaked caches must not pressure the Nx run — the
+        # ratio's numerator (see bench.py)
+        spark.catalog.clearCache()
         t0 = time.time()
         qs[name](spark, out).write.format("noop").mode("overwrite").save()
         tn = time.time() - t0
@@ -91,7 +94,7 @@ def main() -> int:
         if verdict != "OK":
             flagged += 1
         print(f"{name:24s} 1x {t1:6.1f}s  {n}x {tn:6.1f}s  ratio {ratio:5.1f}  {verdict}")
-        spark.catalog.clearCache()  # see bench.py — queries persist, harness clears
+        spark.catalog.clearCache()
     shutil.rmtree(out, ignore_errors=True)
     print(f"== {flagged} flagged")
     return 1 if flagged else 0
