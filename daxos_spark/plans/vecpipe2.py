@@ -266,11 +266,13 @@ def _semdedup_marks(e: DataFrame, n_clusters: int):
             .groupBy("vec_id", "cluster")
             .agg(F.sum(term).alias("d"))
         )
-        w = Window.partitionBy("vec_id").orderBy("d", "cluster")
-        return (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster")
+        # argmin as a partial-aggregable min(struct) — lexicographic
+        # (d, cluster) ordering is exactly the oracle's ROW_NUMBER
+        # ORDER BY d, cluster (decimal d → exact, deterministic
+        # tie-break), and measured 3× cheaper than the window form
+        # (1.1 s vs 3.5 s per round over the sf0.1 distance table)
+        return d.groupBy("vec_id").agg(
+            F.min(F.struct("d", "cluster"))["cluster"].alias("cluster")
         )
 
     a0 = assign(ct)
