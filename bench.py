@@ -168,6 +168,10 @@ BENCH_QUERIES = [
     "v_ivf_incremental",
     "q_recursive_trade_reach",
     "q_lateral_topk",
+    # round 5
+    "q_zorder_skipping",
+    "q_compaction_plan",
+    "t_domain_mixture",
 ]
 
 
