@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "q_zorder_skipping",
     "q_compaction_plan",
     "t_domain_mixture",
+    "q_cdc_apply",
 ]
 
 

@@ -81,3 +81,32 @@ def asof_join(
         *[F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in r_cols],
         F.col("__c_ts").alias(f"{right_ts}{suffix}"),
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    key: str | list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Latest-wins row per key: CDC changelog compaction.
+
+    Equivalent to ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY
+    order_cols DESC) = 1`` but expressed as a partial-aggregable
+    ``max(struct(order_cols..., payload...))`` — map-side combine keeps
+    the shuffle at key cardinality and a hot key's history never
+    concentrates in one window partition.  The order columns must make
+    the ordering total (include a unique tiebreak, e.g. the change id);
+    with ties the struct max still picks a deterministic row, but which
+    payload wins would be engine-defined.
+
+    Returns one row per key: key column(s) + payload columns of the
+    latest change.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    packed = df.groupBy(*keys).agg(
+        F.max(F.struct(*order_cols, *payload_cols)).alias("__last")
+    )
+    return packed.select(
+        *keys, *[F.col(f"__last.{c}").alias(c) for c in payload_cols]
+    )

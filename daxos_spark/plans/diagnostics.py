@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_tables
-from .registry import QuerySpec, register, sql_trunc6, trunc6
+from .registry import QuerySpec, dsum, register, sql_dsum, sql_trunc6, trunc6
 
 
 def _q(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ("diag",)):
@@ -139,6 +139,74 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "valid_from", "event_id")
         .drop("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# CDC changelog apply — MERGE-INTO semantics over an ordered change
+# stream (Debezium → lakehouse): per key keep the LATEST op by
+# (ts, event_id); a tombstone ('error' here plays the delete op)
+# removes the key from the final table.  The latest-row pick is a
+# partial-aggregable max(struct(ts, event_id, payload)) — map-side
+# combine shrinks the shuffle to key cardinality and no window
+# partition ever holds a hot key's full history (the same
+# argmin-by-struct trick as SemDeDup).  The oracle states the
+# equivalent ROW_NUMBER formulation; max-by-lexicographic(ts,
+# event_id) picks the identical row because event_id is unique.
+@_q(
+    "q_cdc_apply",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), final AS (
+      SELECT user_id, event_type, value FROM ranked WHERE rn = 1
+    )
+    SELECT event_type AS last_event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           {sql_dsum("value")} AS value_sum
+    FROM final WHERE event_type <> 'error'
+    GROUP BY event_type
+    UNION ALL
+    SELECT '__deleted__' AS last_event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(0.0 AS DOUBLE) AS value_sum
+    FROM final WHERE event_type = 'error'
+    ORDER BY last_event_type
+    """,
+    doc="Changelog MERGE apply: latest-wins upsert + tombstone delete "
+    "per key, via partial-aggregable max(struct) (no per-key window). "
+    "cf. Delta MERGE INTO / Debezium snapshot reconstruction.",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import latest_by_key
+
+    e = load_tables(spark, sf_dir)["events"]
+    final = latest_by_key(
+        e, "user_id", ["ts", "event_id"], ["event_type", "value"]
+    )
+    kept = (
+        final.filter(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            dsum(F.col("value")).alias("value_sum"),
+        )
+        .select(
+            F.col("event_type").alias("last_event_type"), "n_users", "value_sum"
+        )
+    )
+    deleted = (
+        final.filter(F.col("event_type") == "error")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.lit("__deleted__").alias("last_event_type"),
+            "n_users",
+            F.lit(0.0).cast("double").alias("value_sum"),
+        )
+    )
+    return kept.unionAll(deleted).orderBy("last_event_type")
 
 
 # --------------------------------------------------------------------------
