@@ -77,6 +77,11 @@ PROBES = [
     "v_semdedup_scaled",
     "t_substring_dedup",
     "q_recursive_trade_reach",
+    # round-5 late additions: storage-layout family + CDC apply
+    "q_zorder_skipping",
+    "q_compaction_plan",
+    "t_domain_mixture",
+    "q_cdc_apply",
 ]
 
 
