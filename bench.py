@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "q_compaction_plan",
     "t_domain_mixture",
     "q_cdc_apply",
+    "t_ngram_novelty",
+    "t_source_overlap",
 ]
 
 

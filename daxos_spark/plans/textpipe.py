@@ -1703,6 +1703,208 @@ def _substring_dedup_lazy(spark: SparkSession, sf_dir: str):
     return out, pos
 
 
+# --------------------------------------------------------------------------
+# corpus novelty curve: per ingestion decile, the fraction of distinct
+# 5-gram types seen for the FIRST time corpus-wide (first occurrence =
+# min doc_id — ingestion order). This is the saturation diagnostic a
+# pretraining pipeline watches to decide when an ingest source has
+# stopped contributing new content (and to audit dedup effectiveness:
+# a well-deduped corpus keeps novelty high; a dup-heavy tail decays).
+# Scale shape: one gram explode; groupBy(gram)→min(doc_id) is
+# partial-aggregable map-side (hot grams combine before the shuffle);
+# the novel-per-doc count comes from grouping THAT small output by
+# first_doc — no gram-keyed join back to the corpus. Remaining joins
+# are doc-cardinality; the decile bucket is pure arithmetic on a
+# broadcast 1-row bounds aggregate (no global window at corpus scale).
+_NOV_N = 5
+
+
+def _novelty_oracle() -> str:
+    ncols = ", ".join(f"tk[i+{j}]" for j in range(_NOV_N))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', {ncols}) AS g
+      FROM (SELECT doc_id, tk,
+                   unnest(range(1, GREATEST(len(tk) - {_NOV_N - 1}, 1) + 1)) AS i
+            FROM toks)
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    ), first_occ AS (
+      SELECT MIN(doc_id) AS fd FROM grams GROUP BY g
+    ), novel_per_doc AS (
+      SELECT fd AS doc_id, COUNT(*) AS n_novel FROM first_occ GROUP BY fd
+    ), bounds AS (
+      SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents
+    )
+    SELECT CAST(FLOOR(CAST((p.doc_id - b.mn) * 10 AS DOUBLE)
+                      / (b.mx - b.mn + 1)) AS INT) AS decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(p.n_grams) AS BIGINT) AS grams,
+           CAST(SUM(COALESCE(nv.n_novel, 0)) AS BIGINT) AS novel_grams,
+           {sql_trunc6(
+               "CAST(SUM(COALESCE(nv.n_novel, 0)) AS DOUBLE)"
+               " / CAST(SUM(p.n_grams) AS DOUBLE)"
+           )} AS novelty
+    FROM per_doc p
+    CROSS JOIN bounds b
+    LEFT JOIN novel_per_doc nv ON nv.doc_id = p.doc_id
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@_q(
+    "t_ngram_novelty",
+    _novelty_oracle(),
+    doc="corpus novelty curve: per ingestion decile (doc_id order), the "
+    "fraction of distinct 5-gram types first seen in that decile's docs "
+    "(saturation / dedup-effectiveness diagnostic)",
+)
+def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = _NOV_N
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    g = d.select("doc_id", F.explode(grams_arr).alias("g"))
+    per_doc = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel_per_doc = (
+        g.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    bounds = d.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+    joined = (
+        per_doc.crossJoin(F.broadcast(bounds))
+        .join(novel_per_doc, "doc_id", "left")
+        .withColumn(
+            "decile",
+            F.floor(
+                ((F.col("doc_id") - F.col("mn")) * F.lit(10)).cast("double")
+                / (F.col("mx") - F.col("mn") + F.lit(1))
+            ).cast("int"),
+        )
+    )
+    return (
+        joined.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("grams"),
+            F.sum(F.coalesce(F.col("n_novel"), F.lit(0))).cast("bigint").alias(
+                "novel_grams"
+            ),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "grams",
+            "novel_grams",
+            trunc6(
+                F.col("novel_grams").cast("double") / F.col("grams").cast("double")
+            ).alias("novelty"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# pairwise source-overlap matrix: shared distinct 3-gram types between
+# every pair of ingest sources, with Jaccard and containment — the
+# provenance diagnostic that answers "which feeds are mirrors of which"
+# before any doc-level dedup runs (mirrored feeds should be dropped at
+# the source list, not deduped doc by doc).
+# Scale shape: the per-source DISTINCT caps each gram's multiplicity at
+# the source count (20 here), so the self-join on gram has bounded
+# fan-out (≤ sources² per gram type) — it is NOT an all-pairs doc join.
+# Source-cardinality outputs; size lookups broadcast.
+def _source_overlap_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT source, {_TOKS} AS tk FROM documents
+    ), grams AS (
+      SELECT DISTINCT source, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS g
+      FROM (SELECT source, tk,
+                   unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i
+            FROM toks)
+    ), sizes AS (
+      SELECT source, COUNT(*) AS n FROM grams GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.src_a, p.src_b, p.shared,
+           sa.n AS n_a, sb.n AS n_b,
+           {sql_trunc6(
+               "CAST(p.shared AS DOUBLE)"
+               " / CAST(sa.n + sb.n - p.shared AS DOUBLE)"
+           )} AS jaccard,
+           {sql_trunc6(
+               "CAST(p.shared AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE)"
+           )} AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.src_a
+    JOIN sizes sb ON sb.source = p.src_b
+    ORDER BY src_a, src_b
+    """
+
+
+@_q(
+    "t_source_overlap",
+    _source_overlap_oracle(),
+    doc="pairwise source-overlap matrix: shared distinct 3-gram types, "
+    "Jaccard and containment per source pair (mirror-feed detection "
+    "ahead of doc-level dedup)",
+)
+def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    sg = d.select(
+        "source", F.explode(word_shingles(F.lower(F.col("text")), 3)).alias("g")
+    ).distinct()
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sg.alias("a")
+    b = sg.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "n_a",
+            "n_b",
+            trunc6(
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+            trunc6(
+                F.col("shared").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")).cast("double")
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 # expose the lazy pipelines to tools/plan_audit.py (the registered
 # callables checkpoint eagerly, so their returned plan is just an RDD
 # scan — the audit should see the real pipeline)

@@ -570,3 +570,73 @@ def test_bpe_encode_matches_python_application(spark):
         ), src
     # the merges actually bought something on at least one source
     assert any(g["n_saved"] > 0 for g in got.values())
+
+
+def test_ngram_novelty_matches_pandas(spark):
+    """Exact recomputation: per-doc distinct 5-grams, first occurrence =
+    min doc_id, novelty aggregated by ingestion decile."""
+    from daxos_spark.plans.textpipe import _NOV_N, t_ngram_novelty
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def grams(txt: str) -> set[str]:
+        tk = _toks(txt)
+        k = max(len(tk) - _NOV_N + 1, 1)
+        return {" ".join(tk[i : i + _NOV_N]) for i in range(k)}
+
+    per_doc = {int(r.doc_id): grams(r.text) for r in docs.itertuples()}
+    first: dict[str, int] = {}
+    for did in sorted(per_doc):
+        for g in per_doc[did]:
+            first.setdefault(g, did)
+    mn, mx = min(per_doc), max(per_doc)
+    want: dict[int, list[int]] = {}
+    for did, gs in per_doc.items():
+        dec = int((did - mn) * 10 / (mx - mn + 1))
+        b = want.setdefault(dec, [0, 0, 0])
+        b[0] += 1
+        b[1] += len(gs)
+        b[2] += sum(1 for g in gs if first[g] == did)
+
+    got = {r["decile"]: r for r in t_ngram_novelty(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for dec, (nd, ng, nn) in want.items():
+        g = got[dec]
+        assert (g["n_docs"], g["grams"], g["novel_grams"]) == (nd, ng, nn), dec
+        assert abs(g["novelty"] - nn / ng) < 2e-6
+    # every distinct gram is novel exactly once, corpus-wide
+    assert sum(r["novel_grams"] for r in got.values()) == len(first)
+    # the earliest decile contains the corpus's first doc: 100% novel there
+    # is not guaranteed for the bucket, but novelty must decay to < 1 later
+    assert got[max(got)]["novelty"] < 1.0
+
+
+def test_source_overlap_matches_pandas(spark):
+    """Exact recomputation of the pairwise shared-3-gram matrix."""
+    from daxos_spark.plans.textpipe import t_source_overlap
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def grams3(txt: str) -> set[str]:
+        tk = _toks(txt)
+        k = max(len(tk) - 2, 1)
+        return {" ".join(tk[i : i + 3]) for i in range(k)}
+
+    per_src: dict[str, set[str]] = {}
+    for r in docs.itertuples():
+        per_src.setdefault(r.source, set()).update(grams3(r.text))
+
+    got = {(r["src_a"], r["src_b"]): r for r in t_source_overlap(spark, SF_DIR).collect()}
+    srcs = sorted(per_src)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            shared = len(per_src[sa] & per_src[sb])
+            if shared == 0:
+                assert (sa, sb) not in got
+                continue
+            g = got[(sa, sb)]
+            na, nb = len(per_src[sa]), len(per_src[sb])
+            assert (g["shared"], g["n_a"], g["n_b"]) == (shared, na, nb), (sa, sb)
+            assert abs(g["jaccard"] - shared / (na + nb - shared)) < 2e-6
+            assert abs(g["containment"] - shared / min(na, nb)) < 2e-6
+    assert len(got) <= len(srcs) * (len(srcs) - 1) // 2
