@@ -163,16 +163,15 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), final AS (
       SELECT user_id, event_type, value FROM ranked WHERE rn = 1
     )
-    SELECT event_type AS last_event_type,
+    SELECT CASE WHEN event_type = 'error' THEN '__deleted__'
+                ELSE event_type END AS last_event_type,
            CAST(COUNT(*) AS BIGINT) AS n_users,
-           {sql_dsum("value")} AS value_sum
-    FROM final WHERE event_type <> 'error'
-    GROUP BY event_type
-    UNION ALL
-    SELECT '__deleted__' AS last_event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_users,
-           CAST(0.0 AS DOUBLE) AS value_sum
-    FROM final WHERE event_type = 'error'
+           {sql_dsum(
+               "CASE WHEN event_type <> 'error' THEN value"
+               " ELSE CAST(0.0 AS DOUBLE) END"
+           )} AS value_sum
+    FROM final
+    GROUP BY 1
     ORDER BY last_event_type
     """,
     doc="Changelog MERGE apply: latest-wins upsert + tombstone delete "
@@ -186,27 +185,26 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = latest_by_key(
         e, "user_id", ["ts", "event_id"], ["event_type", "value"]
     )
-    kept = (
-        final.filter(F.col("event_type") != "error")
-        .groupBy("event_type")
+    # one aggregation over the case-mapped bucket key — a union of two
+    # filtered aggregates would run the latest_by_key compaction twice.
+    # Edge semantics (both engines): a changelog with NO tombstone-last
+    # keys simply has no '__deleted__' row (standard GROUP BY reporting).
+    return (
+        final.groupBy(
+            F.when(F.col("event_type") == "error", F.lit("__deleted__"))
+            .otherwise(F.col("event_type"))
+            .alias("last_event_type")
+        )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
-            dsum(F.col("value")).alias("value_sum"),
+            dsum(
+                F.when(
+                    F.col("event_type") != "error", F.col("value")
+                ).otherwise(F.lit(0.0))
+            ).alias("value_sum"),
         )
-        .select(
-            F.col("event_type").alias("last_event_type"), "n_users", "value_sum"
-        )
+        .orderBy("last_event_type")
     )
-    deleted = (
-        final.filter(F.col("event_type") == "error")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
-        .select(
-            F.lit("__deleted__").alias("last_event_type"),
-            "n_users",
-            F.lit(0.0).cast("double").alias("value_sum"),
-        )
-    )
-    return kept.unionAll(deleted).orderBy("last_event_type")
 
 
 # --------------------------------------------------------------------------

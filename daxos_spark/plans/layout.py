@@ -269,15 +269,31 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_pk = (F.col("l_partkey") >= F.col("lo_pk")) & (
         F.col("l_partkey") <= F.col("hi_pk")
     )
+    # both probes' exact match counts in ONE conditional-aggregation
+    # pass (a union of two filtered aggregates would rescan the fact
+    # table per probe); the 1-row result unpivots to (probe, count)
     m = (
-        withbox.filter(in_pk & in_sk)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("match_rows"))
-        .select(F.lit("box2d").alias("mprobe"), "match_rows")
-        .unionAll(
-            withbox.filter(in_sk)
-            .agg(F.count(F.lit(1)).cast("bigint").alias("match_rows"))
-            .select(F.lit("sk_only").alias("mprobe"), "match_rows")
+        withbox.agg(
+            F.sum(F.when(in_pk & in_sk, 1).otherwise(0))
+            .cast("bigint")
+            .alias("m_box2d"),
+            F.sum(F.when(in_sk, 1).otherwise(0)).cast("bigint").alias("m_sk_only"),
         )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("box2d").alias("mprobe"),
+                        F.col("m_box2d").alias("match_rows"),
+                    ),
+                    F.struct(
+                        F.lit("sk_only").alias("mprobe"),
+                        F.col("m_sk_only").alias("match_rows"),
+                    ),
+                )
+            ).alias("mp")
+        )
+        .select("mp.*")
     )
     return (
         agg.join(F.broadcast(m), agg["probe"] == m["mprobe"])

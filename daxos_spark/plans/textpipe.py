@@ -1713,9 +1713,12 @@ def _substring_dedup_lazy(spark: SparkSession, sf_dir: str):
 # Scale shape: one gram explode; groupBy(gram)→min(doc_id) is
 # partial-aggregable map-side (hot grams combine before the shuffle);
 # the novel-per-doc count comes from grouping THAT small output by
-# first_doc — no gram-keyed join back to the corpus. Remaining joins
-# are doc-cardinality; the decile bucket is pure arithmetic on a
-# broadcast 1-row bounds aggregate (no global window at corpus scale).
+# first_doc — no gram-keyed join back to the corpus. Per-doc gram
+# totals are map-side F.size over the shingle array (no second explode
+# or doc-keyed counting shuffle), and the bounds aggregate reads only
+# the column-pruned doc_id scan. Remaining joins are doc-cardinality;
+# the decile bucket is pure arithmetic on a broadcast 1-row bounds
+# aggregate (no global window at corpus scale).
 _NOV_N = 5
 
 
@@ -1763,19 +1766,15 @@ def _novelty_oracle() -> str:
 )
 def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n = _NOV_N
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    grams_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
-    g = d.select("doc_id", F.explode(grams_arr).alias("g"))
-    per_doc = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # keep the shingle expression INSIDE each consuming select: naming
+    # the array in an intermediate projection forces the ~300-element
+    # array column through an UnsafeRow copy before the Generate /
+    # size, measured 3-4x slower than building it in-codegen
+    shingle = word_shingles(F.lower(F.col("text")), _NOV_N)
+    per_doc = d.select("doc_id", F.size(shingle).alias("n_grams"))
     novel_per_doc = (
-        g.groupBy("g")
+        d.select("doc_id", F.explode(shingle).alias("g"))
+        .groupBy("g")
         .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_novel"))
