@@ -215,9 +215,14 @@ def t_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # eval-suite bitmap: distinct k-seeded bit positions of eval shingles.
     # |bits| <= m = 8192 -> ~1 KiB bitmap regardless of eval-set size.
+    # explode the shingle EXPRESSION directly (not the named `sh` column:
+    # an intermediate projection would copy the array per row) — and only
+    # over the 1/97 eval slice
     eval_sh = (
-        sh.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode("shingles").alias("s"))
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s")
+        )
         .distinct()
     )
     bits_rows = (
@@ -1523,6 +1528,11 @@ def _ss_position_stream(d: DataFrame, extra_cols: tuple = ()):
     and a join back on the same key — without it the full
     tokenize/explode/hash lineage runs twice (two corpus scans at
     100 TB). Callers eagerly materialize their output and unpersist.
+
+    Returns (toks_expr, pos): the tokenization COLUMN expression (so
+    callers explode it inline — naming the array in an intermediate
+    projection forces an UnsafeRow copy per row before the Generate)
+    and the persisted position stream.
     """
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     k = _SS_K
@@ -1547,7 +1557,7 @@ def _ss_position_stream(d: DataFrame, extra_cols: tuple = ()):
         )
         .persist()
     )
-    return tk, pos
+    return toks, pos
 
 
 def _substring_spans_lazy(spark: SparkSession, sf_dir: str):
@@ -1558,7 +1568,7 @@ def _substring_spans_lazy(spark: SparkSession, sf_dir: str):
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
     k = _SS_K
-    _tk, pos = _ss_position_stream(d, ("source",))
+    _toks, pos = _ss_position_stream(d, ("source",))
     dup = pos.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
     dp = pos.join(dup.select("h"), "h", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("i")
@@ -1660,7 +1670,7 @@ def _substring_dedup_lazy(spark: SparkSession, sf_dir: str):
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
     k = _SS_K
-    tk, pos = _ss_position_stream(d)
+    toks, pos = _ss_position_stream(d)
     # canonical occurrence per duplicated hash: groupBy-min over a
     # lexicographic struct — partial-aggregable, no window over hot
     # K-gram partitions
@@ -1678,8 +1688,8 @@ def _substring_dedup_lazy(spark: SparkSession, sf_dir: str):
         "doc_id",
         F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias("t"),
     ).distinct()
-    alltok = tk.select(
-        "doc_id", F.posexplode("tk").alias("t0", "tok")
+    alltok = d.select(
+        "doc_id", F.posexplode(toks).alias("t0", "tok")
     ).select("doc_id", (F.col("t0") + 1).alias("t"), "tok")
     retained = alltok.join(covered, ["doc_id", "t"], "left_anti")
     w = Window.partitionBy("doc_id").orderBy("t")
