@@ -389,8 +389,11 @@ def e_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-dimension min/max in one distributed pass; packed into two
     # position-ordered arrays (the 1-row quantization param set)
+    # explode the cast EXPRESSION inline (naming it first copies the
+    # array per row before the Generate)
     st = (
-        corpus.select(F.posexplode("ev").alias("pos", "val"))
+        e.filter(F.col("vec_id") >= 10)
+        .select(F.posexplode(to_double(F.col("embedding"))).alias("pos", "val"))
         .groupBy("pos")
         .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
     )
