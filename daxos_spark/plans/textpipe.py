@@ -1873,10 +1873,26 @@ def _source_overlap_oracle() -> str:
     "ahead of doc-level dedup)",
 )
 def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, sg = _source_overlap_lazy(spark, sf_dir)
+    # the (source, gram) relation feeds THREE consumers (sizes + both
+    # self-join sides) — without the persist the corpus explode runs 3x.
+    # Output is pair-cardinality (≤190 rows): eager-materialize and
+    # release the cache (t_substring_dedup pattern).
+    out = out.localCheckpoint(eager=True)
+    sg.unpersist()
+    return out
+
+
+def _source_overlap_lazy(spark: SparkSession, sf_dir: str):
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    sg = d.select(
-        "source", F.explode(word_shingles(F.lower(F.col("text")), 3)).alias("g")
-    ).distinct()
+    sg = (
+        d.select(
+            "source",
+            F.explode(word_shingles(F.lower(F.col("text")), 3)).alias("g"),
+        )
+        .distinct()
+        .persist()
+    )
     sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sg.alias("a")
     b = sg.alias("b")
@@ -1892,7 +1908,7 @@ def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
-    return (
+    out = (
         pairs.join(F.broadcast(sa), "src_a")
         .join(F.broadcast(sb), "src_b")
         .select(
@@ -1912,6 +1928,7 @@ def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+    return out, sg
 
 
 # expose the lazy pipelines to tools/plan_audit.py (the registered
@@ -1922,4 +1939,7 @@ ALL_SPECS["t_substring_spans"].lazy_plan = (
 )
 ALL_SPECS["t_substring_dedup"].lazy_plan = (
     lambda spark, sf_dir: _substring_dedup_lazy(spark, sf_dir)[0]
+)
+ALL_SPECS["t_source_overlap"].lazy_plan = (
+    lambda spark, sf_dir: _source_overlap_lazy(spark, sf_dir)[0]
 )
