@@ -22,6 +22,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -218,6 +219,84 @@ def user_running_totals(events: DataFrame) -> DataFrame:
             total += float(pdf["value"].sum())
         state.update((n, total))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cdc_upsert_stream(events: DataFrame, tombstone: str = "error") -> DataFrame:
+    """Streaming CDC changelog apply: per-key latest-wins upsert with
+    tombstone deletes — the incremental twin of the batch
+    ``operators.temporal.latest_by_key`` / ``q_cdc_apply`` compaction
+    (Debezium feed → continuously-materialized lakehouse table).
+
+    State per user_id: the lexicographic-max (ts_us, event_id) change
+    seen so far plus its payload. Each micro-batch re-emits a key's
+    CURRENT materialized row only when that key received changes
+    (update mode), flagged ``is_deleted`` when the winning op is the
+    tombstone — exactly the (upsert | delete) record a downstream
+    MERGE sink consumes. State is one fixed-width tuple per live key,
+    partitioned by user_id: O(keys) regardless of changelog length,
+    the same bound as the batch groupBy.
+    """
+    import pandas as pd  # local import: executors need it, driver may not
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("is_deleted", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ts_us", LongType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        best = state.get if state.exists else None  # (ts_us, eid, type, value)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            # vectorized per-batch argmax: sort by the total order
+            # (ts, event_id unique tiebreak), take the last row
+            cand = pdf.assign(
+                __ts_us=pdf["ts"].astype("int64") // 1000
+            ).sort_values(["__ts_us", "event_id"]).iloc[-1]
+            ck = (int(cand["__ts_us"]), int(cand["event_id"]))
+            if best is None or ck > (best[0], best[1]):
+                val = cand["value"]
+                best = (
+                    ck[0],
+                    ck[1],
+                    str(cand["event_type"]),
+                    None if pd.isna(val) else float(val),
+                )
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "ts_us": [best[0]],
+                "event_id": [best[1]],
+                "event_type": [best[2]],
+                "value": [best[3]],
+                "is_deleted": [best[2] == tombstone],
+            }
+        )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,

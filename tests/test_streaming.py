@@ -488,3 +488,50 @@ def test_cusum_monitor_stream_matches_batch_recurrence(spark, tmp_path):
         assert abs(got[hr][0] - s) < 1e-9
         assert got[hr][1] == int(s > thr)
     assert len(got) == len(c)
+
+
+def test_cdc_upsert_stream_matches_batch_latest(spark, tmp_path, batch_events):
+    """Streaming latest-wins upsert + tombstone (3 micro-batches with
+    each user's changes scattered across them) == batch latest_by_key."""
+    from daxos_spark.operators.temporal import latest_by_key
+    from daxos_spark.streaming.pipelines import cdc_upsert_stream
+
+    # slice the changelog by pmod(event_id, 3) so a key's changes arrive
+    # out of ts order across batches — cross-batch state must override
+    ev_dir = str(tmp_path / "cdc_events")
+    for i in range(3):
+        batch_events.filter(F.pmod("event_id", F.lit(3)) == i).write.parquet(
+            f"{ev_dir}/slice={i}"
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(ev_dir)
+    )
+    run_to_memory(cdc_upsert_stream(stream), "t_cdc_upsert", output_mode="update")
+
+    got = {}
+    for r in spark.table("t_cdc_upsert").collect():  # batch order: last wins
+        got[r["user_id"]] = r
+    want = {
+        r["user_id"]: r
+        for r in latest_by_key(
+            batch_events, "user_id", ["ts", "event_id"], ["event_type", "value"]
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        assert g["event_type"] == w["event_type"], uid
+        assert g["is_deleted"] == (w["event_type"] == "error"), uid
+        if w["value"] is None:
+            assert g["value"] is None, uid
+        else:
+            assert abs(g["value"] - w["value"]) < 1e-9, uid
+    # at least one delete and one upsert exercised
+    dels = [r for r in got.values() if r["is_deleted"]]
+    assert dels and len(dels) < len(got)
