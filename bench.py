@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "q_cdc_apply",
     "t_ngram_novelty",
     "t_source_overlap",
+    "q_cdc_materialize",
 ]
 
 

@@ -208,6 +208,51 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# the materialized CDC view itself, row per key — the batch twin of
+# streaming/pipelines.cdc_upsert_stream's emitted rows (the q_cdc_apply
+# summary above proves the rollup; this gate proves the per-key payload
+# + delete flag a MERGE sink would consume). Same partial-aggregable
+# max(struct) compaction; output is key-cardinality.
+@_q(
+    "q_cdc_materialize",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           CASE WHEN event_type <> 'error' THEN value
+                ELSE CAST(NULL AS DOUBLE) END AS value,
+           (event_type = 'error') AS is_deleted
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="materialized CDC view: per-key latest payload + tombstone "
+    "delete flag (the rows a MERGE sink upserts; batch twin of the "
+    "streaming cdc_upsert_stream state)",
+)
+def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import latest_by_key
+
+    e = load_tables(spark, sf_dir)["events"]
+    final = latest_by_key(
+        e, "user_id", ["ts", "event_id"], ["event_type", "value"]
+    )
+    deleted = F.col("event_type") == "error"
+    return final.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.when(~deleted, F.col("value")).otherwise(F.lit(None).cast("double")).alias(
+            "value"
+        ),
+        deleted.alias("is_deleted"),
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
 # HLL approximate-distinct vs exact — the sketch every 100 TB pipeline
 # uses for cardinality (one pass, fixed memory, mergeable across
 # partitions; exact COUNT(DISTINCT) needs a full shuffle of the key
