@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "t_ngram_novelty",
     "t_source_overlap",
     "q_cdc_materialize",
+    "q_k_anonymity",
 ]
 
 

@@ -474,3 +474,88 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_partkey", "price_cents", "p_size")
         .orderBy("p_brand", "price_cents", "p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers — the governance check a
+# training-data pipeline runs BEFORE release (companion to the PII
+# scrub d_pii_scrub: scrubbing direct identifiers does not stop
+# re-identification through quasi-identifier combinations). Equivalence
+# classes = (nation, market segment, $1000 balance band); classes
+# smaller than k=5 put their members at re-identification risk, and
+# the records_at_risk / risk_fraction columns are exactly the
+# suppress-or-generalize workload. Scale shape: one customer scan into
+# a class-cardinality groupBy (partial counts combine map-side), then a
+# segment-cardinality rollup — both shuffles are bounded by the QI
+# domain, never the table.
+_KANON_K = 5
+
+
+@_q(
+    "q_k_anonymity",
+    f"""
+    WITH classes AS (
+      SELECT c_mktsegment AS seg, c_nationkey,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS sz
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT seg,
+           COUNT(*) AS n_classes,
+           CAST(SUM(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_classes,
+           CAST(SUM(sz) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+             AS records_at_risk,
+           {sql_trunc6(
+               f"CAST(SUM(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS DOUBLE)"
+               " / CAST(SUM(sz) AS DOUBLE)"
+           )} AS risk_fraction,
+           CAST(MIN(sz) AS BIGINT) AS min_class_size
+    FROM classes GROUP BY seg ORDER BY seg
+    """,
+    doc=f"k-anonymity audit (k={_KANON_K}) over (nation, segment, "
+    "$1000 balance band) quasi-identifiers: per-segment class "
+    "counts, records at re-identification risk, suppression "
+    "fraction (governance companion to the PII scrub)",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    small = F.col("sz") < _KANON_K
+    classes = (
+        c.groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            "c_nationkey",
+            F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+            .cast("bigint")
+            .alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return (
+        classes.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(small, 1).otherwise(0)).cast("bigint").alias(
+                "n_small_classes"
+            ),
+            F.sum("sz").cast("bigint").alias("n_records"),
+            F.sum(F.when(small, F.col("sz")).otherwise(0)).cast("bigint").alias(
+                "records_at_risk"
+            ),
+            F.min("sz").cast("bigint").alias("min_class_size"),
+        )
+        .select(
+            "seg",
+            "n_classes",
+            "n_small_classes",
+            "n_records",
+            "records_at_risk",
+            trunc6(
+                F.col("records_at_risk").cast("double")
+                / F.col("n_records").cast("double")
+            ).alias("risk_fraction"),
+            "min_class_size",
+        )
+        .orderBy("seg")
+    )
