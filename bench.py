@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "t_source_overlap",
     "q_cdc_materialize",
     "q_k_anonymity",
+    "t_dedup_best_keep",
 ]
 
 

@@ -652,48 +652,13 @@ def d_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACC_THR = 0.02
 
 
-@_q(
-    "d_dedup_clusters",
-    f"""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, source, {_TOKS} AS tk FROM documents
-    ), sh0 AS (
-      SELECT DISTINCT doc_id, source, {_SHINGLE} AS s
-      FROM (SELECT doc_id, source, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
-    ), sh AS (
-      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY s) <= {_MAX_SHINGLE_DF}
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ), pairs AS (
-      SELECT da, db
-      FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
-      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {_JACC_THR}
-    ), edges AS (
-      SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs
-    ), reach AS (
-      SELECT u AS node, v AS r FROM edges
-      UNION
-      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
-    ), comp AS (
-      SELECT node, LEAST(node, MIN(r)) AS component
-      FROM reach GROUP BY node
-    ), csize AS (
-      SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
-    )
-    SELECT sz AS cluster_size, COUNT(*) AS n_clusters
-    FROM csize GROUP BY sz ORDER BY sz
-    """,
-)
-def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.components import connected_components
-
-    d = _fanout(load_tables(spark, sf_dir)["documents"])
-    # same hot-shingle DF cap as d_jaccard_pairs — the cluster edges
-    # come from the identical shingle self-join and share its skew risk.
+def _jaccard_edge_pairs(d: DataFrame):
+    """Shared near-dup edge construction: capped shingle self-join →
+    Jaccard ≥ _JACC_THR (da, db) pairs. Same hot-shingle DF cap as
+    d_jaccard_pairs — the cluster edges come from the identical shingle
+    self-join and share its skew risk. Returns (pairs, sh0) with sh0
+    the persisted exploded shingle stream (three consumers: sizes +
+    both join sides)."""
     sh0 = d.select(
         "doc_id",
         "source",
@@ -722,6 +687,56 @@ def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("da", "db")
     )
+    return pairs, sh0
+
+
+# the recursive-CTE connected-components oracle chain (through `comp`),
+# shared by d_dedup_clusters and the keep-policy variant in textpipe
+CC_ORACLE_CTE = f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source, {_TOKS} AS tk FROM documents
+    ), sh0 AS (
+      SELECT DISTINCT doc_id, source, {_SHINGLE} AS s
+      FROM (SELECT doc_id, source, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    ), sh AS (
+      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY s) <= {_MAX_SHINGLE_DF}
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT da, db
+      FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {_JACC_THR}
+    ), edges AS (
+      SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs
+    ), reach AS (
+      SELECT u AS node, v AS r FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+    ), comp AS (
+      SELECT node, LEAST(node, MIN(r)) AS component
+      FROM reach GROUP BY node
+    )"""
+
+
+@_q(
+    "d_dedup_clusters",
+    CC_ORACLE_CTE
+    + """, csize AS (
+      SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+    )
+    SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+    FROM csize GROUP BY sz ORDER BY sz
+    """,
+)
+def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    pairs, _sh0 = _jaccard_edge_pairs(d)
     comp = connected_components(pairs, "da", "db")
     csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     out = (

@@ -1931,6 +1931,86 @@ def _source_overlap_lazy(spark: SparkSession, sf_dir: str):
     return out, sg
 
 
+# --------------------------------------------------------------------------
+# keep-policy dedup: which member of each near-dup cluster survives.
+# d_dedup_clusters proves the clustering; this selects the SURVIVOR by
+# the keep-longest policy (most-complete-version-wins, doc_id tiebreak)
+# — the choice that actually determines corpus quality after dedup
+# (min-id keep throws away the longest variant whenever a truncated
+# copy happens to sort first). The per-cluster argmax is a
+# partial-aggregable max(struct(n_chars, -doc_id)) — no per-cluster
+# window, hot clusters combine map-side; edges/CC shared with
+# d_dedup_clusters (`_jaccard_edge_pairs` + pointer-jumping CC).
+def _best_keep_oracle() -> str:
+    from .docpipe import CC_ORACLE_CTE
+
+    return (
+        CC_ORACLE_CTE
+        + """, allc AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY cluster) AS csz
+      FROM allc
+    )
+    SELECT cluster, doc_id AS kept_doc,
+           CAST(n_chars AS BIGINT) AS kept_chars,
+           CAST(csz - 1 AS BIGINT) AS n_removed
+    FROM ranked WHERE rk = 1 AND csz >= 2
+    ORDER BY cluster
+    """
+    )
+
+
+@_q(
+    "t_dedup_best_keep",
+    _best_keep_oracle(),
+    doc="near-dup survivor selection: keep-longest (doc_id tiebreak) "
+    "per Jaccard cluster via partial-aggregable max(struct); reports "
+    "kept doc + removed count per multi-member cluster",
+)
+def t_dedup_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from .docpipe import _jaccard_edge_pairs
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    pairs, _sh0 = _jaccard_edge_pairs(d)
+    comp = connected_components(pairs, "da", "db")
+    allc = (
+        d.select("doc_id", "n_chars")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    agg = allc.groupBy("cluster").agg(
+        F.max(
+            F.struct(
+                F.col("n_chars"),
+                (-F.col("doc_id")).alias("neg_id"),
+                F.col("doc_id"),
+            )
+        ).alias("best"),
+        F.count(F.lit(1)).alias("csz"),
+    )
+    return (
+        agg.filter(F.col("csz") >= 2)
+        .select(
+            "cluster",
+            F.col("best.doc_id").alias("kept_doc"),
+            F.col("best.n_chars").cast("bigint").alias("kept_chars"),
+            (F.col("csz") - 1).cast("bigint").alias("n_removed"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # expose the lazy pipelines to tools/plan_audit.py (the registered
 # callables checkpoint eagerly, so their returned plan is just an RDD
 # scan — the audit should see the real pipeline)

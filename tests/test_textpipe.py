@@ -640,3 +640,64 @@ def test_source_overlap_matches_pandas(spark):
             assert abs(g["jaccard"] - shared / (na + nb - shared)) < 2e-6
             assert abs(g["containment"] - shared / min(na, nb)) < 2e-6
     assert len(got) <= len(srcs) * (len(srcs) - 1) // 2
+
+
+def test_dedup_best_keep_matches_python_replay(spark):
+    """Full python replay: capped shingle pairs (same-source), Jaccard
+    clusters via union-find, keep-longest survivor per cluster."""
+    from collections import Counter
+
+    from daxos_spark.plans.docpipe import _JACC_THR, _MAX_SHINGLE_DF
+    from daxos_spark.plans.textpipe import t_dedup_best_keep
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def sh3(txt: str) -> set[str]:
+        tk = _toks(txt)
+        k = max(len(tk) - 2, 1)
+        return {" ".join(tk[i : i + 3]) for i in range(k)}
+
+    rows = [(int(r.doc_id), r.source, int(r.n_chars), sh3(r.text)) for r in docs.itertuples()]
+    df_count: Counter = Counter()
+    for _, _, _, s in rows:
+        df_count.update(s)
+    hot = {g for g, c in df_count.items() if c > _MAX_SHINGLE_DF}
+    capped = [(did, src, nch, s - hot) for did, src, nch, s in rows]
+
+    parent = {did: did for did, *_ in capped}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, (da, sa, _, ta) in enumerate(capped):
+        for db, sb, _, tb in capped[i + 1 :]:
+            if sa != sb:
+                continue
+            inter = len(ta & tb)
+            if not inter:
+                continue
+            union = len(ta) + len(tb) - inter
+            if inter / union >= _JACC_THR:
+                ra, rb = find(da), find(db)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+    clusters: dict[int, list[tuple[int, int]]] = {}
+    for did, _, nch, _ in capped:
+        clusters.setdefault(find(did), []).append((did, nch))
+    want = {}
+    for members in clusters.values():
+        if len(members) < 2:
+            continue
+        cl = min(m[0] for m in members)
+        kept = max(members, key=lambda m: (m[1], -m[0]))
+        want[cl] = (kept[0], kept[1], len(members) - 1)
+
+    got = {r["cluster"]: r for r in t_dedup_best_keep(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for cl, (kd, kc, nr) in want.items():
+        g = got[cl]
+        assert (g["kept_doc"], g["kept_chars"], g["n_removed"]) == (kd, kc, nr), cl
