@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "q_cdc_materialize",
     "q_k_anonymity",
     "t_dedup_best_keep",
+    "t_bigram_ppl",
 ]
 
 

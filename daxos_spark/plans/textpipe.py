@@ -2011,6 +2011,117 @@ def t_dedup_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# interpolated bigram-LM perplexity — the CCNet/KenLM-style fluency
+# filter one order above d_unigram_ppl: p(w2|w1) = 0.7·c2(w1w2)/c1(w1)
+# + 0.3·c1(w2)/N. The probability is kept as a ratio of INTEGER
+# products, p = (7·c2·N + 3·c1(w2)·c1(w1)) / (10·c1(w1)·N), so both
+# engines divide the same exact int64s (bounds: c2·N ≤ ~1e11 at sf0.1;
+# at corpus scale promote to DECIMAL or scale counts down — documented,
+# not silent); per-position ln terms go through the DECIMAL(25,6) sum.
+# Scale shape: two count shuffles (vocabulary / bigram-type
+# cardinality), then the instance stream equi-joins the three count
+# tables token-keyed; at 100 TB the capped top-V tables broadcast.
+# Docs with < 2 tokens have no bigram positions and are excluded.
+_BG_HI = 8.0
+
+
+def _bigram_ppl_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), uni AS (
+      SELECT doc_id, unnest(tk) AS w FROM toks
+    ), c1 AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1
+    ), bi AS (
+      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2
+    ), scored AS (
+      SELECT b.doc_id,
+             LN(CAST(7 * c2.c * t.n + 3 * ca.c * cb.c AS DOUBLE)
+                / CAST(10 * ca.c * t.n AS DOUBLE)) AS lp
+      FROM bi b
+      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+      JOIN c1 ca ON ca.w = b.w1
+      JOIN c1 cb ON cb.w = b.w2
+      CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           {sql_trunc6(
+               "-(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))"
+           )} AS avg_nll,
+           -(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
+             > {_BG_HI} AS high_ppl
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@_q(
+    "t_bigram_ppl",
+    _bigram_ppl_oracle(),
+    doc="interpolated bigram-LM perplexity filter (0.7 bigram MLE + "
+    "0.3 unigram backoff as exact integer ratios; CCNet-style fluency "
+    "gate one order above d_unigram_ppl)",
+)
+def t_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    uni = d.select("doc_id", F.explode(toks).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = c1.agg(F.sum("c").cast("bigint").alias("n"))
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bi = (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigram).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ca = c1.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    cb = c1.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    lp = F.log(
+        (
+            F.lit(7) * F.col("c2") * F.col("n")
+            + F.lit(3) * F.col("ca") * F.col("cb")
+        ).cast("double")
+        / (F.lit(10) * F.col("ca") * F.col("n")).cast("double")
+    )
+    scored = (
+        bi.join(c2, ["w1", "w2"])
+        .join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+    )
+    avg = -(F.col("s").cast("double") / F.col("n_bigrams"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("lp").cast("decimal(25,6)")).cast("double").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            trunc6(avg).alias("avg_nll"),
+            (avg > _BG_HI).alias("high_ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # expose the lazy pipelines to tools/plan_audit.py (the registered
 # callables checkpoint eagerly, so their returned plan is just an RDD
 # scan — the audit should see the real pipeline)

@@ -701,3 +701,38 @@ def test_dedup_best_keep_matches_python_replay(spark):
     for cl, (kd, kc, nr) in want.items():
         g = got[cl]
         assert (g["kept_doc"], g["kept_chars"], g["n_removed"]) == (kd, kc, nr), cl
+
+
+def test_bigram_ppl_matches_python(spark):
+    """Exact replay of the interpolated bigram NLL (integer-ratio
+    probabilities, decimal-summed logs)."""
+    from decimal import Decimal
+
+    from daxos_spark.plans.textpipe import _BG_HI, t_bigram_ppl
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    seqs = {}
+    for r in docs.itertuples():
+        tk = _toks(r.text)
+        seqs[int(r.doc_id)] = tk
+        c1.update(tk)
+        c2.update(zip(tk, tk[1:]))
+    n = sum(c1.values())
+
+    got = {r["doc_id"]: r for r in t_bigram_ppl(spark, SF_DIR).collect()}
+    for did, tk in seqs.items():
+        if len(tk) < 2:
+            assert did not in got
+            continue
+        s = Decimal(0)
+        for w1, w2 in zip(tk, tk[1:]):
+            p = (7 * c2[(w1, w2)] * n + 3 * c1[w1] * c1[w2]) / (10 * c1[w1] * n)
+            s += Decimal(f"{math.log(p):.6f}")
+        nb = len(tk) - 1
+        want_nll = -(float(s) / nb)
+        g = got[did]
+        assert g["n_bigrams"] == nb, did
+        assert abs(g["avg_nll"] - want_nll) < 2e-6, did
+        assert g["high_ppl"] == (want_nll > _BG_HI), did
