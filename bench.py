@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "q_k_anonymity",
     "t_dedup_best_keep",
     "t_bigram_ppl",
+    "q_scd2_lookup",
 ]
 
 

@@ -559,3 +559,112 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# --------------------------------------------------------------------------
+# point-in-time (PIT) lookup against the SCD-2 dimension — "what state
+# was every user in at time T" for three probe instants derived from
+# the stream's own span (quartile points of [min ts, max ts], computed
+# in exact integer microseconds). The resolve is NOT a window over the
+# probe×change fan-out: per (user, probe) the winning change is a
+# partial-aggregable max(struct(ts_us, event_id, event_type)) over the
+# user-keyed left join — map-side combine, fan-out bounded by per-user
+# change count, users with no prior change resolve to NULL (LEFT ASOF
+# semantics). This is the training-data use case "features as of label
+# time" in miniature — the leakage-safe feature-store join.
+@_q(
+    "q_scd2_lookup",
+    """
+    WITH b AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM events
+    ), ks AS (
+      SELECT unnest([1, 2, 3]) AS k
+    ), probes AS (
+      SELECT u.user_id, ks.k,
+             b.mn + CAST(FLOOR(CAST((b.mx - b.mn) * ks.k AS DOUBLE) / 4.0)
+                         AS BIGINT) AS p_us
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN ks CROSS JOIN b
+    ), ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts_us, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    ), ranked AS (
+      SELECT p.user_id, p.k, c.event_type, c.ts_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.user_id, p.k
+               ORDER BY c.ts_us DESC NULLS LAST, c.event_id DESC NULLS LAST
+             ) AS rn
+      FROM probes p
+      LEFT JOIN changes c
+        ON c.user_id = p.user_id AND c.ts_us <= p.p_us
+    )
+    SELECT user_id, k, event_type AS state,
+           CAST(ts_us AS BIGINT) AS since_us
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id, k
+    """,
+    doc="point-in-time SCD-2 lookup: per-user state at 3 quartile probe "
+    "instants via partial-aggregable max(struct) asof resolve (the "
+    "leakage-safe features-as-of-label-time join in miniature)",
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    b = e.agg(
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("mn"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("mx"),
+    )
+    ks = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
+    probes = (
+        e.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(b.select("mn", "mx").select("mn", "mx", ks)))
+        .select(
+            "user_id",
+            "k",
+            (
+                F.col("mn")
+                + F.floor(
+                    ((F.col("mx") - F.col("mn")) * F.col("k")).cast("double")
+                    / F.lit(4.0)
+                ).cast("long")
+            ).alias("p_us"),
+        )
+    )
+    # restored ts is micros precision, so ordering by (ts_us, event_id)
+    # is identical to the oracle's (ts, event_id)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_id",
+        )
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    p, c = probes.alias("p"), changes.alias("c")
+    joined = p.join(
+        c,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts_us") <= F.col("p.p_us")),
+        "left",
+    )
+    best = F.max(F.struct(F.col("c.ts_us"), F.col("c.event_id"), F.col("c.event_type")))
+    return (
+        joined.groupBy(F.col("p.user_id").alias("user_id"), F.col("p.k").alias("k"))
+        .agg(best.alias("best"))
+        .select(
+            "user_id",
+            "k",
+            F.col("best.event_type").alias("state"),
+            F.col("best.ts_us").cast("bigint").alias("since_us"),
+        )
+        .orderBy("user_id", "k")
+    )

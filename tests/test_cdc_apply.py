@@ -74,3 +74,41 @@ def test_cdc_apply_partitions_users_exactly_once(spark):
     deleted = [r for r in out if r.last_event_type == "__deleted__"]
     assert len(deleted) == 1 and deleted[0].value_sum == 0.0
     assert all(r.last_event_type != "error" for r in out)
+
+
+def test_scd2_lookup_matches_python_replay(spark):
+    """PIT lookup: exact replay of the quartile probes and the
+    latest-change-before-probe resolve."""
+    import math
+
+    import pandas as pd
+
+    from daxos_spark.catalog import load_tables
+    from daxos_spark.plans.diagnostics import q_scd2_lookup
+
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), "event_id"
+    ).toPandas()
+    mn, mx = int(ev["us"].min()), int(ev["us"].max())
+    probes = {k: mn + int(math.floor((mx - mn) * k / 4.0)) for k in (1, 2, 3)}
+
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        rows = grp.sort_values(["us", "event_id"]).itertuples()
+        changes = []
+        prev = None
+        for r in rows:
+            if prev is None or r.event_type != prev:
+                changes.append((int(r.us), int(r.event_id), r.event_type))
+            prev = r.event_type
+        for k, p in probes.items():
+            eligible = [c for c in changes if c[0] <= p]
+            if eligible:
+                ts_us, _eid, st = max(eligible)
+                want[(int(uid), k)] = (st, ts_us)
+            else:
+                want[(int(uid), k)] = (None, None)
+
+    got = {(r["user_id"], r["k"]): (r["state"], r["since_us"])
+           for r in q_scd2_lookup(spark, SF_DIR).collect()}
+    assert got == want
