@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 from ..catalog import load_tables
 from ..functions import text as T
 from ..functions.hashing import md5_long, md5_long_sql, minhash_signature, simhash32, word_shingles
-from .registry import QuerySpec, register, sql_davg, sql_trunc6, trunc6
+from .registry import ALL_SPECS, QuerySpec, register, sql_davg, sql_trunc6, trunc6
 
 _NORM = "lower(trim(text))"
 _TOKS = f"string_split_regex({_NORM}, '\\s+')"
@@ -652,18 +652,22 @@ def d_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACC_THR = 0.02
 
 
-def _jaccard_edge_pairs(d: DataFrame):
+def _jaccard_edge_pairs(d: DataFrame, persist: bool = True):
     """Shared near-dup edge construction: capped shingle self-join →
     Jaccard ≥ _JACC_THR (da, db) pairs. Same hot-shingle DF cap as
     d_jaccard_pairs — the cluster edges come from the identical shingle
     self-join and share its skew risk. Returns (pairs, sh0) with sh0
-    the persisted exploded shingle stream (three consumers: sizes +
-    both join sides)."""
+    the exploded shingle stream, persisted by default (three consumers:
+    sizes + both join sides) — callers eagerly materialize their small
+    output and unpersist it; ``persist=False`` is the plan-audit path
+    (inspect only, never register a cache the hook cannot release)."""
     sh0 = d.select(
         "doc_id",
         "source",
         F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
-    ).persist()
+    )
+    if persist:
+        sh0 = sh0.persist()
     sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -733,10 +737,19 @@ CC_ORACLE_CTE = f"""
     """,
 )
 def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, sh0 = _dedup_clusters_lazy(spark, sf_dir)
+    # histogram output is a handful of rows: eager-materialize and
+    # release the corpus-mass shingle cache (t_substring_dedup pattern)
+    out = out.localCheckpoint(eager=True)
+    sh0.unpersist()
+    return out
+
+
+def _dedup_clusters_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
     from ..operators.components import connected_components
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    pairs, _sh0 = _jaccard_edge_pairs(d)
+    pairs, sh0 = _jaccard_edge_pairs(d, persist=persist)
     comp = connected_components(pairs, "da", "db")
     csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     out = (
@@ -744,7 +757,7 @@ def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
     )
-    return out
+    return out, sh0
 
 
 # --------------------------------------------------------------------------
@@ -1390,3 +1403,11 @@ def d_oov_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# plan_audit inspects the lazy pipeline (the registered callable
+# checkpoints eagerly); persist=False so the audit never registers a
+# cache it cannot release
+ALL_SPECS["d_dedup_clusters"].lazy_plan = (
+    lambda spark, sf_dir: _dedup_clusters_lazy(spark, sf_dir, persist=False)[0]
+)

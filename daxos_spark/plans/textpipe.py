@@ -1883,16 +1883,14 @@ def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _source_overlap_lazy(spark: SparkSession, sf_dir: str):
+def _source_overlap_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    sg = (
-        d.select(
-            "source",
-            F.explode(word_shingles(F.lower(F.col("text")), 3)).alias("g"),
-        )
-        .distinct()
-        .persist()
-    )
+    sg = d.select(
+        "source",
+        F.explode(word_shingles(F.lower(F.col("text")), 3)).alias("g"),
+    ).distinct()
+    if persist:
+        sg = sg.persist()
     sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sg.alias("a")
     b = sg.alias("b")
@@ -1974,11 +1972,22 @@ def _best_keep_oracle() -> str:
     "kept doc + removed count per multi-member cluster",
 )
 def t_dedup_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, sh0 = _dedup_best_keep_lazy(spark, sf_dir)
+    # survivor list is multi-cluster-cardinality (tiny): materialize and
+    # release the corpus-mass shingle cache
+    out = out.localCheckpoint(eager=True)
+    sh0.unpersist()
+    return out
+
+
+def _dedup_best_keep_lazy(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+):
     from ..operators.components import connected_components
     from .docpipe import _jaccard_edge_pairs
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    pairs, _sh0 = _jaccard_edge_pairs(d)
+    pairs, sh0 = _jaccard_edge_pairs(d, persist=persist)
     comp = connected_components(pairs, "da", "db")
     allc = (
         d.select("doc_id", "n_chars")
@@ -2008,7 +2017,7 @@ def t_dedup_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("csz") - 1).cast("bigint").alias("n_removed"),
         )
         .orderBy("cluster")
-    )
+    ), sh0
 
 
 # --------------------------------------------------------------------------
@@ -2071,8 +2080,10 @@ def _bigram_ppl_oracle() -> str:
     "gate one order above d_unigram_ppl)",
 )
 def t_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = T.tokens(F.col("text"))  # same tokenizer as d_unigram_ppl
     uni = d.select("doc_id", F.explode(toks).alias("w"))
     c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     tot = c1.agg(F.sum("c").cast("bigint").alias("n"))
@@ -2132,5 +2143,8 @@ ALL_SPECS["t_substring_dedup"].lazy_plan = (
     lambda spark, sf_dir: _substring_dedup_lazy(spark, sf_dir)[0]
 )
 ALL_SPECS["t_source_overlap"].lazy_plan = (
-    lambda spark, sf_dir: _source_overlap_lazy(spark, sf_dir)[0]
+    lambda spark, sf_dir: _source_overlap_lazy(spark, sf_dir, persist=False)[0]
+)
+ALL_SPECS["t_dedup_best_keep"].lazy_plan = (
+    lambda spark, sf_dir: _dedup_best_keep_lazy(spark, sf_dir, persist=False)[0]
 )
