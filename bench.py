@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "t_dedup_best_keep",
     "t_bigram_ppl",
     "q_scd2_lookup",
+    "t_lsh_band_plan",
 ]
 
 

@@ -2133,6 +2133,122 @@ def t_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# LSH banding design table — the S-curve p(s) = 1 − (1 − s^r)^b for
+# every (b, r) split of a 16-hash MinHash budget, evaluated on the
+# 0.1..0.9 similarity grid. This is the design step BEFORE
+# d_minhash_signatures/d_lsh_candidates run at 100 TB: pick the (b, r)
+# whose collision threshold (first s with p ≥ 1/2) brackets the dedup
+# τ, and read the FP mass (p at low s) you are signing up for.
+# Cross-engine determinism: b is restricted to powers of two so every
+# power is an explicit squaring chain (x², x⁴=(x²)², …) — identical
+# double sequences in both engines, no libm pow. Pure literal-grid
+# compute (45 rows), no table scan; at any scale this is a driver-side
+# constant the banding explode is configured from.
+def _band_plan_oracle() -> str:
+    return """
+    WITH bs AS (
+      SELECT unnest([1, 2, 4, 8, 16]) AS b
+    ), ks AS (
+      SELECT unnest(range(1, 10)) AS k
+    ), grid AS (
+      SELECT b, CAST(16 / b AS BIGINT) AS r, k,
+             CAST(k AS DOUBLE) / 10.0 AS x1
+      FROM bs CROSS JOIN ks
+    ), sx AS (
+      SELECT *, x1 * x1 AS x2, (x1*x1)*(x1*x1) AS x4,
+             ((x1*x1)*(x1*x1))*((x1*x1)*(x1*x1)) AS x8,
+             (((x1*x1)*(x1*x1))*((x1*x1)*(x1*x1)))
+               * (((x1*x1)*(x1*x1))*((x1*x1)*(x1*x1))) AS x16
+      FROM grid
+    ), sr AS (
+      SELECT b, r, k,
+             CASE r WHEN 1 THEN x1 WHEN 2 THEN x2 WHEN 4 THEN x4
+                    WHEN 8 THEN x8 ELSE x16 END AS srv
+      FROM sx
+    ), q AS (
+      SELECT b, r, k, 1.0 - srv AS q1 FROM sr
+    ), qb AS (
+      SELECT b, r, k,
+             1.0 - (CASE b WHEN 1 THEN q1 WHEN 2 THEN q1*q1
+                           WHEN 4 THEN (q1*q1)*(q1*q1)
+                           WHEN 8 THEN ((q1*q1)*(q1*q1))*((q1*q1)*(q1*q1))
+                           ELSE (((q1*q1)*(q1*q1))*((q1*q1)*(q1*q1)))
+                             * (((q1*q1)*(q1*q1))*((q1*q1)*(q1*q1))) END) AS p
+      FROM q
+    )
+    SELECT b, r, k AS s_tenths,
+           FLOOR(p * 1000000.0) / 1000000.0 AS p_collision,
+           COALESCE(
+             k = MIN(CASE WHEN p >= 0.5 THEN k END)
+                   OVER (PARTITION BY b), FALSE) AS is_threshold
+    FROM qb ORDER BY b, s_tenths
+    """
+
+
+@_q(
+    "t_lsh_band_plan",
+    _band_plan_oracle(),
+    doc="LSH banding S-curve table: collision probability 1-(1-s^r)^b "
+    "for every power-of-two split of a 16-hash budget over the "
+    "similarity grid, with the p>=1/2 threshold flagged (the (b,r) "
+    "design step ahead of the MinHash/LSH dedup passes)",
+)
+def t_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    bs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v) for v in (1, 2, 4, 8, 16)])
+        ).alias("b")
+    )
+    grid = bs.select(
+        "b",
+        (F.lit(16) / F.col("b")).cast("bigint").alias("r"),
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("k"),
+    ).withColumn("x1", F.col("k").cast("double") / F.lit(10.0))
+    x1 = F.col("x1")
+    x2 = x1 * x1
+    x4 = x2 * x2
+    x8 = x4 * x4
+    x16 = x8 * x8
+    srv = (
+        F.when(F.col("r") == 1, x1)
+        .when(F.col("r") == 2, x2)
+        .when(F.col("r") == 4, x4)
+        .when(F.col("r") == 8, x8)
+        .otherwise(x16)
+    )
+    withq = grid.withColumn("q1", F.lit(1.0) - srv)
+    q1 = F.col("q1")
+    q2 = q1 * q1
+    q4 = q2 * q2
+    q8 = q4 * q4
+    q16 = q8 * q8
+    p = F.lit(1.0) - (
+        F.when(F.col("b") == 1, q1)
+        .when(F.col("b") == 2, q2)
+        .when(F.col("b") == 4, q4)
+        .when(F.col("b") == 8, q8)
+        .otherwise(q16)
+    )
+    scored = withq.withColumn("p", p)
+    wb = W.partitionBy("b")
+    min_thr = F.min(F.when(F.col("p") >= 0.5, F.col("k"))).over(wb)
+    return (
+        scored.select(
+            "b",
+            "r",
+            F.col("k").alias("s_tenths"),
+            trunc6(F.col("p")).alias("p_collision"),
+            F.coalesce(F.col("k") == min_thr, F.lit(False)).alias(
+                "is_threshold"
+            ),
+        )
+        .orderBy("b", "s_tenths")
+    )
+
+
 # expose the lazy pipelines to tools/plan_audit.py (the registered
 # callables checkpoint eagerly, so their returned plan is just an RDD
 # scan — the audit should see the real pipeline)

@@ -736,3 +736,39 @@ def test_bigram_ppl_matches_python(spark):
         assert g["n_bigrams"] == nb, did
         assert abs(g["avg_nll"] - want_nll) < 2e-6, did
         assert g["high_ppl"] == (want_nll > _BG_HI), did
+
+
+def test_lsh_band_plan_matches_python(spark):
+    """Exact replay of the S-curve table, plus the monotone/threshold
+    invariants the design step relies on."""
+    from daxos_spark.plans.textpipe import t_lsh_band_plan
+
+    rows = t_lsh_band_plan(spark, SF_DIR).collect()
+    assert len(rows) == 45
+    for r in rows:
+        b, rr, k = r["b"], r["r"], r["s_tenths"]
+        assert b * rr == 16
+        s = k / 10.0
+        want = 1.0 - (1.0 - s**rr) ** b
+        assert abs(r["p_collision"] - want) < 2e-6, (b, k)
+    # p monotone in s within each b; exactly <=1 threshold row per b
+    by_b: dict[int, list] = {}
+    for r in rows:
+        by_b.setdefault(r["b"], []).append(r)
+    for b, grp in by_b.items():
+        grp.sort(key=lambda r: r["s_tenths"])
+        ps = [r["p_collision"] for r in grp]
+        assert ps == sorted(ps), b
+        thr = [r for r in grp if r["is_threshold"]]
+        assert len(thr) <= 1, b
+        if thr:
+            k0 = thr[0]["s_tenths"]
+            assert all(
+                r["p_collision"] < 0.5 for r in grp if r["s_tenths"] < k0
+            ), b
+    # wider bands push the threshold left (more aggressive candidates)
+    thr_of = {
+        b: next((r["s_tenths"] for r in grp if r["is_threshold"]), 10)
+        for b, grp in by_b.items()
+    }
+    assert thr_of[16] <= thr_of[4] <= thr_of[1]
