@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "m_frame_counts",
     "a2_deconfound_dims",
     "q02_min_cost_supplier",
+    "q03_unshipped_priority",
     "q07_nation_trade_pairs",
     "q09_profit_by_nation_year",
     "q14_promo_revenue",
@@ -84,6 +85,7 @@ BENCH_QUERIES = [
     "q12_late_shipment_priority",
     "q20_excess_suppliers",
     "q21_multi_supplier_orders",
+    "q22_dormant_rich_nations",
     "q_price_histogram",
     "q_funnel_conversion",
     "q_weekly_cohort_retention",

@@ -3086,3 +3086,118 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape: unshipped-orders shipping priority — segment-filtered
+# 3-way join, revenue per order, top-10. (The synthetic schema has no
+# o_shippriority, so o_orderpriority stands in; semantics — filter two
+# fact tables on opposite sides of a date cut, aggregate the join — are
+# Q3's.) Reference: the daxos engine has no multi-fact join at all
+# (SURVEY §2.3); this is beyond-parity relational coverage.
+# Scale: customer is segment-filtered then joined on custkey (shuffle),
+# lineitem joins on orderkey (shuffle); both predicates reach the scans
+# (date + segment pushdown), and the top-10 is a TakeOrdered — no
+# global sort materialization.
+@_q(
+    "q03_unshipped_priority",
+    f"""
+    SELECT l_orderkey,
+           {sql_trunc6(sql_dsum('l_extendedprice * (1 - l_discount)'))} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+      AND l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: segment-filtered unshipped-order revenue top-10",
+)
+def q03_unshipped_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cut = F.lit("1998-07-01").cast("timestamp")
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = t["orders"].filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = t["lineitem"].filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("rev_d"))
+        .select(
+            "l_orderkey",
+            trunc6(F.col("rev_d")).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: global-sales-opportunity — scalar-subquery average
+# threshold + anti-join (customers with above-average balance and no
+# recent urgent orders, grouped by nation as the country-code stand-in;
+# the synthetic schema has no c_phone). The threshold is a decimal-exact
+# average so both engines select the identical customer set.
+# Scale: the threshold is a 1-row broadcast (cross join), the NOT EXISTS
+# is a left-anti shuffle join on custkey — no correlated re-execution.
+@_q(
+    "q22_dormant_rich_nations",
+    f"""
+    WITH thresh AS (
+      SELECT {sql_davg('c_acctbal')} AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    ), recent_urgent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    SELECT c_nationkey AS cntrycode,
+           COUNT(*) AS numcust,
+           {sql_trunc6(sql_dsum('c_acctbal'))} AS totacctbal
+    FROM customer, thresh
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM recent_urgent r WHERE r.o_custkey = c_custkey
+      )
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no recent "
+    "urgent orders, counted per nation (anti-join + scalar avg subquery)",
+)
+def q22_dormant_rich_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    thresh = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    recent_urgent = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent_urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            trunc6(dsum(F.col("c_acctbal"))).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
