@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "t_bigram_ppl",
     "q_scd2_lookup",
     "t_lsh_band_plan",
+    "t_gopher_rules",
 ]
 
 

@@ -2264,3 +2264,135 @@ ALL_SPECS["t_source_overlap"].lazy_plan = (
 ALL_SPECS["t_dedup_best_keep"].lazy_plan = (
     lambda spark, sf_dir: _dedup_best_keep_lazy(spark, sf_dir, persist=False)[0]
 )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality-rule gate (Rae et al. 2021, §A1.1) — the published
+# per-rule document filter, reported as a per-source audit table. The
+# synthetic corpus has no newlines or symbol runs, so the line-based
+# rules are omitted and the five meaningful rules are kept, with bounds
+# calibrated to be non-degenerate on this corpus (published bounds in
+# comments):
+#   R1 token count in [25, 80]           (paper: words in [50, 100k])
+#   R2 mean word length in [3.0, 4.5]    (paper: [3, 10])
+#   R3 ≥80% of words contain a letter    (paper: 80%)
+#   R4 ≥2 distinct English stopwords     (paper: ≥2 of 8)
+#   R5 top-bigram token fraction ≤ 0.125 (paper: top-2-gram char
+#                                         fraction ≤ 0.20)
+# Scale: every rule is a per-row JVM expression over the token array —
+# zero shuffles before the per-source aggregate (20 groups). The R5
+# distinct×occurrence scan is O(len²) in tokens per row but map-side;
+# for book-length docs switch to the exploded groupBy form
+# (d_hot_ngrams' shape) — at ≤10k tokens/doc the HOF wins because it
+# never shuffles the gram stream.
+_GOPHER_STOP = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for'"
+
+
+@_q(
+    "t_gopher_rules",
+    f"""
+    WITH s AS (
+      SELECT source, {_TOKS} AS toks,
+             len({_TOKS}) AS n_tok,
+             length(regexp_replace({_NORM}, '\\s+', '', 'g')) AS n_chars_ws
+      FROM documents
+    ), r AS (
+      SELECT source, n_tok,
+             CAST(n_chars_ws AS DOUBLE) / n_tok AS mwl,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / n_tok AS alpha_ratio,
+             len(list_distinct(list_filter(toks, t -> t IN ({_GOPHER_STOP})))) AS n_stop,
+             CASE WHEN n_tok < 2 THEN 0.0 ELSE
+               CAST(list_max(list_transform(list_distinct(
+                     list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])),
+                   g -> len(list_filter(
+                     list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
+                     x -> x = g)))) AS DOUBLE) * 2.0 / n_tok
+             END AS rep_frac
+      FROM s
+    ), v AS (
+      SELECT source,
+             CASE WHEN n_tok BETWEEN 25 AND 80 THEN 1 ELSE 0 END AS p_wc,
+             CASE WHEN mwl >= 3.0 AND mwl <= 4.5 THEN 1 ELSE 0 END AS p_mwl,
+             CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END AS p_alpha,
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS p_stop,
+             CASE WHEN rep_frac <= 0.125 THEN 1 ELSE 0 END AS p_rep
+      FROM r
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(p_wc) AS BIGINT) AS pass_wordcount,
+           CAST(SUM(p_mwl) AS BIGINT) AS pass_meanwordlen,
+           CAST(SUM(p_alpha) AS BIGINT) AS pass_alpha,
+           CAST(SUM(p_stop) AS BIGINT) AS pass_stopwords,
+           CAST(SUM(p_rep) AS BIGINT) AS pass_repetition,
+           CAST(SUM(p_wc * p_mwl * p_alpha * p_stop * p_rep) AS BIGINT) AS pass_all,
+           {sql_trunc6('CAST(SUM(p_wc * p_mwl * p_alpha * p_stop * p_rep) AS DOUBLE) / COUNT(*)')} AS keep_rate
+    FROM v GROUP BY source ORDER BY source
+    """,
+    doc="Gopher rule gate (Rae et al. '21 §A1.1): 5 per-row quality "
+    "rules → per-source pass counts + keep rate; zero pre-agg shuffles",
+)
+def t_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    stop = [w.strip(" '") for w in _GOPHER_STOP.split(",")]
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    s = d.select(
+        "source",
+        toks.alias("toks"),
+        F.size(toks).alias("n_tok"),
+        F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")).alias("n_chars_ws"),
+    )
+    # bigram stream rebuilt inline at each use (convention: exploding /
+    # transforming a named heavy array column pays an UnsafeRow copy)
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 1)),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    r = s.select(
+        "source",
+        "n_tok",
+        (F.col("n_chars_ws").cast("double") / F.col("n_tok")).alias("mwl"),
+        (
+            F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]"))).cast("double")
+            / F.col("n_tok")
+        ).alias("alpha_ratio"),
+        F.size(F.array_distinct(F.filter(F.col("toks"), lambda t: t.isin(stop)))).alias("n_stop"),
+        F.when(F.col("n_tok") < 2, F.lit(0.0))
+        .otherwise(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(grams),
+                    lambda g: F.size(F.filter(grams, lambda x: x == g)),
+                )
+            ).cast("double")
+            * F.lit(2.0)
+            / F.col("n_tok")
+        )
+        .alias("rep_frac"),
+    )
+    v = r.select(
+        "source",
+        F.col("n_tok").between(25, 80).cast("int").alias("p_wc"),
+        ((F.col("mwl") >= 3.0) & (F.col("mwl") <= 4.5)).cast("int").alias("p_mwl"),
+        (F.col("alpha_ratio") >= 0.8).cast("int").alias("p_alpha"),
+        (F.col("n_stop") >= 2).cast("int").alias("p_stop"),
+        (F.col("rep_frac") <= 0.125).cast("int").alias("p_rep"),
+    )
+    return (
+        v.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p_wc").alias("pass_wordcount"),
+            F.sum("p_mwl").alias("pass_meanwordlen"),
+            F.sum("p_alpha").alias("pass_alpha"),
+            F.sum("p_stop").alias("pass_stopwords"),
+            F.sum("p_rep").alias("pass_repetition"),
+            F.sum(
+                F.col("p_wc") * F.col("p_mwl") * F.col("p_alpha") * F.col("p_stop") * F.col("p_rep")
+            ).alias("pass_all"),
+        )
+        .withColumn(
+            "keep_rate",
+            trunc6(F.col("pass_all").cast("double") / F.col("n_docs")),
+        )
+        .orderBy("source")
+    )
