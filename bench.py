@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "q_scd2_lookup",
     "t_lsh_band_plan",
     "t_gopher_rules",
+    "q_kmv_set_ops",
 ]
 
 

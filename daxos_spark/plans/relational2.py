@@ -3201,3 +3201,103 @@ def q22_dormant_rich_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (θ-sketch) set operations — estimated distinct-union AND
+# distinct-intersection of two part sets from k=256 minimum hash values,
+# with the exact answers joined alongside as the realized-error audit
+# (the sketch family's missing piece: HLL unions but cannot intersect;
+# KMV supports both — Beyer et al. '07, DataSketches theta).
+# Estimators: U ≈ (k-1)/u_k  (u_k = kth-smallest normalized hash of the
+# union),  J ≈ |{sketch ∩ both}|/k,  I ≈ J·U.
+# Scale: the per-side distinct+flag pass is one hash-aggregate; the
+# k-smallest selection is a rank-filter that Catalyst rewrites
+# (LimitPushDownThroughWindow) into TakeOrderedAndProject(256) — per-
+# partition top-k heaps merged once, i.e. exactly the distributed
+# sketch-merge, never a global sort; the WindowExec that remains ranks
+# only the surviving 256 rows (plan-verified). The exact-audit branch
+# re-scans the fact slice — it is the part you drop at 100 TB, the
+# sketch path is the product.
+@_q(
+    "q_kmv_set_ops",
+    f"""
+    WITH li AS (
+      SELECT l_partkey, o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-07-01'
+        AND o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), flags AS (
+      SELECT {md5_long_sql("CAST(l_partkey AS VARCHAR)")} AS h,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS in_b
+      FROM li GROUP BY 1
+    ), ranked AS (
+      SELECT h, in_a, in_b, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM flags
+    ), sk AS (
+      SELECT h, in_a, in_b FROM ranked WHERE rn <= 256
+    ), est AS (
+      SELECT MAX(h) AS hk, CAST(SUM(in_a * in_b) AS DOUBLE) AS n_both
+      FROM sk
+    ), exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS x_union,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS x_inter
+      FROM flags
+    )
+    SELECT
+      exact.x_union AS exact_union,
+      exact.x_inter AS exact_inter,
+      {sql_trunc6('255.0 / (est.hk / 72057594037927936.0)')} AS est_union,
+      {sql_trunc6('est.n_both / 256.0')} AS est_jaccard,
+      {sql_trunc6('(est.n_both / 256.0) * (255.0 / (est.hk / 72057594037927936.0))')} AS est_inter,
+      {sql_trunc6('ABS(255.0 / (est.hk / 72057594037927936.0) - exact.x_union) / exact.x_union')} AS rel_err_union
+    FROM est, exact
+    """,
+    doc="KMV theta-sketch union+intersection estimates (k=256) with "
+    "exact-audit columns; WindowGroupLimit top-k = distributed sketch merge",
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(
+            t["orders"].filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_partkey", "o_orderpriority")
+    )
+    flags = (
+        li.groupBy(md5_long(F.col("l_partkey").cast("string")).alias("h"))
+        .agg(
+            F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("in_a"),
+            F.max((F.col("o_orderpriority") == "5-LOW").cast("int")).alias("in_b"),
+        )
+    )
+    sk = (
+        flags.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= 256)
+    )
+    est = sk.agg(
+        F.max("h").alias("hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("double").alias("n_both"),
+    )
+    exact = flags.agg(
+        F.count(F.lit(1)).alias("x_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("x_inter"),
+    )
+    two56 = F.lit(72057594037927936.0)
+    est_union = F.lit(255.0) / (F.col("hk") / two56)
+    est_jacc = F.col("n_both") / F.lit(256.0)
+    return est.crossJoin(exact).select(
+        F.col("x_union").alias("exact_union"),
+        F.col("x_inter").alias("exact_inter"),
+        trunc6(est_union).alias("est_union"),
+        trunc6(est_jacc).alias("est_jaccard"),
+        trunc6(est_jacc * est_union).alias("est_inter"),
+        trunc6(F.abs(est_union - F.col("x_union")) / F.col("x_union")).alias("rel_err_union"),
+    )
