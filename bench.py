@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "t_lsh_band_plan",
     "t_gopher_rules",
     "q_kmv_set_ops",
+    "v_trunc_knn",
 ]
 
 
