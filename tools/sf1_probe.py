@@ -82,6 +82,12 @@ PROBES = [
     "q_compaction_plan",
     "t_domain_mixture",
     "q_cdc_apply",
+    # round-5 continuation: TPC-H completions + new sketch/quality/ANN ops
+    "q03_unshipped_priority",
+    "q22_dormant_rich_nations",
+    "t_gopher_rules",
+    "q_kmv_set_ops",
+    "v_trunc_knn",
 ]
 
 
