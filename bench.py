@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "t_gopher_rules",
     "q_kmv_set_ops",
     "v_trunc_knn",
+    "t_dedup_agreement",
 ]
 
 

@@ -556,3 +556,195 @@ def d_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tok", trunc6(w).alias("dsir_weight"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Lexical-vs-semantic dedup agreement audit — the governance op a
+# pipeline running BOTH MinHash-style lexical dedup and SemDeDup-style
+# embedding dedup needs: over the union of both methods' candidate
+# universes (shingle-sharing pairs within source; LSH-bucket pairs
+# within language), score every pair with BOTH similarity tests and
+# report the 2x2 confusion counts. "sem-only" mass = paraphrase-class
+# duplicates lexical dedup misses; "lex-only" = boilerplate the
+# embedding model ignores — the numbers that decide which passes a
+# 100 TB corpus actually needs.
+# Scale: both candidate sets are blocked (hot-shingle DF cap; 8-bit
+# hyperplane buckets within lang) — never all-pairs; the scoring stage
+# joins the pair list against the per-doc code table twice (broadcast
+# at dim-table size; bucket-partitioned equi-join at corpus scale).
+# Determinism: Jaccard is an integer ratio, the cosine test is the
+# integer fixed-point cross-multiplication shared with
+# d_semantic_neardup — ints end-to-end, hash-proof.
+_AGREE_SHINGLE = "concat_ws(' ', tk[i], tk[i+1], tk[i+2])"
+_AGREE_TAU_J = 0.05  # lexical near-dup threshold (1 planted pair @0.97; next is <0.05)
+
+
+def _agreement_oracle() -> str:
+    from ..functions.similarity import lsh_planes
+    from .docpipe import _MAX_SHINGLE_DF
+    from .vecpipe import _lsh_sql_bucket
+
+    code = "list_transform(e.embedding::DOUBLE[], x -> CAST(FLOOR(x * 1000.0) AS BIGINT))"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS tk FROM documents
+    ), sh0 AS (
+      SELECT DISTINCT doc_id, source, {_AGREE_SHINGLE} AS s
+      FROM (SELECT doc_id, source, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    ), sh AS (
+      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY s) <= {_MAX_SHINGLE_DF}
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), lex AS (
+      SELECT da, db, n_inter / (sa.n_sh + sb.n_sh - n_inter) AS j
+      FROM inter JOIN sizes sa ON sa.doc_id = da
+                 JOIN sizes sb ON sb.doc_id = db
+    ), codes AS (
+      SELECT d.doc_id, d.lang, {code} AS c
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ), bk AS (
+      SELECT doc_id, lang, c, {_lsh_sql_bucket('c', lsh_planes())} AS bk FROM codes
+    ), sem AS (
+      SELECT a.doc_id AS da, b2.doc_id AS db
+      FROM bk a JOIN bk b2
+        ON a.lang = b2.lang AND a.bk = b2.bk AND a.doc_id < b2.doc_id
+    ), univ AS (
+      SELECT COALESCE(l.da, s.da) AS da, COALESCE(l.db, s.db) AS db,
+             CASE WHEN l.da IS NOT NULL THEN 1 ELSE 0 END AS in_lex_block,
+             CASE WHEN s.da IS NOT NULL THEN 1 ELSE 0 END AS in_sem_block,
+             COALESCE(l.j, 0.0) AS j
+      FROM lex l FULL OUTER JOIN sem s ON l.da = s.da AND l.db = s.db
+    ), scored AS (
+      SELECT u.in_lex_block, u.in_sem_block,
+             CASE WHEN u.j >= {_AGREE_TAU_J} THEN 1 ELSE 0 END AS lex_dup,
+             CASE WHEN CAST(list_dot_product(ca.c, cb.c) AS BIGINT) > 0
+                   AND CAST(CAST(list_dot_product(ca.c, cb.c) AS BIGINT) AS DOUBLE)
+                       * CAST(CAST(list_dot_product(ca.c, cb.c) AS BIGINT) AS DOUBLE)
+                     > (0.09 * CAST(CAST(list_dot_product(ca.c, ca.c) AS BIGINT) AS DOUBLE))
+                       * CAST(CAST(list_dot_product(cb.c, cb.c) AS BIGINT) AS DOUBLE)
+                  THEN 1 ELSE 0 END AS sem_dup
+      FROM univ u JOIN bk ca ON ca.doc_id = u.da
+                  JOIN bk cb ON cb.doc_id = u.db
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(in_lex_block) AS BIGINT) AS n_lex_block,
+           CAST(SUM(in_sem_block) AS BIGINT) AS n_sem_block,
+           CAST(SUM(in_lex_block * in_sem_block) AS BIGINT) AS n_both_block,
+           CAST(SUM(lex_dup) AS BIGINT) AS n_lex_dup,
+           CAST(SUM(sem_dup) AS BIGINT) AS n_sem_dup,
+           CAST(SUM(lex_dup * sem_dup) AS BIGINT) AS n_dup_both,
+           CAST(SUM(CASE WHEN lex_dup + sem_dup >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_either
+    FROM scored
+    """
+
+
+@_q(
+    "t_dedup_agreement",
+    _agreement_oracle(),
+    doc="lexical(MinHash-shingle Jaccard) vs semantic(embedding cosine) "
+    "dedup agreement: 2x2 confusion over the union candidate universe",
+)
+def t_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import word_shingles
+    from ..functions.similarity import int_code, lsh_bucket, lsh_planes
+    from ..functions.vectors import to_double
+    from .docpipe import _MAX_SHINGLE_DF, _cap_hot_shingles
+
+    t = load_tables(spark, sf_dir)
+    d = _fanout(t["documents"])
+    sh0 = d.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
+    ).persist()
+    sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    lex = (
+        inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("nsa")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nsb")), "db")
+        .select(
+            "da",
+            "db",
+            (F.col("n_inter") / (F.col("nsa") + F.col("nsb") - F.col("n_inter"))).alias("j"),
+        )
+    )
+    idot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda u, v: u * v), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    codes = (
+        t["documents"]
+        .select("doc_id", "lang")
+        .join(t["embeddings"], F.col("doc_id") == F.col("vec_id"))
+        .select("doc_id", "lang", int_code(to_double(F.col("embedding"))).alias("c"))
+    )
+    planes = lsh_planes()
+    bk = codes.withColumn("bk", lsh_bucket(F.col("c"), planes)).withColumn(
+        "nn", idot(F.col("c"), F.col("c"))
+    )
+    sa, sb = bk.alias("sa"), bk.alias("sb")
+    sem = sa.join(
+        sb,
+        (F.col("sa.lang") == F.col("sb.lang"))
+        & (F.col("sa.bk") == F.col("sb.bk"))
+        & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+    ).select(F.col("sa.doc_id").alias("da"), F.col("sb.doc_id").alias("db"))
+    univ = (
+        lex.withColumn("in_lex_block", F.lit(1))
+        .join(sem.withColumn("in_sem_block", F.lit(1)), ["da", "db"], "full_outer")
+        .select(
+            "da",
+            "db",
+            F.coalesce(F.col("in_lex_block"), F.lit(0)).alias("in_lex_block"),
+            F.coalesce(F.col("in_sem_block"), F.lit(0)).alias("in_sem_block"),
+            F.coalesce(F.col("j"), F.lit(0.0)).alias("j"),
+        )
+    )
+    ca = F.broadcast(bk.select(F.col("doc_id").alias("da"), F.col("c").alias("c_a"), F.col("nn").alias("n_a")))
+    cb = F.broadcast(bk.select(F.col("doc_id").alias("db"), F.col("c").alias("c_b"), F.col("nn").alias("n_b")))
+    num = idot(F.col("c_a"), F.col("c_b"))
+    scored = (
+        univ.join(ca, "da")
+        .join(cb, "db")
+        .select(
+            "in_lex_block",
+            "in_sem_block",
+            (F.col("j") >= F.lit(_AGREE_TAU_J)).cast("int").alias("lex_dup"),
+            F.when(
+                (num > 0)
+                & (
+                    num.cast("double") * num.cast("double")
+                    > (F.lit(0.09) * F.col("n_a").cast("double")) * F.col("n_b").cast("double")
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("sem_dup"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("in_lex_block").cast("bigint").alias("n_lex_block"),
+        F.sum("in_sem_block").cast("bigint").alias("n_sem_block"),
+        F.sum(F.col("in_lex_block") * F.col("in_sem_block")).cast("bigint").alias("n_both_block"),
+        F.sum("lex_dup").cast("bigint").alias("n_lex_dup"),
+        F.sum("sem_dup").cast("bigint").alias("n_sem_dup"),
+        F.sum(F.col("lex_dup") * F.col("sem_dup")).cast("bigint").alias("n_dup_both"),
+        F.sum(((F.col("lex_dup") + F.col("sem_dup")) >= 1).cast("int"))
+        .cast("bigint")
+        .alias("n_dup_either"),
+    )
