@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "q_kmv_set_ops",
     "v_trunc_knn",
     "t_dedup_agreement",
+    "q_mad_outliers",
 ]
 
 

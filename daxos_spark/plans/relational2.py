@@ -3301,3 +3301,71 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(est_jacc * est_union).alias("est_inter"),
         trunc6(F.abs(est_union - F.col("x_union")) / F.col("x_union")).alias("rel_err_union"),
     )
+
+
+# --------------------------------------------------------------------------
+# Robust outlier detection — median/MAD z-scores per group (the
+# outlier rule that survives heavy tails where mean/stddev break;
+# Iglewicz-Hoaglin |x−med| > 3·1.4826·MAD). Two exact-percentile
+# passes (group median, then median absolute deviation) joined back
+# broadcast. Spark percentile() and duckdb quantile_cont share the
+# linear-interpolation definition, and every derived double goes
+# through identical operation order, so counts are hash-exact.
+# Scale: two shuffles on the group key (exact medians sort per group);
+# at 100 TB swap percentile() → approx_percentile() (t-digest,
+# map-side combinable, one shuffle) and keep the same rule.
+@_q(
+    "q_mad_outliers",
+    f"""
+    WITH med AS (
+      SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY o_orderstatus
+    ), dev AS (
+      SELECT o.o_orderstatus, o.o_totalprice, m.med,
+             ABS(o.o_totalprice - m.med) AS ad
+      FROM orders o JOIN med m ON o.o_orderstatus = m.o_orderstatus
+    ), mad AS (
+      SELECT o_orderstatus, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY o_orderstatus
+    )
+    SELECT d.o_orderstatus AS status,
+           COUNT(*) AS n,
+           {sql_trunc6('MIN(d.med)')} AS med,
+           {sql_trunc6('MIN(m2.mad)')} AS mad,
+           CAST(SUM(CASE WHEN d.ad > 3.0 * 1.4826 * m2.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m2 ON d.o_orderstatus = m2.o_orderstatus
+    GROUP BY d.o_orderstatus
+    ORDER BY status
+    """,
+    doc="median/MAD robust outlier counts per order status "
+    "(Iglewicz-Hoaglin 3·1.4826·MAD rule), exact interpolated medians",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"].select("o_orderstatus", "o_totalprice")
+    med = o.groupBy("o_orderstatus").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderstatus").select(
+        "o_orderstatus",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("o_orderstatus").agg(
+        F.percentile(F.col("ad"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderstatus")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            trunc6(F.min("med")).alias("med"),
+            trunc6(F.min("mad")).alias("mad"),
+            F.sum(
+                (F.col("ad") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("status")
+    )
