@@ -1610,3 +1610,148 @@ def ml_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_snps",
         trunc6(F.col("phi")).alias("phi"),
     ).orderBy("si", "sj")
+
+
+# --------------------------------------------------------------------------
+# Pairwise SNP×SNP epistasis screen — plink --fast-epistasis shape
+# (case/control log-OR difference over collapsed 2×2 exposure tables,
+# Haldane +0.5 correction; cf. plink 1.9 epistasis docs and BOOST,
+# Wan et al. 2010). Dosage is collapsed to carrier/non-carrier
+# (d ≥ 1), each (pair, group) table is reconstructed from pairwise
+# n11 counts plus per-SNP margins — the gram-matrix trick: only the
+# JOINT count needs the sample-keyed self-join; n10/n01/n00 are margin
+# arithmetic. Interaction stat = |ln OR_case − ln OR_ctrl|, top-25.
+# Scale: the self-join is keyed on sample id (each sample contributes
+# its carrier-SNP pairs — p² per sample worst case, the same budget as
+# BOOST's per-sample bit-AND); counts partial-aggregate map-side into
+# a p²-bounded pair grid. At 215k SNPs you block the pair space
+# (SNP-range × SNP-range tiles), exactly like the KING kinship note.
+@_qo(
+    "ml_epistasis_screen",
+    f"""
+    WITH s AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS is_case, vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ), e AS (
+      SELECT is_case, vec_id, pos FROM s WHERE (vec_id + 7 * pos) % 3 >= 1
+    ), tot AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS is_case,
+             COUNT(*) AS n_g
+      FROM embeddings GROUP BY 1
+    ), marg AS (
+      SELECT is_case, pos, COUNT(*) AS n1 FROM e GROUP BY is_case, pos
+    ), pair AS (
+      SELECT a.is_case, a.pos AS p1, b.pos AS p2, COUNT(*) AS n11
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.is_case = b.is_case AND a.pos < b.pos
+      GROUP BY a.is_case, a.pos, b.pos
+    ), grid AS (
+      SELECT m1.is_case, m1.pos AS p1, m2.pos AS p2, m1.n1 AS n1a, m2.n1 AS n1b
+      FROM marg m1 JOIN marg m2 ON m1.is_case = m2.is_case AND m1.pos < m2.pos
+    ), cells AS (
+      SELECT g.is_case, g.p1, g.p2,
+             COALESCE(p.n11, 0) AS n11,
+             g.n1a - COALESCE(p.n11, 0) AS n10,
+             g.n1b - COALESCE(p.n11, 0) AS n01,
+             t.n_g - g.n1a - g.n1b + COALESCE(p.n11, 0) AS n00
+      FROM grid g
+      LEFT JOIN pair p ON p.is_case = g.is_case AND p.p1 = g.p1 AND p.p2 = g.p2
+      JOIN tot t ON t.is_case = g.is_case
+    ), lor AS (
+      SELECT is_case, p1, p2,
+             LN(((n11 + 0.5) * (n00 + 0.5)) / ((n10 + 0.5) * (n01 + 0.5))) AS lor
+      FROM cells
+    ), w AS (
+      SELECT p1, p2,
+             MAX(CASE WHEN is_case = 1 THEN lor END) AS lor_case,
+             MAX(CASE WHEN is_case = 0 THEN lor END) AS lor_ctrl
+      FROM lor GROUP BY p1, p2
+    )
+    SELECT p1, p2,
+           {sql_trunc6('lor_case')} AS lor_case,
+           {sql_trunc6('lor_ctrl')} AS lor_ctrl,
+           {sql_trunc6('ABS(lor_case - lor_ctrl)')} AS stat
+    FROM w
+    ORDER BY stat DESC, p1, p2
+    LIMIT 25
+    """,
+    doc="plink --fast-epistasis shape: pairwise SNP interaction screen, "
+    "case-vs-control log-OR difference, Haldane-corrected, top-25 pairs",
+)
+def ml_epistasis_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    s = emb.select(
+        (F.col("label") >= 5).cast("int").alias("is_case"),
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos", "_x"),
+    ).select("is_case", "vec_id", "pos")
+    e = s.filter(F.pmod(F.col("vec_id") + 7 * F.col("pos"), F.lit(3)) >= 1)
+    tot = emb.groupBy((F.col("label") >= 5).cast("int").alias("is_case")).agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    marg = e.groupBy("is_case", "pos").agg(F.count(F.lit(1)).alias("n1"))
+    a, b = e.alias("a"), e.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.is_case") == F.col("b.is_case"))
+            & (F.col("a.pos") < F.col("b.pos")),
+        )
+        .groupBy(
+            F.col("a.is_case").alias("is_case"),
+            F.col("a.pos").alias("p1"),
+            F.col("b.pos").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n11"))
+    )
+    m1, m2 = marg.alias("m1"), marg.alias("m2")
+    grid = m1.join(
+        m2,
+        (F.col("m1.is_case") == F.col("m2.is_case")) & (F.col("m1.pos") < F.col("m2.pos")),
+    ).select(
+        F.col("m1.is_case").alias("is_case"),
+        F.col("m1.pos").alias("p1"),
+        F.col("m2.pos").alias("p2"),
+        F.col("m1.n1").alias("n1a"),
+        F.col("m2.n1").alias("n1b"),
+    )
+    cells = (
+        grid.join(F.broadcast(pair), ["is_case", "p1", "p2"], "left")
+        .join(F.broadcast(tot), "is_case")
+        .select(
+            "is_case",
+            "p1",
+            "p2",
+            F.coalesce(F.col("n11"), F.lit(0)).alias("n11"),
+            (F.col("n1a") - F.coalesce(F.col("n11"), F.lit(0))).alias("n10"),
+            (F.col("n1b") - F.coalesce(F.col("n11"), F.lit(0))).alias("n01"),
+            (
+                F.col("n_g") - F.col("n1a") - F.col("n1b") + F.coalesce(F.col("n11"), F.lit(0))
+            ).alias("n00"),
+        )
+    )
+    lor = cells.select(
+        "is_case",
+        "p1",
+        "p2",
+        F.log(
+            ((F.col("n11") + 0.5) * (F.col("n00") + 0.5))
+            / ((F.col("n10") + 0.5) * (F.col("n01") + 0.5))
+        ).alias("lor"),
+    )
+    w = lor.groupBy("p1", "p2").agg(
+        F.max(F.when(F.col("is_case") == 1, F.col("lor"))).alias("lor_case"),
+        F.max(F.when(F.col("is_case") == 0, F.col("lor"))).alias("lor_ctrl"),
+    )
+    return (
+        w.select(
+            "p1",
+            "p2",
+            trunc6(F.col("lor_case")).alias("lor_case"),
+            trunc6(F.col("lor_ctrl")).alias("lor_ctrl"),
+            trunc6(F.abs(F.col("lor_case") - F.col("lor_ctrl"))).alias("stat"),
+        )
+        .orderBy(F.col("stat").desc(), "p1", "p2")
+        .limit(25)
+    )
