@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "v_trunc_knn",
     "t_dedup_agreement",
     "q_mad_outliers",
+    "ml_epistasis_screen",
+    "t_logreg_calibration",
 ]
 
 

@@ -41,7 +41,7 @@ from pyspark.sql.functions import pandas_udf
 from ..catalog import load_tables
 from ..functions.hashing import md5_long, md5_long_sql, word_shingles
 from .docpipe import _fanout
-from .registry import ALL_SPECS, QuerySpec, register, sql_dsum, sql_trunc6, trunc6
+from .registry import ALL_SPECS, QuerySpec, davg, register, sql_davg, sql_dsum, sql_trunc6, trunc6
 
 _NORM = "lower(trim(text))"
 _TOKS = f"string_split_regex({_NORM}, '\\s+')"
@@ -358,7 +358,9 @@ def _lr_feat_sql() -> str:
     """
 
 
-def _lr_oracle() -> str:
+def _lr_chain() -> tuple[str, str]:
+    """The shared WITH-chain (feature table + init + Newton layers);
+    returns (sql_prefix, name_of_final_coefficient_cte)."""
     sums = ",\n             ".join(
         f"CAST(SUM(CAST({e} AS DECIMAL(25,6))) AS DOUBLE) AS {k}"
         for k, e in _LR_SUMS.items()
@@ -376,9 +378,15 @@ def _lr_oracle() -> str:
     ), u{s} AS (SELECT *, {adj} FROM s{s})
     , n{s} AS (SELECT {upd} FROM u{s})""")
         prev = f"n{s}"
-    return f"""
+    prefix = f"""
     WITH feat AS ({_lr_feat_sql()}
-    ), init AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2){''.join(layers)}
+    ), init AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2){''.join(layers)}"""
+    return prefix, prev
+
+
+def _lr_oracle() -> str:
+    prefix, prev = _lr_chain()
+    return f"""{prefix}
     SELECT {sql_trunc6('MAX(b0)')} AS b0, {sql_trunc6('MAX(b1)')} AS b1,
            {sql_trunc6('MAX(b2)')} AS b2,
            COUNT(*) AS n_docs,
@@ -388,33 +396,15 @@ def _lr_oracle() -> str:
     """
 
 
-@_q(
-    "t_quality_logreg",
-    _lr_oracle(),
-    doc="relational IRLS logistic trainer (2 quality features + intercept, "
-    "4 Newton steps of DECIMAL-exact gramian sums + closed-form 3x3 "
-    "solve); trained coefficients hash-checked",
-)
-def t_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import text as T
+def _lr_fit(spark: SparkSession, feat: DataFrame):
+    """Run the fixed IRLS/Newton steps over a cached feature table and
+    return the 1-row broadcastable coefficient DataFrame.
 
-    d = _fanout(load_tables(spark, sf_dir)["documents"])
-    toks = T.tokens(F.col("text"))
-    stop = [s.strip("'") for s in _LR_STOP.strip("()").split(",")]
-    n_tok = F.size(toks).cast("double")
-    feat = d.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-        (F.col("n_chars").cast("double") / n_tok).alias("x1"),
-        (
-            F.size(F.filter(toks, lambda t: t.isin(stop))).cast("double") / n_tok
-        ).alias("x2"),
-    ).persist()  # one feature table feeds all Newton steps + the final scoring
-
-    # each step collects ONLY the 3-value coefficient row (bit-exact
-    # double round-trip) and re-literalizes it — keeping the Newton
-    # chain out of the lineage so every step is one flat agg over the
-    # cached feature table instead of a 4-deep recomputed plan.
+    Each step collects ONLY the 3-value coefficient row (bit-exact
+    double round-trip) and re-literalizes it — keeping the Newton
+    chain out of the lineage so every step is one flat agg over the
+    cached feature table instead of a 4-deep recomputed plan.
+    """
     bvals = (0.0, 0.0, 0.0)
     for _ in range(_LR_STEPS):
         b = spark.createDataFrame([bvals], "b0 double, b1 double, b2 double")
@@ -430,7 +420,37 @@ def t_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         u = s.select("*", *[F.expr(e).alias(k) for k, e in _LR_ADJ.items()])
         row = u.select(*[F.expr(e).alias(k) for k, e in _LR_UPD.items()]).collect()[0]
         bvals = (float(row["b0"]), float(row["b1"]), float(row["b2"]))
-    b = spark.createDataFrame([bvals], "b0 double, b1 double, b2 double")
+    return spark.createDataFrame([bvals], "b0 double, b1 double, b2 double")
+
+
+def _lr_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    toks = T.tokens(F.col("text"))
+    stop = [s.strip("'") for s in _LR_STOP.strip("()").split(",")]
+    n_tok = F.size(toks).cast("double")
+    return d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars").cast("double") / n_tok).alias("x1"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(stop))).cast("double") / n_tok
+        ).alias("x2"),
+    )
+
+
+@_q(
+    "t_quality_logreg",
+    _lr_oracle(),
+    doc="relational IRLS logistic trainer (2 quality features + intercept, "
+    "4 Newton steps of DECIMAL-exact gramian sums + closed-form 3x3 "
+    "solve); trained coefficients hash-checked",
+)
+def t_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one feature table feeds all Newton steps + the final scoring
+    feat = _lr_feat(spark, sf_dir).persist()
+    b = _lr_fit(spark, feat)
     correct = F.expr(f"({_LR_P} >= 0.5) = (y = 1.0)")
     return feat.crossJoin(F.broadcast(b)).agg(
         trunc6(F.max("b0")).alias("b0"),
@@ -2395,4 +2415,61 @@ def t_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(F.col("pass_all").cast("double") / F.col("n_docs")),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Classifier calibration audit — the reliability table (Guo et al. '17
+# style) for the relational IRLS quality classifier: decile-binned
+# predicted probability vs observed rate plus per-bin |gap| (the ECE
+# numerator). A quality/langid classifier that gates a 100 TB corpus
+# is only trustworthy if its scores are calibrated — the threshold IS
+# a probability claim. Shares the exact hash-checked training chain
+# with t_quality_logreg (same coefficients bit-for-bit); the audit
+# adds one binned aggregation over the scored corpus.
+# Scale: scoring is a broadcast of the 3-coefficient row, binning is a
+# 10-group map-side-combinable aggregate — one corpus scan.
+def _lr_calibration_oracle() -> str:
+    prefix, prev = _lr_chain()
+    return f"""{prefix}
+    , scored AS (
+      SELECT y, {_LR_P} AS p FROM feat CROSS JOIN {prev}
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR(p * 10.0) AS BIGINT), 9) AS bin, y, p FROM scored
+    )
+    SELECT bin, COUNT(*) AS n,
+           {sql_trunc6(sql_davg('p'))} AS mean_pred,
+           {sql_trunc6(sql_davg('y'))} AS obs_rate,
+           {sql_trunc6(f"ABS(({sql_davg('p')}) - ({sql_davg('y')}))")} AS abs_gap
+    FROM binned GROUP BY bin ORDER BY bin
+    """
+
+
+@_q(
+    "t_logreg_calibration",
+    _lr_calibration_oracle(),
+    doc="reliability table for the IRLS quality classifier: decile bins "
+    "of predicted p vs observed rate + |gap| (ECE numerator), trained "
+    "coefficients shared bit-for-bit with t_quality_logreg",
+)
+def t_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat = _lr_feat(spark, sf_dir).persist()
+    b = _lr_fit(spark, feat)
+    scored = feat.crossJoin(F.broadcast(b)).select("y", F.expr(_LR_P).alias("p"))
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10.0).cast("bigint"), F.lit(9).cast("bigint")).alias(
+            "bin"
+        ),
+        "y",
+        "p",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            trunc6(davg(F.col("p"))).alias("mean_pred"),
+            trunc6(davg(F.col("y"))).alias("obs_rate"),
+            trunc6(F.abs(davg(F.col("p")) - davg(F.col("y")))).alias("abs_gap"),
+        )
+        .orderBy("bin")
     )
