@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "q_mad_outliers",
     "ml_epistasis_screen",
     "t_logreg_calibration",
+    "v_label_noise",
 ]
 
 

@@ -1613,3 +1613,90 @@ def v_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# kNN label-noise screen (Wilson-editing / "confident-learning-lite")
+# — the labeled-data curation op: for a deterministic 10% probe panel,
+# find each probe's top-5 nearest corpus vectors (fixed-point integer
+# dot product — the e_knn_lsh scoring convention, hash-proof) and
+# count how many neighbors SHARE the probe's label. Per-label output:
+# probe count, total neighbor agreement, and the number of flagged
+# probes (≤1 of 5 neighbors agree) — the candidates a labeling-QA pass
+# re-annotates. On this corpus labels are independent of the isotropic
+# embeddings, so agreement sits near chance (~0.1·5) and most probes
+# flag — the mechanism, not the corpus, is what's verified.
+# Scale: probe panel is a hash-sampled fraction (broadcast); the
+# corpus side streams map-side with per-probe top-k heaps — same
+# probes×corpus budget as every kNN in the family, never corpus².
+@_q(
+    "v_label_noise",
+    """
+    WITH c AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * 1000.0) AS BIGINT)) AS cc
+      FROM embeddings
+    ), p AS (
+      SELECT vec_id AS pid, label AS plabel, cc AS pc FROM c WHERE vec_id % 10 = 0
+    ), s AS (
+      SELECT p.pid, p.plabel, c.label AS clabel, c.vec_id AS cid,
+             CAST(list_dot_product(p.pc, c.cc) AS BIGINT) AS score
+      FROM p JOIN c ON c.vec_id <> p.pid
+    ), top AS (
+      SELECT pid, plabel, clabel FROM (
+        SELECT pid, plabel, clabel,
+               ROW_NUMBER() OVER (PARTITION BY pid ORDER BY score DESC, cid) AS rn
+        FROM s)
+      WHERE rn <= 5
+    ), agr AS (
+      SELECT pid, plabel,
+             SUM(CASE WHEN clabel = plabel THEN 1 ELSE 0 END) AS n_agree
+      FROM top GROUP BY pid, plabel
+    )
+    SELECT plabel AS label, COUNT(*) AS n_probes,
+           CAST(SUM(n_agree) AS BIGINT) AS total_agree,
+           CAST(SUM(CASE WHEN n_agree <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM agr GROUP BY plabel ORDER BY label
+    """,
+    doc="kNN label-noise screen: 10% probe panel, top-5 integer-dot "
+    "neighbors, per-label agreement + flagged-for-reannotation counts",
+)
+def v_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import int_code
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    c = e.select("vec_id", "label", int_code(to_double(F.col("embedding"))).alias("cc"))
+    p = c.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("cc").alias("pc"),
+    )
+    s = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "plabel",
+            F.col("label").alias("clabel"),
+            F.col("vec_id").alias("cid"),
+            F.aggregate(
+                F.zip_with(F.col("pc"), F.col("cc"), lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("score").desc(), "cid")
+    top = s.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    agr = top.groupBy("pid", "plabel").agg(
+        F.sum((F.col("clabel") == F.col("plabel")).cast("int")).alias("n_agree")
+    )
+    return (
+        agr.groupBy(F.col("plabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("n_agree").cast("bigint").alias("total_agree"),
+            F.sum((F.col("n_agree") <= 1).cast("int")).cast("bigint").alias("n_flagged"),
+        )
+        .orderBy("label")
+    )
