@@ -2473,3 +2473,46 @@ def t_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Uncertainty sampling — the active-learning annotation queue: score
+# the corpus with the (hash-checked) IRLS classifier and surface the
+# docs nearest the decision boundary (smallest |p − 0.5|). These are
+# the rows a labeling budget buys first (Lewis & Gale '94 uncertainty
+# sampling); a 100 TB curation loop runs exactly this query per
+# iteration. Shares the bit-identical training chain with
+# t_quality_logreg; selection is one scan + TakeOrdered(20) — the
+# margin sort never materializes globally.
+@_q(
+    "t_uncertainty_sample",
+    f"""{{chain}}
+    , scored AS (
+      SELECT doc_id, y, {_LR_P} AS p FROM feat CROSS JOIN {{prev}}
+    )
+    SELECT doc_id, CAST(y AS BIGINT) AS y,
+           {sql_trunc6('p')} AS p,
+           {sql_trunc6('ABS(p - 0.5)')} AS margin
+    FROM scored
+    ORDER BY margin, doc_id
+    LIMIT 20
+    """.format(chain=_lr_chain()[0], prev=_lr_chain()[1]),
+    doc="uncertainty sampling: top-20 docs nearest the IRLS decision "
+    "boundary (|p-0.5| margin) — the annotation queue",
+)
+def t_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat = _lr_feat(spark, sf_dir).persist()
+    b = _lr_fit(spark, feat)
+    scored = feat.crossJoin(F.broadcast(b)).select(
+        "doc_id", "y", F.expr(_LR_P).alias("p")
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("y").cast("bigint").alias("y"),
+            trunc6(F.col("p")).alias("p"),
+            trunc6(F.abs(F.col("p") - 0.5)).alias("margin"),
+        )
+        .orderBy("margin", "doc_id")
+        .limit(20)
+    )
