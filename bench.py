@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "ml_epistasis_screen",
     "t_logreg_calibration",
     "v_label_noise",
+    "q_poisson_bootstrap",
 ]
 
 

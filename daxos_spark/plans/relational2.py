@@ -3369,3 +3369,94 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap — THE distributed bootstrap (Chamandy et al.,
+# "Estimating Uncertainty for Massive Data Streams", Google 2012;
+# Hadoop/Spark folklore since): classic resampling needs n draws per
+# replicate from the whole dataset (a shuffle per replicate), but
+# Binomial(n, 1/n) → Poisson(1) as n grows, so each ROW independently
+# draws its own per-replicate multiplicity — B replicate estimates in
+# ONE scan with B aggregation expressions, no explode, no extra
+# shuffle, map-side combinable. Weights come from a seeded md5 ladder
+# over the exact Poisson(1) CDF (identical literal thresholds in both
+# engines → identical draws → the whole CI is hash-checked; swap
+# xxhash64 at production for speed, same layout).
+_BOOT_B = 32  # replicates
+_BOOT_CDF = (
+    (0, "0.36787944117144233"),
+    (1, "0.7357588823428847"),
+    (2, "0.9196986029286058"),
+    (3, "0.9810118431238463"),
+    (4, "0.9963401531726563"),
+)
+
+
+def _boot_w_sql(r: int) -> str:
+    u = f"({md5_long_sql('CAST(o_orderkey AS VARCHAR)', seed=r)} / 72057594037927936.0)"
+    ladder = " ".join(f"WHEN {u} < {t} THEN {k}" for k, t in _BOOT_CDF)
+    return f"CASE {ladder} ELSE 5 END"
+
+
+def _boot_oracle() -> str:
+    reps = ",\n             ".join(
+        f"CAST(SUM(CAST(({_boot_w_sql(r)}) * o_totalprice AS DECIMAL(25,6))) AS DOUBLE)"
+        f" / SUM({_boot_w_sql(r)}) AS m{r}"
+        for r in range(_BOOT_B)
+    )
+    arr = ", ".join(f"m{r}" for r in range(_BOOT_B))
+    return f"""
+    WITH s AS (
+      SELECT COUNT(*) AS n, {sql_davg('o_totalprice')} AS mean,
+             {reps}
+      FROM orders
+    ), reps AS (
+      SELECT n, mean, unnest([{arr}]) AS m FROM s
+    )
+    SELECT MAX(n) AS n, {sql_trunc6('MAX(mean)')} AS mean,
+           {sql_trunc6('quantile_cont(m, 0.025)')} AS ci_lo,
+           {sql_trunc6('quantile_cont(m, 0.975)')} AS ci_hi
+    FROM reps
+    """
+
+
+@_q(
+    "q_poisson_bootstrap",
+    _boot_oracle(),
+    doc=f"Poisson bootstrap 95% CI for mean order value: {_BOOT_B} "
+    "replicates as one-scan conditional aggregates (hash-drawn "
+    "Poisson(1) multiplicities), zero explode, map-side combinable",
+)
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"].select("o_orderkey", "o_totalprice")
+
+    def w(r: int):
+        u = md5_long(F.col("o_orderkey").cast("string"), seed=r) / F.lit(
+            72057594037927936.0
+        )
+        expr = F.lit(5)
+        for k, t in reversed(_BOOT_CDF):
+            expr = F.when(u < F.lit(float(t)), F.lit(k)).otherwise(expr)
+        return expr
+
+    aggs = [F.count(F.lit(1)).alias("n"), davg(F.col("o_totalprice")).alias("mean")]
+    for r in range(_BOOT_B):
+        aggs.append(
+            (
+                F.sum((w(r) * F.col("o_totalprice")).cast(DEC)).cast("double")
+                / F.sum(w(r))
+            ).alias(f"m{r}")
+        )
+    s = o.agg(*aggs)
+    reps = s.select(
+        "n",
+        "mean",
+        F.explode(F.array(*[F.col(f"m{r}") for r in range(_BOOT_B)])).alias("m"),
+    )
+    return reps.agg(
+        F.max("n").alias("n"),
+        trunc6(F.max("mean")).alias("mean"),
+        trunc6(F.percentile(F.col("m"), F.lit(0.025))).alias("ci_lo"),
+        trunc6(F.percentile(F.col("m"), F.lit(0.975))).alias("ci_hi"),
+    )
