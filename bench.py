@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "t_logreg_calibration",
     "v_label_noise",
     "q_poisson_bootstrap",
+    "q_trajectory_knn",
 ]
 
 

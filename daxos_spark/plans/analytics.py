@@ -295,3 +295,110 @@ def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Behavioral trajectory similarity search — top-k most similar users
+# by event-TRANSITION profile (the clickstream cousin of document
+# similarity; cf. the distributed trajectory top-k literature, e.g.
+# REPOSE ICDE'21 — reference-point blocking ≙ our shared-transition
+# join). Each user's trajectory is reduced to a sparse
+# transition-count vector ("view>click": 3, ...); similarity is
+# cosine via a sparse inner-product join on the transition key — only
+# users sharing a transition type ever meet, and a deterministic 10%
+# probe panel bounds the pair space (probes × sharers, never users²).
+# Scale: transitions from one lag window per user (single shuffle);
+# the inner-product join is transition-keyed (alphabet-bounded
+# buckets); per-probe top-3 via rank filter. Cosine numerators/norms
+# are INTEGER counts — ordering is exact, output is hash-proof.
+@_q(
+    "q_trajectory_knn",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), tr AS (
+      SELECT user_id, prev_type || '>' || event_type AS tkey, COUNT(*) AS cnt
+      FROM s WHERE prev_type IS NOT NULL
+      GROUP BY user_id, tkey
+    ), nrm AS (
+      SELECT user_id, CAST(SUM(cnt * cnt) AS BIGINT) AS nn FROM tr GROUP BY user_id
+    ), p AS (
+      SELECT user_id AS pid, tkey, cnt AS pcnt FROM tr WHERE user_id % 10 = 0
+    ), num AS (
+      SELECT p.pid, t.user_id AS cid, CAST(SUM(p.pcnt * t.cnt) AS BIGINT) AS num
+      FROM p JOIN tr t ON t.tkey = p.tkey AND t.user_id <> p.pid
+      GROUP BY p.pid, t.user_id
+    ), scored AS (
+      SELECT n.pid, n.cid, n.num, na.nn AS na, nb.nn AS nb
+      FROM num n JOIN nrm na ON na.user_id = n.pid
+                 JOIN nrm nb ON nb.user_id = n.cid
+    ), top AS (
+      SELECT pid, cid, num, na, nb FROM (
+        SELECT pid, cid, num, na, nb,
+               ROW_NUMBER() OVER (PARTITION BY pid ORDER BY
+                 CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                   / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) DESC, cid) AS rk
+        FROM scored)
+      WHERE rk <= 3
+    )
+    SELECT pid, cid, num, na, nb,
+           FLOOR((CAST(num AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))))
+                 * 1000000.0) / 1000000.0 AS cos
+    FROM top
+    ORDER BY pid, cos DESC, cid
+    """,
+    doc="top-3 behaviorally-similar users per probe: sparse cosine over "
+    "event-transition count vectors, transition-keyed inner-product join",
+    tags=("analytics",),
+)
+def q_trajectory_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            "user_id",
+            F.concat_ws(">", F.col("prev_type"), F.col("event_type")).alias("tkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()  # feeds norms, probe panel, and the inner-product join
+    )
+    nrm = tr.groupBy("user_id").agg(F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("nn"))
+    p = tr.filter(F.col("user_id") % 10 == 0).select(
+        F.col("user_id").alias("pid"), "tkey", F.col("cnt").alias("pcnt")
+    )
+    num = (
+        tr.join(F.broadcast(p), ["tkey"])
+        .filter(F.col("user_id") != F.col("pid"))
+        .groupBy("pid", F.col("user_id").alias("cid"))
+        .agg(F.sum(F.col("pcnt") * F.col("cnt")).cast("bigint").alias("num"))
+    )
+    scored = (
+        num.join(F.broadcast(nrm.select(F.col("user_id").alias("pid"), F.col("nn").alias("na"))), "pid")
+        .join(F.broadcast(nrm.select(F.col("user_id").alias("cid"), F.col("nn").alias("nb"))), "cid")
+    )
+    rank_key = (
+        F.col("num").cast("double") * F.col("num").cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    wr = Window.partitionBy("pid").orderBy(rank_key.desc(), "cid")
+    top = scored.withColumn("rk", F.row_number().over(wr)).filter(F.col("rk") <= 3)
+    cos = F.col("num").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        top.select(
+            "pid",
+            "cid",
+            "num",
+            "na",
+            "nb",
+            (F.floor(cos * F.lit(1000000.0)) / F.lit(1000000.0)).alias("cos"),
+        )
+        .orderBy("pid", F.col("cos").desc(), "cid")
+    )
