@@ -3429,7 +3429,13 @@ def _boot_oracle() -> str:
     "Poisson(1) multiplicities), zero explode, map-side combinable",
 )
 def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_tables(spark, sf_dir)["orders"].select("o_orderkey", "o_totalprice")
+    from .docpipe import _fanout
+
+    # the ladder evaluates B seeded md5s per row — spread the (small,
+    # often single-file) orders scan across cores first, exactly the
+    # documents-table pattern; at cluster scale the scan already has
+    # ≥ parallelism splits and this is a no-op
+    o = _fanout(load_tables(spark, sf_dir)["orders"].select("o_orderkey", "o_totalprice"))
 
     def w(r: int):
         u = md5_long(F.col("o_orderkey").cast("string"), seed=r) / F.lit(
@@ -3440,15 +3446,23 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = F.when(u < F.lit(float(t)), F.lit(k)).otherwise(expr)
         return expr
 
+    # one projection computes each seeded hash ONCE per row (the agg
+    # below reads the weight array twice — numerator and denominator —
+    # and codegen does not CSE the md5 across aggregate expressions:
+    # measured 2x on the hash-bound scan)
+    ow = o.select(
+        "o_totalprice", F.array(*[w(r) for r in range(_BOOT_B)]).alias("ws")
+    )
     aggs = [F.count(F.lit(1)).alias("n"), davg(F.col("o_totalprice")).alias("mean")]
     for r in range(_BOOT_B):
+        wr = F.element_at(F.col("ws"), r + 1)
         aggs.append(
             (
-                F.sum((w(r) * F.col("o_totalprice")).cast(DEC)).cast("double")
-                / F.sum(w(r))
+                F.sum((wr * F.col("o_totalprice")).cast(DEC)).cast("double")
+                / F.sum(wr)
             ).alias(f"m{r}")
         )
-    s = o.agg(*aggs)
+    s = ow.agg(*aggs)
     reps = s.select(
         "n",
         "mean",

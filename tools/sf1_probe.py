@@ -88,6 +88,13 @@ PROBES = [
     "t_gopher_rules",
     "q_kmv_set_ops",
     "v_trunc_knn",
+    "t_dedup_agreement",
+    "q_mad_outliers",
+    "ml_epistasis_screen",
+    "t_logreg_calibration",
+    "v_label_noise",
+    "q_poisson_bootstrap",
+    "q_trajectory_knn",
 ]
 
 
