@@ -51,7 +51,14 @@ def _q(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ())
     """,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_tables(spark, sf_dir)["lineitem"]
+    from .docpipe import _fanout
+
+    # the harness lineitem is a single-row-group file — ONE task would
+    # run the whole 7-way decimal aggregation regardless of split
+    # planning. Spread it first (conditional: no-op on any real table
+    # with ≥ parallelism row groups); DECIMAL sums are exact and
+    # order-independent, so the redistribution cannot move the hash.
+    l = _fanout(load_tables(spark, sf_dir)["lineitem"])
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
