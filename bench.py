@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "v_label_noise",
     "q_poisson_bootstrap",
     "q_trajectory_knn",
+    "q_cuped_adjust",
 ]
 
 

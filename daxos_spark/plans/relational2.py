@@ -3474,3 +3474,130 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(F.percentile(F.col("m"), F.lit(0.025))).alias("ci_lo"),
         trunc6(F.percentile(F.col("m"), F.lit(0.975))).alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13) — the
+# standard large-scale experimentation adjustment: regress each user's
+# experiment-period metric on their PRE-period metric (θ = cov/var,
+# pooled) and difference the residualized means. Same hash-based arm
+# assignment as q_ab_ztest; reports the raw and CUPED treatment
+# effects plus the realized variance-reduction factor (the % of
+# experiment traffic the adjustment effectively buys back).
+# Scale: one user-keyed aggregate → driver-free scalar moments
+# (decimal-exact) broadcast back → one more arm-keyed aggregate; no
+# window, no self-join, every sum map-side combinable.
+_CUPED_CUT = "2024-01-16"
+
+
+@_q(
+    "q_cuped_adjust",
+    f"""
+    WITH pu AS (
+      SELECT user_id, user_id % 2 AS arm,
+             {sql_dsum(f"CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}' THEN value ELSE 0.0 END")} AS pre,
+             {sql_dsum(f"CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}' THEN value ELSE 0.0 END")} AS post
+      FROM events GROUP BY user_id
+    ), mom AS (
+      SELECT COUNT(*) AS n,
+             {sql_dsum('pre')} AS sp, {sql_dsum('pre * pre')} AS spp,
+             {sql_dsum('post')} AS sq, {sql_dsum('pre * post')} AS spq,
+             {sql_dsum('post * post')} AS sqq
+      FROM pu
+    ), th AS (
+      SELECT n, sp / n AS mpre,
+             (spq - sp * sq / n) / (spp - sp * sp / n) AS theta,
+             (sqq - sq * sq / n) / n AS var_post
+      FROM mom
+    ), adj AS (
+      SELECT pu.arm, pu.post,
+             pu.post - th.theta * (pu.pre - th.mpre) AS a
+      FROM pu CROSS JOIN th
+    ), arms AS (
+      SELECT arm, COUNT(*) AS n_a,
+             {sql_dsum('post')} AS spo, {sql_dsum('a')} AS sa, {sql_dsum('a * a')} AS saa
+      FROM adj GROUP BY arm
+    ), w AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n_a END) AS n0,
+             MAX(CASE WHEN arm = 1 THEN n_a END) AS n1,
+             MAX(CASE WHEN arm = 0 THEN spo END) AS spo0,
+             MAX(CASE WHEN arm = 1 THEN spo END) AS spo1,
+             MAX(CASE WHEN arm = 0 THEN sa END) AS sa0,
+             MAX(CASE WHEN arm = 1 THEN sa END) AS sa1,
+             CAST(SUM(CAST(sa AS DECIMAL(25,6))) AS DOUBLE) AS sat,
+             CAST(SUM(CAST(saa AS DECIMAL(25,6))) AS DOUBLE) AS saat,
+             CAST(SUM(n_a) AS BIGINT) AS nt
+      FROM arms
+    )
+    SELECT w.n0, w.n1,
+           {sql_trunc6('th.theta')} AS theta,
+           {sql_trunc6('w.spo1 / w.n1 - w.spo0 / w.n0')} AS diff_raw,
+           {sql_trunc6('w.sa1 / w.n1 - w.sa0 / w.n0')} AS diff_cuped,
+           {sql_trunc6('1.0 - ((w.saat - w.sat * w.sat / w.nt) / w.nt) / th.var_post')}
+             AS var_reduction
+    FROM w CROSS JOIN th
+    """,
+    doc="CUPED pre-period adjustment (Deng et al. WSDM'13): pooled θ, "
+    "raw vs adjusted treatment effect, realized variance reduction",
+)
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    pu = ev.groupBy("user_id").agg(
+        dsum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("pre"),
+        dsum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias("post"),
+    ).select(F.col("user_id"), (F.col("user_id") % 2).alias("arm"), "pre", "post")
+    mom = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("pre")).alias("sp"),
+        dsum(F.col("pre") * F.col("pre")).alias("spp"),
+        dsum(F.col("post")).alias("sq"),
+        dsum(F.col("pre") * F.col("post")).alias("spq"),
+        dsum(F.col("post") * F.col("post")).alias("sqq"),
+    )
+    th = mom.select(
+        "n",
+        (F.col("sp") / F.col("n")).alias("mpre"),
+        (
+            (F.col("spq") - F.col("sp") * F.col("sq") / F.col("n"))
+            / (F.col("spp") - F.col("sp") * F.col("sp") / F.col("n"))
+        ).alias("theta"),
+        ((F.col("sqq") - F.col("sq") * F.col("sq") / F.col("n")) / F.col("n")).alias(
+            "var_post"
+        ),
+    )
+    adj = pu.crossJoin(F.broadcast(th)).select(
+        "arm",
+        "post",
+        (F.col("post") - F.col("theta") * (F.col("pre") - F.col("mpre"))).alias("a"),
+    )
+    arms = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        dsum(F.col("post")).alias("spo"),
+        dsum(F.col("a")).alias("sa"),
+        dsum(F.col("a") * F.col("a")).alias("saa"),
+    )
+    pick = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))
+    w = arms.agg(
+        pick(0, "n_a").alias("n0"),
+        pick(1, "n_a").alias("n1"),
+        pick(0, "spo").alias("spo0"),
+        pick(1, "spo").alias("spo1"),
+        pick(0, "sa").alias("sa0"),
+        pick(1, "sa").alias("sa1"),
+        F.sum(F.col("sa").cast(DEC)).cast("double").alias("sat"),
+        F.sum(F.col("saa").cast(DEC)).cast("double").alias("saat"),
+        F.sum("n_a").cast("bigint").alias("nt"),
+    )
+    return w.crossJoin(F.broadcast(th)).select(
+        "n0",
+        "n1",
+        trunc6(F.col("theta")).alias("theta"),
+        trunc6(F.col("spo1") / F.col("n1") - F.col("spo0") / F.col("n0")).alias("diff_raw"),
+        trunc6(F.col("sa1") / F.col("n1") - F.col("sa0") / F.col("n0")).alias("diff_cuped"),
+        trunc6(
+            F.lit(1.0)
+            - ((F.col("saat") - F.col("sat") * F.col("sat") / F.col("nt")) / F.col("nt"))
+            / F.col("var_post")
+        ).alias("var_reduction"),
+    )
