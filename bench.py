@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "q_poisson_bootstrap",
     "q_trajectory_knn",
     "q_cuped_adjust",
+    "q_msprt_monitor",
 ]
 
 

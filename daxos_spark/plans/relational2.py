@@ -3601,3 +3601,109 @@ def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("var_post")
         ).alias("var_reduction"),
     )
+
+
+# --------------------------------------------------------------------------
+# Always-valid sequential monitoring — mixture SPRT (Robbins '70;
+# Pekelis/Johari "always-valid p-values", Optimizely'15): the daily
+# dashboard a long-running experiment is ACTUALLY read from, where
+# peeking every day with a fixed-n z-test inflates false positives.
+# For each experiment day d, the cumulative treatment−control sum S_d
+# over n_d user-days gives the normal-mixture likelihood ratio
+#   Λ_d = sqrt(σ²/(σ²+n_d τ²)) · exp(S_d² τ² / (2σ²(σ²+n_d τ²)))
+# and the always-valid p-value p_d = min over d'≤d of 1/Λ_d' (running
+# min via a cumulative window). σ² is the pooled per-user-day variance
+# (decimal moments), τ² = σ² (unit-information mixture).
+# Scale: one (day, arm) aggregate (map-side combinable), a 30-row
+# cumulative window, scalar math — the fact scan happens once.
+@_q(
+    "q_msprt_monitor",
+    f"""
+    WITH ud AS (
+      SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             user_id % 2 AS arm,
+             {sql_dsum('value')} AS v
+      FROM events GROUP BY day, arm, user_id
+    ), sig AS (
+      SELECT COUNT(*) AS n, {sql_dsum('v')} AS s1, {sql_dsum('v * v')} AS s2 FROM ud
+    ), daily AS (
+      SELECT day,
+             COUNT(*) AS n_d,
+             {sql_dsum('CASE WHEN arm = 1 THEN v ELSE -v END')} AS d_d
+      FROM ud GROUP BY day
+    ), cum AS (
+      SELECT day,
+             SUM(n_d) OVER (ORDER BY day) AS n_c,
+             CAST(SUM(CAST(d_d AS DECIMAL(25,6))) OVER (ORDER BY day) AS DOUBLE) AS s_c
+      FROM daily
+    ), lam AS (
+      SELECT day, n_c, s_c, sig.s2 / sig.n - (sig.s1 / sig.n) * (sig.s1 / sig.n) AS var1
+      FROM cum CROSS JOIN sig
+    ), av AS (
+      SELECT day, n_c, s_c,
+             SQRT(var1 / (var1 + n_c * var1))
+               * EXP(s_c * s_c * var1 / (2.0 * var1 * (var1 + n_c * var1))) AS lambda_d
+      FROM lam
+    )
+    SELECT day, CAST(n_c AS BIGINT) AS n_c,
+           {sql_trunc6('s_c')} AS cum_diff,
+           {sql_trunc6('LN(lambda_d)')} AS log_lambda,
+           {sql_trunc6('MIN(LEAST(1.0, 1.0 / lambda_d)) OVER (ORDER BY day)')} AS always_valid_p
+    FROM av ORDER BY day
+    """,
+    doc="mixture-SPRT always-valid p-value per experiment day (Robbins/"
+    "Johari): cumulative diff window + running-min inverse likelihood",
+)
+def q_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ud = (
+        ev.groupBy(
+            F.floor(us / 86_400_000_000).cast("bigint").alias("day"),
+            (F.col("user_id") % 2).alias("arm"),
+            "user_id",
+        )
+        .agg(dsum(F.col("value")).alias("v"))
+    )
+    sig = ud.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("v")).alias("s1"),
+        dsum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    daily = ud.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_d"),
+        dsum(F.when(F.col("arm") == 1, F.col("v")).otherwise(-F.col("v"))).alias("d_d"),
+    )
+    wd = Window.orderBy("day")
+    cum = daily.select(
+        "day",
+        F.sum("n_d").over(wd).alias("n_c"),
+        F.sum(F.col("d_d").cast(DEC)).over(wd).cast("double").alias("s_c"),
+    )
+    lam = cum.crossJoin(F.broadcast(sig)).select(
+        "day",
+        "n_c",
+        "s_c",
+        (
+            F.col("s2") / F.col("n")
+            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+        ).alias("var1"),
+    )
+    lambda_d = F.sqrt(
+        F.col("var1") / (F.col("var1") + F.col("n_c") * F.col("var1"))
+    ) * F.exp(
+        F.col("s_c")
+        * F.col("s_c")
+        * F.col("var1")
+        / (F.lit(2.0) * F.col("var1") * (F.col("var1") + F.col("n_c") * F.col("var1")))
+    )
+    av = lam.select("day", "n_c", "s_c", lambda_d.alias("lambda_d"))
+    return av.select(
+        "day",
+        F.col("n_c").cast("bigint").alias("n_c"),
+        trunc6(F.col("s_c")).alias("cum_diff"),
+        trunc6(F.log(F.col("lambda_d"))).alias("log_lambda"),
+        trunc6(
+            F.min(F.least(F.lit(1.0), F.lit(1.0) / F.col("lambda_d"))).over(wd)
+        ).alias("always_valid_p"),
+    ).orderBy("day")
