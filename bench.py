@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "q_trajectory_knn",
     "q_cuped_adjust",
     "q_msprt_monitor",
+    "q_conformal_interval",
 ]
 
 

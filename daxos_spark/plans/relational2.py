@@ -3707,3 +3707,132 @@ def q_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.least(F.lit(1.0), F.lit(1.0) / F.col("lambda_d"))).over(wd)
         ).alias("always_valid_p"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction interval (Vovk; Lei et al. JASA'18) — the
+# distribution-free uncertainty wrapper a production scoring pipeline
+# puts around ANY point model: fit on a train split, take the
+# ⌈(n+1)(1−α)⌉-th smallest absolute calibration residual as the
+# interval half-width q̂, and AUDIT the realized coverage on a held-out
+# test split (the guarantee is ≥ 1−α regardless of the model). Model
+# here is the closed-form 1-feature OLS (price ~ quantity) from exact
+# decimal moments; splits are hash-disjoint. The calibration order
+# statistic is exact (rank over the calibration residuals — at 100 TB
+# swap to approx_percentile exactly as the MAD docstring notes; the
+# conformal guarantee degrades gracefully with quantile error).
+@_q(
+    "q_conformal_interval",
+    f"""
+    WITH base AS (
+      SELECT l_quantity AS x, l_extendedprice AS y,
+             {md5_long_sql("CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)")} % 4 AS sp
+      FROM lineitem
+    ), mom AS (
+      SELECT COUNT(*) AS n, {sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy,
+             {sql_dsum('x * x')} AS sxx, {sql_dsum('x * y')} AS sxy
+      FROM base WHERE sp <= 1
+    ), fit AS (
+      SELECT n AS n_train,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b,
+             sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n) AS a
+      FROM mom
+    ), cal AS (
+      SELECT ABS(y - (fit.a + fit.b * x)) AS r
+      FROM base CROSS JOIN fit WHERE sp = 2
+    ), caln AS (
+      SELECT COUNT(*) AS n_cal FROM cal
+    ), qhat AS (
+      SELECT MAX(r) AS q, MAX(n_cal) AS n_cal FROM (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn, caln.n_cal
+        FROM cal CROSS JOIN caln)
+      WHERE rn <= CAST(CEIL(0.9 * (n_cal + 1)) AS BIGINT)
+    ), test AS (
+      SELECT COUNT(*) AS n_test,
+             CAST(SUM(CASE WHEN ABS(y - (fit.a + fit.b * x)) <= qhat.q
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+      FROM base CROSS JOIN fit CROSS JOIN qhat WHERE sp = 3
+    )
+    SELECT fit.n_train, qhat.n_cal, test.n_test,
+           {sql_trunc6('fit.a')} AS a, {sql_trunc6('fit.b')} AS b,
+           {sql_trunc6('qhat.q')} AS qhat,
+           test.n_cov,
+           {sql_trunc6('CAST(test.n_cov AS DOUBLE) / test.n_test')} AS coverage
+    FROM fit CROSS JOIN qhat CROSS JOIN test
+    """,
+    doc="split-conformal interval (alpha=0.1) around a decimal-exact OLS: "
+    "exact calibration order statistic, held-out realized-coverage audit",
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    base = li.select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        (
+            md5_long(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("#"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % 4
+        ).alias("sp"),
+    )
+    mom = base.filter(F.col("sp") <= 1).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    b_expr = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    fit = mom.select(
+        F.col("n").alias("n_train"),
+        b_expr.alias("b"),
+        (F.col("sy") / F.col("n") - b_expr * (F.col("sx") / F.col("n"))).alias("a"),
+    )
+    cal = (
+        base.filter(F.col("sp") == 2)
+        .crossJoin(F.broadcast(fit))
+        .select(F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))).alias("r"))
+    )
+    caln = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    ranked = cal.crossJoin(F.broadcast(caln)).withColumn(
+        "rn", F.row_number().over(Window.orderBy("r"))
+    )
+    qhat = ranked.filter(
+        F.col("rn") <= F.ceil(F.lit(0.9) * (F.col("n_cal") + 1)).cast("bigint")
+    ).agg(F.max("r").alias("q"), F.max("n_cal").alias("n_cal"))
+    test = (
+        base.filter(F.col("sp") == 3)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (
+                    F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
+                    <= F.col("q")
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_cov"),
+        )
+    )
+    return (
+        fit.crossJoin(qhat.select(F.col("q"), F.col("n_cal")))
+        .crossJoin(test)
+        .select(
+            "n_train",
+            "n_cal",
+            "n_test",
+            trunc6(F.col("a")).alias("a"),
+            trunc6(F.col("b")).alias("b"),
+            trunc6(F.col("q")).alias("qhat"),
+            "n_cov",
+            trunc6(F.col("n_cov").cast("double") / F.col("n_test")).alias("coverage"),
+        )
+    )
