@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "q_cuped_adjust",
     "q_msprt_monitor",
     "q_conformal_interval",
+    "q_km_time_to_error",
 ]
 
 

@@ -402,3 +402,111 @@ def q_trajectory_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid", F.col("cos").desc(), "cid")
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier time-to-first-error — right-censored survival analysis
+# (the estimator behind every correct "time-to-X" dashboard): per user,
+# hours from first activity to first 'error' event, administratively
+# censored at a 72 h observation horizon (33 of 150 users here — the
+# rows naive averaging silently drops, which is the classic bias KM
+# exists to fix). S(t) = Π_{t'≤t} (1 − d_t'/n_t') via EXP of a
+# cumulative LN sum over the ~48 distinct event hours; at-risk counts
+# from margins (total − prior exits), no per-user window. The curve is
+# reported as LOG-survival: each LN term is the same IEEE double in
+# both engines and the windowed sum adds them in the same order, so
+# the output is hash-exact — whereas EXP of that sum differs in the
+# final ULP across libms and lands exactly on 6-decimal boundaries
+# here (0.30 vs 0.299999…, measured); S(t) = exp(log_survival).
+# Scale: one user-keyed aggregate, one duration-keyed count, a
+# duration-cardinality cumulative window (hour-bounded, not
+# data-bounded).
+_KM_HORIZON_H = 72
+
+
+@_q(
+    "q_km_time_to_error",
+    f"""
+    WITH life0 AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch_us(MIN(CASE WHEN event_type = 'error' THEN ts END)) / 3600000000)
+               - FLOOR(epoch_us(MIN(ts)) / 3600000000) AS BIGINT) AS h
+      FROM events GROUP BY user_id
+    ), life AS (
+      SELECT CASE WHEN h IS NOT NULL AND h < {_KM_HORIZON_H} THEN h ELSE {_KM_HORIZON_H} END AS t,
+             CASE WHEN h IS NOT NULL AND h < {_KM_HORIZON_H} THEN 1 ELSE 0 END AS observed
+      FROM life0
+    ), per_t AS (
+      SELECT t,
+             CAST(SUM(observed) AS BIGINT) AS d,
+             CAST(SUM(1 - observed) AS BIGINT) AS c
+      FROM life GROUP BY t
+    ), risk AS (
+      SELECT t, d, c,
+             CAST((SELECT COUNT(*) FROM life)
+               - COALESCE(SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM per_t
+    )
+    SELECT t, n_risk, d, c,
+           FLOOR(SUM(CASE WHEN d > 0
+                          THEN LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+                          ELSE 0.0 END)
+                 OVER (ORDER BY t) * 1000000.0) / 1000000.0 AS log_survival
+    FROM risk ORDER BY t
+    """,
+    doc="Kaplan-Meier time-to-first-error with 72h administrative "
+    "censoring; survival via cumulative LN sums over event hours",
+    tags=("analytics", "timeseries"),
+)
+def q_km_time_to_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    life0 = ev.groupBy("user_id").agg(
+        (
+            F.floor(
+                us(F.min(F.when(F.col("event_type") == "error", F.col("ts"))))
+                / 3_600_000_000
+            )
+            - F.floor(us(F.min("ts")) / 3_600_000_000)
+        )
+        .cast("bigint")
+        .alias("h")
+    )
+    hz = F.lit(_KM_HORIZON_H)
+    obs = F.col("h").isNotNull() & (F.col("h") < hz)
+    life = life0.select(
+        F.when(obs, F.col("h")).otherwise(hz).alias("t"),
+        obs.cast("int").alias("observed"),
+    )
+    n_users = life.agg(F.count(F.lit(1)).alias("n_users"))
+    per_t = life.groupBy("t").agg(
+        F.sum("observed").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("observed")).cast("bigint").alias("c"),
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_t.crossJoin(F.broadcast(n_users)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    wcum = Window.orderBy("t")
+    logsurv = F.sum(
+        F.when(
+            F.col("d") > 0,
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+        ).otherwise(F.lit(0.0))
+    ).over(wcum)
+    return risk.select(
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        (F.floor(logsurv * F.lit(1000000.0)) / F.lit(1000000.0)).alias("log_survival"),
+    ).orderBy("t")
