@@ -49,7 +49,7 @@ def _q(name: str, oracle: str | None, doc: str = ""):
     """,
 )
 def m_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    d = load_tables(spark, sf_dir)["documents"]
     assets = attach_blob(d, "doc_id", "text", mime="text/plain")
     j = assets.join(d.select(F.col("doc_id").alias("asset_id"), "source"), "asset_id")
     return (
@@ -79,7 +79,7 @@ def m_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def m_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    d = load_tables(spark, sf_dir)["documents"]
     assets = attach_blob(d, "doc_id", "text")
     frames = sample_frames(assets, frame_bytes=_FRAME_BYTES, stride=_STRIDE)
     per_asset = frames.groupBy("asset_id").agg(F.count(F.lit(1)).alias("nf"))
@@ -113,7 +113,7 @@ def m_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m_resize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.columns import resize_blob
 
-    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    d = load_tables(spark, sf_dir)["documents"]
     assets = attach_blob(d, "doc_id", "text")
     small = resize_blob(assets, factor=4)
     j = small.join(
@@ -200,7 +200,7 @@ _MAGIC = [
     doc="magic-byte MIME sniff over binary asset columns (map-side, 4-byte read)",
 )
 def m_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    d = load_tables(spark, sf_dir)["documents"]
     hdr = F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit(_MAGIC[0][0]))
     for i in (1, 2):
         hdr = hdr.when(F.pmod("doc_id", F.lit(4)) == i, F.lit(_MAGIC[i][0]))
