@@ -95,6 +95,10 @@ PROBES = [
     "v_label_noise",
     "q_poisson_bootstrap",
     "q_trajectory_knn",
+    "q_cuped_adjust",
+    "q_msprt_monitor",
+    "q_conformal_interval",
+    "q_km_time_to_error",
 ]
 
 
