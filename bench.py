@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "q_msprt_monitor",
     "q_conformal_interval",
     "q_km_time_to_error",
+    "q_srm_balance",
 ]
 
 

@@ -3836,3 +3836,97 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(F.col("n_cov").cast("double") / F.col("n_test")).alias("coverage"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Experiment health pre-checks — sample-ratio mismatch + covariate
+# balance (the two audits run BEFORE reading any treatment effect;
+# cf. Fabijan et al. "Diagnosing Sample Ratio Mismatch", KDD'19):
+#   SRM: χ² of arm counts vs the designed 50/50 split (1 dof;
+#        flag at 3.84 = p<0.05) — the single most common corrupted-
+#        experiment signal.
+#   Balance: standardized mean difference (SMD) per pre-period
+#        covariate; |SMD| > 0.1 is the conventional imbalance flag.
+# One user-keyed aggregate → arm-keyed decimal moments → scalar math;
+# every output is a deterministic double through identical expression
+# text, no window, no join beyond the 2-row arm pivot.
+@_q(
+    "q_srm_balance",
+    f"""
+    WITH pu AS (
+      SELECT user_id, user_id % 2 AS arm,
+             {sql_dsum(f"CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}' THEN value ELSE 0.0 END")} AS pre_value,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}' THEN 1 ELSE 0 END) AS DOUBLE) AS pre_events
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT arm, COUNT(*) AS n,
+             {sql_dsum('pre_value')} AS sv, {sql_dsum('pre_value * pre_value')} AS svv,
+             {sql_dsum('pre_events')} AS se, {sql_dsum('pre_events * pre_events')} AS see
+      FROM pu GROUP BY arm
+    ), w AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 0 THEN sv END) AS sv0,
+             MAX(CASE WHEN arm = 1 THEN sv END) AS sv1,
+             MAX(CASE WHEN arm = 0 THEN svv END) AS svv0,
+             MAX(CASE WHEN arm = 1 THEN svv END) AS svv1,
+             MAX(CASE WHEN arm = 0 THEN se END) AS se0,
+             MAX(CASE WHEN arm = 1 THEN se END) AS se1,
+             MAX(CASE WHEN arm = 0 THEN see END) AS see0,
+             MAX(CASE WHEN arm = 1 THEN see END) AS see1
+      FROM arms
+    )
+    SELECT n0, n1,
+           {sql_trunc6('CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1)')} AS srm_chi2,
+           CASE WHEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) > 3.841458820694124
+                THEN 1 ELSE 0 END AS srm_flag,
+           {sql_trunc6('(sv1 / n1 - sv0 / n0) / SQRT(((svv0 / n0 - (sv0 / n0) * (sv0 / n0)) + (svv1 / n1 - (sv1 / n1) * (sv1 / n1))) / 2.0)')}
+             AS smd_pre_value,
+           {sql_trunc6('(se1 / n1 - se0 / n0) / SQRT(((see0 / n0 - (se0 / n0) * (se0 / n0)) + (see1 / n1 - (se1 / n1) * (se1 / n1))) / 2.0)')}
+             AS smd_pre_events
+    FROM w
+    """,
+    doc="experiment pre-checks: sample-ratio-mismatch chi-square (1 dof, "
+    "50/50 design) + standardized-mean-difference balance on two "
+    "pre-period covariates",
+)
+def q_srm_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    pu = ev.groupBy("user_id").agg(
+        dsum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("pre_value"),
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).cast("double").alias("pre_events"),
+    ).select((F.col("user_id") % 2).alias("arm"), "pre_value", "pre_events")
+    arms = pu.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("pre_value")).alias("sv"),
+        dsum(F.col("pre_value") * F.col("pre_value")).alias("svv"),
+        dsum(F.col("pre_events")).alias("se"),
+        dsum(F.col("pre_events") * F.col("pre_events")).alias("see"),
+    )
+    pick = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))
+    w = arms.agg(
+        *[
+            pick(a, c).alias(f"{c}{a}")
+            for c in ("n", "sv", "svv", "se", "see")
+            for a in (0, 1)
+        ]
+    )
+    chi2 = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+
+    def smd(s0, s1, ss0, ss1):
+        m0, m1 = F.col(s0) / F.col("n0"), F.col(s1) / F.col("n1")
+        v0 = F.col(ss0) / F.col("n0") - m0 * m0
+        v1 = F.col(ss1) / F.col("n1") - m1 * m1
+        return (m1 - m0) / F.sqrt((v0 + v1) / F.lit(2.0))
+
+    return w.select(
+        "n0",
+        "n1",
+        trunc6(chi2).alias("srm_chi2"),
+        F.when(chi2 > F.lit(3.841458820694124), 1).otherwise(0).alias("srm_flag"),
+        trunc6(smd("sv0", "sv1", "svv0", "svv1")).alias("smd_pre_value"),
+        trunc6(smd("se0", "se1", "see0", "see1")).alias("smd_pre_events"),
+    )
