@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "q_conformal_interval",
     "q_km_time_to_error",
     "q_srm_balance",
+    "q_psi_drift",
+    "q_constraint_suite",
 ]
 
 

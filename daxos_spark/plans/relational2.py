@@ -3930,3 +3930,193 @@ def q_srm_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(smd("sv0", "sv1", "svv0", "svv1")).alias("smd_pre_value"),
         trunc6(smd("se0", "se1", "see0", "see1")).alias("smd_pre_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index — the model-monitoring drift score every
+# production scorecard tracks (credit-risk lineage; PSI = Σ (p−q)·
+# ln(p/q) over fixed bins; >0.1 "shifting", >0.25 "shifted"). Here:
+# order-value distribution, first half of the order history (baseline)
+# vs second half (current), decile bins FROM THE BASELINE (fixed-bin
+# discipline — recomputing bins on current data hides exactly the
+# drift being measured). Laplace-smoothed bin shares keep ln finite.
+# Scale: baseline deciles via exact percentile (approx_percentile at
+# 100 TB — same swap note as MAD), then ONE scan bins both periods
+# (conditional aggregation), 10-row output math.
+_PSI_CUT = "1998-07-01"
+
+
+@_q(
+    "q_psi_drift",
+    f"""
+    WITH base AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN o_orderdate < TIMESTAMP '{_PSI_CUT}' THEN 0 ELSE 1 END AS period
+      FROM orders
+    ), edges AS (
+      SELECT quantile_cont(x, 0.1) AS e1, quantile_cont(x, 0.2) AS e2,
+             quantile_cont(x, 0.3) AS e3, quantile_cont(x, 0.4) AS e4,
+             quantile_cont(x, 0.5) AS e5, quantile_cont(x, 0.6) AS e6,
+             quantile_cont(x, 0.7) AS e7, quantile_cont(x, 0.8) AS e8,
+             quantile_cont(x, 0.9) AS e9
+      FROM base WHERE period = 0
+    ), binned AS (
+      SELECT period,
+             CASE WHEN x < e1 THEN 0 WHEN x < e2 THEN 1 WHEN x < e3 THEN 2
+                  WHEN x < e4 THEN 3 WHEN x < e5 THEN 4 WHEN x < e6 THEN 5
+                  WHEN x < e7 THEN 6 WHEN x < e8 THEN 7 WHEN x < e9 THEN 8
+                  ELSE 9 END AS bin
+      FROM base CROSS JOIN edges
+    ), counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+             CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT CAST(SUM(n_base) AS BIGINT) AS tb, CAST(SUM(n_cur) AS BIGINT) AS tc FROM counts
+    )
+    SELECT bin, n_base, n_cur,
+           {sql_trunc6('((n_cur + 1.0) / (tc + 10.0) - (n_base + 1.0) / (tb + 10.0)) * LN(((n_cur + 1.0) / (tc + 10.0)) / ((n_base + 1.0) / (tb + 10.0)))')}
+             AS psi_term
+    FROM counts CROSS JOIN tot
+    ORDER BY bin
+    """,
+    doc="PSI drift: baseline-decile bins (fixed-bin discipline), "
+    "Laplace-smoothed shares, per-bin contribution — sum is the index",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    cut = F.lit(_PSI_CUT).cast("timestamp")
+    base = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderdate") < cut, 0).otherwise(1).alias("period"),
+    )
+    edges = base.filter(F.col("period") == 0).agg(
+        *[
+            F.percentile(F.col("x"), F.lit(q / 10.0)).alias(f"e{q}")
+            for q in range(1, 10)
+        ]
+    )
+    b = F.lit(9)
+    for q in range(9, 0, -1):
+        b = F.when(F.col("x") < F.col(f"e{q}"), q - 1).otherwise(b)
+    counts = (
+        base.crossJoin(F.broadcast(edges))
+        .select("period", b.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).cast("bigint").alias("n_base"),
+            F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_base").cast("bigint").alias("tb"), F.sum("n_cur").cast("bigint").alias("tc")
+    )
+    p = (F.col("n_cur") + 1.0) / (F.col("tc") + 10.0)
+    q_ = (F.col("n_base") + 1.0) / (F.col("tb") + 10.0)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_base",
+            "n_cur",
+            trunc6((p - q_) * F.log(p / q_)).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Declarative data-quality constraint suite — the Deequ/Great-
+# Expectations pattern (Schelter et al., VLDB'18 "Automating Large-
+# Scale Data Quality Verification"): a table of named constraints
+# (uniqueness, referential integrity, completeness, range, value-set,
+# positivity, freshness), each evaluated to a VIOLATION COUNT and a
+# pass flag in one verification run. The contract a 100 TB ingest
+# gates on before promoting a batch.
+# Scale: each constraint is a column-pruned aggregate over its own
+# table (Deequ batches per-table constraints into shared scans — here
+# the orders checks share one scan via conditional aggregation; the
+# uniqueness check is a two-level count; referential integrity is a
+# left-anti count on the join key).
+@_q(
+    "q_constraint_suite",
+    """
+    WITH o_scan AS (
+      SELECT CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+             CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+             CASE WHEN MAX(o_orderdate) >= TIMESTAMP '2001-01-01' THEN 0 ELSE 1 END AS stale
+      FROM orders
+    ), uniq AS (
+      SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_keys FROM orders
+    ), ref AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS orphans
+      FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ), rng AS (
+      SELECT CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc
+      FROM lineitem
+    )
+    SELECT c AS constraint_name, v AS violations,
+           CASE WHEN v = 0 THEN 1 ELSE 0 END AS passed
+    FROM (
+      SELECT 'orders.orderkey_unique' AS c, dup_keys AS v FROM uniq
+      UNION ALL SELECT 'lineitem.orderkey_refers_orders', orphans FROM ref
+      UNION ALL SELECT 'orders.custkey_complete', null_cust FROM o_scan
+      UNION ALL SELECT 'orders.status_in_set', bad_status FROM o_scan
+      UNION ALL SELECT 'orders.totalprice_positive', bad_price FROM o_scan
+      UNION ALL SELECT 'orders.fresh_through_2001', CAST(stale AS BIGINT) FROM o_scan
+      UNION ALL SELECT 'lineitem.discount_in_range', bad_disc FROM rng
+    )
+    ORDER BY constraint_name
+    """,
+    doc="Deequ-style constraint verification: 7 named checks (unique/"
+    "referential/complete/set/range/positive/fresh) → violation counts "
+    "+ pass flags; per-table checks share scans",
+)
+def q_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o, li = t["orders"], t["lineitem"]
+    o_scan = o.agg(
+        F.sum((~F.col("o_orderstatus").isin("F", "O", "P")).cast("int"))
+        .cast("bigint")
+        .alias("bad_status"),
+        F.sum((F.col("o_totalprice") <= 0.0).cast("int")).cast("bigint").alias("bad_price"),
+        F.sum(F.col("o_custkey").isNull().cast("int")).cast("bigint").alias("null_cust"),
+        F.when(
+            F.max("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .cast("bigint")
+        .alias("stale"),
+    )
+    uniq = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("bigint").alias("dup_keys")
+    )
+    ref = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphans"))
+    )
+    rng = li.agg(
+        F.sum(((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1)).cast("int"))
+        .cast("bigint")
+        .alias("bad_disc")
+    )
+    rows = [
+        uniq.select(F.lit("orders.orderkey_unique").alias("constraint_name"), F.col("dup_keys").alias("violations")),
+        ref.select(F.lit("lineitem.orderkey_refers_orders").alias("constraint_name"), F.col("orphans").alias("violations")),
+        o_scan.select(F.lit("orders.custkey_complete").alias("constraint_name"), F.col("null_cust").alias("violations")),
+        o_scan.select(F.lit("orders.status_in_set").alias("constraint_name"), F.col("bad_status").alias("violations")),
+        o_scan.select(F.lit("orders.totalprice_positive").alias("constraint_name"), F.col("bad_price").alias("violations")),
+        o_scan.select(F.lit("orders.fresh_through_2001").alias("constraint_name"), F.col("stale").alias("violations")),
+        rng.select(F.lit("lineitem.discount_in_range").alias("constraint_name"), F.col("bad_disc").alias("violations")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "constraint_name",
+        "violations",
+        F.when(F.col("violations") == 0, 1).otherwise(0).alias("passed"),
+    ).orderBy("constraint_name")
