@@ -4120,3 +4120,53 @@ def q_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "violations",
         F.when(F.col("violations") == 0, 1).otherwise(0).alias("passed"),
     ).orderBy("constraint_name")
+
+
+# --------------------------------------------------------------------------
+# Heavy-change detection — the temporal companion to heavy hitters
+# (Cormode & Muthukrishnan "What's New" / deltoids): the parts whose
+# order volume changed most between the two halves of the history,
+# scored by absolute count delta AND by smoothed log-ratio (the two
+# standard deltoid variants — absolute for revenue impact, relative
+# for anomaly triage). Exact counts here; at 100 TB the same query
+# runs over two CMS sketches (t_cms_heavy_hitters' machinery) with
+# identical downstream math.
+# Scale: one conditional-count aggregate on the part key (map-side
+# combinable), top-20 via TakeOrdered — no global sort, no join.
+@_q(
+    "q_heavy_change",
+    f"""
+    WITH c AS (
+      SELECT l_partkey,
+             CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '{_PSI_CUT}' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '{_PSI_CUT}' THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, a, b,
+           ABS(b - a) AS abs_delta,
+           {sql_trunc6('LN((b + 1.0) / (a + 1.0))')} AS log_ratio
+    FROM c
+    ORDER BY abs_delta DESC, l_partkey
+    LIMIT 20
+    """,
+    doc="heavy-change detection (deltoids): top-20 parts by order-count "
+    "delta across the history midpoint, absolute + smoothed log-ratio",
+)
+def q_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cut = F.lit(_PSI_CUT).cast("timestamp")
+    c = li.groupBy("l_partkey").agg(
+        F.sum(F.when(F.col("l_shipdate") < cut, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(F.col("l_shipdate") >= cut, 1).otherwise(0)).cast("bigint").alias("b"),
+    )
+    return (
+        c.select(
+            "l_partkey",
+            "a",
+            "b",
+            F.abs(F.col("b") - F.col("a")).alias("abs_delta"),
+            trunc6(F.log((F.col("b") + 1.0) / (F.col("a") + 1.0))).alias("log_ratio"),
+        )
+        .orderBy(F.col("abs_delta").desc(), "l_partkey")
+        .limit(20)
+    )
