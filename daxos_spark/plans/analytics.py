@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from .registry import QuerySpec, register
+from .registry import QuerySpec, register, sql_trunc6, trunc6
 
 
 def _q(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
@@ -313,7 +313,7 @@ def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are INTEGER counts — ordering is exact, output is hash-proof.
 @_q(
     "q_trajectory_knn",
-    """
+    f"""
     WITH s AS (
       SELECT user_id, event_type,
              LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -344,8 +344,7 @@ def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE rk <= 3
     )
     SELECT pid, cid, num, na, nb,
-           FLOOR((CAST(num AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))))
-                 * 1000000.0) / 1000000.0 AS cos
+           {sql_trunc6('CAST(num AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))')} AS cos
     FROM top
     ORDER BY pid, cos DESC, cid
     """,
@@ -398,7 +397,7 @@ def q_trajectory_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "num",
             "na",
             "nb",
-            (F.floor(cos * F.lit(1000000.0)) / F.lit(1000000.0)).alias("cos"),
+            trunc6(cos).alias("cos"),
         )
         .orderBy("pid", F.col("cos").desc(), "cid")
     )
@@ -449,10 +448,7 @@ _KM_HORIZON_H = 72
       FROM per_t
     )
     SELECT t, n_risk, d, c,
-           FLOOR(SUM(CASE WHEN d > 0
-                          THEN LN(1.0 - CAST(d AS DOUBLE) / n_risk)
-                          ELSE 0.0 END)
-                 OVER (ORDER BY t) * 1000000.0) / 1000000.0 AS log_survival
+           {sql_trunc6('SUM(CASE WHEN d > 0 THEN LN(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END) OVER (ORDER BY t)')} AS log_survival
     FROM risk ORDER BY t
     """,
     doc="Kaplan-Meier time-to-first-error with 72h administrative "
@@ -508,5 +504,5 @@ def q_km_time_to_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_risk",
         "d",
         "c",
-        (F.floor(logsurv * F.lit(1000000.0)) / F.lit(1000000.0)).alias("log_survival"),
+        trunc6(logsurv).alias("log_survival"),
     ).orderBy("t")

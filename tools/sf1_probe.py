@@ -99,6 +99,10 @@ PROBES = [
     "q_msprt_monitor",
     "q_conformal_interval",
     "q_km_time_to_error",
+    "q_srm_balance",
+    "q_psi_drift",
+    "q_constraint_suite",
+    "q_heavy_change",
 ]
 
 
