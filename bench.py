@@ -200,6 +200,9 @@ BENCH_QUERIES = [
     "q_srm_balance",
     "q_psi_drift",
     "q_constraint_suite",
+    "q_heavy_change",
+    "q_itemcf_topk",
+    "q_markov_next_event",
 ]
 
 

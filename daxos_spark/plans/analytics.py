@@ -506,3 +506,206 @@ def q_km_time_to_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         trunc6(logsurv).alias("log_survival"),
     ).orderBy("t")
+
+
+# --------------------------------------------------------------------------
+# Item-based collaborative filtering — the classic Amazon item-item
+# recommender (Linden et al., IEEE Internet Computing '03): cosine-
+# normalized co-purchase similarity sim(a,b) = n_ab / √(n_a·n_b),
+# top-3 recommendations for each of the 25 highest-degree items.
+# Shares the single-shuffle pairing layout with q_part_cooccurrence
+# (collect_set per order, array-HOF i<j expansion — no self-join);
+# degrees come from the same deduped relation; the per-item top-k is a
+# rank filter over the symmetrized pair list.
+# Scale: pair mass bounded by Σ order-width² (basket-bounded, never
+# items²); degree table broadcasts; probe selection is TakeOrdered.
+@_q(
+    "q_itemcf_topk",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), deg AS (
+      SELECT l_partkey, COUNT(*) AS n FROM op GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb
+    ), sym AS (
+      SELECT pa AS item, pb AS other, n_ab FROM pairs
+      UNION ALL
+      SELECT pb AS item, pa AS other, n_ab FROM pairs
+    ), probes AS (
+      SELECT l_partkey AS item FROM (
+        SELECT l_partkey, ROW_NUMBER() OVER (ORDER BY n DESC, l_partkey) AS rn FROM deg)
+      WHERE rn <= 25
+    ), scored AS (
+      SELECT s.item, s.other, s.n_ab,
+             CAST(s.n_ab AS DOUBLE) / SQRT(CAST(da.n AS DOUBLE) * CAST(db.n AS DOUBLE)) AS sim
+      FROM sym s JOIN probes p ON p.item = s.item
+                 JOIN deg da ON da.l_partkey = s.item
+                 JOIN deg db ON db.l_partkey = s.other
+    )
+    SELECT item, rk, other, n_ab, {sql_trunc6('sim')} AS sim
+    FROM (
+      SELECT item, other, n_ab, sim,
+             ROW_NUMBER() OVER (PARTITION BY item ORDER BY sim DESC, other) AS rk
+      FROM scored)
+    WHERE rk <= 3
+    ORDER BY item, rk
+    """,
+    doc="item-item CF (Linden et al. '03): cosine-normalized co-purchase "
+    "similarity, top-3 recs for the 25 highest-degree items",
+    tags=("analytics",),
+)
+def q_itemcf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    deg = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    # single-shuffle pairing (see q_part_cooccurrence)
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda b: F.struct(a.alias("pa"), b.alias("pb")),
+            ),
+        )
+    )
+    pairs = (
+        parts.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("other"), "n_ab"
+    ).unionByName(
+        pairs.select(F.col("pb").alias("item"), F.col("pa").alias("other"), "n_ab")
+    )
+    probes = (
+        deg.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col("n").desc(), "l_partkey"))
+        )
+        .filter(F.col("rn") <= 25)
+        .select(F.col("l_partkey").alias("item"))
+    )
+    scored = (
+        sym.join(F.broadcast(probes), "item")
+        .join(
+            F.broadcast(deg.select(F.col("l_partkey").alias("item"), F.col("n").alias("na"))),
+            "item",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("l_partkey").alias("other"), F.col("n").alias("nb"))),
+            "other",
+        )
+        .select(
+            "item",
+            "other",
+            "n_ab",
+            (
+                F.col("n_ab").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("item").orderBy(F.col("sim").desc(), "other")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+        .select("item", "rk", "other", "n_ab", trunc6(F.col("sim")).alias("sim"))
+        .orderBy("item", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov next-event prediction backtest — the first-order behavioral
+# baseline every sequence model is compared against: train a
+# transition matrix on the FIRST HALF of each user's history (argmax
+# next-type per current type, deterministic count+lexical tie-break),
+# then score top-1 accuracy on the second half's transitions. The
+# split is per-user positional (windowed median rank) so train/test
+# never overlap in time within a user.
+# Scale: transitions from one lag window per user; the model is
+# alphabet²-sized (broadcast); scoring is a map-side lookup join; the
+# accuracy rollup is per-predicted-type cardinality.
+@_q(
+    "q_markov_next_event",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), tr AS (
+      SELECT prev_type, event_type, rn * 2 <= n AS is_train
+      FROM seq WHERE prev_type IS NOT NULL
+    ), model AS (
+      SELECT prev_type, event_type AS pred, cnt FROM (
+        SELECT prev_type, event_type, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY prev_type
+                                  ORDER BY COUNT(*) DESC, event_type) AS rk
+        FROM tr WHERE is_train GROUP BY prev_type, event_type)
+      WHERE rk = 1
+    )
+    SELECT m.prev_type, m.pred, CAST(m.cnt AS BIGINT) AS train_count,
+           COUNT(*) AS n_test,
+           CAST(SUM(CASE WHEN t.event_type = m.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM tr t JOIN model m ON m.prev_type = t.prev_type
+    WHERE NOT t.is_train
+    GROUP BY m.prev_type, m.pred, m.cnt
+    ORDER BY m.prev_type
+    """,
+    doc="first-order Markov next-event baseline: argmax transition model "
+    "on each user's first half, top-1 accuracy backtest on the second",
+    tags=("analytics",),
+)
+def q_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+    )
+    tr = seq.filter(F.col("prev_type").isNotNull()).select(
+        "prev_type", "event_type", (F.col("rn") * 2 <= F.col("n")).alias("is_train")
+    )
+    wm = Window.partitionBy("prev_type").orderBy(F.col("cnt").desc(), "event_type")
+    model = (
+        tr.filter("is_train")
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("prev_type", F.col("event_type").alias("pred"), "cnt")
+    )
+    return (
+        tr.filter(~F.col("is_train"))
+        .join(F.broadcast(model), "prev_type")
+        .groupBy("prev_type", "pred", "cnt")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum((F.col("event_type") == F.col("pred")).cast("int"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            "prev_type",
+            "pred",
+            F.col("cnt").cast("bigint").alias("train_count"),
+            "n_test",
+            "n_correct",
+        )
+        .orderBy("prev_type")
+    )
