@@ -103,6 +103,8 @@ PROBES = [
     "q_psi_drift",
     "q_constraint_suite",
     "q_heavy_change",
+    "q_itemcf_topk",
+    "q_markov_next_event",
 ]
 
 
