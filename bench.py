@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "q_heavy_change",
     "q_itemcf_topk",
     "q_markov_next_event",
+    "v_grid_dbscan",
 ]
 
 

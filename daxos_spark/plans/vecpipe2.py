@@ -1700,3 +1700,188 @@ def v_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Grid DBSCAN — density-based clustering beyond k-means (the cell/grid
+# family: GriT-DBSCAN, NG-DBSCAN; ε ≈ cell size): bucket the 2-D
+# embedding projection into g=0.05 cells, mark cells with ≥5 points
+# CORE, union-find the 8-neighborhood core-cell graph into clusters
+# (the repo's pointer-jumping `connected_components`), then assign
+# non-core ("border") points to the min-labeled adjacent core cluster
+# and everything else to noise. Deterministic end-to-end: cell ids are
+# integer-encoded coordinates, the cluster label is the min reachable
+# cell id (same fixpoint the recursive-CTE oracle computes).
+# Scale: points → cells is one map-side bucketing + cell-keyed count;
+# core-cell adjacency is an OFFSET-EXPLODE equi-join (9 shifted keys
+# per cell — never an all-pairs distance join, the entire point of the
+# grid family); CC is O(log diameter) rounds on the CELL graph
+# (cells ≪ points); border assignment is another shifted-key join.
+_DB_G = "0.05"  # cell size (shared literal text → identical doubles)
+_DB_MINPTS = 5
+_DB_OFF = 64  # coordinate offset for non-negative cell encoding
+
+
+def _db_cid_sql(cx: str, cy: str) -> str:
+    return f"(({cx}) + {_DB_OFF}) * 1000 + (({cy}) + {_DB_OFF})"
+
+
+@_q(
+    "v_grid_dbscan",
+    f"""
+    WITH RECURSIVE p AS (
+      SELECT vec_id,
+             CAST(FLOOR(embedding[1] / {_DB_G}) AS BIGINT) AS cx,
+             CAST(FLOOR(embedding[2] / {_DB_G}) AS BIGINT) AS cy
+      FROM embeddings
+    ), cells AS (
+      SELECT cx, cy, {_db_cid_sql('cx', 'cy')} AS cid, COUNT(*) AS cnt
+      FROM p GROUP BY cx, cy
+    ), core AS (
+      SELECT * FROM cells WHERE cnt >= {_DB_MINPTS}
+    ), e0 AS (
+      SELECT a.cid AS u, b.cid AS v
+      FROM core a JOIN core b
+        ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1 AND a.cid < b.cid
+    ), edges AS (
+      SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+    ), reach AS (
+      SELECT u AS node, v AS r FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+    ), comp0 AS (
+      SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+    ), comp AS (
+      SELECT core.cid AS node, COALESCE(comp0.component, core.cid) AS component
+      FROM core LEFT JOIN comp0 ON comp0.node = core.cid
+    ), border AS (
+      SELECT nc.cid, nc.cnt, MIN(cm.component) AS component
+      FROM (SELECT * FROM cells WHERE cnt < {_DB_MINPTS}) nc
+      JOIN core c ON ABS(nc.cx - c.cx) <= 1 AND ABS(nc.cy - c.cy) <= 1
+      JOIN comp cm ON cm.node = c.cid
+      GROUP BY nc.cid, nc.cnt
+    ), clusters AS (
+      SELECT cm.component,
+             COUNT(*) AS n_core_cells,
+             CAST(SUM(core.cnt) AS BIGINT) AS n_core_pts
+      FROM core JOIN comp cm ON cm.node = core.cid
+      GROUP BY cm.component
+    ), borders AS (
+      SELECT component, CAST(SUM(cnt) AS BIGINT) AS n_border_pts
+      FROM border GROUP BY component
+    ), noise AS (
+      SELECT CAST(-1 AS BIGINT) AS component, CAST(0 AS BIGINT) AS n_core_cells,
+             CAST(0 AS BIGINT) AS n_core_pts,
+             CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_border_pts
+      FROM cells WHERE cnt < {_DB_MINPTS}
+        AND cid NOT IN (SELECT cid FROM border)
+    )
+    SELECT component, n_core_cells, n_core_pts,
+           COALESCE(b.n_border_pts, 0) AS n_border_pts
+    FROM clusters c LEFT JOIN borders b USING (component)
+    UNION ALL
+    SELECT * FROM noise
+    ORDER BY component
+    """,
+    doc="grid DBSCAN (cell family, eps≈g): core cells ≥5 pts, "
+    "8-neighborhood CC clusters, border assignment, noise row",
+)
+def v_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    g = float(_DB_G)
+    p = e.select(
+        F.floor(F.element_at("embedding", 1).cast("double") / F.lit(g))
+        .cast("bigint")
+        .alias("cx"),
+        F.floor(F.element_at("embedding", 2).cast("double") / F.lit(g))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    cid = (F.col("cx") + _DB_OFF) * 1000 + (F.col("cy") + _DB_OFF)
+    cells = (
+        p.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("cid", cid)
+        .persist()  # feeds core/border/noise consumers
+    )
+    core = cells.filter(F.col("cnt") >= _DB_MINPTS)
+    # offset-explode adjacency: each core cell emits its 9 shifted keys,
+    # an equi-join on the shifted key finds neighbors — never a distance
+    # cross join (the scale-true grid formulation; the tiny oracle uses
+    # the brute ABS join, same relation)
+    offs = F.expr(
+        "flatten(transform(sequence(-1, 1), dx ->"
+        " transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+    )
+    shifted = core.select(
+        F.col("cid").alias("u"), F.explode(offs).alias("o"), "cx", "cy"
+    ).select(
+        "u",
+        ((F.col("cx") + F.col("o.dx") + _DB_OFF) * 1000 + (F.col("cy") + F.col("o.dy") + _DB_OFF)).alias(
+            "nkey"
+        ),
+    )
+    e0 = (
+        shifted.join(
+            core.select(F.col("cid").alias("v")), F.col("nkey") == F.col("v")
+        )
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    comp0 = connected_components(e0, src="u", dst="v")
+    comp = core.select("cid").join(
+        comp0, core["cid"] == comp0["node"], "left"
+    ).select(
+        F.col("cid").alias("node"),
+        F.coalesce(F.col("component"), F.col("cid")).alias("component"),
+    )
+    nc = cells.filter(F.col("cnt") < _DB_MINPTS)
+    nc_shift = nc.select(
+        F.col("cid"), F.col("cnt"), F.explode(offs).alias("o"), "cx", "cy"
+    ).select(
+        "cid",
+        "cnt",
+        ((F.col("cx") + F.col("o.dx") + _DB_OFF) * 1000 + (F.col("cy") + F.col("o.dy") + _DB_OFF)).alias(
+            "nkey"
+        ),
+    )
+    border = (
+        nc_shift.join(F.broadcast(comp), F.col("nkey") == F.col("node"))
+        .groupBy("cid", "cnt")
+        .agg(F.min("component").alias("component"))
+    )
+    clusters = (
+        core.join(F.broadcast(comp), core["cid"] == comp["node"])
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_core_cells"),
+            F.sum("cnt").cast("bigint").alias("n_core_pts"),
+        )
+    )
+    borders = border.groupBy("component").agg(
+        F.sum("cnt").cast("bigint").alias("n_border_pts")
+    )
+    noise = (
+        nc.join(border.select(F.col("cid").alias("bcid")), nc["cid"] == F.col("bcid"), "left_anti")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_border_pts"))
+        .select(
+            F.lit(-1).cast("bigint").alias("component"),
+            F.lit(0).cast("bigint").alias("n_core_cells"),
+            F.lit(0).cast("bigint").alias("n_core_pts"),
+            "n_border_pts",
+        )
+    )
+    return (
+        clusters.join(borders, "component", "left")
+        .select(
+            "component",
+            "n_core_cells",
+            "n_core_pts",
+            F.coalesce(F.col("n_border_pts"), F.lit(0)).alias("n_border_pts"),
+        )
+        .unionByName(noise)
+        .orderBy("component")
+    )

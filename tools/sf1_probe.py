@@ -105,6 +105,7 @@ PROBES = [
     "q_heavy_change",
     "q_itemcf_topk",
     "q_markov_next_event",
+    "v_grid_dbscan",
 ]
 
 
