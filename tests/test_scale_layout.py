@@ -93,3 +93,44 @@ def test_sql_text_interface_matches_duckdb(spark):
     )
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     assert got == want
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """Idempotent backfill: dynamic partitionOverwriteMode replaces ONLY
+    the partitions present in the incoming batch — the restatement
+    pattern a 100 TB partitioned gold table depends on (static mode
+    would truncate every other year on each backfill)."""
+    o = load_tables(spark, SF_DIR)["orders"].withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_gold")
+    o.write.partitionBy("o_year").parquet(path)
+    before = (
+        spark.read.parquet(path).groupBy("o_year").count().collect()
+    )
+    counts0 = {r["o_year"]: r["count"] for r in before}
+    assert len(counts0) > 2
+
+    # restate ONE year with a filtered (smaller) batch
+    target = sorted(counts0)[0]
+    restatement = (
+        o.filter(F.col("o_year") == target)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    )
+    n_restated = restatement.count()
+    assert 0 < n_restated < counts0[target]
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        restatement.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    after = {
+        r["o_year"]: r["count"]
+        for r in spark.read.parquet(path).groupBy("o_year").count().collect()
+    }
+    assert after[target] == n_restated  # restated partition replaced
+    for y, n in counts0.items():  # every other partition untouched
+        if y != target:
+            assert after[y] == n
