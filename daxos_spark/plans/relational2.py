@@ -4170,3 +4170,176 @@ def q_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("abs_delta").desc(), "l_partkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function — the first diagnostic run on any business
+# time series (Box-Jenkins model identification: AR order from the
+# ACF/PACF shape, seasonality from peaks at the period). Daily revenue
+# series (decimal-exact daily sums, scaled to $M so deviation products
+# stay in DECIMAL(25,6) range), deviations against the decimal-exact
+# global mean, then one window pass producing all 7 leads and a single
+# aggregate for every numerator — the series scans once.
+# Scale: the daily rollup is the only data-sized shuffle (map-side
+# combinable on ~2.4k day keys); the window/lag pass runs over the
+# day-cardinality series (thousands of rows regardless of fact size),
+# so the unpartitioned window is driver-trivial by construction.
+_ACF_LAGS = 7
+
+
+def _acf_oracle() -> str:
+    leads = ", ".join(f"LEAD(dev, {k}) OVER w AS l{k}" for k in range(1, _ACF_LAGS + 1))
+    nums = ", ".join(f"{sql_dsum(f'dev * l{k}')} AS n{k}" for k in range(1, _ACF_LAGS + 1))
+    acfs = ", ".join(
+        sql_trunc6(f"MAX(n{k}) / MAX(den)") + f" AS acf_{k}" for k in range(1, _ACF_LAGS + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             {sql_dsum('o_totalprice')} / 1000000.0 AS rev
+      FROM orders GROUP BY 1
+    ), m AS (
+      SELECT {sql_davg('rev')} AS mu, COUNT(*) AS n FROM daily
+    ), dv AS (
+      SELECT d, daily.rev - m.mu AS dev FROM daily, m
+    ), lagd AS (
+      SELECT dev, {leads} FROM dv WINDOW w AS (ORDER BY d)
+    ), s AS (
+      SELECT {sql_dsum('dev * dev')} AS den, {nums} FROM lagd
+    )
+    SELECT MAX(m.n) AS n_days,
+           {sql_trunc6('MAX(m.mu)')} AS mean_rev_m,
+           {sql_trunc6('MAX(s.den)')} AS ss_dev,
+           {acfs}
+    FROM s, m
+    """
+
+
+@_q(
+    "q_acf_revenue",
+    _acf_oracle(),
+    doc="autocorrelation of the daily revenue series at lags 1..7 "
+    "(Box-Jenkins identification diagnostic), decimal-exact moments",
+)
+def q_acf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (dsum(F.col("o_totalprice")) / F.lit(1000000.0)).alias("rev")
+    )
+    m = daily.agg(davg(F.col("rev")).alias("mu"), F.count(F.lit(1)).alias("n"))
+    dv = daily.crossJoin(F.broadcast(m)).select(
+        "d", "n", "mu", (F.col("rev") - F.col("mu")).alias("dev")
+    )
+    w = Window.orderBy("d")
+    lagd = dv.select(
+        "n",
+        "mu",
+        "dev",
+        *[F.lead("dev", k).over(w).alias(f"l{k}") for k in range(1, _ACF_LAGS + 1)],
+    )
+    s = lagd.agg(
+        F.max("n").alias("n_days"),
+        trunc6(F.max("mu")).alias("mean_rev_m"),
+        dsum(F.col("dev") * F.col("dev")).alias("den"),
+        *[
+            dsum(F.col("dev") * F.col(f"l{k}")).alias(f"n{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    return s.select(
+        "n_days",
+        "mean_rev_m",
+        trunc6(F.col("den")).alias("ss_dev"),
+        *[
+            trunc6(F.col(f"n{k}") / F.col("den")).alias(f"acf_{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U / Wilcoxon rank-sum — the nonparametric two-sample
+# test (no normality assumption; the robust alternative to the t-test
+# for revenue-like heavy-tailed metrics). Average ranks for ties via
+# rank() + (tie_count-1)/2 — the textbook midrank — and the
+# tie-corrected normal approximation for z. Rank sums accumulate in
+# exact decimals (midranks are half-integers), so U and z are
+# bit-identical cross-engine.
+# Scale: the global midrank needs a total order; at 100 TB replace the
+# single sort with binned ranks (fixed price histogram -> per-bin
+# offsets, q_price_histogram machinery) — the U statistic only needs
+# rank SUMS, which bin offsets reconstruct exactly for distinct bins.
+@_q(
+    "q_mann_whitney",
+    f"""
+    WITH s AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), r AS (
+      SELECT g, x,
+             RANK() OVER (ORDER BY x) AS rk,
+             COUNT(*) OVER (PARTITION BY x) AS tc
+      FROM s
+    ), agg AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS n1,
+             CAST(SUM(1 - g) AS BIGINT) AS n2,
+             {sql_dsum('g * (rk + (tc - 1) / 2.0)')} AS r1
+      FROM r
+    ), ties AS (
+      SELECT {sql_dsum('t3')} AS tie_sum
+      FROM (SELECT CAST(COUNT(*) AS DOUBLE) ** 3 - COUNT(*) AS t3 FROM s GROUP BY x) tt
+    )
+    SELECT n1, n2,
+           {sql_trunc6('r1')} AS r1,
+           {sql_trunc6('r1 - n1 * (n1 + 1) / 2.0')} AS u1,
+           {sql_trunc6(
+               '(r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) / '
+               'SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1.0) - tie_sum / '
+               '((n1 + n2) * (n1 + n2 - 1.0))))'
+           )} AS z_score
+    FROM agg, ties
+    """,
+    doc="Mann-Whitney U rank-sum test (URGENT vs LOW order prices): "
+    "midrank ties, tie-corrected normal z, decimal-exact rank sums",
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    s = o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g"),
+    )
+    r = s.select(
+        "g",
+        "x",
+        F.rank().over(Window.orderBy("x")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("x")).alias("tc"),
+    )
+    agg = r.agg(
+        F.sum("g").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("g")).cast("bigint").alias("n2"),
+        dsum(F.col("g") * (F.col("rk") + (F.col("tc") - 1) / F.lit(2.0))).alias("r1"),
+    )
+    ties = (
+        s.groupBy("x")
+        .agg((F.pow(F.count(F.lit(1)).cast("double"), 3) - F.count(F.lit(1))).alias("t3"))
+        .agg(dsum(F.col("t3")).alias("tie_sum"))
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0)
+    sigma = F.sqrt(
+        F.col("n1")
+        * F.col("n2")
+        / F.lit(12.0)
+        * (
+            (F.col("n1") + F.col("n2") + F.lit(1.0))
+            - F.col("tie_sum")
+            / ((F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2") - F.lit(1.0)))
+        )
+    )
+    return agg.crossJoin(F.broadcast(ties)).select(
+        "n1",
+        "n2",
+        trunc6(F.col("r1")).alias("r1"),
+        trunc6(u1).alias("u1"),
+        trunc6((u1 - F.col("n1") * F.col("n2") / F.lit(2.0)) / sigma).alias("z_score"),
+    )
