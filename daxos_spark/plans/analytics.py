@@ -305,15 +305,22 @@ def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join). Each user's trajectory is reduced to a sparse
 # transition-count vector ("view>click": 3, ...); similarity is
 # cosine via a sparse inner-product join on the transition key — only
-# users sharing a transition type ever meet, and a deterministic 10%
-# probe panel bounds the pair space (probes × sharers, never users²).
+# users sharing a transition type ever meet, and a probe panel bounds
+# the pair space (probes × sharers, never users²).
 # Scale: transitions from one lag window per user (single shuffle);
 # the inner-product join is transition-keyed (alphabet-bounded
 # buckets); per-probe top-3 via rank filter. Cosine numerators/norms
 # are INTEGER counts — ordering is exact, output is hash-proof.
-@_q(
-    "q_trajectory_knn",
-    f"""
+# CAVEAT — q_trajectory_knn's panel is a 10% FRACTION of users, so its
+# pair mass grows ~quadratically with data (measured 9.2× wall at 10×
+# data, SCALE.md); kept for the small-panel audit shape.
+# q_trajectory_knn_panel below is the production parameterization: a
+# FIXED-size hash-ranked user panel → linear in the corpus.
+_TRAJ_PANEL_N = 32
+
+
+def _trajectory_sql(panel_clause: str) -> str:
+    return f"""
     WITH s AS (
       SELECT user_id, event_type,
              LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -325,7 +332,7 @@ def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), nrm AS (
       SELECT user_id, CAST(SUM(cnt * cnt) AS BIGINT) AS nn FROM tr GROUP BY user_id
     ), p AS (
-      SELECT user_id AS pid, tkey, cnt AS pcnt FROM tr WHERE user_id % 10 = 0
+      {panel_clause}
     ), num AS (
       SELECT p.pid, t.user_id AS cid, CAST(SUM(p.pcnt * t.cnt) AS BIGINT) AS num
       FROM p JOIN tr t ON t.tkey = p.tkey AND t.user_id <> p.pid
@@ -347,13 +354,19 @@ def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_trunc6('CAST(num AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))')} AS cos
     FROM top
     ORDER BY pid, cos DESC, cid
-    """,
-    doc="top-3 behaviorally-similar users per probe: sparse cosine over "
-    "event-transition count vectors, transition-keyed inner-product join",
-    tags=("analytics",),
-)
-def q_trajectory_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _trajectory_knn_lazy(
+    spark: SparkSession, sf_dir: str, fixed_panel: bool, persist: bool = True
+):
+    """Shared trajectory-kNN pipeline; returns (result, tr) so callers
+    can release the transition-relation cache once the tiny output is
+    materialized. ``fixed_panel`` picks the constant-size hash-ranked
+    probe panel (linear scale shape) over the 10%-of-users fraction."""
     from pyspark.sql.window import Window
+
+    from ..functions.hashing import md5_long
 
     ev = load_tables(spark, sf_dir)["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -365,12 +378,29 @@ def q_trajectory_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(">", F.col("prev_type"), F.col("event_type")).alias("tkey"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()  # feeds norms, probe panel, and the inner-product join
     )
+    if persist:
+        # feeds norms, probe panel, and the inner-product join
+        tr = tr.persist()
     nrm = tr.groupBy("user_id").agg(F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("nn"))
-    p = tr.filter(F.col("user_id") % 10 == 0).select(
-        F.col("user_id").alias("pid"), "tkey", F.col("cnt").alias("pcnt")
-    )
+    if fixed_panel:
+        # constant-size panel: _TRAJ_PANEL_N users with the smallest
+        # md5(user_id) (ties by id) — Spark picks them with a
+        # TakeOrderedAndProject over the per-user distinct set, then a
+        # broadcast semi-join pulls their transition rows.
+        pids = (
+            tr.select("user_id")
+            .distinct()
+            .orderBy(md5_long(F.col("user_id").cast("string")), "user_id")
+            .limit(_TRAJ_PANEL_N)
+        )
+        p = tr.join(F.broadcast(pids), "user_id").select(
+            F.col("user_id").alias("pid"), "tkey", F.col("cnt").alias("pcnt")
+        )
+    else:
+        p = tr.filter(F.col("user_id") % 10 == 0).select(
+            F.col("user_id").alias("pid"), "tkey", F.col("cnt").alias("pcnt")
+        )
     num = (
         tr.join(F.broadcast(p), ["tkey"])
         .filter(F.col("user_id") != F.col("pid"))
@@ -390,7 +420,7 @@ def q_trajectory_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.col("num").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
-    return (
+    out = (
         top.select(
             "pid",
             "cid",
@@ -401,6 +431,55 @@ def q_trajectory_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid", F.col("cos").desc(), "cid")
     )
+    return out, tr
+
+
+@_q(
+    "q_trajectory_knn",
+    _trajectory_sql(
+        "SELECT user_id AS pid, tkey, cnt AS pcnt FROM tr WHERE user_id % 10 = 0"
+    ),
+    doc="top-3 behaviorally-similar users per probe: sparse cosine over "
+    "event-transition count vectors, transition-keyed inner-product join",
+    tags=("analytics",),
+)
+def q_trajectory_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, tr = _trajectory_knn_lazy(spark, sf_dir, fixed_panel=False)
+    # output is probes×3 rows — eager-materialize, release the corpus cache
+    out = out.localCheckpoint(eager=True)
+    tr.unpersist()
+    return out
+
+
+@_q(
+    "q_trajectory_knn_panel",
+    _trajectory_sql(
+        f"""SELECT t.user_id AS pid, t.tkey, t.cnt AS pcnt
+      FROM tr t JOIN (
+        SELECT user_id FROM (SELECT DISTINCT user_id FROM tr)
+        ORDER BY CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT), user_id
+        LIMIT {_TRAJ_PANEL_N}
+      ) pids ON pids.user_id = t.user_id"""
+    ),
+    doc=f"trajectory kNN, fixed {_TRAJ_PANEL_N}-user hash-ranked probe panel "
+    "(constant probe count at any corpus size — the linear-scale shape)",
+    tags=("analytics",),
+)
+def q_trajectory_knn_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, tr = _trajectory_knn_lazy(spark, sf_dir, fixed_panel=True)
+    out = out.localCheckpoint(eager=True)
+    tr.unpersist()
+    return out
+
+
+from .registry import ALL_SPECS as _SPECS  # noqa: E402
+
+_SPECS["q_trajectory_knn"].lazy_plan = (
+    lambda spark, sf_dir: _trajectory_knn_lazy(spark, sf_dir, False, persist=False)[0]
+)
+_SPECS["q_trajectory_knn_panel"].lazy_plan = (
+    lambda spark, sf_dir: _trajectory_knn_lazy(spark, sf_dir, True, persist=False)[0]
+)
 
 
 # --------------------------------------------------------------------------

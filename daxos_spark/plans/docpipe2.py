@@ -649,6 +649,14 @@ def _agreement_oracle() -> str:
     "dedup agreement: 2x2 confusion over the union candidate universe",
 )
 def t_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, sh0 = _dedup_agreement_lazy(spark, sf_dir)
+    # 1-row output — eager-materialize, release the shingle cache
+    out = out.localCheckpoint(eager=True)
+    sh0.unpersist()
+    return out
+
+
+def _dedup_agreement_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
     from ..functions.hashing import word_shingles
     from ..functions.similarity import int_code, lsh_bucket, lsh_planes
     from ..functions.vectors import to_double
@@ -660,7 +668,10 @@ def t_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
-    ).persist()
+    )
+    if persist:
+        # feeds sizes + both self-join sides of the intersection join
+        sh0 = sh0.persist()
     sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -736,7 +747,7 @@ def t_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sem_dup"),
         )
     )
-    return scored.agg(
+    out = scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum("in_lex_block").cast("bigint").alias("n_lex_block"),
         F.sum("in_sem_block").cast("bigint").alias("n_sem_block"),
@@ -748,3 +759,11 @@ def t_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dup_either"),
     )
+    return out, sh0
+
+
+from .registry import ALL_SPECS as _SPECS  # noqa: E402
+
+_SPECS["t_dedup_agreement"].lazy_plan = (
+    lambda spark, sf_dir: _dedup_agreement_lazy(spark, sf_dir, persist=False)[0]
+)

@@ -440,17 +440,21 @@ def _lr_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "t_quality_logreg",
-    _lr_oracle(),
-    doc="relational IRLS logistic trainer (2 quality features + intercept, "
-    "4 Newton steps of DECIMAL-exact gramian sums + closed-form 3x3 "
-    "solve); trained coefficients hash-checked",
-)
-def t_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one feature table feeds all Newton steps + the final scoring
-    feat = _lr_feat(spark, sf_dir).persist()
+def _lr_pipeline(spark: SparkSession, sf_dir: str, finish, persist: bool = True):
+    """Shared IRLS chain for the three classifier queries: build the
+    feature table (persisted — it feeds every Newton step plus the
+    final scoring pass), fit, and hand (feat, coefficients) to the
+    query-specific ``finish``. Returns (out, feat) so the registered
+    callable can eager-materialize its tiny output and release the
+    corpus-sized feature cache."""
+    feat = _lr_feat(spark, sf_dir)
+    if persist:
+        feat = feat.persist()
     b = _lr_fit(spark, feat)
+    return finish(feat, b), feat
+
+
+def _quality_logreg_finish(feat: DataFrame, b: DataFrame) -> DataFrame:
     correct = F.expr(f"({_LR_P} >= 0.5) = (y = 1.0)")
     return feat.crossJoin(F.broadcast(b)).agg(
         trunc6(F.max("b0")).alias("b0"),
@@ -459,6 +463,21 @@ def t_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(correct.cast("int")).cast("bigint").alias("n_correct"),
     )
+
+
+@_q(
+    "t_quality_logreg",
+    _lr_oracle(),
+    doc="relational IRLS logistic trainer (2 quality features + intercept, "
+    "4 Newton steps of DECIMAL-exact gramian sums + closed-form 3x3 "
+    "solve); trained coefficients hash-checked",
+)
+def t_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, feat = _lr_pipeline(spark, sf_dir, _quality_logreg_finish)
+    # 1-row output — eager-materialize, release the feature cache
+    out = out.localCheckpoint(eager=True)
+    feat.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -2453,8 +2472,14 @@ def _lr_calibration_oracle() -> str:
     "coefficients shared bit-for-bit with t_quality_logreg",
 )
 def t_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feat = _lr_feat(spark, sf_dir).persist()
-    b = _lr_fit(spark, feat)
+    out, feat = _lr_pipeline(spark, sf_dir, _logreg_calibration_finish)
+    # decile-bin output — eager-materialize, release the feature cache
+    out = out.localCheckpoint(eager=True)
+    feat.unpersist()
+    return out
+
+
+def _logreg_calibration_finish(feat: DataFrame, b: DataFrame) -> DataFrame:
     scored = feat.crossJoin(F.broadcast(b)).select("y", F.expr(_LR_P).alias("p"))
     binned = scored.select(
         F.least(F.floor(F.col("p") * 10.0).cast("bigint"), F.lit(9).cast("bigint")).alias(
@@ -2501,8 +2526,14 @@ def t_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boundary (|p-0.5| margin) — the annotation queue",
 )
 def t_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feat = _lr_feat(spark, sf_dir).persist()
-    b = _lr_fit(spark, feat)
+    out, feat = _lr_pipeline(spark, sf_dir, _uncertainty_sample_finish)
+    # top-20 output — eager-materialize, release the feature cache
+    out = out.localCheckpoint(eager=True)
+    feat.unpersist()
+    return out
+
+
+def _uncertainty_sample_finish(feat: DataFrame, b: DataFrame) -> DataFrame:
     scored = feat.crossJoin(F.broadcast(b)).select(
         "doc_id", "y", F.expr(_LR_P).alias("p")
     )
@@ -2515,4 +2546,16 @@ def t_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("margin", "doc_id")
         .limit(20)
+    )
+
+
+for _lr_q, _lr_fin in (
+    ("t_quality_logreg", _quality_logreg_finish),
+    ("t_logreg_calibration", _logreg_calibration_finish),
+    ("t_uncertainty_sample", _uncertainty_sample_finish),
+):
+    ALL_SPECS[_lr_q].lazy_plan = (
+        lambda spark, sf_dir, _fin=_lr_fin: _lr_pipeline(
+            spark, sf_dir, _fin, persist=False
+        )[0]
     )

@@ -1626,18 +1626,25 @@ def v_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-annotates. On this corpus labels are independent of the isotropic
 # embeddings, so agreement sits near chance (~0.1·5) and most probes
 # flag — the mechanism, not the corpus, is what's verified.
-# Scale: probe panel is a hash-sampled fraction (broadcast); the
-# corpus side streams map-side with per-probe top-k heaps — same
-# probes×corpus budget as every kNN in the family, never corpus².
-@_q(
-    "v_label_noise",
-    """
+# Scale: the corpus side streams map-side with per-probe top-k heaps
+# against a broadcast panel. CAVEAT — this variant's panel is a 10%
+# FRACTION of the corpus, so the probes×corpus pair mass grows
+# ~quadratically with data (measured 6.0× wall at 10× data, SCALE.md);
+# it is kept for the small-panel audit shape only. The production
+# shape is `v_label_noise_panel` below: a FIXED-size hash-ranked
+# panel, constant probe count at any corpus size → linear scaling.
+
+
+def _label_noise_sql(panel_clause: str) -> str:
+    """Shared duckdb oracle for the label-noise screens; only the probe
+    panel definition differs between the fraction and fixed variants."""
+    return f"""
     WITH c AS (
       SELECT vec_id, label,
              list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * 1000.0) AS BIGINT)) AS cc
       FROM embeddings
     ), p AS (
-      SELECT vec_id AS pid, label AS plabel, cc AS pc FROM c WHERE vec_id % 10 = 0
+      {panel_clause}
     ), s AS (
       SELECT p.pid, p.plabel, c.label AS clabel, c.vec_id AS cid,
              CAST(list_dot_product(p.pc, c.cc) AS BIGINT) AS score
@@ -1657,20 +1664,12 @@ def v_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_agree) AS BIGINT) AS total_agree,
            CAST(SUM(CASE WHEN n_agree <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
     FROM agr GROUP BY plabel ORDER BY label
-    """,
-    doc="kNN label-noise screen: 10% probe panel, top-5 integer-dot "
-    "neighbors, per-label agreement + flagged-for-reannotation counts",
-)
-def v_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.similarity import int_code
+    """
 
-    e = load_tables(spark, sf_dir)["embeddings"]
-    c = e.select("vec_id", "label", int_code(to_double(F.col("embedding"))).alias("cc"))
-    p = c.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("pid"),
-        F.col("label").alias("plabel"),
-        F.col("cc").alias("pc"),
-    )
+
+def _label_noise_score(c: DataFrame, p: DataFrame) -> DataFrame:
+    """Score a broadcast probe panel against the coded corpus: top-5
+    integer-dot neighbors per probe, per-label agreement + flag counts."""
     s = (
         c.crossJoin(F.broadcast(p))
         .filter(F.col("vec_id") != F.col("pid"))
@@ -1700,6 +1699,71 @@ def v_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _coded_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import int_code
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return e.select(
+        "vec_id", "label", int_code(to_double(F.col("embedding"))).alias("cc")
+    )
+
+
+@_q(
+    "v_label_noise",
+    _label_noise_sql(
+        "SELECT vec_id AS pid, label AS plabel, cc AS pc FROM c WHERE vec_id % 10 = 0"
+    ),
+    doc="kNN label-noise screen: 10% probe panel, top-5 integer-dot "
+    "neighbors, per-label agreement + flagged-for-reannotation counts",
+)
+def v_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _coded_embeddings(spark, sf_dir)
+    p = c.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("cc").alias("pc"),
+    )
+    return _label_noise_score(c, p)
+
+
+# Fixed-size-panel variant — the at-scale parameterization (VERDICT r5
+# ask #1): the panel is the _PANEL_N vectors with the SMALLEST md5 hash
+# of their id (ties by id) — a deterministic "first N by hashed id"
+# sample whose size is CONSTANT in corpus size, so probes×corpus is
+# linear in the data. Spark executes the panel pick as a
+# TakeOrderedAndProject (per-partition top-N, driver merge of N·parts
+# rows — never a global sort); the corpus side is one broadcast-panel
+# map pass, identical to v_label_noise.
+_PANEL_N = 64
+
+
+@_q(
+    "v_label_noise_panel",
+    _label_noise_sql(
+        f"""SELECT vec_id AS pid, label AS plabel, cc AS pc FROM c
+      ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 14)) AS BIGINT), vec_id
+      LIMIT {_PANEL_N}"""
+    ),
+    doc=f"kNN label-noise screen, fixed {_PANEL_N}-probe hash-ranked panel "
+    "(constant probe count at any corpus size — the linear-scale shape)",
+)
+def v_label_noise_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    c = _coded_embeddings(spark, sf_dir)
+    p = (
+        c.withColumn("h", md5_long(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(_PANEL_N)
+        .select(
+            F.col("vec_id").alias("pid"),
+            F.col("label").alias("plabel"),
+            F.col("cc").alias("pc"),
+        )
+    )
+    return _label_noise_score(c, p)
 
 
 # --------------------------------------------------------------------------
@@ -1787,6 +1851,14 @@ def _db_cid_sql(cx: str, cy: str) -> str:
     "8-neighborhood CC clusters, border assignment, noise row",
 )
 def v_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, cells = _grid_dbscan_lazy(spark, sf_dir)
+    # cluster-cardinality output — eager-materialize, release the cell cache
+    out = out.localCheckpoint(eager=True)
+    cells.unpersist()
+    return out
+
+
+def _grid_dbscan_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
     from ..operators.components import connected_components
 
     e = load_tables(spark, sf_dir)["embeddings"]
@@ -1804,8 +1876,10 @@ def v_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.groupBy("cx", "cy")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("cid", cid)
-        .persist()  # feeds core/border/noise consumers
     )
+    if persist:
+        # feeds core/border/noise consumers
+        cells = cells.persist()
     core = cells.filter(F.col("cnt") >= _DB_MINPTS)
     # offset-explode adjacency: each core cell emits its 9 shifted keys,
     # an equi-join on the shifted key finds neighbors — never a distance
@@ -1874,7 +1948,7 @@ def v_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_border_pts",
         )
     )
-    return (
+    out = (
         clusters.join(borders, "component", "left")
         .select(
             "component",
@@ -1885,3 +1959,9 @@ def v_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(noise)
         .orderBy("component")
     )
+    return out, cells
+
+
+ALL_SPECS["v_grid_dbscan"].lazy_plan = (
+    lambda spark, sf_dir: _grid_dbscan_lazy(spark, sf_dir, persist=False)[0]
+)
