@@ -3219,6 +3219,16 @@ def q22_dormant_rich_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only the surviving 256 rows (plan-verified). The exact-audit branch
 # re-scans the fact slice — it is the part you drop at 100 TB, the
 # sketch path is the product.
+# Small-slice guard: when the slice has FEWER than k distinct keys the
+# sketch holds the entire set and (k-1)/u_k is biased high — the
+# standard KMV estimator then IS the exact count (|sketch| = |S|), so
+# both estimators switch on n_sk < k (same CASE in both engines).
+_KMV_EST_UNION_SQL = (
+    "CASE WHEN est.n_sk < 256.0 THEN est.n_sk"
+    " ELSE 255.0 / (est.hk / 72057594037927936.0) END"
+)
+
+
 @_q(
     "q_kmv_set_ops",
     f"""
@@ -3238,7 +3248,8 @@ def q22_dormant_rich_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sk AS (
       SELECT h, in_a, in_b FROM ranked WHERE rn <= 256
     ), est AS (
-      SELECT MAX(h) AS hk, CAST(SUM(in_a * in_b) AS DOUBLE) AS n_both
+      SELECT MAX(h) AS hk, CAST(SUM(in_a * in_b) AS DOUBLE) AS n_both,
+             CAST(COUNT(*) AS DOUBLE) AS n_sk
       FROM sk
     ), exact AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS x_union,
@@ -3248,10 +3259,10 @@ def q22_dormant_rich_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       exact.x_union AS exact_union,
       exact.x_inter AS exact_inter,
-      {sql_trunc6('255.0 / (est.hk / 72057594037927936.0)')} AS est_union,
-      {sql_trunc6('est.n_both / 256.0')} AS est_jaccard,
-      {sql_trunc6('(est.n_both / 256.0) * (255.0 / (est.hk / 72057594037927936.0))')} AS est_inter,
-      {sql_trunc6('ABS(255.0 / (est.hk / 72057594037927936.0) - exact.x_union) / exact.x_union')} AS rel_err_union
+      {sql_trunc6(_KMV_EST_UNION_SQL)} AS est_union,
+      {sql_trunc6('est.n_both / est.n_sk')} AS est_jaccard,
+      {sql_trunc6(f'(est.n_both / est.n_sk) * ({_KMV_EST_UNION_SQL})')} AS est_inter,
+      {sql_trunc6(f'ABS(({_KMV_EST_UNION_SQL}) - exact.x_union) / exact.x_union')} AS rel_err_union
     FROM est, exact
     """,
     doc="KMV theta-sketch union+intersection estimates (k=256) with "
@@ -3285,14 +3296,17 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sk.agg(
         F.max("h").alias("hk"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("double").alias("n_both"),
+        F.count(F.lit(1)).cast("double").alias("n_sk"),
     )
     exact = flags.agg(
         F.count(F.lit(1)).alias("x_union"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("x_inter"),
     )
     two56 = F.lit(72057594037927936.0)
-    est_union = F.lit(255.0) / (F.col("hk") / two56)
-    est_jacc = F.col("n_both") / F.lit(256.0)
+    est_union = F.when(
+        F.col("n_sk") < 256.0, F.col("n_sk")
+    ).otherwise(F.lit(255.0) / (F.col("hk") / two56))
+    est_jacc = F.col("n_both") / F.col("n_sk")
     return est.crossJoin(exact).select(
         F.col("x_union").alias("exact_union"),
         F.col("x_inter").alias("exact_inter"),

@@ -2062,11 +2062,15 @@ def _dedup_best_keep_lazy(
 # --------------------------------------------------------------------------
 # interpolated bigram-LM perplexity — the CCNet/KenLM-style fluency
 # filter one order above d_unigram_ppl: p(w2|w1) = 0.7·c2(w1w2)/c1(w1)
-# + 0.3·c1(w2)/N. The probability is kept as a ratio of INTEGER
-# products, p = (7·c2·N + 3·c1(w2)·c1(w1)) / (10·c1(w1)·N), so both
-# engines divide the same exact int64s (bounds: c2·N ≤ ~1e11 at sf0.1;
-# at corpus scale promote to DECIMAL or scale counts down — documented,
-# not silent); per-position ln terms go through the DECIMAL(25,6) sum.
+# + 0.3·c1(w2)/N. The probability is the ratio
+# p = (7·c2·N + 3·c1(w2)·c1(w1)) / (10·c1(w1)·N), with every factor
+# promoted to DOUBLE BEFORE the products: int64 products overflow
+# silently in Spark (non-ANSI wrap) once c2·N > ~9.2e18, whereas IEEE
+# double multiply/add round identically in both engines at ANY
+# magnitude — so the value is exact below 2^53 (true through ≥ sf10;
+# c2·N ≈ 1e11 at sf0.1) and deterministic (hash-stable) above it,
+# never silently wrong; per-position ln terms go through the
+# DECIMAL(25,6) sum.
 # Scale shape: two count shuffles (vocabulary / bigram-type
 # cardinality), then the instance stream equi-joins the three count
 # tables token-keyed; at 100 TB the capped top-V tables broadcast.
@@ -2092,8 +2096,9 @@ def _bigram_ppl_oracle() -> str:
       SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2
     ), scored AS (
       SELECT b.doc_id,
-             LN(CAST(7 * c2.c * t.n + 3 * ca.c * cb.c AS DOUBLE)
-                / CAST(10 * ca.c * t.n AS DOUBLE)) AS lp
+             LN((CAST(7 AS DOUBLE) * CAST(c2.c AS DOUBLE) * CAST(t.n AS DOUBLE)
+                 + CAST(3 AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+                / (CAST(10 AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(t.n AS DOUBLE))) AS lp
       FROM bi b
       JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
       JOIN c1 ca ON ca.w = b.w1
@@ -2143,10 +2148,10 @@ def t_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = c1.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
     lp = F.log(
         (
-            F.lit(7) * F.col("c2") * F.col("n")
-            + F.lit(3) * F.col("ca") * F.col("cb")
-        ).cast("double")
-        / (F.lit(10) * F.col("ca") * F.col("n")).cast("double")
+            F.lit(7.0) * F.col("c2").cast("double") * F.col("n").cast("double")
+            + F.lit(3.0) * F.col("ca").cast("double") * F.col("cb").cast("double")
+        )
+        / (F.lit(10.0) * F.col("ca").cast("double") * F.col("n").cast("double"))
     )
     scored = (
         bi.join(c2, ["w1", "w2"])
