@@ -2124,9 +2124,30 @@ def _bigram_ppl_oracle() -> str:
     "gate one order above d_unigram_ppl)",
 )
 def t_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    avg = -(F.col("s").cast("double") / F.col("n_bigrams"))
+    return (
+        _bigram_scored(d)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("lp").cast("decimal(25,6)")).cast("double").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            trunc6(avg).alias("avg_nll"),
+            (avg > _BG_HI).alias("high_ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bigram_scored(d: DataFrame) -> DataFrame:
+    """Per-bigram-position (doc_id, lp) stream of the interpolated LM —
+    shared by t_bigram_ppl and the refinery chain's fluency stage."""
     from ..functions import text as T
 
-    d = _fanout(load_tables(spark, sf_dir)["documents"])
     toks = T.tokens(F.col("text"))  # same tokenizer as d_unigram_ppl
     uni = d.select("doc_id", F.explode(toks).alias("w"))
     c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
@@ -2153,27 +2174,12 @@ def t_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / (F.lit(10.0) * F.col("ca").cast("double") * F.col("n").cast("double"))
     )
-    scored = (
+    return (
         bi.join(c2, ["w1", "w2"])
         .join(ca, "w1")
         .join(cb, "w2")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", lp.alias("lp"))
-    )
-    avg = -(F.col("s").cast("double") / F.col("n_bigrams"))
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.col("lp").cast("decimal(25,6)")).cast("double").alias("s"),
-        )
-        .select(
-            "doc_id",
-            "n_bigrams",
-            trunc6(avg).alias("avg_nll"),
-            (avg > _BG_HI).alias("high_ppl"),
-        )
-        .orderBy("doc_id")
     )
 
 
@@ -2377,9 +2383,36 @@ _GOPHER_STOP = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for'"
 )
 def t_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _fanout(load_tables(spark, sf_dir)["documents"])
+    v = _gopher_flags(d)
+    return (
+        v.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p_wc").alias("pass_wordcount"),
+            F.sum("p_mwl").alias("pass_meanwordlen"),
+            F.sum("p_alpha").alias("pass_alpha"),
+            F.sum("p_stop").alias("pass_stopwords"),
+            F.sum("p_rep").alias("pass_repetition"),
+            F.sum(
+                F.col("p_wc") * F.col("p_mwl") * F.col("p_alpha") * F.col("p_stop") * F.col("p_rep")
+            ).alias("pass_all"),
+        )
+        .withColumn(
+            "keep_rate",
+            trunc6(F.col("pass_all").cast("double") / F.col("n_docs")),
+        )
+        .orderBy("source")
+    )
+
+
+def _gopher_flags(d: DataFrame) -> DataFrame:
+    """Per-document Gopher rule verdicts (doc_id, source, n_tok, p_*):
+    the doc-level relation t_gopher_rules aggregates per source and
+    t_refinery_e2e consumes as its stage-2 gate."""
     stop = [w.strip(" '") for w in _GOPHER_STOP.split(",")]
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     s = d.select(
+        "doc_id",
         "source",
         toks.alias("toks"),
         F.size(toks).alias("n_tok"),
@@ -2392,6 +2425,7 @@ def t_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
     )
     r = s.select(
+        "doc_id",
         "source",
         "n_tok",
         (F.col("n_chars_ws").cast("double") / F.col("n_tok")).alias("mwl"),
@@ -2413,32 +2447,15 @@ def t_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rep_frac"),
     )
-    v = r.select(
+    return r.select(
+        "doc_id",
         "source",
+        "n_tok",
         F.col("n_tok").between(25, 80).cast("int").alias("p_wc"),
         ((F.col("mwl") >= 3.0) & (F.col("mwl") <= 4.5)).cast("int").alias("p_mwl"),
         (F.col("alpha_ratio") >= 0.8).cast("int").alias("p_alpha"),
         (F.col("n_stop") >= 2).cast("int").alias("p_stop"),
         (F.col("rep_frac") <= 0.125).cast("int").alias("p_rep"),
-    )
-    return (
-        v.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("p_wc").alias("pass_wordcount"),
-            F.sum("p_mwl").alias("pass_meanwordlen"),
-            F.sum("p_alpha").alias("pass_alpha"),
-            F.sum("p_stop").alias("pass_stopwords"),
-            F.sum("p_rep").alias("pass_repetition"),
-            F.sum(
-                F.col("p_wc") * F.col("p_mwl") * F.col("p_alpha") * F.col("p_stop") * F.col("p_rep")
-            ).alias("pass_all"),
-        )
-        .withColumn(
-            "keep_rate",
-            trunc6(F.col("pass_all").cast("double") / F.col("n_docs")),
-        )
-        .orderBy("source")
     )
 
 
@@ -2564,3 +2581,260 @@ for _lr_q, _lr_fin in (
             spark, sf_dir, _fin, persist=False
         )[0]
     )
+
+
+# --------------------------------------------------------------------------
+# The consumable end-to-end refinery (VERDICT r5 ask #6) — ONE query
+# chaining the round-5 gates in the README pipeline order:
+#   raw → Gopher rules → bigram-LM fluency → ExactSubstr majority
+#   retention → SemDeDup keep-list,
+# reporting the per-stage survivor funnel (docs + token mass). Each
+# stage consumes the EXACT shared machinery of its standalone query
+# (`_gopher_flags`, `_bigram_scored`, `_ss_position_stream`'s
+# canon/coverage chain, `_semdedup_keep_lazy`), so the funnel numbers
+# are the ones the audited gates themselves would produce — this is
+# the job a 100 TB curation run actually executes per ingest.
+# Stage semantics (cumulative ANDs over per-doc verdicts):
+#   2: all 5 Gopher rules pass;
+#   3: interpolated bigram avg NLL ≤ _BG_HI (docs without bigram
+#      positions pass vacuously — unreachable after stage 2's 25-token
+#      floor);
+#   4: the doc retains ≥ half its tokens after corpus-wide duplicated-
+#      span removal (2·retained ≥ n_tok, exact integer test);
+#   5: the doc's embedding survives the SemDeDup keep-list (docs
+#      without an embedding row pass — semantic dedup can only judge
+#      embedded docs).
+# Scale: one funnel = one pass per gate family over the corpus plus
+# doc-cardinality joins of the verdict relations; the final stage
+# table is a SINGLE conditional aggregate (5 survivor counters in one
+# scan) unpivoted to rows — never 5 re-filters of the corpus.
+def _refinery_e2e_oracle() -> str:
+    from .vecpipe2 import _semdedup_cte
+
+    return f"""{_semdedup_cte()}
+    , keepv AS (
+      SELECT af2.vec_id,
+             CASE WHEN rm.dup_id IS NULL THEN 1 ELSE 0 END AS keep
+      FROM af af2 LEFT JOIN rm
+        ON rm.cluster = af2.cluster AND rm.dup_id = af2.vec_id
+    ), dtk AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), gs AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n_tok,
+             length(regexp_replace({_NORM}, '\\s+', '', 'g')) AS n_chars_ws
+      FROM documents
+    ), gr AS (
+      SELECT doc_id, n_tok,
+             CAST(n_chars_ws AS DOUBLE) / n_tok AS mwl,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / n_tok AS alpha_ratio,
+             len(list_distinct(list_filter(toks, t -> t IN ({_GOPHER_STOP})))) AS n_stop,
+             CASE WHEN n_tok < 2 THEN 0.0 ELSE
+               CAST(list_max(list_transform(list_distinct(
+                     list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])),
+                   g -> len(list_filter(
+                     list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
+                     x -> x = g)))) AS DOUBLE) * 2.0 / n_tok
+             END AS rep_frac
+      FROM gs
+    ), gflag AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok BETWEEN 25 AND 80
+                   AND mwl >= 3.0 AND mwl <= 4.5
+                   AND alpha_ratio >= 0.8
+                   AND n_stop >= 2
+                   AND rep_frac <= 0.125 THEN 1 ELSE 0 END AS p_gopher
+      FROM gr
+    ), uni AS (
+      SELECT doc_id, unnest(tk) AS w FROM dtk
+    ), c1 AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1
+    ), bi AS (
+      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+            FROM dtk WHERE len(tk) >= 2)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2
+    ), bscored AS (
+      SELECT b.doc_id,
+             LN((CAST(7 AS DOUBLE) * CAST(c2.c AS DOUBLE) * CAST(t.n AS DOUBLE)
+                 + CAST(3 AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+                / (CAST(10 AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(t.n AS DOUBLE))) AS lp
+      FROM bi b
+      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+      JOIN c1 ca ON ca.w = b.w1
+      JOIN c1 cb ON cb.w = b.w2
+      CROSS JOIN tot t
+    ), nll AS (
+      SELECT doc_id,
+             -(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)) AS avg_nll
+      FROM bscored GROUP BY doc_id
+    ), spos AS (
+      SELECT doc_id, i,
+             {md5_long_sql(f"array_to_string(list_slice(tk, i, i + {_SS_K - 1}), ' ')")} AS h
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - {_SS_K} + 2)) AS i
+            FROM dtk WHERE len(tk) >= {_SS_K})
+    ), scanon AS (
+      SELECT h, MIN((doc_id, i)) AS mo FROM spos GROUP BY h HAVING COUNT(*) >= 2
+    ), sdp AS (
+      SELECT p.doc_id, p.i FROM spos p JOIN scanon c USING (h)
+      WHERE (p.doc_id, p.i) <> c.mo
+    ), scov AS (
+      SELECT doc_id, COUNT(*) AS n_cov FROM (
+        SELECT DISTINCT doc_id, t FROM (
+          SELECT doc_id, unnest(range(i, i + {_SS_K})) AS t FROM sdp))
+      GROUP BY doc_id
+    ), fl AS (
+      SELECT g.doc_id, g.n_tok, g.p_gopher,
+             CASE WHEN COALESCE(n.avg_nll <= {_BG_HI}, TRUE) THEN 1 ELSE 0 END AS p_ppl,
+             CASE WHEN 2 * (g.n_tok - COALESCE(s.n_cov, 0)) >= g.n_tok THEN 1 ELSE 0 END AS p_sub,
+             COALESCE(k.keep, 1) AS p_sem
+      FROM gflag g
+      LEFT JOIN nll n ON n.doc_id = g.doc_id
+      LEFT JOIN scov s ON s.doc_id = g.doc_id
+      LEFT JOIN keepv k ON k.vec_id = g.doc_id
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+             COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM fl
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'gopher_rules', COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      FROM fl WHERE p_gopher = 1
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'bigram_ppl', COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      FROM fl WHERE p_gopher = 1 AND p_ppl = 1
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), 'substring_dedup', COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      FROM fl WHERE p_gopher = 1 AND p_ppl = 1 AND p_sub = 1
+      UNION ALL
+      SELECT CAST(5 AS BIGINT), 'semantic_dedup', COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      FROM fl WHERE p_gopher = 1 AND p_ppl = 1 AND p_sub = 1 AND p_sem = 1
+    ) ORDER BY stage
+    """
+
+
+def _refinery_e2e_lazy(spark: SparkSession, sf_dir: str):
+    from .vecpipe2 import _semdedup_keep_lazy
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    caches: list = []
+
+    gf = _gopher_flags(d).select(
+        "doc_id",
+        "n_tok",
+        (
+            F.col("p_wc") * F.col("p_mwl") * F.col("p_alpha")
+            * F.col("p_stop") * F.col("p_rep")
+        ).alias("p_gopher"),
+    )
+    nll = (
+        _bigram_scored(d)
+        .groupBy("doc_id")
+        .agg(
+            (
+                -(
+                    F.sum(F.col("lp").cast("decimal(25,6)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+            ).alias("avg_nll")
+        )
+    )
+    _toks, pos = _ss_position_stream(d)
+    caches.append(pos)
+    canon = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"), F.min(F.struct("doc_id", "i")).alias("mo"))
+        .filter(F.col("c") >= 2)
+    )
+    dup_pos = (
+        pos.join(canon, "h")
+        .filter(F.struct("doc_id", "i") != F.col("mo"))
+        .select("doc_id", "i")
+    )
+    cov = (
+        dup_pos.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(_SS_K - 1))).alias("t"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_cov"))
+    )
+    keep, sem_caches = _semdedup_keep_lazy(spark, sf_dir)
+    caches.extend(sem_caches)
+
+    fl = (
+        gf.join(nll, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .join(
+            keep.select(F.col("vec_id").alias("doc_id"), F.col("keep").alias("sem0")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "n_tok",
+            "p_gopher",
+            F.when(
+                F.coalesce(F.col("avg_nll") <= F.lit(_BG_HI), F.lit(True)), 1
+            )
+            .otherwise(0)
+            .alias("p_ppl"),
+            (
+                F.lit(2) * (F.col("n_tok") - F.coalesce(F.col("n_cov"), F.lit(0)))
+                >= F.col("n_tok")
+            )
+            .cast("int")
+            .alias("p_sub"),
+            F.coalesce(F.col("sem0"), F.lit(1)).alias("p_sem"),
+        )
+    )
+    # one conditional-aggregate scan computes the whole funnel; stack()
+    # unpivots the 1-row aggregate into the 5 stage rows
+    s2 = F.col("p_gopher")
+    s3 = s2 * F.col("p_ppl")
+    s4 = s3 * F.col("p_sub")
+    s5 = s4 * F.col("p_sem")
+    a = fl.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum("n_tok").cast("bigint").alias("t1"),
+        F.sum(s2).cast("bigint").alias("n2"),
+        F.sum(s2 * F.col("n_tok")).cast("bigint").alias("t2"),
+        F.sum(s3).cast("bigint").alias("n3"),
+        F.sum(s3 * F.col("n_tok")).cast("bigint").alias("t3"),
+        F.sum(s4).cast("bigint").alias("n4"),
+        F.sum(s4 * F.col("n_tok")).cast("bigint").alias("t4"),
+        F.sum(s5).cast("bigint").alias("n5"),
+        F.sum(s5 * F.col("n_tok")).cast("bigint").alias("t5"),
+    )
+    out = a.selectExpr(
+        "stack(5,"
+        " CAST(1 AS BIGINT), 'raw', n1, t1,"
+        " CAST(2 AS BIGINT), 'gopher_rules', n2, t2,"
+        " CAST(3 AS BIGINT), 'bigram_ppl', n3, t3,"
+        " CAST(4 AS BIGINT), 'substring_dedup', n4, t4,"
+        " CAST(5 AS BIGINT), 'semantic_dedup', n5, t5"
+        ") AS (stage, stage_name, n_docs, n_tokens)"
+    ).orderBy("stage")
+    return out, caches
+
+
+@_q(
+    "t_refinery_e2e",
+    _refinery_e2e_oracle(),
+    doc="end-to-end refinery funnel consuming the audited gates: raw -> "
+    "Gopher rules -> bigram-LM fluency -> ExactSubstr majority retention "
+    "-> SemDeDup keep-list; per-stage surviving docs + token mass",
+)
+def t_refinery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, caches = _refinery_e2e_lazy(spark, sf_dir)
+    # 5-row funnel: materialize, then release every gate-family cache
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
+ALL_SPECS["t_refinery_e2e"].lazy_plan = (
+    lambda spark, sf_dir: _refinery_e2e_lazy(spark, sf_dir)[0]
+)
