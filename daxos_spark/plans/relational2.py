@@ -4357,3 +4357,104 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(u1).alias("u1"),
         trunc6((u1 - F.col("n1") * F.col("n2") / F.lit(2.0)) / sigma).alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Single changepoint detection — the binary-segmentation primitive
+# (CUSUM's offline sibling; Scott & Knott / PELT's inner step): find
+# the split of the daily-revenue series maximizing the between-segment
+# SSE reduction  gain(k) = S_k²/k + (S−S_k)²/(n−k) − S²/n  — the
+# split a mean-shift model would place first. Everything derives from
+# ONE ordered prefix-sum window over the day-grain aggregate
+# (DECIMAL-exact running sums → identical doubles in both engines, the
+# q_cusum_drift contract), gains are evaluated per candidate split in
+# fixed-order double arithmetic, and the argmax is ORDER BY + LIMIT 1
+# = TakeOrderedAndProject. Scale: the fact scan reduces to day grain
+# first (~2.4k rows/7 years), so the unpartitioned window ranks a
+# tiny relation — the same altitude argument as q_cusum_drift /
+# q_seasonal_decompose (PLANS.md window audit table).
+@_q(
+    "q_changepoint_revenue",
+    f"""
+    WITH day AS (
+      SELECT CAST(FLOOR(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS d,
+             {sql_dsum('o_totalprice')} AS rev
+      FROM orders GROUP BY d
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) AS s
+      FROM day
+    ), pre AS (
+      SELECT d,
+             ROW_NUMBER() OVER (ORDER BY d) AS k,
+             CAST(SUM(CAST(rev AS DECIMAL(25,6))) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS sk
+      FROM day
+    ), gain AS (
+      SELECT d, k, t.n, sk, t.s,
+             (sk * sk) / CAST(k AS DOUBLE)
+             + ((t.s - sk) * (t.s - sk)) / CAST(t.n - k AS DOUBLE)
+             - (t.s * t.s) / CAST(t.n AS DOUBLE) AS g
+      FROM pre CROSS JOIN tot t
+      WHERE k < t.n
+    )
+    SELECT d AS split_day, CAST(k AS BIGINT) AS n_left,
+           CAST(n - k AS BIGINT) AS n_right,
+           {sql_trunc6('g')} AS gain,
+           {sql_trunc6('sk / CAST(k AS DOUBLE)')} AS mean_left,
+           {sql_trunc6('(s - sk) / CAST(n - k AS DOUBLE)')} AS mean_right
+    FROM gain ORDER BY g DESC, d LIMIT 1
+    """,
+    doc="single changepoint (binary-segmentation step): split of the "
+    "daily-revenue series maximizing between-segment SSE reduction; "
+    "one DECIMAL prefix-sum window + TakeOrdered argmax",
+    tags=("relational", "timeseries"),
+)
+def q_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    day = (
+        o.select(
+            F.floor(F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000)
+            .cast("bigint")
+            .alias("d"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("d")
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+    )
+    tot = day.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rev").cast(DEC)).cast("double").alias("s"),
+    )
+    wk = Window.orderBy("d")
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = day.select(
+        "d",
+        F.row_number().over(wk).alias("k"),
+        F.sum(F.col("rev").cast(DEC)).over(wc).cast("double").alias("sk"),
+    )
+    g = (
+        (F.col("sk") * F.col("sk")) / F.col("k").cast("double")
+        + ((F.col("s") - F.col("sk")) * (F.col("s") - F.col("sk")))
+        / (F.col("n") - F.col("k")).cast("double")
+        - (F.col("s") * F.col("s")) / F.col("n").cast("double")
+    )
+    gain = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("k") < F.col("n"))
+        .select("d", "k", "n", "sk", "s", g.alias("g"))
+    )
+    return (
+        gain.orderBy(F.col("g").desc(), "d")
+        .limit(1)
+        .select(
+            F.col("d").alias("split_day"),
+            F.col("k").cast("bigint").alias("n_left"),
+            (F.col("n") - F.col("k")).cast("bigint").alias("n_right"),
+            trunc6(F.col("g")).alias("gain"),
+            trunc6(F.col("sk") / F.col("k").cast("double")).alias("mean_left"),
+            trunc6(
+                (F.col("s") - F.col("sk")) / (F.col("n") - F.col("k")).cast("double")
+            ).alias("mean_right"),
+        )
+    )

@@ -2838,3 +2838,173 @@ def t_refinery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 ALL_SPECS["t_refinery_e2e"].lazy_plan = (
     lambda spark, sf_dir: _refinery_e2e_lazy(spark, sf_dir)[0]
 )
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney bigram perplexity — the smoothing that actually ships in
+# n-gram LMs (KenLM's default; Kneser & Ney '95, Chen & Goodman '98):
+# absolute discounting D=0.75 plus the CONTINUATION distribution
+#   p_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+#               + (D · N1+(w1·)/c(w1)) · (N1+(·w2)/T)
+# where N1+(w1·) = distinct followers of w1, N1+(·w2) = distinct
+# predecessors of w2, T = total bigram types. Every input is an exact
+# integer count; the per-position probability is evaluated in DOUBLE
+# with a fixed operation order (each count cast first, D=0.75 exact in
+# binary), so both engines compute the identical double and the LN
+# terms sum through DECIMAL(25,6) — same determinism contract as
+# t_bigram_ppl. Scale shape: the two continuation tables are ONE extra
+# aggregate each over the bigram-type relation (vocabulary-bounded,
+# tiny next to the instance stream); scoring joins stay token-keyed.
+def _kn_oracle() -> str:
+    p_expr = (
+        "GREATEST(CAST(c2.c AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))"
+        " / CAST(ca.c AS DOUBLE)"
+        " + (CAST(0.75 AS DOUBLE) * CAST(nf.k AS DOUBLE) / CAST(ca.c AS DOUBLE))"
+        " * (CAST(np.k AS DOUBLE) / CAST(tt.t AS DOUBLE))"
+    )
+    return f"""
+    WITH dtk AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), bi AS (
+      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+            FROM dtk WHERE len(tk) >= 2)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1 AS w, CAST(SUM(c) AS BIGINT) AS c FROM c2 GROUP BY w1
+    ), nfol AS (
+      SELECT w1 AS w, COUNT(*) AS k FROM c2 GROUP BY w1
+    ), nprec AS (
+      SELECT w2 AS w, COUNT(*) AS k FROM c2 GROUP BY w2
+    ), tt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c2
+    ), scored AS (
+      SELECT b.doc_id, LN({p_expr}) AS lp
+      FROM bi b
+      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+      JOIN c1 ca ON ca.w = b.w1
+      JOIN nfol nf ON nf.w = b.w1
+      JOIN nprec np ON np.w = b.w2
+      CROSS JOIN tt
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           {sql_trunc6(
+               "-(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))"
+           )} AS avg_nll
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@_q(
+    "t_kneser_ney_ppl",
+    _kn_oracle(),
+    doc="Kneser-Ney bigram perplexity (D=0.75 absolute discounting + "
+    "continuation distribution, Chen & Goodman '98): per-doc mean NLL "
+    "from exact integer count tables",
+)
+def t_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    toks = T.tokens(F.col("text"))
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bi = (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigram).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy(F.col("w1")).agg(F.sum("c2").cast("bigint").alias("ca"))
+    nfol = c2.groupBy(F.col("w1")).agg(F.count(F.lit(1)).alias("nf"))
+    nprec = c2.groupBy(F.col("w2")).agg(F.count(F.lit(1)).alias("np"))
+    tt = c2.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    d75 = F.lit(0.75)
+    p = (
+        F.greatest(F.col("c2").cast("double") - d75, F.lit(0.0))
+        / F.col("ca").cast("double")
+        + (d75 * F.col("nf").cast("double") / F.col("ca").cast("double"))
+        * (F.col("np").cast("double") / F.col("t").cast("double"))
+    )
+    scored = (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(nfol, "w1")
+        .join(nprec, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select("doc_id", F.log(p).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("lp").cast("decimal(25,6)")).cast("double").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            trunc6(-(F.col("s").cast("double") / F.col("n_bigrams"))).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted priority sampling — Efraimidis-Spirakis '06 weighted
+# reservoir sampling, the deterministic way to draw a token-mass-
+# proportional corpus subsample in one distributed pass: each doc gets
+# priority key ln(u_i)/w_i with u_i = md5(doc_id)/2^56 ∈ (0,1) and
+# w_i = its character mass; the sample is the top-N keys. Equivalent
+# to ranking u^(1/w) but in LOG space, avoiding cross-libm pow(); LN
+# of the same double is identical in both engines (the
+# q_km_time_to_error precedent), and md5-derived u values are well
+# separated so ordering never sits on a ULP boundary. Spark executes
+# the selection as TakeOrderedAndProject (per-partition top-N heaps —
+# THE distributed reservoir merge); inclusion is P(i in S) ∝ w_i in
+# the large-N limit, which is exactly temperature-free proportional
+# corpus sampling.
+_WS_N = 50
+
+
+@_q(
+    "t_weighted_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             LN(CAST({md5_long_sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+                / CAST(72057594037927936 AS DOUBLE))
+               / CAST(n_chars AS DOUBLE) AS k
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+           {sql_trunc6('k')} AS priority
+    FROM w ORDER BY k DESC, doc_id LIMIT {_WS_N}
+    """,
+    doc="Efraimidis-Spirakis weighted priority sample: top-50 docs by "
+    "ln(md5-uniform)/weight — deterministic weight-proportional corpus "
+    "subsample as a distributed top-k",
+)
+def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    u = md5_long(F.col("doc_id").cast("string")).cast("double") / F.lit(
+        72057594037927936.0
+    )
+    k = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            k.alias("k"),
+        )
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(_WS_N)
+        .select("doc_id", "source", "weight", trunc6(F.col("k")).alias("priority"))
+    )

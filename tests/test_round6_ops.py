@@ -1,0 +1,111 @@
+"""Round-6 additions vs independent python oracles: Kneser-Ney bigram
+LM, Efraimidis-Spirakis weighted priority sampling, binary-segmentation
+changepoint. The duckdb hash gate proves cross-engine agreement; these
+replays prove the SEMANTICS against textbook formulas."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _toks(text: str) -> list[str]:
+    return re.split(r"\s+", text.lower().strip())
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+def _trunc6(x: float) -> float:
+    return math.floor(x * 1e6) / 1e6
+
+
+def test_kneser_ney_matches_textbook(spark):
+    from daxos_spark.plans.textpipe import t_kneser_ney_ppl
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    c2: Counter = Counter()
+    doc_bi: dict = {}
+    for r in docs.itertuples():
+        tk = _toks(r.text)
+        bis = list(zip(tk, tk[1:]))
+        doc_bi[r.doc_id] = bis
+        c2.update(bis)
+    c1: Counter = Counter()
+    nfol: Counter = Counter()
+    nprec: Counter = Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        nfol[w1] += 1
+        nprec[w2] += 1
+    T = len(c2)
+    D = 0.75
+
+    def p_kn(w1, w2):
+        return max(c2[(w1, w2)] - D, 0.0) / c1[w1] + (D * nfol[w1] / c1[w1]) * (
+            nprec[w2] / T
+        )
+
+    rows = t_kneser_ney_ppl(spark, SF_DIR).collect()
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_nll"]) for r in rows}
+    assert set(got) == {d for d, b in doc_bi.items() if b}
+    for doc_id, bis in doc_bi.items():
+        if not bis:
+            continue
+        nll = -sum(math.log(p_kn(a, b)) for a, b in bis) / len(bis)
+        n_b, avg = got[doc_id]
+        assert n_b == len(bis)
+        assert abs(avg - _trunc6(nll)) < 2e-6, doc_id
+
+
+def test_weighted_sample_is_efraimidis_spirakis(spark):
+    from daxos_spark.plans.textpipe import _WS_N, t_weighted_sample
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    keys = {}
+    for r in docs.itertuples():
+        u = _md5_long(str(r.doc_id)) / 2**56
+        keys[r.doc_id] = (math.log(u) / r.n_chars, r.n_chars)
+    want = sorted(keys.items(), key=lambda kv: (-kv[1][0], kv[0]))[:_WS_N]
+
+    rows = t_weighted_sample(spark, SF_DIR).collect()
+    assert [r["doc_id"] for r in rows] == [d for d, _ in want]
+    for r, (d, (k, w)) in zip(rows, want):
+        assert r["weight"] == w
+        assert abs(r["priority"] - _trunc6(k)) < 2e-6
+
+
+def test_changepoint_maximizes_sse_reduction(spark):
+    from daxos_spark.plans.relational2 import q_changepoint_revenue
+
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    day = (
+        o.assign(d=o["o_orderdate"].values.astype("datetime64[D]").astype("int64"))
+        .groupby("d")["o_totalprice"]
+        .sum()
+        .sort_index()
+    )
+    s = day.to_numpy()
+    n = len(s)
+    tot = s.sum()
+    best = None
+    for k in range(1, n):
+        sk = s[:k].sum()
+        g = sk * sk / k + (tot - sk) ** 2 / (n - k) - tot * tot / n
+        if best is None or g > best[1] + 1e-9:
+            best = (day.index[k - 1], g, sk / k, (tot - sk) / (n - k), k)
+
+    r = q_changepoint_revenue(spark, SF_DIR).collect()[0]
+    assert r["split_day"] == best[0]
+    assert r["n_left"] == best[4]
+    assert r["n_right"] == n - best[4]
+    assert abs(r["gain"] - best[1]) < 1e-3 * max(1.0, abs(best[1]))
+    assert abs(r["mean_left"] - best[2]) < 1e-3
+    assert abs(r["mean_right"] - best[3]) < 1e-3
