@@ -204,6 +204,14 @@ BENCH_QUERIES = [
     "q_itemcf_topk",
     "q_markov_next_event",
     "v_grid_dbscan",
+    "v_label_noise_panel",
+    "q_trajectory_knn_panel",
+    "t_refinery_e2e",
+    "t_kneser_ney_ppl",
+    "t_weighted_sample",
+    "q_changepoint_revenue",
+    "q_l_diversity",
+    "v_nprobe_sweep",
 ]
 
 

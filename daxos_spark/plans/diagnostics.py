@@ -668,3 +668,99 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "k")
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit — k-anonymity's necessary companion (Machanavajjhala
+# et al. '06): a class can be k-large yet still leak if every member
+# shares the SAME sensitive value. Records = orders carrying their
+# customer's quasi-identifiers (nation, segment, $1000 balance band);
+# sensitive attribute = order priority; a class violates at l < 3
+# distinct priorities. Scale: one fact-dim equi-join (customer side
+# broadcastable), then a two-level aggregate — COUNT(DISTINCT s) per
+# class expands to the standard two-phase partial aggregation, both
+# keyed on the QI tuple; the per-segment rollup is 5 groups.
+_LDIV_L = 3
+
+
+@_q(
+    "q_l_diversity",
+    f"""
+    WITH r AS (
+      SELECT c_mktsegment AS seg, c_nationkey,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_band,
+             o_orderpriority AS s
+      FROM customer JOIN orders ON o_custkey = c_custkey
+    ), classes AS (
+      SELECT seg, c_nationkey, bal_band,
+             COUNT(*) AS sz, COUNT(DISTINCT s) AS l
+      FROM r GROUP BY 1, 2, 3
+    )
+    SELECT seg,
+           COUNT(*) AS n_classes,
+           CAST(SUM(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_diversity,
+           CAST(SUM(sz) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN l < {_LDIV_L} THEN sz ELSE 0 END) AS BIGINT)
+             AS records_at_risk,
+           {sql_trunc6(
+               f"CAST(SUM(CASE WHEN l < {_LDIV_L} THEN sz ELSE 0 END) AS DOUBLE)"
+               " / CAST(SUM(sz) AS DOUBLE)"
+           )} AS risk_fraction,
+           CAST(MIN(l) AS BIGINT) AS min_l
+    FROM classes GROUP BY seg ORDER BY seg
+    """,
+    doc=f"l-diversity audit (l={_LDIV_L}) over the q_k_anonymity "
+    "quasi-identifiers with order priority as the sensitive attribute: "
+    "per-segment homogeneous-class counts and records at attribute-"
+    "disclosure risk",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    r = (
+        t["orders"]
+        .select("o_custkey", F.col("o_orderpriority").alias("s"))
+        .join(
+            F.broadcast(
+                t["customer"].select(
+                    "c_custkey",
+                    F.col("c_mktsegment").alias("seg"),
+                    "c_nationkey",
+                    F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+                    .cast("bigint")
+                    .alias("bal_band"),
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    classes = r.groupBy("seg", "c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("s").alias("l"),
+    )
+    low = F.col("l") < _LDIV_L
+    return (
+        classes.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(low, 1).otherwise(0)).cast("bigint").alias("n_low_diversity"),
+            F.sum("sz").cast("bigint").alias("n_records"),
+            F.sum(F.when(low, F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("records_at_risk"),
+            F.min("l").cast("bigint").alias("min_l"),
+        )
+        .select(
+            "seg",
+            "n_classes",
+            "n_low_diversity",
+            "n_records",
+            "records_at_risk",
+            trunc6(
+                F.col("records_at_risk").cast("double")
+                / F.col("n_records").cast("double")
+            ).alias("risk_fraction"),
+            "min_l",
+        )
+        .orderBy("seg")
+    )

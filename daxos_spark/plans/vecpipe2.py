@@ -1965,3 +1965,141 @@ def _grid_dbscan_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
 ALL_SPECS["v_grid_dbscan"].lazy_plan = (
     lambda spark, sf_dir: _grid_dbscan_lazy(spark, sf_dir, persist=False)[0]
 )
+
+
+# --------------------------------------------------------------------------
+# IVF nprobe sweep — the ANN TUNING table (the knob every IVF
+# deployment turns first): recall@5 vs number of probed buckets for
+# nprobe ∈ {1, 2, 4}, against the exact brute-force top-5. The probe
+# ranking over the 10 centroids is computed ONCE; each sweep point
+# filters that ranked relation (rn ≤ nprobe), re-ranks its candidate
+# set and measures recovery — so the sweep costs probes×corpus work
+# per point but never recomputes assignment or centroids (the oracle
+# shares the same `pr` relation). At 100 TB this is the table that
+# decides the latency/recall operating point before the index ships.
+_NPROBE_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+_NPROBE_PTS = (1, 2, 4)
+
+
+def _nprobe_sweep_oracle() -> str:
+    blocks, selects = [], []
+    for np_ in _NPROBE_PTS:
+        blocks.append(
+            f""", cand{np_} AS (
+      SELECT p.qid, a.vec_id AS cid, {_NPROBE_COS.format(a='p.qv', b='a.ev')} AS cos
+      FROM (SELECT qid, qv, bucket FROM pr WHERE rn <= {np_}) p
+      JOIN assign a ON a.bucket = p.bucket
+    ), top{np_} AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        FROM cand{np_})
+      WHERE rk <= 5
+    ), r{np_} AS (
+      SELECT CAST({np_} AS BIGINT) AS nprobe,
+             CAST(COUNT(DISTINCT e.qid) AS BIGINT) AS n_queries,
+             COUNT(*) AS n_exact,
+             CAST(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+             FLOOR(CAST(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) * 1000000.0) / 1000000.0 AS recall
+      FROM exact_top e LEFT JOIN top{np_} t ON t.qid = e.qid AND t.cid = e.cid
+    )"""
+        )
+        selects.append(f"SELECT * FROM r{np_}")
+    return (
+        f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings WHERE vec_id >= 10
+    ), q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+    ), exact_s AS (
+      SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        {_NPROBE_COS.format(a='qv', b='ev')} DESC, cid) AS rk
+      FROM q CROSS JOIN (SELECT vec_id AS cid, ev FROM corpus)
+    ), exact_top AS (
+      SELECT qid, cid FROM exact_s WHERE rk <= 5
+    ), dims AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings WHERE vec_id >= 10
+    ), cm AS (
+      SELECT label, pos, CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM dims GROUP BY label, pos
+    ), cent AS (
+      SELECT label AS bucket, list(m ORDER BY pos) AS cv FROM cm GROUP BY label
+    ), assign AS (
+      SELECT vec_id, ev, bucket FROM (
+        SELECT c.vec_id, c.ev, ct.bucket,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 {_NPROBE_COS.format(a='c.ev', b='ct.cv')} DESC, ct.bucket) AS rn
+        FROM corpus c CROSS JOIN cent ct)
+      WHERE rn = 1
+    ), pr AS (
+      SELECT q.qid, q.qv, ct.bucket,
+             ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+               {_NPROBE_COS.format(a='q.qv', b='ct.cv')} DESC, ct.bucket) AS rn
+      FROM q CROSS JOIN cent ct
+    )"""
+        + "".join(blocks)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY nprobe\n    "
+    )
+
+
+@_q(
+    "v_nprobe_sweep",
+    _nprobe_sweep_oracle(),
+    doc="IVF tuning curve: recall@5 vs nprobe in {1,2,4} against exact "
+    "top-5; probe ranking computed once, each sweep point filters it",
+)
+def v_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import assign_buckets, ivf_search, label_centroids
+    from .vecpipe import e_knn_bruteforce
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    corpus = e.filter(F.col("vec_id") >= 10)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), to_double(F.col("embedding")).alias("qv")
+    )
+    exact = e_knn_bruteforce(spark, sf_dir).select(
+        "qid", F.col("neighbor_id").alias("cid")
+    )
+    cent = label_centroids(corpus)
+    bucketed = assign_buckets(corpus, cent)
+    parts = []
+    for np_ in _NPROBE_PTS:
+        approx = ivf_search(queries, bucketed, cent, nprobe=np_, k=5).select(
+            "qid", F.col("neighbor_id").alias("aid")
+        )
+        rec = (
+            exact.alias("e")
+            .join(
+                approx.alias("a"),
+                (F.col("e.qid") == F.col("a.qid")) & (F.col("cid") == F.col("aid")),
+                "left",
+            )
+            .agg(
+                F.countDistinct("e.qid").cast("bigint").alias("n_queries"),
+                F.count(F.lit(1)).alias("n_exact"),
+                F.sum(F.col("aid").isNotNull().cast("int")).cast("bigint").alias(
+                    "n_recovered"
+                ),
+            )
+            .select(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                "n_queries",
+                "n_exact",
+                "n_recovered",
+                trunc6(
+                    F.col("n_recovered").cast("double")
+                    / F.col("n_exact").cast("double")
+                ).alias("recall"),
+            )
+        )
+        parts.append(rec)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("nprobe")
