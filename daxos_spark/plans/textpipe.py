@@ -358,12 +358,24 @@ def _lr_feat_sql() -> str:
     """
 
 
+# Per-row quantization for the Newton sums: FLOOR((v)*1e6) summed as
+# exact BIGINT, divided once at the end. NOT the usual DECIMAL(25,6)
+# cast — that cast is engine-divergent at half-µ boundaries: the
+# logreg features are small-denominator rationals, so per-row terms
+# like 0.25·x1·x2 land EXACTLY on the 5e-7 grid, where Spark rounds
+# the double's exact decimal expansion (down) while duckdb rounds the
+# 1e6-scaled double (up) — 5 of 5000 rows diverged at sf0.1 and the
+# trained coefficients split (found by the round-6 sf0.1 oracle gate).
+# floor(v*1e6) uses only IEEE multiply + floor on the SAME double, so
+# it is bit-identical in every engine at any scale.
+_LR_SUM_SQL = "CAST(SUM(CAST(FLOOR(({e}) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS {k}"
+
+
 def _lr_chain() -> tuple[str, str]:
     """The shared WITH-chain (feature table + init + Newton layers);
     returns (sql_prefix, name_of_final_coefficient_cte)."""
     sums = ",\n             ".join(
-        f"CAST(SUM(CAST({e} AS DECIMAL(25,6))) AS DOUBLE) AS {k}"
-        for k, e in _LR_SUMS.items()
+        _LR_SUM_SQL.format(e=e, k=k) for k, e in _LR_SUMS.items()
     )
     adj = ", ".join(f"{e} AS {k}" for k, e in _LR_ADJ.items())
     upd = ", ".join(f"{e} AS {k}" for k, e in _LR_UPD.items())
@@ -413,7 +425,12 @@ def _lr_fit(spark: SparkSession, feat: DataFrame):
             F.max("b1").alias("b1"),
             F.max("b2").alias("b2"),
             *[
-                F.sum(F.expr(e).cast("decimal(25,6)")).cast("double").alias(k)
+                (
+                    F.sum(
+                        F.floor(F.expr(e) * F.lit(1000000.0)).cast("bigint")
+                    ).cast("double")
+                    / F.lit(1000000.0)
+                ).alias(k)
                 for k, e in _LR_SUMS.items()
             ],
         )

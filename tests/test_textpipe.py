@@ -120,10 +120,12 @@ def test_quality_logreg_matches_numpy_irls(spark):
         H = (X * (p * (1 - p))[:, None]).T @ X
         b = b - np.linalg.solve(H, g)
 
-    # engine sums are DECIMAL(25,6)-quantized per term; coefficients agree
-    # to well under the quantization propagation bound
+    # engine sums quantize each term to floor(v*1e6) (the cross-engine-
+    # exact grid; see _LR_SUM_SQL) — a systematic ≤1e-6 downward shift
+    # per row, so coefficients agree to the quantization propagation
+    # bound but not tighter
     got = np.array([row.b0, row.b1, row.b2])
-    assert np.allclose(got, b, atol=1e-3), (got, b)
+    assert np.allclose(got, b, atol=5e-3), (got, b)
 
     p = 1.0 / (1.0 + np.exp(-(X @ b)))
     assert row.n_docs == len(docs)
