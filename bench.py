@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "q_changepoint_revenue",
     "q_l_diversity",
     "v_nprobe_sweep",
+    "q_watermark_lateness",
 ]
 
 

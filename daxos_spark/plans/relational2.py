@@ -4458,3 +4458,86 @@ def q_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_right"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Watermark-lateness audit — the batch measurement that SIZES the
+# streaming layer's watermarks: how out-of-order does event time
+# arrive? Arrival order is the event_id sequence; events are bucketed
+# into arrival batches of 1000 (the micro-batch analogue), and each
+# event's lateness is (max event-time seen in PRIOR batches) − its own
+# event time, clamped at 0. The running max runs over the BATCH
+# relation (inventory cardinality — ~n/1000 rows), never over the
+# event stream, so the only unpartitioned window ranks metadata (the
+# q_compaction_plan altitude argument); everything else is map-side
+# plus one broadcast join of the tiny batch table. Percentiles are
+# Spark percentile() / duckdb quantile_cont over exact integer micros
+# (the q_mad_outliers contract); at 100 TB swap approx_percentile.
+# Reading: p99_lateness_s is the watermark you would configure; n_late
+# events beyond it are the ones a shorter watermark would drop.
+_WM_BATCH = 1000
+
+
+@_q(
+    "q_watermark_lateness",
+    f"""
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS ts_us,
+             CAST(FLOOR(event_id / {_WM_BATCH}) AS BIGINT) AS b
+      FROM events
+    ), bm AS (
+      SELECT b, MAX(ts_us) AS bmax FROM e GROUP BY b
+    ), pm AS (
+      SELECT b, MAX(bmax) OVER (ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+      FROM bm
+    ), late AS (
+      SELECT e.event_id,
+             GREATEST(COALESCE(pm.prior_max - e.ts_us, 0), 0) AS lateness_us
+      FROM e JOIN pm ON pm.b = e.b
+    )
+    SELECT COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           {sql_trunc6(
+               'CAST(SUM(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)'
+               ' / CAST(COUNT(*) AS DOUBLE)'
+           )} AS frac_late,
+           {sql_trunc6('quantile_cont(CAST(lateness_us AS DOUBLE), 0.5) / 1000000.0')} AS p50_lateness_s,
+           {sql_trunc6('quantile_cont(CAST(lateness_us AS DOUBLE), 0.95) / 1000000.0')} AS p95_lateness_s,
+           {sql_trunc6('quantile_cont(CAST(lateness_us AS DOUBLE), 0.99) / 1000000.0')} AS p99_lateness_s,
+           {sql_trunc6('CAST(MAX(lateness_us) AS DOUBLE) / 1000000.0')} AS max_lateness_s
+    FROM late
+    """,
+    doc="event-time disorder audit sizing streaming watermarks: per-"
+    "arrival-batch running max vs event time, lateness percentiles "
+    "(p99 = the watermark to configure)",
+    tags=("relational", "timeseries"),
+)
+def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    e = ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor(F.col("event_id") / _WM_BATCH).cast("bigint").alias("b"),
+    )
+    bm = e.groupBy("b").agg(F.max("ts_us").alias("bmax"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    pm = bm.select("b", F.max("bmax").over(wb).alias("prior_max"))
+    late = e.join(F.broadcast(pm), "b").select(
+        F.greatest(
+            F.coalesce(F.col("prior_max") - F.col("ts_us"), F.lit(0)), F.lit(0)
+        ).alias("lateness_us")
+    )
+    lu = F.col("lateness_us").cast("double")
+    return late.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("lateness_us") > 0).cast("int")).cast("bigint").alias("n_late"),
+        trunc6(
+            F.sum((F.col("lateness_us") > 0).cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("frac_late"),
+        trunc6(F.percentile(lu, F.lit(0.5)) / F.lit(1000000.0)).alias("p50_lateness_s"),
+        trunc6(F.percentile(lu, F.lit(0.95)) / F.lit(1000000.0)).alias("p95_lateness_s"),
+        trunc6(F.percentile(lu, F.lit(0.99)) / F.lit(1000000.0)).alias("p99_lateness_s"),
+        trunc6(F.max(lu) / F.lit(1000000.0)).alias("max_lateness_s"),
+    )
