@@ -4400,7 +4400,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d AS split_day, CAST(k AS BIGINT) AS n_left,
            CAST(n - k AS BIGINT) AS n_right,
-           {sql_trunc6('g')} AS gain,
+           g AS gain,
            {sql_trunc6('sk / CAST(k AS DOUBLE)')} AS mean_left,
            {sql_trunc6('(s - sk) / CAST(n - k AS DOUBLE)')} AS mean_right
     FROM gain ORDER BY g DESC, d LIMIT 1
@@ -4451,7 +4451,11 @@ def q_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("split_day"),
             F.col("k").cast("bigint").alias("n_left"),
             (F.col("n") - F.col("k")).cast("bigint").alias("n_right"),
-            trunc6(F.col("g")).alias("gain"),
+            # NOT trunc6'd: gain ~ (decimal-exact sums)²/n is already
+            # bit-identical cross-engine, and at sf0.1 it exceeds the
+            # trunc6 domain (|x| < ~9.2e12 — F.floor yields LONG, so
+            # x*1e6 past int64 max CLAMPS; found by the sf0.1 gate)
+            F.col("g").alias("gain"),
             trunc6(F.col("sk") / F.col("k").cast("double")).alias("mean_left"),
             trunc6(
                 (F.col("s") - F.col("sk")) / (F.col("n") - F.col("k")).cast("double")
