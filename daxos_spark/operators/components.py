@@ -33,6 +33,21 @@ def connected_components(
     both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     ).distinct().persist()
+    # Size the ITERATION parallelism to the graph, not the session:
+    # near-dup edge sets are typically orders of magnitude smaller than
+    # the corpus that produced them, and every propagation round is a
+    # join+agg over ONLY these relations — running each round as
+    # 32-partition waves is pure scheduling overhead (round-6 profile:
+    # ~10 sequential jobs of ~2k rows each dominated the CC share of
+    # t_dedup_best_keep). One up-front count of the cached edge list
+    # picks ~100k edges/partition; big graphs keep full parallelism.
+    n_edges = both.count()
+    parts = max(1, min(both.rdd.getNumPartitions(), n_edges // 100_000 + 1))
+    if parts < both.rdd.getNumPartitions():
+        wide = both
+        both = both.repartition(parts, "u").persist()
+        both.count()  # materialize the narrow copy before dropping the wide one
+        wide.unpersist()
     labels = (
         both.select(F.col("u").alias("node")).distinct().withColumn("lab", F.col("node"))
     ).persist()

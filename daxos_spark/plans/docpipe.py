@@ -661,10 +661,27 @@ def _jaccard_edge_pairs(d: DataFrame, persist: bool = True):
     sizes + both join sides) — callers eagerly materialize their small
     output and unpersist it; ``persist=False`` is the plan-audit path
     (inspect only, never register a cache the hook cannot release)."""
+    from ..functions.hashing import md5_long
+
+    # shingles are hashed to 56-bit ids INSIDE the explode select (one
+    # projection): the persisted stream carries (int, small-str, long)
+    # instead of a 20-40 B shingle string — ~half the cache bytes, and
+    # every downstream shuffle/sort compares fixed-width longs instead
+    # of strings (round-6 profile: the edge build dominated
+    # t_dedup_best_keep at 7.8 of 10 s; this + the broadcast size
+    # joins below took the query to ~6 s). The pair set is unchanged:
+    # md5_long is collision-free at these cardinalities (56-bit over
+    # ~2e5 distinct shingles; the duckdb oracle keeps joining the raw
+    # strings, so the hash gate would expose any collision).
     sh0 = d.select(
         "doc_id",
         "source",
-        F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
+        F.explode(
+            F.transform(
+                word_shingles(F.lower(F.trim(F.col("text"))), 3),
+                lambda s: md5_long(s),
+            )
+        ).alias("s"),
     )
     if persist:
         sh0 = sh0.persist()
@@ -681,7 +698,8 @@ def _jaccard_edge_pairs(d: DataFrame, persist: bool = True):
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    # doc-cardinality size lookups: broadcast, never shuffle inter
+    sa, sb = F.broadcast(sizes.alias("sa")), F.broadcast(sizes.alias("sb"))
     pairs = (
         inter.join(sa, F.col("da") == F.col("sa.doc_id"))
         .join(sb, F.col("db") == F.col("sb.doc_id"))
