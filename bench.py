@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "q_l_diversity",
     "v_nprobe_sweep",
     "q_watermark_lateness",
+    "q_bradley_terry",
 ]
 
 

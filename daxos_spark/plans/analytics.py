@@ -788,3 +788,170 @@ def q_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Bradley-Terry pairwise-preference ranking — the aggregation model
+# behind preference/RLHF reward data and every "which variant wins"
+# leaderboard (Bradley & Terry '52; MM algorithm per Hunter '04):
+# matchups are brand-vs-brand within an order (decided by the larger
+# quantity), and the MM fixed point p_i = w_i / Σ_j n_ij/(p_i+p_j)
+# is iterated 6 rounds from p=1. Altitude: the corpus-mass work is
+# ONE distributed matchup aggregate (fact join + order-keyed pair
+# explode → 300 (brand,brand) rows); the 25-team solve then runs as
+# tiny engine-side rounds off a re-literalized 300-row matchup table
+# (the _lr_fit pattern — collect only the constant-size relation,
+# keep all arithmetic in the engine). Cross-engine determinism: the
+# per-round denominator sums go through the floor(v·1e6)-BIGINT grid
+# (order-free; the round-6 IRLS convention — bound: total matchups
+# < ~9.2e12 before the bigint sum saturates, document at scale), and
+# every double expression is written with identical operation order.
+_BT_ROUNDS = 6
+
+
+def _bt_oracle() -> str:
+    rounds = []
+    for r in range(1, _BT_ROUNDS + 1):
+        prev = f"r{r-1}"
+        rounds.append(f"""
+    , t{r} AS MATERIALIZED (
+      SELECT m.ba AS brand, CAST(m.n AS DOUBLE) / (pa.p + pb.p) AS term
+      FROM m JOIN r{r-1} pa ON pa.brand = m.ba JOIN r{r-1} pb ON pb.brand = m.bb
+      UNION ALL
+      SELECT m.bb, CAST(m.n AS DOUBLE) / (pa.p + pb.p)
+      FROM m JOIN r{r-1} pa ON pa.brand = m.ba JOIN r{r-1} pb ON pb.brand = m.bb
+    ), d{r} AS MATERIALIZED (
+      SELECT brand,
+             CAST(SUM(CAST(FLOOR(term * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS denom
+      FROM t{r} GROUP BY brand
+    ), r{r} AS MATERIALIZED (
+      SELECT w.brand,
+             CASE WHEN w.w = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(w.w AS DOUBLE) / d.denom END AS p
+      FROM w JOIN d{r} d ON d.brand = w.brand
+    )""")
+        _ = prev
+    return f"""
+    WITH li AS (
+      SELECT l_orderkey, p_brand, l_quantity
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), mu AS MATERIALIZED (
+      SELECT a.p_brand AS ba, b.p_brand AS bb,
+             CASE WHEN a.l_quantity > b.l_quantity THEN 1 ELSE 0 END AS win_a
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      WHERE a.l_quantity <> b.l_quantity
+    ), m AS MATERIALIZED (
+      SELECT ba, bb, COUNT(*) AS n, CAST(SUM(win_a) AS BIGINT) AS wa
+      FROM mu GROUP BY ba, bb
+    ), w AS MATERIALIZED (
+      SELECT brand, CAST(SUM(wins) AS BIGINT) AS w, CAST(SUM(n) AS BIGINT) AS n_match
+      FROM (
+        SELECT ba AS brand, wa AS wins, n FROM m
+        UNION ALL
+        SELECT bb, n - wa, n FROM m
+      ) GROUP BY brand
+    ), r0 AS (
+      SELECT brand, CAST(1 AS DOUBLE) AS p FROM w
+    ){''.join(rounds)}
+    SELECT w.brand AS brand, w.n_match AS n_matches, w.w AS n_wins,
+           {sql_trunc6(f'r{_BT_ROUNDS}.p')} AS bt_score
+    FROM w JOIN r{_BT_ROUNDS} ON r{_BT_ROUNDS}.brand = w.brand
+    ORDER BY brand
+    """
+
+
+@_q(
+    "q_bradley_terry",
+    _bt_oracle(),
+    doc="Bradley-Terry preference ranking (Hunter '04 MM, 6 rounds): "
+    "brand-vs-brand matchups within orders decided by quantity; "
+    "distributed matchup aggregate + constant-size engine-side solve",
+    tags=("analytics",),
+)
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand", "l_quantity")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    mu = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .filter(F.col("a.l_quantity") != F.col("b.l_quantity"))
+        .select(
+            F.col("a.p_brand").alias("ba"),
+            F.col("b.p_brand").alias("bb"),
+            (F.col("a.l_quantity") > F.col("b.l_quantity")).cast("int").alias("win_a"),
+        )
+    )
+    m_rows = (
+        mu.groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("win_a").cast("bigint").alias("wa"))
+        .collect()
+    )
+    # 300-row matchup table re-literalized: the MM rounds iterate over a
+    # flat local relation instead of re-deriving the fact join per round
+    m = spark.createDataFrame(
+        [(r["ba"], r["bb"], r["n"], r["wa"]) for r in m_rows],
+        "ba string, bb string, n bigint, wa bigint",
+    )
+    w = (
+        m.select(F.col("ba").alias("brand"), F.col("wa").alias("wins"), "n")
+        .unionByName(
+            m.select(
+                F.col("bb").alias("brand"), (F.col("n") - F.col("wa")).alias("wins"), "n"
+            )
+        )
+        .groupBy("brand")
+        .agg(F.sum("wins").cast("bigint").alias("w"), F.sum("n").cast("bigint").alias("n_match"))
+    )
+    p = w.select("brand", F.lit(1.0).alias("p"))
+    for _ in range(_BT_ROUNDS):
+        pa = p.select(F.col("brand").alias("ba"), F.col("p").alias("p_a"))
+        pb = p.select(F.col("brand").alias("bb"), F.col("p").alias("p_b"))
+        joined = m.join(F.broadcast(pa), "ba").join(F.broadcast(pb), "bb")
+        term = F.col("n").cast("double") / (F.col("p_a") + F.col("p_b"))
+        terms = joined.select(F.col("ba").alias("brand"), term.alias("term")).unionByName(
+            joined.select(F.col("bb").alias("brand"), term.alias("term"))
+        )
+        denom = terms.groupBy("brand").agg(
+            (
+                F.sum(F.floor(F.col("term") * F.lit(1000000.0)).cast("bigint")).cast(
+                    "double"
+                )
+                / F.lit(1000000.0)
+            ).alias("denom")
+        )
+        pn = (
+            w.join(denom, "brand")
+            .select(
+                "brand",
+                F.when(F.col("w") == 0, F.lit(0.0).cast("double"))
+                .otherwise(F.col("w").cast("double") / F.col("denom"))
+                .alias("p"),
+            )
+            .collect()
+        )
+        p = spark.createDataFrame(
+            [(r["brand"], float(r["p"])) for r in pn], "brand string, p double"
+        )
+    return (
+        w.join(p, "brand")
+        .select(
+            "brand",
+            F.col("n_match").alias("n_matches"),
+            F.col("w").alias("n_wins"),
+            trunc6(F.col("p")).alias("bt_score"),
+        )
+        .orderBy("brand")
+    )

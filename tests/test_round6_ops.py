@@ -109,3 +109,55 @@ def test_changepoint_maximizes_sse_reduction(spark):
     assert abs(r["gain"] - best[1]) < 1e-3 * max(1.0, abs(best[1]))
     assert abs(r["mean_left"] - best[2]) < 1e-3
     assert abs(r["mean_right"] - best[3]) < 1e-3
+
+
+def test_bradley_terry_matches_mm_replay(spark):
+    """Python MM replay with the same floor-grid denominator sums:
+    identical matchup counts, win totals, and (to the trunc6 grid)
+    identical fitted strengths after the fixed 6 rounds."""
+    from daxos_spark.plans.analytics import _BT_ROUNDS, q_bradley_terry
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey", "l_quantity"]
+    ]
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")[["p_partkey", "p_brand"]]
+    li = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    m: dict = {}
+    for _, grp in li.groupby("l_orderkey"):
+        rows = list(grp[["p_brand", "l_quantity"]].itertuples(index=False))
+        for i in range(len(rows)):
+            for j in range(len(rows)):
+                a, b = rows[i], rows[j]
+                if a.p_brand < b.p_brand and a.l_quantity != b.l_quantity:
+                    n, wa = m.get((a.p_brand, b.p_brand), (0, 0))
+                    m[(a.p_brand, b.p_brand)] = (
+                        n + 1,
+                        wa + (1 if a.l_quantity > b.l_quantity else 0),
+                    )
+    wins: dict = {}
+    nm: dict = {}
+    for (ba, bb), (n, wa) in m.items():
+        wins[ba] = wins.get(ba, 0) + wa
+        wins[bb] = wins.get(bb, 0) + (n - wa)
+        nm[ba] = nm.get(ba, 0) + n
+        nm[bb] = nm.get(bb, 0) + n
+    p = {b: 1.0 for b in wins}
+    for _ in range(_BT_ROUNDS):
+        terms: dict = {b: 0 for b in wins}
+        for (ba, bb), (n, _wa) in m.items():
+            t = n / (p[ba] + p[bb])
+            q = math.floor(t * 1e6)
+            terms[ba] += q
+            terms[bb] += q
+        p = {
+            b: (0.0 if wins[b] == 0 else wins[b] / (terms[b] / 1e6))
+            for b in wins
+        }
+
+    rows_out = q_bradley_terry(spark, SF_DIR).collect()
+    got = {r["brand"]: r for r in rows_out}
+    assert set(got) == set(wins)
+    for b in wins:
+        assert got[b]["n_wins"] == wins[b]
+        assert got[b]["n_matches"] == nm[b]
+        assert abs(got[b]["bt_score"] - _trunc6(p[b])) < 2e-6, b
