@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "v_nprobe_sweep",
     "q_watermark_lateness",
     "q_bradley_terry",
+    "q_erasure_audit",
+    "t_curriculum_buckets",
 ]
 
 

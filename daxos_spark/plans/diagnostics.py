@@ -764,3 +764,106 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# --------------------------------------------------------------------------
+# Right-to-erasure cascade audit — the GDPR/CCPA deletion dry-run every
+# governed store needs: given a deletion request set (here a fixed
+# panel of {_ERASE_N} data subjects, smallest md5(custkey) — the
+# round-6 panel convention), count every row that the cascade must
+# remove per table: the customer row, their orders, those orders'
+# lineitems, and their event stream. This is the impact report a
+# deletion pipeline emits BEFORE rewriting partitions (the write side
+# is q_cdc_apply / dynamic-partition-overwrite, already covered).
+# Scale: the subject panel is constant-size (broadcast everywhere);
+# the order-key set of a bounded panel is itself bounded (orders per
+# customer), so even the lineitem count is a broadcast semi-join —
+# NO shuffle touches a fact table.
+_ERASE_N = 10
+
+
+@_q(
+    "q_erasure_audit",
+    f"""
+    WITH subj AS (
+      SELECT c_custkey FROM customer
+      ORDER BY CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 14)) AS BIGINT), c_custkey
+      LIMIT {_ERASE_N}
+    ), o AS (
+      SELECT s.c_custkey, o_orderkey FROM subj s JOIN orders ON o_custkey = s.c_custkey
+    ), oc AS (
+      SELECT c_custkey, COUNT(*) AS n_orders FROM o GROUP BY c_custkey
+    ), lc AS (
+      SELECT o.c_custkey, COUNT(*) AS n_lineitem
+      FROM o JOIN lineitem ON l_orderkey = o.o_orderkey
+      GROUP BY o.c_custkey
+    ), ec AS (
+      SELECT s.c_custkey, COUNT(*) AS n_events
+      FROM subj s JOIN events ON user_id = s.c_custkey
+      GROUP BY s.c_custkey
+    )
+    SELECT s.c_custkey AS custkey,
+           CAST(1 AS BIGINT) AS n_customer,
+           CAST(COALESCE(oc.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(lc.n_lineitem, 0) AS BIGINT) AS n_lineitem,
+           CAST(COALESCE(ec.n_events, 0) AS BIGINT) AS n_events,
+           CAST(1 + COALESCE(oc.n_orders, 0) + COALESCE(lc.n_lineitem, 0)
+                + COALESCE(ec.n_events, 0) AS BIGINT) AS total_rows
+    FROM subj s
+    LEFT JOIN oc ON oc.c_custkey = s.c_custkey
+    LEFT JOIN lc ON lc.c_custkey = s.c_custkey
+    LEFT JOIN ec ON ec.c_custkey = s.c_custkey
+    ORDER BY custkey
+    """,
+    doc=f"right-to-erasure cascade dry-run: per data subject (fixed "
+    f"{_ERASE_N}-subject md5-ranked panel), rows to delete across "
+    "customer/orders/lineitem/events — the impact report before the "
+    "partition rewrite",
+)
+def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    t = load_tables(spark, sf_dir)
+    subj = (
+        t["customer"]
+        .select("c_custkey")
+        .orderBy(md5_long(F.col("c_custkey").cast("string")), "c_custkey")
+        .limit(_ERASE_N)
+    )
+    o = t["orders"].join(F.broadcast(subj), F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_custkey", "o_orderkey"
+    )
+    oc = o.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    lc = (
+        t["lineitem"]
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_lineitem"))
+    )
+    ec = (
+        t["events"]
+        .join(F.broadcast(subj), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        subj.join(oc, "c_custkey", "left")
+        .join(lc, "c_custkey", "left")
+        .join(ec, "c_custkey", "left")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.lit(1).cast("bigint").alias("n_customer"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce(F.col("n_lineitem"), F.lit(0)).cast("bigint").alias("n_lineitem"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+            (
+                F.lit(1)
+                + F.coalesce(F.col("n_orders"), F.lit(0))
+                + F.coalesce(F.col("n_lineitem"), F.lit(0))
+                + F.coalesce(F.col("n_events"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("total_rows"),
+        )
+        .orderBy("custkey")
+    )

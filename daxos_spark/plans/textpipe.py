@@ -2872,7 +2872,10 @@ ALL_SPECS["t_refinery_e2e"].lazy_plan = (
 # t_bigram_ppl. Scale shape: the two continuation tables are ONE extra
 # aggregate each over the bigram-type relation (vocabulary-bounded,
 # tiny next to the instance stream); scoring joins stay token-keyed.
-def _kn_oracle() -> str:
+def _kn_cte() -> str:
+    """Shared KN WITH-chain through the per-doc `knll` relation
+    (doc_id, n_bigrams, nll — nll untruncated); t_kneser_ney_ppl and
+    t_curriculum_buckets put different SELECTs on top."""
     p_expr = (
         "GREATEST(CAST(c2.c AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))"
         " / CAST(ca.c AS DOUBLE)"
@@ -2904,13 +2907,17 @@ def _kn_oracle() -> str:
       JOIN nfol nf ON nf.w = b.w1
       JOIN nprec np ON np.w = b.w2
       CROSS JOIN tt
-    )
-    SELECT doc_id,
-           COUNT(*) AS n_bigrams,
-           {sql_trunc6(
-               "-(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))"
-           )} AS avg_nll
-    FROM scored GROUP BY doc_id ORDER BY doc_id
+    ), knll AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             -(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)) AS nll
+      FROM scored GROUP BY doc_id
+    )"""
+
+
+def _kn_oracle() -> str:
+    return f"""{_kn_cte()}
+    SELECT doc_id, n_bigrams, {sql_trunc6('nll')} AS avg_nll
+    FROM knll ORDER BY doc_id
     """
 
 
@@ -2922,9 +2929,18 @@ def _kn_oracle() -> str:
     "from exact integer count tables",
 )
 def t_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    return (
+        _kn_doc_nll(d)
+        .select("doc_id", "n_bigrams", trunc6(F.col("nll")).alias("avg_nll"))
+        .orderBy("doc_id")
+    )
+
+
+def _kn_doc_nll(d: DataFrame) -> DataFrame:
+    """Per-doc Kneser-Ney mean NLL (doc_id, n_bigrams, nll untruncated)."""
     from ..functions import text as T
 
-    d = _fanout(load_tables(spark, sf_dir)["documents"])
     toks = T.tokens(F.col("text"))
     bigram = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
@@ -2967,9 +2983,8 @@ def t_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_bigrams",
-            trunc6(-(F.col("s").cast("double") / F.col("n_bigrams"))).alias("avg_nll"),
+            (-(F.col("s").cast("double") / F.col("n_bigrams"))).alias("nll"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -3024,4 +3039,72 @@ def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("k").desc(), "doc_id")
         .limit(_WS_N)
         .select("doc_id", "source", "weight", trunc6(F.col("k")).alias("priority"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Curriculum staging — order the corpus easy→hard by Kneser-Ney
+# perplexity and report the 10 curriculum stages (the data-ordering
+# step of curriculum learning / difficulty-staged pretraining).
+# Stage boundaries are EXACT interpolated deciles of the per-doc NLL
+# (Spark percentile() ≡ duckdb quantile_cont — the q_mad_outliers
+# contract), computed as ONE 1-row aggregate and broadcast; each doc's
+# stage is then a map-side threshold count (never a global ntile
+# window over the corpus — rank-based bucketing does not survive
+# 100 TB, threshold-based bucketing does). Stage stats go through the
+# DECIMAL ladder.
+def _curriculum_oracle() -> str:
+    qs = ", ".join(
+        f"quantile_cont(nll, {d}/10.0) AS t{d}" for d in range(1, 10)
+    )
+    bucket = " + ".join(f"CASE WHEN k.nll > th.t{d} THEN 1 ELSE 0 END" for d in range(1, 10))
+    return f"""{_kn_cte()}
+    , th AS (
+      SELECT {qs} FROM knll
+    ), staged AS (
+      SELECT k.doc_id, k.n_bigrams, k.nll,
+             1 + {bucket} AS stage
+      FROM knll k CROSS JOIN th
+    )
+    SELECT stage, COUNT(*) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+           {sql_trunc6(sql_davg('nll'))} AS mean_nll,
+           {sql_trunc6('MIN(nll)')} AS min_nll,
+           {sql_trunc6('MAX(nll)')} AS max_nll
+    FROM staged GROUP BY stage ORDER BY stage
+    """
+
+
+@_q(
+    "t_curriculum_buckets",
+    _curriculum_oracle(),
+    doc="curriculum staging: 10 easy-to-hard stages by exact KN-NLL "
+    "decile thresholds (broadcast 1-row threshold aggregate + map-side "
+    "bucketing — no corpus-wide ntile window)",
+)
+def t_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    knll = _kn_doc_nll(d)
+    th = knll.agg(
+        *[
+            F.percentile(F.col("nll"), F.lit(dd / 10.0)).alias(f"t{dd}")
+            for dd in range(1, 10)
+        ]
+    )
+    stage = F.lit(1)
+    for dd in range(1, 10):
+        stage = stage + (F.col("nll") > F.col(f"t{dd}")).cast("int")
+    staged = knll.crossJoin(F.broadcast(th)).select(
+        "doc_id", "n_bigrams", "nll", stage.alias("stage")
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+            trunc6(davg(F.col("nll"))).alias("mean_nll"),
+            trunc6(F.min("nll")).alias("min_nll"),
+            trunc6(F.max("nll")).alias("max_nll"),
+        )
+        .orderBy("stage")
     )

@@ -161,3 +161,20 @@ def test_bradley_terry_matches_mm_replay(spark):
         assert got[b]["n_wins"] == wins[b]
         assert got[b]["n_matches"] == nm[b]
         assert abs(got[b]["bt_score"] - _trunc6(p[b])) < 2e-6, b
+
+
+def test_curriculum_buckets_invariants(spark):
+    """Stages partition the scored corpus; mean NLL is monotone in the
+    stage index (easy->hard) and stage bounds nest inside neighbors."""
+    from daxos_spark.plans.textpipe import t_curriculum_buckets, t_kneser_ney_ppl
+
+    rows = sorted(
+        t_curriculum_buckets(spark, SF_DIR).collect(), key=lambda r: r["stage"]
+    )
+    n_scored = t_kneser_ney_ppl(spark, SF_DIR).count()
+    assert sum(r["n_docs"] for r in rows) == n_scored
+    assert [r["stage"] for r in rows] == list(range(1, len(rows) + 1))
+    means = [r["mean_nll"] for r in rows]
+    assert means == sorted(means)
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_nll"] <= b["min_nll"] + 1e-9
