@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "q_bradley_terry",
     "q_erasure_audit",
     "t_curriculum_buckets",
+    "v_kcenter_init",
 ]
 
 

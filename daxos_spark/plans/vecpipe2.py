@@ -2103,3 +2103,104 @@ def v_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("nprobe")
+
+
+# --------------------------------------------------------------------------
+# Farthest-first traversal (Gonzalez '85 k-center seeding — the
+# deterministic sibling of k-means++ D² sampling, and a 2-approx for
+# the k-center objective): start from the lowest vec_id, then K−1
+# times pick the vector maximizing its distance to the nearest chosen
+# center. Distances are EXACT integers on the fixed-point codes
+# (‖a−b‖² = aa − 2ab + bb over bigints), so every pick — and thus the
+# whole seed set — is hash-provable, ties broken by vec_id.
+# Scale: round r is one broadcast of ≤r center codes + a map-side
+# min-distance pass + a TakeOrdered(1) argmax — K passes total, the
+# standard seeding cost; the oracle unrolls the same K−1 picks as
+# MATERIALIZED CTEs (duckdb inlines CTEs by default, which would
+# re-expand each round exponentially — the q_bradley_terry lesson).
+_KC_K = 8
+
+
+def _kc_oracle() -> str:
+    dist = (
+        "CAST(list_dot_product(v.cc, v.cc) AS BIGINT)"
+        " - 2 * CAST(list_dot_product(v.cc, c.cc) AS BIGINT)"
+        " + CAST(list_dot_product(c.cc, c.cc) AS BIGINT)"
+    )
+    rounds = []
+    for r in range(1, _KC_K):
+        rounds.append(f"""
+    , dm{r} AS MATERIALIZED (
+      SELECT v.vec_id, MIN({dist}) AS d
+      FROM v CROSS JOIN c{r-1} c GROUP BY v.vec_id
+    ), p{r} AS MATERIALIZED (
+      SELECT v.vec_id, v.cc, dm.d
+      FROM v JOIN dm{r} dm ON dm.vec_id = v.vec_id
+      WHERE dm.d > 0 OR NOT EXISTS (SELECT 1 FROM dm{r} WHERE d > 0)
+      ORDER BY dm.d DESC, v.vec_id LIMIT 1
+    ), c{r} AS MATERIALIZED (
+      SELECT vec_id, cc FROM c{r-1} UNION ALL SELECT vec_id, cc FROM p{r}
+    )""")
+    picks = "\n      UNION ALL ".join(
+        [f"SELECT CAST(0 AS BIGINT) AS round, vec_id, CAST(0 AS BIGINT) AS d2 FROM c0"]
+        + [f"SELECT CAST({r} AS BIGINT), vec_id, CAST(d AS BIGINT) FROM p{r}" for r in range(1, _KC_K)]
+    )
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, {_CODE_SQL} AS cc FROM embeddings
+    ), c0 AS MATERIALIZED (
+      SELECT vec_id, cc FROM v WHERE vec_id = (SELECT MIN(vec_id) FROM v)
+    ){''.join(rounds)}
+    SELECT * FROM ({picks}) ORDER BY round
+    """
+
+
+@_q(
+    "v_kcenter_init",
+    _kc_oracle(),
+    doc=f"farthest-first k-center seeding (Gonzalez '85, K={_KC_K}): "
+    "exact-integer max-min-distance picks, one broadcast+scan per round",
+)
+def v_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import int_code
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    v = e.select("vec_id", int_code(to_double(F.col("embedding"))).alias("cc"))
+    first = v.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(0, int(first["vec_id"]), [int(x) for x in first["cc"]], 0)]
+    idot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0).cast("bigint"), lambda acc, u: acc + u
+    )
+    for r in range(1, _KC_K):
+        cdf = spark.createDataFrame(
+            [(cid, cc) for _, cid, cc, _ in centers],
+            "cid bigint, ccc array<bigint>",
+        )
+        d2 = (
+            idot(F.col("cc"), F.col("cc"))
+            - F.lit(2) * idot(F.col("cc"), F.col("ccc"))
+            + idot(F.col("ccc"), F.col("ccc"))
+        )
+        dmin = (
+            v.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "cc", d2.alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("d"), F.first("cc").alias("cc"))
+        )
+        # F.first is nondeterministic in general — but cc is functionally
+        # dependent on vec_id (one row per vector before the crossJoin),
+        # so every candidate value is identical
+        pick = (
+            dmin.filter(F.col("d") > 0)
+            .orderBy(F.col("d").desc(), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not pick:  # degenerate corpus: all points coincide
+            pick = dmin.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()
+        row = pick[0]
+        centers.append((r, int(row["vec_id"]), [int(x) for x in row["cc"]], int(row["d"])))
+    return spark.createDataFrame(
+        [(r, cid, d) for r, cid, _, d in centers],
+        "round bigint, vec_id bigint, d2 bigint",
+    ).orderBy("round")

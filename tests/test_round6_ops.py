@@ -178,3 +178,37 @@ def test_curriculum_buckets_invariants(spark):
     assert means == sorted(means)
     for a, b in zip(rows, rows[1:]):
         assert a["max_nll"] <= b["min_nll"] + 1e-9
+
+
+def test_kcenter_init_invariants(spark):
+    """Gonzalez farthest-first: K distinct centers; the selection
+    distance sequence is non-increasing (classic k-center property);
+    round-0 seed is the lowest vec_id; python brute-force replay of
+    the full pick sequence agrees."""
+    import numpy as np
+
+    from daxos_spark.plans.vecpipe2 import _KC_K, v_kcenter_init
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    codes = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1000.0
+    ).astype(np.int64)
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids, codes = ids[order], codes[order]
+
+    chosen = [0]
+    want = [(0, int(ids[0]), 0)]
+    dmin = ((codes - codes[0]) ** 2).sum(axis=1)
+    for r in range(1, _KC_K):
+        best = max(range(len(ids)), key=lambda i: (dmin[i], -ids[i]))
+        want.append((r, int(ids[best]), int(dmin[best])))
+        chosen.append(best)
+        dmin = np.minimum(dmin, ((codes - codes[best]) ** 2).sum(axis=1))
+
+    rows = v_kcenter_init(spark, SF_DIR).collect()
+    got = [(r["round"], r["vec_id"], r["d2"]) for r in rows]
+    assert got == want
+    d2s = [d for _, _, d in got[1:]]
+    assert d2s == sorted(d2s, reverse=True)
+    assert len({c for _, c, _ in got}) == _KC_K
