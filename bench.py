@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "q_erasure_audit",
     "t_curriculum_buckets",
     "v_kcenter_init",
+    "v_rrf_fusion",
 ]
 
 

@@ -1028,18 +1028,32 @@ def _bm25_oracle() -> str:
     "top-10; term scores DECIMAL-summed so ranking hash-checks",
 )
 def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, caches = _bm25_lazy(spark, sf_dir)
+    # per-query top-10 output: eager-materialize, release the token and
+    # term-frequency caches (round-5 cache-lifetime discipline)
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
+def _bm25_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
     from pyspark.sql.window import Window
 
     from ..functions import text as T
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t")).persist()
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t"))
+    if persist:
+        tok = tok.persist()
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    if persist:
+        tf = tf.persist()
     df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     q = (
         tok.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 97 * 3))
@@ -1064,12 +1078,18 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("s").cast("double").alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _BM25_TOPK)
         .select("qid", "rk", "doc_id", trunc6(F.col("score")).alias("bm25"))
         .orderBy("qid", "rk")
     )
+    return out, [tok, tf]
+
+
+ALL_SPECS["t_bm25_topk"].lazy_plan = (
+    lambda spark, sf_dir: _bm25_lazy(spark, sf_dir, persist=False)[0]
+)
 
 
 # --------------------------------------------------------------------------

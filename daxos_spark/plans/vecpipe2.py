@@ -2204,3 +2204,110 @@ def v_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, cid, d) for r, cid, _, d in centers],
         "round bigint, vec_id bigint, d2 bigint",
     ).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+# (Cormack et al. SIGIR'09; what production search stacks run between
+# BM25 and the vector index): fused(q,d) = Σ_systems 1/(60 + rank),
+# over the lexical top-10 (t_bm25_topk's exact chain, consumed as the
+# registered query's output) and the vector top-10 (integer-dot codes,
+# the e_knn convention) for the SAME query panel. Docs missing from a
+# list contribute 0 — RRF needs no score calibration between systems,
+# which is exactly why it is the default fusion. 1/(60+rk) is the
+# identical rational double in both engines; the two-term sum has
+# fixed order, so the fused ranking hash-checks.
+# Scale: both candidate lists are top-k-bounded per query (k·|panel|
+# rows); the fusion join and re-rank never touch a corpus relation.
+_RRF_K = 60
+_RRF_TOPK = 5
+
+
+def _rrf_oracle() -> str:
+    from .textpipe import _bm25_oracle
+
+    return f"""
+    WITH bmr AS MATERIALIZED ({_bm25_oracle()}
+    ), vq AS (
+      SELECT vec_id AS qid, {_CODE_SQL} AS qc FROM embeddings
+      WHERE vec_id % 97 = 0 AND vec_id < 97 * 3
+    ), vc AS (
+      SELECT vec_id, {_CODE_SQL} AS cc FROM embeddings WHERE vec_id % 97 <> 0
+    ), vr AS (
+      SELECT qid, vec_id AS doc_id, rk FROM (
+        SELECT vq.qid, vc.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY vq.qid ORDER BY
+                 CAST(list_dot_product(vq.qc, vc.cc) AS BIGINT) DESC, vc.vec_id) AS rk
+        FROM vq CROSS JOIN vc)
+      WHERE rk <= 10
+    ), fused AS (
+      SELECT COALESCE(b.qid, v.qid) AS qid,
+             COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             CASE WHEN b.rk IS NOT NULL THEN 1 ELSE 0 END AS in_bm25,
+             CASE WHEN v.rk IS NOT NULL THEN 1 ELSE 0 END AS in_vec,
+             COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + b.rk), CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + v.rk), CAST(0 AS DOUBLE)) AS rrf
+      FROM bmr b FULL OUTER JOIN vr v ON v.qid = b.qid AND v.doc_id = b.doc_id
+    )
+    SELECT qid, rank, doc_id, in_bm25, in_vec, {sql_trunc6('rrf')} AS rrf
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused) t
+    WHERE rank <= {_RRF_TOPK} ORDER BY qid, rank
+    """
+
+
+@_q(
+    "v_rrf_fusion",
+    _rrf_oracle(),
+    doc="reciprocal-rank fusion of BM25 and vector top-10 lists "
+    "(Cormack '09, k=60): calibration-free hybrid ranking, top-5 per "
+    "query; candidate lists are top-k-bounded, fusion never scans the corpus",
+)
+def v_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import int_code
+    from .textpipe import t_bm25_topk
+
+    bmr = t_bm25_topk(spark, sf_dir).select("qid", "doc_id", F.col("rk").alias("rk_b"))
+    e = load_tables(spark, sf_dir)["embeddings"]
+    vq = e.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 97 * 3)).select(
+        F.col("vec_id").alias("qid"), int_code(to_double(F.col("embedding"))).alias("qc")
+    )
+    vc = e.filter(F.col("vec_id") % 97 != 0).select(
+        "vec_id", int_code(to_double(F.col("embedding"))).alias("cc")
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("cc"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("s").desc(), "vec_id")
+    vr = (
+        vc.crossJoin(F.broadcast(vq))
+        .select("qid", "vec_id", score.alias("s"))
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= 10)
+        .select("qid", F.col("vec_id").alias("doc_id"), F.col("rk").alias("rk_v"))
+    )
+    rrf = F.coalesce(
+        F.lit(1.0).cast("double") / (F.lit(_RRF_K) + F.col("rk_b")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0).cast("double") / (F.lit(_RRF_K) + F.col("rk_v")), F.lit(0.0)
+    )
+    fused = (
+        bmr.join(vr, ["qid", "doc_id"], "full_outer")
+        .select(
+            "qid",
+            "doc_id",
+            F.col("rk_b").isNotNull().cast("int").alias("in_bm25"),
+            F.col("rk_v").isNotNull().cast("int").alias("in_vec"),
+            rrf.alias("rrf"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _RRF_TOPK)
+        .select("qid", "rank", "doc_id", "in_bm25", "in_vec", trunc6(F.col("rrf")).alias("rrf"))
+        .orderBy("qid", "rank")
+    )
