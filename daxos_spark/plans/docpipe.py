@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 from ..catalog import load_tables
 from ..functions import text as T
 from ..functions.hashing import md5_long, md5_long_sql, minhash_signature, simhash32, word_shingles
-from .registry import ALL_SPECS, QuerySpec, register, sql_davg, sql_trunc6, trunc6
+from .registry import checkpoint_release, ALL_SPECS, QuerySpec, register, sql_davg, sql_trunc6, trunc6
 
 _NORM = "lower(trim(text))"
 _TOKS = f"string_split_regex({_NORM}, '\\s+')"
@@ -233,9 +233,11 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked GROUP BY source ORDER BY source
     """,
 )
-def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d_incremental_dedup(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
-    f = d.select("doc_id", "source", T.fingerprint(F.col("text")).alias("fp")).persist()
+    f = d.select("doc_id", "source", T.fingerprint(F.col("text")).alias("fp"))
+    if persist:
+        f = f.persist()
     half = f.agg((F.max("doc_id") / 2).alias("h"))
     corpus = f.join(F.broadcast(half), F.col("doc_id") < F.col("h")).select("fp")
     batch = f.join(F.broadcast(half), F.col("doc_id") >= F.col("h")).select(
@@ -252,7 +254,7 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_admitted"))
     )
-    return (
+    out = (
         batch_sizes.join(admitted, "source", "left")
         .select(
             "source",
@@ -261,6 +263,14 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [f])
+
+
+ALL_SPECS["d_incremental_dedup"].lazy_plan = (
+    lambda spark, sf_dir: d_incremental_dedup(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -354,7 +364,7 @@ def _cap_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
     LIMIT 20
     """,
 )
-def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d_jaccard_pairs(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     d = _fanout(load_tables(spark, sf_dir)["documents"])
     # the shingle inverted index feeds four consumers (DF cap, sizes,
     # both sides of the self-join) — persist it instead of recomputing
@@ -365,7 +375,9 @@ def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
-    ).persist()
+    )
+    if persist:
+        sh0 = sh0.persist()
     sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -382,7 +394,7 @@ def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    return (
+    out = (
         inter.join(sa, F.col("da") == F.col("sa.doc_id"))
         .join(sb, F.col("db") == F.col("sb.doc_id"))
         .select(
@@ -393,6 +405,14 @@ def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "da", "db")
         .limit(20)
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [sh0])
+
+
+ALL_SPECS["d_jaccard_pairs"].lazy_plan = (
+    lambda spark, sf_dir: d_jaccard_pairs(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -479,7 +499,7 @@ _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
     LIMIT 20
     """,
 )
-def d_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d_lsh_candidates(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     d = _fanout(load_tables(spark, sf_dir)["documents"])
     # persist: sh feeds the DF cap, sig, sizes, and both sides of the
     # candidate verification join (6 consumers). The capped view is a
@@ -488,7 +508,9 @@ def d_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification join, bounding the per-key join fan-out.
     sh0 = d.select(
         "doc_id", F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s")
-    ).persist()
+    )
+    if persist:
+        sh0 = sh0.persist()
     sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
     sig = sh.groupBy("doc_id").agg(
         *[F.min(md5_long(F.col("s"), seed=i)).alias(f"m{i}") for i in range(_N_HASH)]
@@ -529,7 +551,7 @@ def d_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    return (
+    out = (
         inter.join(sa, F.col("da") == F.col("sa.doc_id"))
         .join(sb, F.col("db") == F.col("sb.doc_id"))
         .select(
@@ -540,6 +562,14 @@ def d_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "da", "db")
         .limit(20)
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [sh0])
+
+
+ALL_SPECS["d_lsh_candidates"].lazy_plan = (
+    lambda spark, sf_dir: d_lsh_candidates(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -1383,7 +1413,7 @@ def d_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored GROUP BY lang ORDER BY lang
     """,
 )
-def d_oov_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d_oov_bigram_score(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     d = _fanout(load_tables(spark, sf_dir)["documents"])
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     raw_bigrams = F.when(
@@ -1396,7 +1426,9 @@ def d_oov_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the exploded bigram stream feeds BOTH the vocab agg and
     # the scoring join — without it the full tokenize/explode lineage
     # runs twice (two corpus scans at 100 TB).
-    bigrams = d.select("doc_id", "lang", F.explode(raw_bigrams).alias("bg")).persist()
+    bigrams = d.select("doc_id", "lang", F.explode(raw_bigrams).alias("bg"))
+    if persist:
+        bigrams = bigrams.persist()
     vocab = (
         bigrams.groupBy("bg")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -1411,7 +1443,7 @@ def d_oov_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("in_vocab").isNull().cast("bigint")).alias("n_oov"),
         )
     )
-    return (
+    out = (
         scored.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1421,6 +1453,14 @@ def d_oov_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [bigrams])
+
+
+ALL_SPECS["d_oov_bigram_score"].lazy_plan = (
+    lambda spark, sf_dir: d_oov_bigram_score(spark, sf_dir, persist=False)
+)
 
 
 # plan_audit inspects the lazy pipeline (the registered callable

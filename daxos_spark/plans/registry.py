@@ -172,3 +172,15 @@ def get_specs() -> dict[str, QuerySpec]:
         new = RENAMES.get(name, name)
         out[new] = replace(spec, name=new) if new != name else spec
     return out
+
+
+def checkpoint_release(out: DataFrame, caches: list) -> DataFrame:
+    """The cache-lifetime discipline for registered callables: eagerly
+    materialize the (small) output, then release every corpus-sized
+    persisted intermediate so non-harness callers never accumulate
+    leaked caches. Queries using this register a ``lazy_plan`` (their
+    ``persist=False`` path) so plan_audit still sees the real plan."""
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out

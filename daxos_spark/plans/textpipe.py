@@ -41,7 +41,7 @@ from pyspark.sql.functions import pandas_udf
 from ..catalog import load_tables
 from ..functions.hashing import md5_long, md5_long_sql, word_shingles
 from .docpipe import _fanout
-from .registry import ALL_SPECS, QuerySpec, davg, register, sql_davg, sql_dsum, sql_trunc6, trunc6
+from .registry import ALL_SPECS, QuerySpec, checkpoint_release, davg, register, sql_davg, sql_dsum, sql_trunc6, trunc6
 
 _NORM = "lower(trim(text))"
 _TOKS = f"string_split_regex({_NORM}, '\\s+')"
@@ -579,40 +579,16 @@ def _leakage_oracle() -> str:
     "hashed BY CLUSTER so duplicates co-travel; audits cross-split dup "
     "pairs under this split (proven 0) vs a naive per-doc split",
 )
-def t_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t_leakage_split(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     from ..operators.components import connected_components
-    from .docpipe import _JACC_THR, _MAX_SHINGLE_DF, _cap_hot_shingles
+    from .docpipe import _jaccard_edge_pairs
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    sh0 = d.select(
-        "doc_id",
-        "source",
-        F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
-    ).persist()
-    sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    pairs = (
-        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
-        .join(sb, F.col("db") == F.col("sb.doc_id"))
-        .filter(
-            F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
-            >= _JACC_THR
-        )
-        .select("da", "db")
-        .persist()  # feeds CC + both leakage audits
-    )
+    # shares the capped-shingle edge builder with t_dedup_best_keep /
+    # d_dedup_clusters (previously an inline duplicate of the same code)
+    pairs, sh0 = _jaccard_edge_pairs(d, persist=persist)
+    if persist:
+        pairs = pairs.persist()  # feeds CC + both leakage audits
     comp = connected_components(pairs, "da", "db")
     allc = d.select("doc_id").join(
         comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
@@ -624,8 +600,11 @@ def t_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise("test")
     sp = allc.select(
         "doc_id", "cluster", split_of(F.col("cluster")).alias("split")
-    ).persist()  # the CC chain above is iterative — never recompute it for
-    # the two audit joins + the final agg
+    )
+    if persist:
+        # the CC chain above is iterative — never recompute it for
+        # the two audit joins + the final agg
+        sp = sp.persist()
 
     spa, spb = sp.alias("spa"), sp.alias("spb")
     xc = (
@@ -638,7 +617,7 @@ def t_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_of(F.col("da")) != split_of(F.col("db"))
     ).agg(F.count(F.lit(1)).alias("n"))
 
-    return (
+    out = (
         sp.crossJoin(F.broadcast(xc.withColumnRenamed("n", "nc")))
         .crossJoin(F.broadcast(xn.withColumnRenamed("n", "nn")))
         .groupBy("split")
@@ -650,6 +629,14 @@ def t_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [sh0, pairs, sp])
+
+
+ALL_SPECS["t_leakage_split"].lazy_plan = (
+    lambda spark, sf_dir: t_leakage_split(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -708,11 +695,13 @@ def _cms_oracle() -> str:
     doc="Count-Min-Sketch heavy hitters (d=4, w=1024): top tokens by CMS "
     "estimate with the exact count + realized overestimate audit",
 )
-def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     from ..functions import text as T
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    tok = d.select(F.explode(T.tokens(F.col("text"))).alias("tk")).persist()
+    tok = d.select(F.explode(T.tokens(F.col("text"))).alias("tk"))
+    if persist:
+        tok = tok.persist()
 
     # sketch build: one shuffle of <= d*w counter rows (map-side combine
     # makes each task emit at most d*w partials)
@@ -734,7 +723,7 @@ def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"bk{i}", F.pmod(md5_long(F.col("tk"), seed=i), F.lit(_CMS_W))
         ).join(F.broadcast(ci), f"bk{i}")
     est = F.least(*[F.col(f"c{i}") for i in range(_CMS_D)])
-    return (
+    out = (
         probed.select(
             F.col("tk").alias("token"),
             est.alias("cms_est"),
@@ -744,6 +733,14 @@ def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cms_est").desc(), "token")
         .limit(_CMS_TOPK)
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [tok])
+
+
+ALL_SPECS["t_cms_heavy_hitters"].lazy_plan = (
+    lambda spark, sf_dir: t_cms_heavy_hitters(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -1171,7 +1168,7 @@ def _funnel_oracle() -> str:
     "canonical -> quality gate -> n-gram decontam -> temperature mix "
     "weights, per-source survival counts",
 )
-def t_refinery_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t_refinery_funnel(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     from pyspark.sql.window import Window
 
     from ..functions import text as T
@@ -1186,7 +1183,10 @@ def t_refinery_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count(F.col("text")).alias("n_tokens"),
         T.stopword_hits(F.col("text"), sw).alias("stop_hits"),
         word_shingles(F.lower(F.trim(F.col("text"))), 3).alias("shingles"),
-    ).persist()  # one text scan feeds dedup, quality, decontam, and mix
+    )
+    if persist:
+        # one text scan feeds dedup, quality, decontam, and mix
+        f = f.persist()
 
     w = Window.partitionBy("fp").orderBy("doc_id")
     canon = f.withColumn("rn", F.row_number().over(w))
@@ -1229,7 +1229,7 @@ def t_refinery_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("z")
     )
-    return (
+    out = (
         per_src.join(surv_src, "source")
         .crossJoin(F.broadcast(z))
         .select(
@@ -1252,6 +1252,14 @@ def t_refinery_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [f])
+
+
+ALL_SPECS["t_refinery_funnel"].lazy_plan = (
+    lambda spark, sf_dir: t_refinery_funnel(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -1371,16 +1379,15 @@ _CONT_THR_MICRO = 800_000  # containment >= 0.8
     doc="asymmetric containment dedup (Broder): |A∩B|/|A| >= 0.8 flags "
     "excerpts/quotes symmetric Jaccard misses; integer-exact",
 )
-def t_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t_containment_dedup(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    sh = (
-        d.select(
-            "doc_id",
-            "source",
-            F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
-        )
-        .persist()
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
     )
+    if persist:
+        sh = sh.persist()
     from pyspark.sql.window import Window as W
 
     capped = sh.withColumn(
@@ -1404,11 +1411,19 @@ def t_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "da", "db",
         F.floor(1e6 * F.col("n_inter") / F.col("n_sh")).cast("bigint").alias("cont_micro"),
     )
-    return scored.filter(F.col("cont_micro") >= _CONT_THR_MICRO).agg(
+    out = scored.filter(F.col("cont_micro") >= _CONT_THR_MICRO).agg(
         F.count(F.lit(1)).alias("n_contained_pairs"),
         F.countDistinct("da").alias("n_contained_docs"),
         F.max("cont_micro").cast("bigint").alias("max_cont_micro"),
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [sh])
+
+
+ALL_SPECS["t_containment_dedup"].lazy_plan = (
+    lambda spark, sf_dir: t_containment_dedup(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -1468,7 +1483,7 @@ def _mh_acc_oracle() -> str:
     doc="MinHash estimator accuracy audit: 8-hash Jaccard estimate vs "
     "exact Jaccard on index candidate pairs, integer micro-unit errors",
 )
-def t_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t_minhash_accuracy(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     from ..functions.hashing import minhash_signature
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
@@ -1476,7 +1491,9 @@ def t_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
-    ).persist()
+    )
+    if persist:
+        sh = sh.persist()
     sig = d.select(
         "doc_id",
         minhash_signature(
@@ -1521,12 +1538,20 @@ def t_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     err = F.abs(F.col("est_micro") - F.col("exact_micro"))
-    return pairs.agg(
+    out = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(err).cast("bigint").alias("total_abs_err_micro"),
         F.max(err).cast("bigint").alias("max_abs_err_micro"),
         F.sum((err <= 250_000).cast("int")).cast("bigint").alias("n_within_quarter"),
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [sh])
+
+
+ALL_SPECS["t_minhash_accuracy"].lazy_plan = (
+    lambda spark, sf_dir: t_minhash_accuracy(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
