@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables
 from ..functions.hashing import md5_long_sql
 from .docpipe import _fanout
-from .registry import QuerySpec, register, sql_trunc6, trunc6
+from .registry import ALL_SPECS as _SPECS
+from .registry import QuerySpec, checkpoint_release, register, sql_trunc6, trunc6
 
 _NORM = "lower(trim(text))"
 _TOKS = f"string_split_regex({_NORM}, '\\s+')"
@@ -122,7 +123,7 @@ def d_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="PPJoin-style prefix-filtered Jaccard self-join (τ=0.6) vs brute-force oracle.",
 )
-def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     tau = 0.6
     d = _fanout(load_tables(spark, sf_dir)["documents"])
     # explode the token-array EXPRESSION in the same select: naming the
@@ -149,8 +150,10 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("st", lambda s: s["t"]).alias("tk"),
             F.size("st").alias("n"),
         )
-        .persist()  # feeds the prefix explode AND both candidate rejoin sides
     )
+    if persist:
+        # feeds the prefix explode AND both candidate rejoin sides
+        sorted_tk = sorted_tk.persist()
     # prefix length: |S| − ⌈τ|S|⌉ + 1 (any pair with J ≥ τ shares a
     # prefix token — lossless candidate generation)
     plen = (F.col("n") - F.ceil(F.col("n") * F.lit(tau)) + 1).cast("int")
@@ -198,11 +201,19 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage), and row order is presentational — the correctness gate
     # hashes rows order-insensitively (the oracle keeps its ORDER BY,
     # harmlessly). At scale you'd write unsorted and sort-on-read.
-    return (
+    out = (
         cand.withColumn("ni", ni)
         .filter(F.lit(10) * F.col("ni") >= F.lit(6) * union)
         .select("da", "db", trunc6(F.col("ni") / union).alias("jaccard"))
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [sorted_tk])
+
+
+_SPECS["d_prefix_filter_jaccard"].lazy_plan = (
+    lambda spark, sf_dir: d_prefix_filter_jaccard(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -310,7 +321,7 @@ def d_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="deterministic temperature-weighted corpus sampler (admit rate = "
     "per-source micro-weight via portable md5 uniform)",
 )
-def d_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d_temperature_sample(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     from ..functions.hashing import md5_long
 
     d = load_tables(spark, sf_dir)["documents"]
@@ -318,7 +329,10 @@ def d_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok"),
-    ).persist()  # feeds the weight agg and the admission scan
+    )
+    if persist:
+        # feeds the weight agg and the admission scan
+        per_doc = per_doc.persist()
     sq = (
         per_doc.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
@@ -333,13 +347,21 @@ def d_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w_micro"),
     )
     u = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(1_000_000))
-    return (
+    out = (
         per_doc.join(F.broadcast(w), "source")
         .select("source", "n_docs", "w_micro", (u < F.col("w_micro")).cast("bigint").alias("admit"))
         .groupBy("source", "n_docs", "w_micro")
         .agg(F.sum("admit").alias("n_admitted"))
         .orderBy("source")
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [per_doc])
+
+
+_SPECS["d_temperature_sample"].lazy_plan = (
+    lambda spark, sf_dir: d_temperature_sample(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -510,7 +532,7 @@ def _dsir_oracle() -> str:
     _dsir_oracle(),
     doc="DSIR hashed-unigram importance weights (target-vs-raw LM log-ratio)",
 )
-def d_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d_dsir_weights(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     from ..functions import text as T
     from ..functions.hashing import md5_long
 
@@ -518,8 +540,10 @@ def d_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         d.select("doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("tk"))
         .select("doc_id", "lang", F.pmod(md5_long(F.col("tk")), F.lit(_DSIR_B)).alias("bk"))
-        .persist()  # feeds both count passes and the scoring join
     )
+    if persist:
+        # feeds both count passes and the scoring join
+        tok = tok.persist()
 
     raw_cnt = tok.groupBy("bk").agg(F.count(F.lit(1)).alias("cr"))
     tgt_cnt = tok.filter(F.col("lang") == "en").groupBy("bk").agg(
@@ -551,11 +575,19 @@ def d_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = F.col("s") + F.col("n_tok") * (F.col("lnr") - F.col("lnt"))
-    return (
+    out = (
         per.crossJoin(F.broadcast(tot))
         .select("doc_id", "n_tok", trunc6(w).alias("dsir_weight"))
         .orderBy("doc_id")
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [tok])
+
+
+_SPECS["d_dsir_weights"].lazy_plan = (
+    lambda spark, sf_dir: d_dsir_weights(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -761,8 +793,6 @@ def _dedup_agreement_lazy(spark: SparkSession, sf_dir: str, persist: bool = True
     )
     return out, sh0
 
-
-from .registry import ALL_SPECS as _SPECS  # noqa: E402
 
 _SPECS["t_dedup_agreement"].lazy_plan = (
     lambda spark, sf_dir: _dedup_agreement_lazy(spark, sf_dir, persist=False)[0]

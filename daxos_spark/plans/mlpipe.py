@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables
 from ..ml.scoring import score_auc
 from ..ml.train import GBTParams, fit_gbt, predict_gbt
-from .registry import QuerySpec, register
+from .registry import ALL_SPECS, QuerySpec, checkpoint_release, register
 
 
 def _q(name: str, doc: str = ""):
@@ -590,13 +590,16 @@ def _kmeans_lloyd_sql(k: int, iters: int) -> str:
     doc="deterministic Lloyd k-means (fixed init/iters, exact-decimal "
     "distances) — iterative clustering under the value-hash gate",
 )
-def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = load_tables(spark, sf_dir)["embeddings"]
     u = e.select(
         "vec_id", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x")
-    ).persist()  # feeds every assignment and every centroid update
+    )
+    if persist:
+        # feeds every assignment and every centroid update
+        u = u.persist()
     ct = u.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster"), "pos", F.col("x").alias("c")
     )
@@ -634,7 +637,7 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     af = assign(ct, keep_dist=True)
-    return (
+    out = (
         af.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -642,6 +645,14 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [u])
+
+
+ALL_SPECS["ml_kmeans_lloyd"].lazy_plan = (
+    lambda spark, sf_dir: ml_kmeans_lloyd(spark, sf_dir, persist=False)
+)
 
 
 @_q("ml_kmeans_clusters", doc="MLlib KMeans over embeddings (seeded; cluster-size profile)")

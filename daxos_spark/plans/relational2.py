@@ -23,6 +23,7 @@ from ..catalog import load_tables
 from ..operators.temporal import asof_join
 from .registry import (
     ALL_SPECS,
+    checkpoint_release,
     DEC,
     QuerySpec,
     davg,
@@ -1910,7 +1911,7 @@ def _pagerank_oracle() -> str:
     "supplier-customer trade graph; integer nano-ranks hash-checked",
     tags=("relational", "graph"),
 )
-def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_trade_pagerank(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = (
         t["lineitem"]
@@ -1920,8 +1921,11 @@ def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ee = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
-    deg = ee.groupBy("u").agg(F.count(F.lit(1)).alias("dg")).persist()
+    ee = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = ee.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
+    if persist:
+        ee = ee.persist()
+        deg = deg.persist()
     nn = deg.count()  # node count — a scalar, the honest driver transfer
 
     r = deg.select(F.col("u").alias("node"), (F.lit(1.0) / F.lit(float(nn))).alias("r"))
@@ -1938,11 +1942,19 @@ def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r")
             )
         )
-    return (
+    out = (
         r.select("node", F.floor(F.col("r") * 1e9).cast("bigint").alias("rank_nano"))
         .orderBy(F.col("rank_nano").desc(), "node")
         .limit(_PR_TOPK)
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [ee, deg])
+
+
+ALL_SPECS["q_trade_pagerank"].lazy_plan = (
+    lambda spark, sf_dir: q_trade_pagerank(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -2094,7 +2106,7 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "co-purchase part graph (ordered-wedge equi-join plan)",
     tags=("relational", "graph"),
 )
-def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
@@ -2108,7 +2120,9 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
-    e = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b")).persist()
+    e = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    if persist:
+        e = e.persist()
     deg = (
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
@@ -2129,7 +2143,7 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("t"))
     )
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
+    out = (
         n_edges.crossJoin(F.broadcast(wedges))
         .crossJoin(F.broadcast(tri))
         .select(
@@ -2142,6 +2156,14 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_micro"),
         )
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [e])
+
+
+ALL_SPECS["q_copurchase_triangles"].lazy_plan = (
+    lambda spark, sf_dir: q_copurchase_triangles(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -2188,14 +2210,12 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "== full recompute (n_mismatch emitted, 0), additive DECIMAL measures",
     tags=("relational", "incremental"),
 )
-def q_ivm_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivm_merge_proof(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     # NTZ ts -> exact integer micros (session TZ pinned UTC, value-stable)
     us = lambda c: F.unix_micros(c.cast("timestamp"))
-    ev = (
-        load_tables(spark, sf_dir)["events"]
-        .withColumn("ts_us", us(F.col("ts")))
-        .persist()
-    )
+    ev = load_tables(spark, sf_dir)["events"].withColumn("ts_us", us(F.col("ts")))
+    if persist:
+        ev = ev.persist()
     cut = ev.agg(
         (
             F.min("ts_us")
@@ -2229,12 +2249,20 @@ def q_ivm_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     mism = F.sum(
         ((F.col("m.n") != F.col("f.n")) | (F.col("m.sv") != F.col("f.sv"))).cast("int")
     ).over(Window.partitionBy())
-    return j.select(
+    out = j.select(
         F.col("m.user_id").alias("user_id"),
         F.col("m.n").alias("n"),
         trunc6(F.col("m.sv")).alias("sum_value"),
         mism.cast("bigint").alias("n_mismatch"),
     ).orderBy("user_id")
+    if not persist:
+        return out
+    return checkpoint_release(out, [ev])
+
+
+ALL_SPECS["q_ivm_merge_proof"].lazy_plan = (
+    lambda spark, sf_dir: q_ivm_merge_proof(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -2283,13 +2311,13 @@ _ATTR_WINDOW_US = 30 * 60 * 1_000_000
     "30-min lookback (user-keyed time-band join, integer micro-credits)",
     tags=("relational", "attribution"),
 )
-def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_touch_attribution(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     us = lambda c: F.unix_micros(c.cast("timestamp"))
-    ev = (
-        load_tables(spark, sf_dir)["events"]
-        .select("user_id", "event_id", "event_type", us(F.col("ts")).alias("us"))
-        .persist()
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "event_type", us(F.col("ts")).alias("us")
     )
+    if persist:
+        ev = ev.persist()
     conv = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("conv_id"), F.col("us").alias("conv_us")
     )
@@ -2315,7 +2343,7 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wlast).alias("rn"),
         F.count(F.lit(1)).over(wall).alias("n_touches"),
     )
-    return (
+    out = (
         p.groupBy("channel")
         .agg(
             F.sum((F.col("rn") == 1).cast("int")).cast("bigint").alias("last_touch_convs"),
@@ -2326,6 +2354,14 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [ev])
+
+
+ALL_SPECS["q_touch_attribution"].lazy_plan = (
+    lambda spark, sf_dir: q_touch_attribution(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -2690,7 +2726,7 @@ _EWMA_WIN = 48
     "band self-join with DECIMAL-summed weighted terms",
     tags=("relational", "timeseries"),
 )
-def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ewma_forecast(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     us = lambda c: F.unix_micros(c.cast("timestamp"))
     ev = load_tables(spark, sf_dir)["events"].select(
         F.floor(us(F.col("ts")) / 3_600_000_000).cast("bigint").alias("hour_idx")
@@ -2701,7 +2737,10 @@ def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = ev.groupBy("hour_idx").agg(F.count(F.lit(1)).alias("c"))
     series = spine.join(cnt, "hour_idx", "left").select(
         "hour_idx", F.coalesce(F.col("c"), F.lit(0)).alias("c")
-    ).persist()  # both sides of the band join + the error join
+    )
+    if persist:
+        # both sides of the band join + the error join
+        series = series.persist()
     t, s = series.alias("t"), series.alias("s")
     term = (
         F.lit(_EWMA_ALPHA)
@@ -2717,8 +2756,10 @@ def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("t.hour_idx") >= h0 + _EWMA_WIN - 1)
         .groupBy(F.col("t.hour_idx").alias("hour_idx"), F.col("t.c").alias("c"))
         .agg(F.sum(term).cast("double").alias("level"))
-        .persist()  # feeds last-level, count, and the error join
     )
+    if persist:
+        # feeds last-level, count, and the error join
+        lvl = lvl.persist()
     err = series.alias("x").join(
         lvl.alias("l"), F.col("l.hour_idx") == F.col("x.hour_idx") - 1
     ).select(F.abs(F.col("x.c") - F.col("l.level")).alias("e"))
@@ -2728,12 +2769,20 @@ def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(trunc6(F.col("level")).alias("last_level"))
     )
-    return (
+    out = (
         err.agg(trunc6(davg(F.col("e"))).alias("mae"))
         .crossJoin(F.broadcast(n_levels))
         .crossJoin(F.broadcast(last))
         .select("n_levels", "last_level", "mae")
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [series, lvl])
+
+
+ALL_SPECS["q_ewma_forecast"].lazy_plan = (
+    lambda spark, sf_dir: q_ewma_forecast(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -2773,9 +2822,11 @@ def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in exact integer micro units",
     tags=("relational", "basket"),
 )
-def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_basket_rules(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct().persist()
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    if persist:
+        op = op.persist()
     n_orders = op.select("l_orderkey").distinct().count()
     item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     a, b = op.alias("a"), op.alias("b")
@@ -2791,7 +2842,7 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("cnt_a"))
     ib = item.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("cnt_b"))
-    return (
+    out = (
         pair.join(F.broadcast(ia), "pa")
         .join(F.broadcast(ib), "pb")
         .select(
@@ -2809,6 +2860,14 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_micro").desc(), "pa", "pb")
         .limit(20)
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [op])
+
+
+ALL_SPECS["q_basket_rules"].lazy_plan = (
+    lambda spark, sf_dir: q_basket_rules(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------

@@ -40,7 +40,7 @@ from pyspark.sql.window import Window
 from ..catalog import load_tables
 from ..functions.similarity import int_code
 from ..functions.vectors import dot, l2_norm, to_double
-from .registry import ALL_SPECS, QuerySpec, register, sql_trunc6, trunc6
+from .registry import ALL_SPECS, QuerySpec, checkpoint_release, register, sql_trunc6, trunc6
 
 _DIM = 64
 
@@ -480,7 +480,7 @@ def _mmr_oracle() -> str:
     "(λ=0.5); selection order and scores hash-checked vs an unrolled "
     "greedy-layer SQL oracle",
 )
-def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v_mmr_rerank(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     e = load_tables(spark, sf_dir)["embeddings"]
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
@@ -504,8 +504,10 @@ def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _MMR_CAND)
         .select("qid", "cid", "rel", "cv", "cn")
-        .persist()  # both sides of the pair join
     )
+    if persist:
+        # both sides of the pair join
+        cand = cand.persist()
     a, b = cand.alias("a"), cand.alias("b")
     pr = a.join(
         b, (F.col("a.qid") == F.col("b.qid")) & (F.col("a.cid") != F.col("b.cid"))
@@ -543,9 +545,17 @@ def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = pr.groupBy("qid").applyInPandas(
         greedy, schema="qid long, step int, selected_id long, score double"
     )
-    return res.select(
+    out = res.select(
         "qid", "step", "selected_id", trunc6(F.col("score")).alias("mmr_score")
     ).orderBy("qid", "step")
+    if not persist:
+        return out
+    return checkpoint_release(out, [cand])
+
+
+ALL_SPECS["v_mmr_rerank"].lazy_plan = (
+    lambda spark, sf_dir: v_mmr_rerank(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -934,12 +944,14 @@ def _hybrid_oracle() -> str:
     "then exact embedding rerank of only those candidates; both scores "
     "hash-checked",
 )
-def v_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v_hybrid_search(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     from ..functions import text as T
 
     t = load_tables(spark, sf_dir)
     d = t["documents"]
-    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t")).persist()
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t"))
+    if persist:
+        tok = tok.persist()
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -988,12 +1000,20 @@ def v_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "doc_id", "bm25", idot(F.col("qc"), F.col("cc")).alias("sem_dot"))
     )
     wk = Window.partitionBy("qid").orderBy(F.col("sem_dot").desc(), "doc_id")
-    return (
+    out = (
         rr.withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= _HY_K)
         .select("qid", "rk", "doc_id", trunc6(F.col("bm25")).alias("bm25"), "sem_dot")
         .orderBy("qid", "rk")
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [tok])
+
+
+ALL_SPECS["v_hybrid_search"].lazy_plan = (
+    lambda spark, sf_dir: v_hybrid_search(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
@@ -1124,14 +1144,16 @@ def _pca_oracle() -> str:
     doc="top principal direction via 3 relational power-iteration rounds "
     "on the distributed Gram (one corpus pass; loadings hash-checked)",
 )
-def v_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v_pca_power(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     gram = e_gram_matrix(spark, sf_dir)  # (i, j, gram) upper triangle
     gf = gram.unionByName(
         gram.filter(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "gram"
         )
-    ).coalesce(1).persist()  # dim^2 rows (~4k): one partition keeps the
+    ).coalesce(1)  # dim^2 rows (~4k): one partition keeps the
     # 3 iteration matvecs out of 64-task shuffle territory
+    if persist:
+        gf = gf.persist()
     v = gf.select(F.col("i").alias("pos")).distinct().withColumn("x", F.lit(1.0))
     dec = "decimal(38,12)"
     for _ in range(_PI_ITERS):
@@ -1146,7 +1168,15 @@ def v_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = w.crossJoin(F.broadcast(z)).select(
             "pos", (F.col("w") / F.col("z")).alias("x")
         )
-    return v.select("pos", trunc6(F.col("x")).alias("pc1_loading")).orderBy("pos")
+    out = v.select("pos", trunc6(F.col("x")).alias("pc1_loading")).orderBy("pos")
+    if not persist:
+        return out
+    return checkpoint_release(out, [gf])
+
+
+ALL_SPECS["v_pca_power"].lazy_plan = (
+    lambda spark, sf_dir: v_pca_power(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------
