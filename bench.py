@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "t_curriculum_buckets",
     "v_kcenter_init",
     "v_rrf_fusion",
+    "q_kcore_decomposition",
 ]
 
 

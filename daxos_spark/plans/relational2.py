@@ -4604,3 +4604,112 @@ def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(F.percentile(lu, F.lit(0.99)) / F.lit(1000000.0)).alias("p99_lateness_s"),
         trunc6(F.max(lu) / F.lit(1000000.0)).alias("max_lateness_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (k=3) of the co-purchase graph — the density
+# peel that separates structurally-cohesive product communities from
+# tendrils (Seidman '83; the graph-mining sibling of the PageRank/
+# CC/triangle family already here). Peeling: repeatedly drop nodes
+# with degree < k and the edges they carry until stable. Each round is
+# ONE degree aggregate + one semi-join filter over the current edge
+# relation — the standard distributed peel; rounds shrink the relation
+# monotonically, and the fixed unroll (R=8) is verified sufficient by
+# the reported fixpoint (consecutive equal rounds). Everything is
+# integer counts — hash-proof. The oracle unrolls the same rounds as
+# MATERIALIZED CTEs (duckdb inlines CTEs; iterative chains re-expand
+# exponentially otherwise — the q_bradley_terry lesson).
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    , d{r} AS MATERIALIZED (
+      SELECT v, COUNT(*) AS dg FROM (
+        SELECT a AS v FROM g{r-1} UNION ALL SELECT b FROM g{r-1}
+      ) GROUP BY v HAVING COUNT(*) >= {_KCORE_K}
+    ), g{r} AS MATERIALIZED (
+      SELECT g.a, g.b FROM g{r-1} g
+      JOIN d{r} da ON da.v = g.a
+      JOIN d{r} db ON db.v = g.b
+    )""")
+    counts = "\n      UNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT DISTINCT v FROM (SELECT a AS v FROM g{r} UNION ALL SELECT b FROM g{r}))) AS n_nodes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM g{r}) AS n_edges"""
+        for r in range(0, _KCORE_ROUNDS + 1)
+    )
+    return f"""
+    WITH pr AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+      ) WHERE n >= 2
+    ), g0 AS MATERIALIZED (
+      SELECT a, b FROM pr
+    ){''.join(rounds)}
+    SELECT * FROM ({counts}) ORDER BY round
+    """
+
+
+@_q(
+    "q_kcore_decomposition",
+    _kcore_oracle(),
+    doc=f"k-core peel (k={_KCORE_K}, Seidman '83) of the >=2-order "
+    "co-purchase graph: per-round node/edge counts down to the "
+    "fixpoint; one degree aggregate + semi-join filter per round",
+    tags=("relational", "graph"),
+)
+def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    x, y = op.alias("x"), op.alias("y")
+    g = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("a", "b")
+        .localCheckpoint(eager=True)  # the peel iterates over this relation
+    )
+
+    def stats(edges: DataFrame) -> tuple[int, int]:
+        nodes = (
+            edges.select(F.col("a").alias("v"))
+            .unionByName(edges.select(F.col("b").alias("v")))
+            .distinct()
+            .count()
+        )
+        return nodes, edges.count()
+
+    rows = [(0, *stats(g))]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            g.select(F.col("a").alias("v"))
+            .unionByName(g.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") >= _KCORE_K)
+            .select("v")
+        )
+        g = (
+            g.join(F.broadcast(deg.withColumnRenamed("v", "a")), "a")
+            .join(F.broadcast(deg.withColumnRenamed("v", "b")), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=True)  # truncate the per-round lineage
+        )
+        rows.append((r, *stats(g)))
+    return spark.createDataFrame(
+        rows, "round bigint, n_nodes bigint, n_edges bigint"
+    ).orderBy("round")

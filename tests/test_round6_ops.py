@@ -212,3 +212,46 @@ def test_kcenter_init_invariants(spark):
     d2s = [d for _, _, d in got[1:]]
     assert d2s == sorted(d2s, reverse=True)
     assert len({c for _, c, _ in got}) == _KC_K
+
+
+def test_kcore_matches_python_peel(spark):
+    """Pure-python peel replay on the same >=2-order co-purchase edge
+    set; per-round node/edge counts must match exactly and reach a
+    fixpoint within the unrolled rounds."""
+    from collections import Counter
+
+    from daxos_spark.plans.relational2 import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        q_kcore_decomposition,
+    )
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    op = li.drop_duplicates()
+    pair_counts: Counter = Counter()
+    for _, grp in op.groupby("l_orderkey"):
+        parts = sorted(grp["l_partkey"].unique())
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                pair_counts[(parts[i], parts[j])] += 1
+    edges = {p for p, n in pair_counts.items() if n >= 2}
+
+    def stats(es):
+        nodes = {v for e in es for v in e}
+        return len(nodes), len(es)
+
+    want = [(0, *stats(edges))]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg: Counter = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v, d in deg.items() if d >= _KCORE_K}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+        want.append((r, *stats(edges)))
+
+    rows = q_kcore_decomposition(spark, SF_DIR).collect()
+    got = [(r["round"], r["n_nodes"], r["n_edges"]) for r in rows]
+    assert got == want
+    # unroll is sufficient: the tail is a fixpoint
+    assert got[-1][1:] == got[-2][1:]
