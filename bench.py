@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "v_kcenter_init",
     "v_rrf_fusion",
     "q_kcore_decomposition",
+    "ml_meta_analysis",
 ]
 
 

@@ -1766,3 +1766,143 @@ def ml_epistasis_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("stat").desc(), "p1", "p2")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-effect GWAS meta-analysis — the canonical multi-cohort
+# follow-up to the per-SNP scan (plink --meta-analysis / METAL's
+# default): split the panel into 3 cohorts, compute each cohort's
+# Haldane-corrected allelic log-OR and its variance from the 2×2
+# table, combine by inverse-variance weighting, and report Cochran's Q
+# heterogeneity. Derivation shares ml_gwas_allelic_or's deterministic
+# dosage ((vec_id + 7·pos) % 3) and case split (label ≥ 5); cohort =
+# vec_id % 3. Scale: ONE conditional aggregation per SNP (12 sums —
+# the cohorts pivot to columns, so the IVW combine is fixed-order
+# 3-term arithmetic, never an order-dependent float GROUP BY);
+# identical shuffle shape to the single-cohort scan.
+_META_NC = 3
+
+
+def _meta_cells(c: int, engine: str) -> dict[str, str]:
+    if engine == "sql":
+        return {
+            "a": f"SUM(CASE WHEN cohort = {c} AND is_case = 1 THEN dosage ELSE 0 END)",
+            "na": f"SUM(CASE WHEN cohort = {c} AND is_case = 1 THEN 1 ELSE 0 END)",
+            "c": f"SUM(CASE WHEN cohort = {c} AND is_case = 0 THEN dosage ELSE 0 END)",
+            "nc": f"SUM(CASE WHEN cohort = {c} AND is_case = 0 THEN 1 ELSE 0 END)",
+        }
+    raise ValueError(engine)
+
+
+def _meta_oracle() -> str:
+    sums = []
+    for c in range(_META_NC):
+        m = _meta_cells(c, "sql")
+        sums += [
+            f"CAST({m['a']} AS BIGINT) AS a{c}",
+            f"CAST({m['na']} AS BIGINT) AS na{c}",
+            f"CAST({m['c']} AS BIGINT) AS c{c}",
+            f"CAST({m['nc']} AS BIGINT) AS nc{c}",
+        ]
+    # per-cohort Haldane log-OR and inverse-variance weight
+    per = []
+    for c in range(_META_NC):
+        per.append(
+            f"""LN(((a{c} + 0.5) * (2 * nc{c} - c{c} + 0.5))
+               / ((2 * na{c} - a{c} + 0.5) * (c{c} + 0.5))) AS b{c},
+           CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) / (a{c} + 0.5)
+               + CAST(1 AS DOUBLE) / (2 * na{c} - a{c} + 0.5)
+               + CAST(1 AS DOUBLE) / (c{c} + 0.5)
+               + CAST(1 AS DOUBLE) / (2 * nc{c} - c{c} + 0.5)) AS w{c}"""
+        )
+    wsum = " + ".join(f"w{c}" for c in range(_META_NC))
+    bw = " + ".join(f"w{c} * b{c}" for c in range(_META_NC))
+    q = " + ".join(f"w{c} * (b{c} - bm) * (b{c} - bm)" for c in range(_META_NC))
+    return f"""
+    WITH g AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS is_case,
+             vec_id % {_META_NC} AS cohort,
+             vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ), u AS (
+      SELECT is_case, cohort, pos, (vec_id + 7 * pos) % 3 AS dosage FROM g
+    ), agg AS (
+      SELECT pos, {', '.join(sums)}
+      FROM u GROUP BY pos
+    ), per AS (
+      SELECT pos, {', '.join(per)}
+      FROM agg
+    ), comb AS (
+      SELECT pos, b0, b1, b2, w0, w1, w2,
+             ({bw}) / ({wsum}) AS bm, {wsum} AS wt
+      FROM per
+    )
+    SELECT pos,
+           {sql_trunc6('bm')} AS beta_meta,
+           {sql_trunc6('CAST(1 AS DOUBLE) / SQRT(wt)')} AS se_meta,
+           {sql_trunc6('bm * SQRT(wt)')} AS z_meta,
+           {sql_trunc6(q)} AS cochran_q
+    FROM comb ORDER BY pos
+    """
+
+
+@_qo(
+    "ml_meta_analysis",
+    _meta_oracle(),
+    doc="fixed-effect inverse-variance GWAS meta-analysis across 3 "
+    "cohorts (plink --meta-analysis / METAL shape): Haldane log-ORs, "
+    "IVW combine, Cochran's Q — one conditional aggregation per SNP",
+)
+def ml_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    u = e.select(
+        (F.col("label") >= 5).cast("int").alias("is_case"),
+        (F.col("vec_id") % _META_NC).alias("cohort"),
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos", "_x"),
+    ).select(
+        "is_case",
+        "cohort",
+        "pos",
+        ((F.col("vec_id") + 7 * F.col("pos")) % 3).alias("dosage"),
+    )
+    aggs = []
+    for c in range(_META_NC):
+        in_c = F.col("cohort") == c
+        case = F.col("is_case") == 1
+        aggs += [
+            F.sum(F.when(in_c & case, F.col("dosage")).otherwise(0)).cast("bigint").alias(f"a{c}"),
+            F.sum(F.when(in_c & case, 1).otherwise(0)).cast("bigint").alias(f"na{c}"),
+            F.sum(F.when(in_c & ~case, F.col("dosage")).otherwise(0)).cast("bigint").alias(f"c{c}"),
+            F.sum(F.when(in_c & ~case, 1).otherwise(0)).cast("bigint").alias(f"nc{c}"),
+        ]
+    agg = u.groupBy("pos").agg(*aggs)
+    cols = []
+    one = F.lit(1.0).cast("double")
+    for c in range(_META_NC):
+        a, na, cc, nc = (F.col(f"a{c}"), F.col(f"na{c}"), F.col(f"c{c}"), F.col(f"nc{c}"))
+        b = (a + 0.5) * (2 * nc - cc + 0.5) / ((2 * na - a + 0.5) * (cc + 0.5))
+        w = one / (
+            one / (a + 0.5)
+            + one / (2 * na - a + 0.5)
+            + one / (cc + 0.5)
+            + one / (2 * nc - cc + 0.5)
+        )
+        cols += [F.log(b).alias(f"b{c}"), w.alias(f"w{c}")]
+    per = agg.select("pos", *cols)
+    wsum = F.col("w0") + F.col("w1") + F.col("w2")
+    bw = F.col("w0") * F.col("b0") + F.col("w1") * F.col("b1") + F.col("w2") * F.col("b2")
+    comb = per.select("pos", "b0", "b1", "b2", "w0", "w1", "w2", (bw / wsum).alias("bm"), wsum.alias("wt"))
+    qterm = (
+        F.col("w0") * (F.col("b0") - F.col("bm")) * (F.col("b0") - F.col("bm"))
+        + F.col("w1") * (F.col("b1") - F.col("bm")) * (F.col("b1") - F.col("bm"))
+        + F.col("w2") * (F.col("b2") - F.col("bm")) * (F.col("b2") - F.col("bm"))
+    )
+    return comb.select(
+        "pos",
+        trunc6(F.col("bm")).alias("beta_meta"),
+        trunc6(F.lit(1.0).cast("double") / F.sqrt(F.col("wt"))).alias("se_meta"),
+        trunc6(F.col("bm") * F.sqrt(F.col("wt"))).alias("z_meta"),
+        trunc6(qterm).alias("cochran_q"),
+    ).orderBy("pos")

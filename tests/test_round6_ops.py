@@ -255,3 +255,51 @@ def test_kcore_matches_python_peel(spark):
     assert got == want
     # unroll is sufficient: the tail is a fixpoint
     assert got[-1][1:] == got[-2][1:]
+
+
+def test_meta_analysis_matches_ivw_replay(spark):
+    """Textbook inverse-variance replay on the synthetic dosages: the
+    IVW combine, pooled SE, and Cochran's Q match per SNP; pooled SE is
+    never larger than any single cohort's."""
+    import numpy as np
+
+    from daxos_spark.plans.mlpipe import _META_NC, ml_meta_analysis
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    n_pos = len(emb["embedding"].iloc[0])
+
+    rows = ml_meta_analysis(spark, SF_DIR).collect()
+    got = {r["pos"]: r for r in rows}
+    assert set(got) == set(range(n_pos))
+
+    for pos in range(0, n_pos, 7):  # sample of SNPs keeps the test fast
+        bs, ws = [], []
+        for c in range(_META_NC):
+            sel = ids % _META_NC == c
+            case = labels[sel] >= 5
+            dos = (ids[sel] + 7 * pos) % 3
+            a = float(dos[case].sum())
+            na = float(case.sum())
+            cc = float(dos[~case].sum())
+            nc = float((~case).sum())
+            b = math.log(
+                (a + 0.5) * (2 * nc - cc + 0.5) / ((2 * na - a + 0.5) * (cc + 0.5))
+            )
+            w = 1.0 / (
+                1.0 / (a + 0.5)
+                + 1.0 / (2 * na - a + 0.5)
+                + 1.0 / (cc + 0.5)
+                + 1.0 / (2 * nc - cc + 0.5)
+            )
+            bs.append(b)
+            ws.append(w)
+        bm = sum(w * b for w, b in zip(ws, bs)) / sum(ws)
+        q = sum(w * (b - bm) ** 2 for w, b in zip(ws, bs))
+        r = got[pos]
+        assert abs(r["beta_meta"] - bm) < 2e-6
+        assert abs(r["se_meta"] - 1.0 / math.sqrt(sum(ws))) < 2e-6
+        assert abs(r["cochran_q"] - q) < 1e-4
+        assert r["cochran_q"] >= 0
+        assert r["se_meta"] <= 1.0 / math.sqrt(max(ws)) + 1e-9
