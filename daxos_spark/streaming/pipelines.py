@@ -307,6 +307,76 @@ def cdc_upsert_stream(events: DataFrame, tombstone: str = "error") -> DataFrame:
     )
 
 
+def lateness_monitor_stream(events: DataFrame) -> DataFrame:
+    """Per-user event-time disorder monitor — the streaming face of
+    q_watermark_lateness (which SIZES watermarks offline; this WATCHES
+    the live feed): arbitrary state keeps each user's running max
+    event time in arrival order, and every micro-batch emits the
+    user's cumulative counters (events seen, late events, worst
+    lateness in µs). Lateness of an event = running max of
+    earlier-arriving event times minus its own, clamped at 0 — exactly
+    the quantity a watermark must exceed to never drop the event.
+    State per user is THREE longs (max_ts, n, worst), partitioned by
+    user_id: O(keys) forever, the same bound as cdc_upsert_stream.
+    Within a batch rows process in event_id order so replays are
+    deterministic."""
+    import pandas as pd  # local import: executors need it, driver may not
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("n_late", LongType()),
+            StructField("max_late_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("max_ts", LongType()),
+            StructField("n", LongType()),
+            StructField("n_late", LongType()),
+            StructField("worst", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        mx, n, nlate, worst = state.get if state.exists else (None, 0, 0, 0)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.assign(__ts=pdf["ts"].astype("int64") // 1000).sort_values(
+                "event_id"
+            )
+            for ts in pdf["__ts"].to_list():
+                ts = int(ts)
+                if mx is not None and ts < mx:
+                    nlate += 1
+                    if mx - ts > worst:
+                        worst = mx - ts
+                if mx is None or ts > mx:
+                    mx = ts
+                n += 1
+        state.update((mx, n, nlate, worst))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_late": [nlate],
+                "max_late_us": [worst],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drain a stream into an in-memory table with availableNow trigger
     (test/verification harness; returns after the stream finishes)."""

@@ -535,3 +535,70 @@ def test_cdc_upsert_stream_matches_batch_latest(spark, tmp_path, batch_events):
     # at least one delete and one upsert exercised
     dels = [r for r in got.values() if r["is_deleted"]]
     assert dels and len(dels) < len(got)
+
+
+def test_lateness_monitor_stream_matches_batch(spark, tmp_path, batch_events):
+    """Per-user lateness counters across 3 event_id-contiguous
+    micro-batches == the batch running-max computation in event_id
+    order (the q_watermark_lateness per-user reading)."""
+    from pyspark.sql.window import Window
+
+    from daxos_spark.streaming.pipelines import lateness_monitor_stream
+
+    # arrival order = a scrambled (but unique, deterministic) permutation
+    # of event_id: the base corpus arrives ts-ordered per user, which
+    # would leave nothing late — the scramble manufactures the disorder
+    # a real feed shows while keeping the batch twin exact
+    scrambled = batch_events.withColumn(
+        "event_id",
+        F.pmod(F.col("event_id") * 48271, F.lit(100003)) * 1000000 + F.col("event_id"),
+    )
+    hi = scrambled.agg(F.max("event_id")).first()[0]
+    ev_dir = str(tmp_path / "late_events")
+    cuts = [0, hi // 3, 2 * hi // 3, hi + 1]
+    for i in range(3):
+        scrambled.filter(
+            (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
+        ).write.parquet(f"{ev_dir}/slice={i}")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(ev_dir)
+    )
+    run_to_memory(lateness_monitor_stream(stream), "t_late_mon", output_mode="update")
+
+    got = {}
+    for r in spark.table("t_late_mon").collect():  # update mode: last row wins
+        got[r["user_id"]] = (r["n_events"], r["n_late"], r["max_late_us"])
+
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    late = (
+        scrambled.select(
+            "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+        )
+        .withColumn("pmax", F.max("us").over(w))
+        .select(
+            "user_id",
+            F.greatest(F.coalesce(F.col("pmax") - F.col("us"), F.lit(0)), F.lit(0)).alias(
+                "lu"
+            ),
+        )
+    )
+    want = {
+        r["user_id"]: (r["n"], r["nl"], r["ml"])
+        for r in late.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("lu") > 0).cast("int")).cast("bigint").alias("nl"),
+            F.max("lu").alias("ml"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert sum(v[1] for v in got.values()) > 0  # disorder actually present
