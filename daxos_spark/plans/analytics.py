@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions.hashing import md5_long_sql
 from .registry import QuerySpec, register, sql_trunc6, trunc6
 
 
@@ -457,7 +458,7 @@ def q_trajectory_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""SELECT t.user_id AS pid, t.tkey, t.cnt AS pcnt
       FROM tr t JOIN (
         SELECT user_id FROM (SELECT DISTINCT user_id FROM tr)
-        ORDER BY CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT), user_id
+        ORDER BY {md5_long_sql("CAST(user_id AS VARCHAR)")}, user_id
         LIMIT {_TRAJ_PANEL_N}
       ) pids ON pids.user_id = t.user_id"""
     ),
@@ -812,7 +813,6 @@ _BT_ROUNDS = 6
 def _bt_oracle() -> str:
     rounds = []
     for r in range(1, _BT_ROUNDS + 1):
-        prev = f"r{r-1}"
         rounds.append(f"""
     , t{r} AS MATERIALIZED (
       SELECT m.ba AS brand, CAST(m.n AS DOUBLE) / (pa.p + pb.p) AS term
@@ -830,7 +830,6 @@ def _bt_oracle() -> str:
                   ELSE CAST(w.w AS DOUBLE) / d.denom END AS p
       FROM w JOIN d{r} d ON d.brand = w.brand
     )""")
-        _ = prev
     return f"""
     WITH li AS (
       SELECT l_orderkey, p_brand, l_quantity

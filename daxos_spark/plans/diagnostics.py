@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_tables
+from ..functions.hashing import md5_long_sql
 from .registry import QuerySpec, dsum, register, sql_dsum, sql_trunc6, trunc6
 
 
@@ -787,7 +788,7 @@ _ERASE_N = 10
     f"""
     WITH subj AS (
       SELECT c_custkey FROM customer
-      ORDER BY CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 14)) AS BIGINT), c_custkey
+      ORDER BY {md5_long_sql("CAST(c_custkey AS VARCHAR)")}, c_custkey
       LIMIT {_ERASE_N}
     ), o AS (
       SELECT s.c_custkey, o_orderkey FROM subj s JOIN orders ON o_custkey = s.c_custkey
@@ -824,12 +825,18 @@ def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import md5_long
 
     t = load_tables(spark, sf_dir)
-    subj = (
-        t["customer"]
+    # constant 10-row panel: materialize ONCE and re-literalize so the
+    # three consuming joins (orders, events, spine) never re-execute the
+    # customer scan + TakeOrdered (the q_bradley_terry pattern)
+    subj_ids = [
+        int(r["c_custkey"])
+        for r in t["customer"]
         .select("c_custkey")
         .orderBy(md5_long(F.col("c_custkey").cast("string")), "c_custkey")
         .limit(_ERASE_N)
-    )
+        .collect()
+    ]
+    subj = spark.createDataFrame([(i,) for i in subj_ids], "c_custkey bigint")
     o = t["orders"].join(F.broadcast(subj), F.col("o_custkey") == F.col("c_custkey")).select(
         "c_custkey", "o_orderkey"
     )

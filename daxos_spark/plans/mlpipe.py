@@ -1783,21 +1783,19 @@ def ml_epistasis_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 _META_NC = 3
 
 
-def _meta_cells(c: int, engine: str) -> dict[str, str]:
-    if engine == "sql":
-        return {
-            "a": f"SUM(CASE WHEN cohort = {c} AND is_case = 1 THEN dosage ELSE 0 END)",
-            "na": f"SUM(CASE WHEN cohort = {c} AND is_case = 1 THEN 1 ELSE 0 END)",
-            "c": f"SUM(CASE WHEN cohort = {c} AND is_case = 0 THEN dosage ELSE 0 END)",
-            "nc": f"SUM(CASE WHEN cohort = {c} AND is_case = 0 THEN 1 ELSE 0 END)",
-        }
-    raise ValueError(engine)
+def _meta_cells(c: int) -> dict[str, str]:
+    return {
+        "a": f"SUM(CASE WHEN cohort = {c} AND is_case = 1 THEN dosage ELSE 0 END)",
+        "na": f"SUM(CASE WHEN cohort = {c} AND is_case = 1 THEN 1 ELSE 0 END)",
+        "c": f"SUM(CASE WHEN cohort = {c} AND is_case = 0 THEN dosage ELSE 0 END)",
+        "nc": f"SUM(CASE WHEN cohort = {c} AND is_case = 0 THEN 1 ELSE 0 END)",
+    }
 
 
 def _meta_oracle() -> str:
     sums = []
     for c in range(_META_NC):
-        m = _meta_cells(c, "sql")
+        m = _meta_cells(c)
         sums += [
             f"CAST({m['a']} AS BIGINT) AS a{c}",
             f"CAST({m['na']} AS BIGINT) AS na{c}",

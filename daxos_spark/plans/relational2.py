@@ -2073,17 +2073,40 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by probing (a, c) against the same edge list — join cardinality is
 # Σ deg², never |V|³, and every join is an equi-join on a vertex key.
 # All counts integer; the coefficient is emitted in exact micro units.
+
+# shared >=2-order co-purchase edge relation — consumed by the triangle
+# count and the k-core peel (one definition, two graph queries)
+_COPURCHASE_EDGES_CTE = """
+      SELECT pa AS a, pb AS b FROM (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb, COUNT(*) AS n_orders
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY pa, pb HAVING COUNT(*) >= 2
+      )"""
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """(a, b) part pairs co-purchased in >= 2 orders, a < b."""
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    x, y = op.alias("x"), op.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("a", "b")
+    )
+
+
 @_q(
     "q_copurchase_triangles",
-    """
-    WITH op AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), pairs AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_orders
-      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY pa, pb HAVING COUNT(*) >= 2
-    ), e AS (
-      SELECT pa AS a, pb AS b FROM pairs
+    f"""
+    WITH e AS ({_COPURCHASE_EDGES_CTE}
     ), deg AS (
       SELECT v, COUNT(*) AS d FROM (
         SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) t GROUP BY v
@@ -2108,19 +2131,7 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_copurchase_triangles(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-    )
-    e = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e = _copurchase_edges(li)
     if persist:
         e = e.persist()
     deg = (
@@ -4644,16 +4655,7 @@ def _kcore_oracle() -> str:
         for r in range(0, _KCORE_ROUNDS + 1)
     )
     return f"""
-    WITH pr AS MATERIALIZED (
-      SELECT a, b FROM (
-        SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n
-        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
-        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
-          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-        GROUP BY 1, 2
-      ) WHERE n >= 2
-    ), g0 AS MATERIALIZED (
-      SELECT a, b FROM pr
+    WITH g0 AS MATERIALIZED ({_COPURCHASE_EDGES_CTE}
     ){''.join(rounds)}
     SELECT * FROM ({counts}) ORDER BY round
     """
@@ -4669,20 +4671,8 @@ def _kcore_oracle() -> str:
 )
 def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    x, y = op.alias("x"), op.alias("y")
-    g = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("a", "b")
-        .localCheckpoint(eager=True)  # the peel iterates over this relation
-    )
+    # the peel iterates over this relation — materialize it once
+    g = _copurchase_edges(li).localCheckpoint(eager=True)
 
     def stats(edges: DataFrame) -> tuple[int, int]:
         nodes = (

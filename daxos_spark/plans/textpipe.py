@@ -1619,7 +1619,7 @@ def t_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _ss_position_stream(d: DataFrame, extra_cols: tuple = ()):
+def _ss_position_stream(d: DataFrame, extra_cols: tuple = (), persist: bool = True):
     """Tokenization + persisted K-gram position stream shared by the two
     ExactSubstr queries (`extra_cols` passes ``source`` through for the
     span stats). The descending-sequence guard (``sequence(1, n-K+1)``
@@ -1656,8 +1656,9 @@ def _ss_position_stream(d: DataFrame, extra_cols: tuple = ()):
             "i",
             md5_long(F.array_join(F.slice(F.col("tk"), F.col("i"), k), " ")).alias("h"),
         )
-        .persist()
     )
+    if persist:
+        pos = pos.persist()
     return toks, pos
 
 
@@ -2140,12 +2141,14 @@ def _dedup_best_keep_lazy(
 _BG_HI = 8.0
 
 
-def _bigram_ppl_oracle() -> str:
-    return f"""
-    WITH toks AS (
+def _bigram_scored_cte() -> str:
+    """Interpolated-bigram-LM scoring chain (dtk → … → bscored, no
+    leading WITH): bscored = per-position (doc_id, lp). Shared by
+    t_bigram_ppl and t_refinery_e2e."""
+    return f"""dtk AS (
       SELECT doc_id, {_TOKS} AS tk FROM documents
     ), uni AS (
-      SELECT doc_id, unnest(tk) AS w FROM toks
+      SELECT doc_id, unnest(tk) AS w FROM dtk
     ), c1 AS (
       SELECT w, COUNT(*) AS c FROM uni GROUP BY w
     ), tot AS (
@@ -2153,10 +2156,10 @@ def _bigram_ppl_oracle() -> str:
     ), bi AS (
       SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
       FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
-            FROM toks WHERE len(tk) >= 2)
+            FROM dtk WHERE len(tk) >= 2)
     ), c2 AS (
       SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2
-    ), scored AS (
+    ), bscored AS (
       SELECT b.doc_id,
              LN((CAST(7 AS DOUBLE) * CAST(c2.c AS DOUBLE) * CAST(t.n AS DOUBLE)
                  + CAST(3 AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
@@ -2166,7 +2169,12 @@ def _bigram_ppl_oracle() -> str:
       JOIN c1 ca ON ca.w = b.w1
       JOIN c1 cb ON cb.w = b.w2
       CROSS JOIN tot t
-    )
+    )"""
+
+
+def _bigram_ppl_oracle() -> str:
+    return f"""
+    WITH {_bigram_scored_cte()}
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
            {sql_trunc6(
@@ -2174,7 +2182,7 @@ def _bigram_ppl_oracle() -> str:
            )} AS avg_nll,
            -(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
              > {_BG_HI} AS high_ppl
-    FROM scored GROUP BY doc_id ORDER BY doc_id
+    FROM bscored GROUP BY doc_id ORDER BY doc_id
     """
 
 
@@ -2400,16 +2408,18 @@ ALL_SPECS["t_dedup_best_keep"].lazy_plan = (
 _GOPHER_STOP = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for'"
 
 
-@_q(
-    "t_gopher_rules",
-    f"""
-    WITH s AS (
-      SELECT source, {_TOKS} AS toks,
+def _gopher_cte() -> str:
+    """Per-doc Gopher verdict chain (gs → gr → gflag, no leading WITH):
+    gflag carries (doc_id, source, n_tok, p_wc..p_rep). Shared by the
+    t_gopher_rules per-source audit and the t_refinery_e2e funnel so
+    the two oracles can never drift apart."""
+    return f"""gs AS (
+      SELECT doc_id, source, {_TOKS} AS toks,
              len({_TOKS}) AS n_tok,
              length(regexp_replace({_NORM}, '\\s+', '', 'g')) AS n_chars_ws
       FROM documents
-    ), r AS (
-      SELECT source, n_tok,
+    ), gr AS (
+      SELECT doc_id, source, n_tok,
              CAST(n_chars_ws AS DOUBLE) / n_tok AS mwl,
              CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / n_tok AS alpha_ratio,
              len(list_distinct(list_filter(toks, t -> t IN ({_GOPHER_STOP})))) AS n_stop,
@@ -2420,16 +2430,22 @@ _GOPHER_STOP = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for'"
                      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
                      x -> x = g)))) AS DOUBLE) * 2.0 / n_tok
              END AS rep_frac
-      FROM s
-    ), v AS (
-      SELECT source,
+      FROM gs
+    ), gflag AS (
+      SELECT doc_id, source, n_tok,
              CASE WHEN n_tok BETWEEN 25 AND 80 THEN 1 ELSE 0 END AS p_wc,
              CASE WHEN mwl >= 3.0 AND mwl <= 4.5 THEN 1 ELSE 0 END AS p_mwl,
              CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END AS p_alpha,
              CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS p_stop,
              CASE WHEN rep_frac <= 0.125 THEN 1 ELSE 0 END AS p_rep
-      FROM r
-    )
+      FROM gr
+    )"""
+
+
+@_q(
+    "t_gopher_rules",
+    f"""
+    WITH {_gopher_cte()}
     SELECT source, COUNT(*) AS n_docs,
            CAST(SUM(p_wc) AS BIGINT) AS pass_wordcount,
            CAST(SUM(p_mwl) AS BIGINT) AS pass_meanwordlen,
@@ -2438,7 +2454,7 @@ _GOPHER_STOP = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for'"
            CAST(SUM(p_rep) AS BIGINT) AS pass_repetition,
            CAST(SUM(p_wc * p_mwl * p_alpha * p_stop * p_rep) AS BIGINT) AS pass_all,
            {sql_trunc6('CAST(SUM(p_wc * p_mwl * p_alpha * p_stop * p_rep) AS DOUBLE) / COUNT(*)')} AS keep_rate
-    FROM v GROUP BY source ORDER BY source
+    FROM gflag GROUP BY source ORDER BY source
     """,
     doc="Gopher rule gate (Rae et al. '21 §A1.1): 5 per-row quality "
     "rules → per-source pass counts + keep rate; zero pre-agg shuffles",
@@ -2679,56 +2695,7 @@ def _refinery_e2e_oracle() -> str:
              CASE WHEN rm.dup_id IS NULL THEN 1 ELSE 0 END AS keep
       FROM af af2 LEFT JOIN rm
         ON rm.cluster = af2.cluster AND rm.dup_id = af2.vec_id
-    ), dtk AS (
-      SELECT doc_id, {_TOKS} AS tk FROM documents
-    ), gs AS (
-      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n_tok,
-             length(regexp_replace({_NORM}, '\\s+', '', 'g')) AS n_chars_ws
-      FROM documents
-    ), gr AS (
-      SELECT doc_id, n_tok,
-             CAST(n_chars_ws AS DOUBLE) / n_tok AS mwl,
-             CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / n_tok AS alpha_ratio,
-             len(list_distinct(list_filter(toks, t -> t IN ({_GOPHER_STOP})))) AS n_stop,
-             CASE WHEN n_tok < 2 THEN 0.0 ELSE
-               CAST(list_max(list_transform(list_distinct(
-                     list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])),
-                   g -> len(list_filter(
-                     list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
-                     x -> x = g)))) AS DOUBLE) * 2.0 / n_tok
-             END AS rep_frac
-      FROM gs
-    ), gflag AS (
-      SELECT doc_id, n_tok,
-             CASE WHEN n_tok BETWEEN 25 AND 80
-                   AND mwl >= 3.0 AND mwl <= 4.5
-                   AND alpha_ratio >= 0.8
-                   AND n_stop >= 2
-                   AND rep_frac <= 0.125 THEN 1 ELSE 0 END AS p_gopher
-      FROM gr
-    ), uni AS (
-      SELECT doc_id, unnest(tk) AS w FROM dtk
-    ), c1 AS (
-      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
-    ), tot AS (
-      SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1
-    ), bi AS (
-      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
-      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
-            FROM dtk WHERE len(tk) >= 2)
-    ), c2 AS (
-      SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2
-    ), bscored AS (
-      SELECT b.doc_id,
-             LN((CAST(7 AS DOUBLE) * CAST(c2.c AS DOUBLE) * CAST(t.n AS DOUBLE)
-                 + CAST(3 AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
-                / (CAST(10 AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(t.n AS DOUBLE))) AS lp
-      FROM bi b
-      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
-      JOIN c1 ca ON ca.w = b.w1
-      JOIN c1 cb ON cb.w = b.w2
-      CROSS JOIN tot t
-    ), nll AS (
+    ), {_gopher_cte()}, {_bigram_scored_cte()}, nll AS (
       SELECT doc_id,
              -(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)) AS avg_nll
       FROM bscored GROUP BY doc_id
@@ -2748,7 +2715,8 @@ def _refinery_e2e_oracle() -> str:
           SELECT doc_id, unnest(range(i, i + {_SS_K})) AS t FROM sdp))
       GROUP BY doc_id
     ), fl AS (
-      SELECT g.doc_id, g.n_tok, g.p_gopher,
+      SELECT g.doc_id, g.n_tok,
+             g.p_wc * g.p_mwl * g.p_alpha * g.p_stop * g.p_rep AS p_gopher,
              CASE WHEN COALESCE(n.avg_nll <= {_BG_HI}, TRUE) THEN 1 ELSE 0 END AS p_ppl,
              CASE WHEN 2 * (g.n_tok - COALESCE(s.n_cov, 0)) >= g.n_tok THEN 1 ELSE 0 END AS p_sub,
              COALESCE(k.keep, 1) AS p_sem
@@ -2776,7 +2744,7 @@ def _refinery_e2e_oracle() -> str:
     """
 
 
-def _refinery_e2e_lazy(spark: SparkSession, sf_dir: str):
+def _refinery_e2e_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
     from .vecpipe2 import _semdedup_keep_lazy
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
@@ -2802,7 +2770,7 @@ def _refinery_e2e_lazy(spark: SparkSession, sf_dir: str):
             ).alias("avg_nll")
         )
     )
-    _toks, pos = _ss_position_stream(d)
+    _toks, pos = _ss_position_stream(d, persist=persist)
     caches.append(pos)
     canon = (
         pos.groupBy("h")
@@ -2823,7 +2791,7 @@ def _refinery_e2e_lazy(spark: SparkSession, sf_dir: str):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_cov"))
     )
-    keep, sem_caches = _semdedup_keep_lazy(spark, sf_dir)
+    keep, sem_caches = _semdedup_keep_lazy(spark, sf_dir, persist=persist)
     caches.extend(sem_caches)
 
     fl = (
@@ -2898,7 +2866,7 @@ def t_refinery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ALL_SPECS["t_refinery_e2e"].lazy_plan = (
-    lambda spark, sf_dir: _refinery_e2e_lazy(spark, sf_dir)[0]
+    lambda spark, sf_dir: _refinery_e2e_lazy(spark, sf_dir, persist=False)[0]
 )
 
 

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_tables
+from ..functions.hashing import md5_long_sql
 from ..functions.similarity import int_code
 from ..functions.vectors import dot, l2_norm, to_double
 from .registry import ALL_SPECS, QuerySpec, checkpoint_release, register, sql_trunc6, trunc6
@@ -247,12 +248,16 @@ def _semdedup_summary_lazy(e: DataFrame, n_clusters: int):
     return out, caches
 
 
-def _semdedup_marks(e: DataFrame, n_clusters: int):
+def _semdedup_marks(e: DataFrame, n_clusters: int, persist: bool = True):
     """Shared SemDeDup core: returns (``af`` assignments, ``rm``
     removed ids, and the persisted intermediates the caller must
-    unpersist after materializing its result)."""
+    unpersist after materializing its result). ``persist=False`` is
+    the plan-inspection path — it never registers a cache the caller
+    cannot release."""
     dec = "decimal(25,6)"
-    emb = e.select("vec_id", to_double(F.col("embedding")).alias("xs")).persist()
+    emb = e.select("vec_id", to_double(F.col("embedding")).alias("xs"))
+    if persist:
+        emb = emb.persist()
     # exploded view, derived on demand from the cached arrays — only the
     # centroid update needs it
     u = emb.select("vec_id", F.posexplode("xs").alias("pos", "x"))
@@ -306,7 +311,10 @@ def _semdedup_marks(e: DataFrame, n_clusters: int):
     ct1 = ct0.join(cm_arr, "cluster", "left").select(
         "cluster", F.coalesce(F.col("marr"), F.col("carr")).alias("carr")
     )
-    af = assign(ct1).persist()  # pair join reads it twice (both sides) + final agg
+    af = assign(ct1)
+    if persist:
+        # pair join reads it twice (both sides) + final agg
+        af = af.persist()
 
     idot = lambda x, y: F.aggregate(
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0).cast("bigint"), lambda acc, v: acc + v
@@ -367,8 +375,10 @@ def v_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _semdedup_keep_lazy(spark: SparkSession, sf_dir: str):
-    af, rm, caches = _semdedup_marks(load_tables(spark, sf_dir)["embeddings"], _SD_K)
+def _semdedup_keep_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
+    af, rm, caches = _semdedup_marks(
+        load_tables(spark, sf_dir)["embeddings"], _SD_K, persist=persist
+    )
     out = (
         af.join(rm, (rm["cluster"] == af["cluster"]) & (rm["dup_id"] == af["vec_id"]), "left")
         .select(
@@ -1773,7 +1783,7 @@ _PANEL_N = 64
     "v_label_noise_panel",
     _label_noise_sql(
         f"""SELECT vec_id AS pid, label AS plabel, cc AS pc FROM c
-      ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 14)) AS BIGINT), vec_id
+      ORDER BY {md5_long_sql("CAST(vec_id AS VARCHAR)")}, vec_id
       LIMIT {_PANEL_N}"""
     ),
     doc=f"kNN label-noise screen, fixed {_PANEL_N}-probe hash-ranked panel "

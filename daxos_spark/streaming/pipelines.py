@@ -316,9 +316,12 @@ def lateness_monitor_stream(events: DataFrame) -> DataFrame:
     lateness in µs). Lateness of an event = running max of
     earlier-arriving event times minus its own, clamped at 0 — exactly
     the quantity a watermark must exceed to never drop the event.
-    State per user is THREE longs (max_ts, n, worst), partitioned by
-    user_id: O(keys) forever, the same bound as cdc_upsert_stream.
-    Within a batch rows process in event_id order so replays are
+    State per user is four longs (max_ts, n, n_late, worst),
+    partitioned by user_id: O(keys) forever, the same bound as
+    cdc_upsert_stream. All of a group's chunks are gathered and sorted
+    ONCE per micro-batch (a group larger than the Arrow chunk size
+    arrives as several pandas frames in shuffle-fetch order — sorting
+    each independently would misorder the running max), so replays are
     deterministic."""
     import pandas as pd  # local import: executors need it, driver may not
 
@@ -343,13 +346,13 @@ def lateness_monitor_stream(events: DataFrame) -> DataFrame:
 
     def update(key, pdf_iter, state: GroupState):
         mx, n, nlate, worst = state.get if state.exists else (None, 0, 0, 0)
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
-            pdf = pdf.assign(__ts=pdf["ts"].astype("int64") // 1000).sort_values(
-                "event_id"
-            )
-            for ts in pdf["__ts"].to_list():
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            batch = batch.assign(
+                __ts=batch["ts"].astype("int64") // 1000
+            ).sort_values("event_id")
+            for ts in batch["__ts"].to_list():
                 ts = int(ts)
                 if mx is not None and ts < mx:
                     nlate += 1
