@@ -898,59 +898,39 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("win_a").cast("bigint").alias("wa"))
         .collect()
     )
-    # 300-row matchup table re-literalized: the MM rounds iterate over a
-    # flat local relation instead of re-deriving the fact join per round
-    m = spark.createDataFrame(
-        [(r["ba"], r["bb"], r["n"], r["wa"]) for r in m_rows],
-        "ba string, bb string, n bigint, wa bigint",
-    )
-    w = (
-        m.select(F.col("ba").alias("brand"), F.col("wa").alias("wins"), "n")
-        .unionByName(
-            m.select(
-                F.col("bb").alias("brand"), (F.col("n") - F.col("wa")).alias("wins"), "n"
-            )
-        )
-        .groupBy("brand")
-        .agg(F.sum("wins").cast("bigint").alias("w"), F.sum("n").cast("bigint").alias("n_match"))
-    )
-    p = w.select("brand", F.lit(1.0).alias("p"))
+    # The distributed work ends with the 300-row matchup aggregate; the
+    # 25-team MM solve runs driver-side on the collected relation (the
+    # A10 "correct altitude" precedent — constant-size math never earns
+    # a Spark job, and the 12 tiny round jobs were the query's dominant
+    # wall cost). Python doubles are the same IEEE binary64 with the
+    # same operation order the engine would use, and the denominator
+    # floor-grid sums are exact integers — the duckdb hash gate holds
+    # bit-for-bit (verified unchanged after this rewrite).
+    import math
+
+    m = {(r["ba"], r["bb"]): (int(r["n"]), int(r["wa"])) for r in m_rows}
+    wins: dict = {}
+    nm: dict = {}
+    for (ba, bb), (n, wa) in m.items():
+        wins[ba] = wins.get(ba, 0) + wa
+        wins[bb] = wins.get(bb, 0) + (n - wa)
+        nm[ba] = nm.get(ba, 0) + n
+        nm[bb] = nm.get(bb, 0) + n
+    p = {b: 1.0 for b in wins}
     for _ in range(_BT_ROUNDS):
-        pa = p.select(F.col("brand").alias("ba"), F.col("p").alias("p_a"))
-        pb = p.select(F.col("brand").alias("bb"), F.col("p").alias("p_b"))
-        joined = m.join(F.broadcast(pa), "ba").join(F.broadcast(pb), "bb")
-        term = F.col("n").cast("double") / (F.col("p_a") + F.col("p_b"))
-        terms = joined.select(F.col("ba").alias("brand"), term.alias("term")).unionByName(
-            joined.select(F.col("bb").alias("brand"), term.alias("term"))
-        )
-        denom = terms.groupBy("brand").agg(
-            (
-                F.sum(F.floor(F.col("term") * F.lit(1000000.0)).cast("bigint")).cast(
-                    "double"
-                )
-                / F.lit(1000000.0)
-            ).alias("denom")
-        )
-        pn = (
-            w.join(denom, "brand")
-            .select(
-                "brand",
-                F.when(F.col("w") == 0, F.lit(0.0).cast("double"))
-                .otherwise(F.col("w").cast("double") / F.col("denom"))
-                .alias("p"),
-            )
-            .collect()
-        )
-        p = spark.createDataFrame(
-            [(r["brand"], float(r["p"])) for r in pn], "brand string, p double"
-        )
-    return (
-        w.join(p, "brand")
-        .select(
-            "brand",
-            F.col("n_match").alias("n_matches"),
-            F.col("w").alias("n_wins"),
-            trunc6(F.col("p")).alias("bt_score"),
-        )
-        .orderBy("brand")
-    )
+        terms = {b: 0 for b in wins}
+        for (ba, bb), (n, _wa) in m.items():
+            q = math.floor(n / (p[ba] + p[bb]) * 1000000.0)
+            terms[ba] += q
+            terms[bb] += q
+        p = {
+            b: (0.0 if wins[b] == 0 else wins[b] / (terms[b] / 1000000.0))
+            for b in wins
+        }
+    rows = [
+        (b, nm[b], wins[b], math.floor(p[b] * 1000000.0) / 1000000.0)
+        for b in sorted(wins)
+    ]
+    return spark.createDataFrame(
+        rows, "brand string, n_matches bigint, n_wins bigint, bt_score double"
+    ).orderBy("brand")
