@@ -4693,10 +4693,14 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("dg") >= _KCORE_K)
             .select("v")
         )
+        # deg has unique keys (group-by output), so the endpoint filter is
+        # a semi-join.  NO broadcast hint: the surviving-node relation is
+        # unbounded in graph size (round 0 keeps nearly every node), so a
+        # forced broadcast would ship the whole node set to every executor
+        # at scale — let AQE pick broadcast vs shuffled-hash per round.
         g = (
-            g.join(F.broadcast(deg.withColumnRenamed("v", "a")), "a")
-            .join(F.broadcast(deg.withColumnRenamed("v", "b")), "b")
-            .select("a", "b")
+            g.join(deg.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(deg.withColumnRenamed("v", "b"), "b", "left_semi")
             .localCheckpoint(eager=True)  # truncate the per-round lineage
         )
         rows.append((r, *stats(g)))
