@@ -40,6 +40,27 @@ def md5_long_sql(expr: str, seed: int | None = None) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, {_HEX_CHARS})) AS BIGINT)"
 
 
+def md5_long_lane2(c: Column, seed: int | None = None) -> Column:
+    """Second independent 56-bit lane (md5 hex chars 15-28) of the same
+    digest ``md5_long`` reads chars 1-14 of.
+
+    A single 56-bit key is collision-free at test cardinalities but at
+    the documented 100 TB scale (> ~2^28 distinct shingles) birthday
+    collisions become expected (~2^(2*28-56) = O(1) at 2^28, growing
+    quadratically past it), creating spurious near-dup edges. The
+    production escape hatch is to key shingle joins on BOTH lanes —
+    112 bits total from one md5 evaluation, pushing the birthday bound
+    past 2^50 distinct shingles — at the cost of one extra long per
+    row. Test-scale queries keep the single lane (the duckdb oracle
+    joins raw strings, so the hash gate would expose any collision).
+    """
+    if seed is not None:
+        c = F.concat(c, F.lit(f"#{seed}"))
+    return F.conv(
+        F.substring(F.md5(c), _HEX_CHARS + 1, _HEX_CHARS), 16, 10
+    ).cast("bigint")
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column → array<string>.
 

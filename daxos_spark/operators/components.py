@@ -24,11 +24,19 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 10,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """→ (node, component) where component = min node id reachable.
 
     ``edges`` is undirected input (each pair once is fine). Nodes are
     whatever appears in ``src``/``dst``.
+
+    ``n_edges``: approximate UNDIRECTED edge count, when the caller
+    already knows it (e.g. it counted the pair relation while
+    materializing it) — skips the sizing probe's extra count() job,
+    which on one-shot small graphs can outweigh the per-round
+    scheduling savings it buys. ``None`` keeps the self-probing
+    behavior.
     """
     both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -41,7 +49,10 @@ def connected_components(
     # ~10 sequential jobs of ~2k rows each dominated the CC share of
     # t_dedup_best_keep). One up-front count of the cached edge list
     # picks ~100k edges/partition; big graphs keep full parallelism.
-    n_edges = both.count()
+    # (×2: the caller's count is per-pair, the propagation relation is
+    # both directions — same order of magnitude, which is all the
+    # partition heuristic reads.)
+    n_edges = 2 * n_edges if n_edges is not None else both.count()
     parts = max(1, min(both.rdd.getNumPartitions(), n_edges // 100_000 + 1))
     if parts < both.rdd.getNumPartitions():
         wide = both

@@ -703,6 +703,11 @@ def _jaccard_edge_pairs(d: DataFrame, persist: bool = True):
     # md5_long is collision-free at these cardinalities (56-bit over
     # ~2e5 distinct shingles; the duckdb oracle keeps joining the raw
     # strings, so the hash gate would expose any collision).
+    # CARDINALITY BOUND: one 56-bit lane is safe to ~2^28 distinct
+    # shingles (birthday). A 100 TB corpus exceeds that — production
+    # runs must add hashing.md5_long_lane2 as a second join key
+    # (112 bits from the same digest, safe past 2^50); see the
+    # helper's docstring and tests/test_functions.py lane-2 coverage.
     sh0 = d.select(
         "doc_id",
         "source",

@@ -366,9 +366,15 @@ def _lr_feat_sql() -> str:
 # the double's exact decimal expansion (down) while duckdb rounds the
 # 1e6-scaled double (up) — 5 of 5000 rows diverged at sf0.1 and the
 # trained coefficients split (found by the round-6 sf0.1 oracle gate).
-# floor(v*1e6) uses only IEEE multiply + floor on the SAME double, so
-# it is bit-identical in every engine at any scale.
-_LR_SUM_SQL = "CAST(SUM(CAST(FLOOR(({e}) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS {k}"
+# floor(v*1e6 + 0.5) uses only IEEE multiply/add + floor on the SAME
+# double, so it is bit-identical in every engine at any scale. The
+# +0.5 makes the grid round-to-nearest instead of truncate-down
+# (round-7, ADVICE): plain floor put a systematic -0.5µ/row bias on
+# every Newton sum, which is what forced the fit tolerance to 5e-3.
+_LR_SUM_SQL = (
+    "CAST(SUM(CAST(FLOOR(({e}) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+    " / 1000000.0 AS {k}"
+)
 
 
 def _lr_chain() -> tuple[str, str]:
@@ -427,7 +433,9 @@ def _lr_fit(spark: SparkSession, feat: DataFrame):
             *[
                 (
                     F.sum(
-                        F.floor(F.expr(e) * F.lit(1000000.0)).cast("bigint")
+                        F.floor(
+                            F.expr(e) * F.lit(1000000.0) + F.lit(0.5)
+                        ).cast("bigint")
                     ).cast("double")
                     / F.lit(1000000.0)
                 ).alias(k)

@@ -349,8 +349,12 @@ def lateness_monitor_stream(events: DataFrame) -> DataFrame:
         chunks = [pdf for pdf in pdf_iter if len(pdf)]
         if chunks:
             batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            # normalize to ns BEFORE the int64 view: some pandas/Arrow
+            # combinations surface datetime64[us] series, and a bare
+            # astype('int64') on those would leave the // 1000 scale
+            # 1000x off (lateness in ms, not us)
             batch = batch.assign(
-                __ts=batch["ts"].astype("int64") // 1000
+                __ts=batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
             ).sort_values("event_id")
             for ts in batch["__ts"].to_list():
                 ts = int(ts)

@@ -48,7 +48,10 @@ def test_no_unreleased_persists():
 def test_checkpointing_queries_expose_lazy_plans():
     """Every query source that uses checkpoint_release must register at
     least as many lazy_plan hooks as eager checkpointers — plan_audit
-    must never be left looking at a post-checkpoint RDD scan."""
+    must never be left looking at a post-checkpoint RDD scan. The bound
+    is exact (no slack): a file may legitimately have MORE hooks than
+    call sites (several queries sharing one checkpointing helper each
+    register their own hook), never fewer."""
     for p in sorted(PLANS.glob("*.py")):
         src = p.read_text()
         n_ck = src.count("checkpoint_release(")
@@ -58,4 +61,4 @@ def test_checkpointing_queries_expose_lazy_plans():
             "def checkpoint_release"
         )
         if n_ck > 0:
-            assert n_hooks >= n_ck - 2, (p.name, n_ck, n_hooks)
+            assert n_hooks >= n_ck, (p.name, n_ck, n_hooks)

@@ -11,6 +11,7 @@ from daxos_spark.functions.hashing import (
     char_shingles,
     hamming32,
     md5_long,
+    md5_long_lane2,
     md5_long_sql,
     minhash_signature,
     simhash32,
@@ -28,6 +29,29 @@ def test_md5_long_matches_duckdb(spark):
     for w in words:
         expected = con.execute(f"select {md5_long_sql('?')}", [w]).fetchone()[0]
         assert got[w] == expected, w
+
+
+def test_md5_lane2_independent(spark):
+    """Lane 2 (hex 15-28) is the production second join key: it must
+    match an independent python computation of the same digest slice and
+    must differ from lane 1 (else the 112-bit claim collapses to 56)."""
+    import hashlib
+
+    words = ["hello", "spark engine", "αβγ", "x"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {
+        r["s"]: (r["h1"], r["h2"])
+        for r in df.select(
+            "s",
+            md5_long(F.col("s")).alias("h1"),
+            md5_long_lane2(F.col("s")).alias("h2"),
+        ).collect()
+    }
+    for w in words:
+        hx = hashlib.md5(w.encode()).hexdigest()
+        assert got[w][0] == int(hx[:14], 16), w
+        assert got[w][1] == int(hx[14:28], 16), w
+        assert got[w][0] != got[w][1], w
 
 
 def test_shingles(spark):

@@ -120,12 +120,13 @@ def test_quality_logreg_matches_numpy_irls(spark):
         H = (X * (p * (1 - p))[:, None]).T @ X
         b = b - np.linalg.solve(H, g)
 
-    # engine sums quantize each term to floor(v*1e6) (the cross-engine-
-    # exact grid; see _LR_SUM_SQL) — a systematic ≤1e-6 downward shift
-    # per row, so coefficients agree to the quantization propagation
-    # bound but not tighter
+    # engine sums quantize each term to floor(v*1e6 + 0.5) (the cross-
+    # engine-exact grid; see _LR_SUM_SQL) — round-to-nearest, so the
+    # per-row error is an unbiased ±0.5e-6 instead of the old floor's
+    # systematic -0.5e-6 shift, and the propagated coefficient error
+    # tightens accordingly (tolerance was 5e-3 under plain floor)
     got = np.array([row.b0, row.b1, row.b2])
-    assert np.allclose(got, b, atol=5e-3), (got, b)
+    assert np.allclose(got, b, atol=2e-3), (got, b)
 
     p = 1.0 / (1.0 + np.exp(-(X @ b)))
     assert row.n_docs == len(docs)
