@@ -41,6 +41,7 @@ from ..catalog import load_tables
 from ..functions.hashing import md5_long_sql
 from ..functions.similarity import int_code
 from ..functions.vectors import dot, l2_norm, to_double
+from .docpipe import _fanout
 from .registry import ALL_SPECS, QuerySpec, checkpoint_release, register, sql_trunc6, trunc6
 
 _DIM = 64
@@ -184,13 +185,19 @@ def e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_summary(load_tables(spark, sf_dir)["embeddings"], _SD_K)
 
 
-# The at-scale SemDeDup configuration, under the hash gate (round-5 ask
+# The K-scaled SemDeDup configuration, under the hash gate (round-5 ask
 # #4): K grows with the corpus so the target cluster size — and with it
-# the within-cluster pair mass Σ|cluster|², the operator's cost driver —
-# stays constant. Fixed K is the paper's own scaling knob: the 10× probe
-# measured fixed-K=32 at 24.7× wall while this K-scaled form stays
-# ~linear (SCALE.md). At sf0.01 (n=500) this yields K=32, so the gated
-# rows coincide with e_semdedup's — by construction, not coincidence.
+# the within-cluster pair mass Σ|cluster|² — stays constant. Round-7
+# CORRECTION (SCALE.md "Round-7 refinery profile"): K∝n bounds the pair
+# mass but the EXACT argmin assignment is n×K = n²/target rows — this
+# form is still quadratic, just in a different stage (measured 30.4× at
+# 10× once the single-partition scan bottleneck that masked it was
+# fixed). The paper escapes via approximate assignment (faiss); this
+# repo's genuinely linear gated path is d_semantic_neardup (LSH-bucket
+# blocking, 1.3× at 10×). This query remains the hash-checked
+# correctness face of the K∝n parameterization, not the scale path.
+# At sf0.01 (n=500) K=32, so the gated rows coincide with e_semdedup's
+# — by construction, not coincidence.
 _SDS_TARGET = 16  # target vectors per cluster
 
 
@@ -215,15 +222,17 @@ def v_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semdedup_summary(e: DataFrame, n_clusters: int) -> DataFrame:
     """SemDeDup over an embedding table with a CALLER-CHOSEN cluster
-    count — the scale-correct entry point. The within-cluster pair join
-    costs Σ|cluster|², so K must grow with the corpus (the paper runs
-    K≈50k on LAION-scale data): hold target cluster size constant with
-    ``n_clusters ≈ n_rows / target``, and the per-cluster pair mass —
-    and therefore total cost — stays linear in N. The 10× scale probe
-    measures exactly this: fixed K=32 degrades 24.7× at 10× data, the
-    K-scaled call stays ~linear (tools/sf1_probe.py, SCALE.md).
-    ``e_semdedup`` is the fixed-K (=32, first-K init) hash-checked
-    correctness face of this operator."""
+    count. The within-cluster pair join costs Σ|cluster|², so K must
+    grow with the corpus (the paper runs K≈50k on LAION-scale data) to
+    keep the pair mass linear — but note the round-7 correction: with
+    K∝n the EXACT argmin assignment becomes the quadratic stage
+    (n×K = n²/target distance rows; measured 30.4× at 10× data once
+    the single-partition scan bottleneck was removed). At real scale
+    the paper's own escape is approximate assignment (faiss IVF); the
+    repo's linear gated semantic-dedup path is d_semantic_neardup
+    (LSH-bucket candidate blocking, 1.3× at 10×). This exact-relational
+    form — any K — is the hash-checked correctness face; ``e_semdedup``
+    pins K=32 (first-K init)."""
     out, caches = _semdedup_summary_lazy(e, n_clusters)
     # K-row result: materialize eagerly and release the corpus-exploded
     # position cache + assignment cache (see t_substring_spans — callers
@@ -255,7 +264,16 @@ def _semdedup_marks(e: DataFrame, n_clusters: int, persist: bool = True):
     the plan-inspection path — it never registers a cache the caller
     cannot release."""
     dec = "decimal(25,6)"
-    emb = e.select("vec_id", to_double(F.col("embedding")).alias("xs"))
+    # fan out FIRST: the local embeddings table is a single-file,
+    # single-row-group parquet (1 partition), and everything downstream
+    # of this select — the n×K decimal distance folds of BOTH assign
+    # rounds, the position explode, the int-code projection — would
+    # otherwise run on ONE core (measured: the whole Lloyd chain was
+    # wall-bound on exactly this, 9-12 s at sf0.1 for K=32 and ~60 s
+    # for K=125). At cluster scale the scan already has splits and
+    # _fanout is a no-op; values are row-wise, so the plan change
+    # cannot move the hash.
+    emb = _fanout(e).select("vec_id", to_double(F.col("embedding")).alias("xs"))
     if persist:
         emb = emb.persist()
     # exploded view, derived on demand from the cached arrays — only the
@@ -375,9 +393,16 @@ def v_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _semdedup_keep_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
+def _semdedup_keep_lazy(
+    spark: SparkSession,
+    sf_dir: str,
+    persist: bool = True,
+    n_clusters: int | None = None,
+):
     af, rm, caches = _semdedup_marks(
-        load_tables(spark, sf_dir)["embeddings"], _SD_K, persist=persist
+        load_tables(spark, sf_dir)["embeddings"],
+        _SD_K if n_clusters is None else n_clusters,
+        persist=persist,
     )
     out = (
         af.join(rm, (rm["cluster"] == af["cluster"]) & (rm["dup_id"] == af["vec_id"]), "left")
