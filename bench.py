@@ -220,6 +220,10 @@ BENCH_QUERIES = [
     "v_rrf_fusion",
     "q_kcore_decomposition",
     "ml_meta_analysis",
+    "q_t_closeness",
+    "q_hdr_latency",
+    "q_label_propagation",
+    "t_winnowing_fingerprint",
 ]
 
 

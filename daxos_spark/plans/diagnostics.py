@@ -874,3 +874,162 @@ def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit — the third rung of the release-governance ladder
+# (Li, Li & Venkatasubramanian, ICDE '07): l-diversity counts DISTINCT
+# sensitive values, but a class whose distribution is heavily skewed
+# toward one value still leaks (skewness attack). t-closeness bounds
+# the Earth Mover's Distance between each class's sensitive-attribute
+# distribution and the GLOBAL one. Order priority is ordinal (1-URGENT
+# … 5-LOW), so EMD is the ordered-values form: mean |cumulative
+# (P−Q)| over the m−1 interior prefixes. Determinism: class and global
+# probabilities are ratios of exact integers computed with the
+# IDENTICAL expression in both engines, the prefix sums are fixed-order
+# double adds on those identical doubles, so every emd is bit-equal —
+# only the final output goes through trunc6.
+# Scale: one fact-dim broadcast join → QI-class conditional-count
+# aggregate (5 counters, partial-agg map-side) → a 1-row global rollup
+# OF THE CLASS TABLE (not a second fact scan) broadcast back → pure
+# per-class arithmetic → segment rollup. Shuffles are QI-domain-
+# bounded; the fact table is scanned once.
+_TCLOSE_T = 0.2  # max EMD before a class is flagged
+
+
+def _tclose_emd_sql() -> str:
+    """Fixed-order EMD arithmetic over (n1..n5, sz) vs (g1..g5, n)."""
+    diffs = " ".join(
+        f", c{i} + (CAST(n{i + 1} AS DOUBLE) / CAST(sz AS DOUBLE)"
+        f" - CAST(g{i + 1} AS DOUBLE) / CAST(n AS DOUBLE)) AS c{i + 1}"
+        for i in range(1, 5)
+    )
+    return diffs
+
+
+@_q(
+    "q_t_closeness",
+    f"""
+    WITH r AS (
+      SELECT c_mktsegment AS seg, c_nationkey,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_band,
+             CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS slot
+      FROM customer JOIN orders ON o_custkey = c_custkey
+    ), classes AS (
+      SELECT seg, c_nationkey, bal_band, COUNT(*) AS sz,
+             SUM(CASE WHEN slot = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN slot = 2 THEN 1 ELSE 0 END) AS n2,
+             SUM(CASE WHEN slot = 3 THEN 1 ELSE 0 END) AS n3,
+             SUM(CASE WHEN slot = 4 THEN 1 ELSE 0 END) AS n4,
+             SUM(CASE WHEN slot = 5 THEN 1 ELSE 0 END) AS n5
+      FROM r GROUP BY 1, 2, 3
+    ), gtot AS (
+      SELECT SUM(sz) AS n, SUM(n1) AS g1, SUM(n2) AS g2, SUM(n3) AS g3,
+             SUM(n4) AS g4, SUM(n5) AS g5
+      FROM classes
+    ), emds AS (
+      SELECT seg, sz, (ABS(c1) + ABS(c2) + ABS(c3) + ABS(c4)) / 4.0 AS emd
+      FROM (
+        SELECT seg, sz, c1 {_tclose_emd_sql()}
+        FROM (
+          SELECT seg, sz, n2, n3, n4, n5, g2, g3, g4, g5, n,
+                 CAST(n1 AS DOUBLE) / CAST(sz AS DOUBLE)
+                   - CAST(g1 AS DOUBLE) / CAST(n AS DOUBLE) AS c1
+          FROM classes CROSS JOIN gtot))
+    )
+    SELECT seg,
+           COUNT(*) AS n_classes,
+           CAST(SUM(CASE WHEN emd > {_TCLOSE_T} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(SUM(sz) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN emd > {_TCLOSE_T} THEN sz ELSE 0 END) AS BIGINT)
+             AS records_at_risk,
+           {sql_trunc6(
+               f"CAST(SUM(CASE WHEN emd > {_TCLOSE_T} THEN sz ELSE 0 END) AS DOUBLE)"
+               " / CAST(SUM(sz) AS DOUBLE)"
+           )} AS risk_fraction,
+           {sql_trunc6("MAX(emd)")} AS max_emd
+    FROM emds GROUP BY seg ORDER BY seg
+    """,
+    doc=f"t-closeness audit (t={_TCLOSE_T}) over the q_k_anonymity "
+    "quasi-identifiers: per-segment classes whose ordinal order-priority "
+    "distribution drifts from the global one by EMD > t (ordered-EMD = "
+    "mean |cumulative P-Q|), records at skewness-attack risk",
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    r = (
+        t["orders"]
+        .select(
+            "o_custkey",
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("slot"),
+        )
+        .join(
+            F.broadcast(
+                t["customer"].select(
+                    "c_custkey",
+                    F.col("c_mktsegment").alias("seg"),
+                    "c_nationkey",
+                    F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+                    .cast("bigint")
+                    .alias("bal_band"),
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    classes = r.groupBy("seg", "c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("sz"),
+        *[
+            F.sum(F.when(F.col("slot") == i, 1).otherwise(0)).alias(f"n{i}")
+            for i in range(1, 6)
+        ],
+    )
+    glob = classes.agg(
+        F.sum("sz").alias("n"),
+        *[F.sum(f"n{i}").alias(f"g{i}") for i in range(1, 6)],
+    )
+    # fixed-order prefix sums of (p_i - q_i): identical doubles in both
+    # engines because every term is the same int/int division
+    withg = classes.crossJoin(F.broadcast(glob))
+    c = (
+        F.col("n1").cast("double") / F.col("sz").cast("double")
+        - F.col("g1").cast("double") / F.col("n").cast("double")
+    )
+    cums = [c]
+    for i in range(2, 6):
+        c = c + (
+            F.col(f"n{i}").cast("double") / F.col("sz").cast("double")
+            - F.col(f"g{i}").cast("double") / F.col("n").cast("double")
+        )
+        cums.append(c)
+    emd = (
+        F.abs(cums[0]) + F.abs(cums[1]) + F.abs(cums[2]) + F.abs(cums[3])
+    ) / F.lit(4.0)
+    emds = withg.select("seg", "sz", emd.alias("emd"))
+    viol = F.col("emd") > _TCLOSE_T
+    return (
+        emds.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("bigint").alias("n_violating"),
+            F.sum("sz").cast("bigint").alias("n_records"),
+            F.sum(F.when(viol, F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("records_at_risk"),
+            trunc6(F.max("emd")).alias("max_emd"),
+        )
+        .select(
+            "seg",
+            "n_classes",
+            "n_violating",
+            "n_records",
+            "records_at_risk",
+            trunc6(
+                F.col("records_at_risk").cast("double")
+                / F.col("n_records").cast("double")
+            ).alias("risk_fraction"),
+            "max_emd",
+        )
+        .orderBy("seg")
+    )

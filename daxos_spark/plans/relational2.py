@@ -4707,3 +4707,274 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round bigint, n_nodes bigint, n_edges bigint"
     ).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# HDR-histogram latency quantiles — the log-linear quantile sketch
+# (Gil Tene's HdrHistogram; the same bucketing family as DDSketch but
+# with PURE INTEGER bucket math, so the sketch is bit-deterministic
+# across engines — no libm log() near bucket boundaries). Value =
+# per-user inter-event latency in exact integer microseconds; bucket =
+# (octave, 16 linear sub-buckets), i.e. 4 significant bits ⇒ ≤ 1/16
+# relative error by construction. The bucket table IS the sketch:
+# fixed-cardinality (≤ 16·64 rows), mergeable by count-sum — at 100 TB
+# each partition/day emits its own bucket counts and the merge is a
+# bucket-keyed SUM; the exact-rank audit branch here is the part you
+# drop at scale (same convention as the KMV/recall audits).
+# Scale shape: one events scan → user-keyed lag window (partitioned,
+# bounded per user) → map-side-combining bucket count; quantile
+# extraction is a window over the ≤1k-row bucket table; the exact
+# order-statistic audit is one TakeOrdered-style rank filter per
+# quantile on the latency relation.
+_HDR_QS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))  # name, num, den
+
+
+@_q(
+    "q_hdr_latency",
+    f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+    ), lat AS (
+      SELECT ts_us - LAG(ts_us) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id) AS lat
+      FROM ev
+    ), lats AS (
+      SELECT lat FROM lat WHERE lat IS NOT NULL AND lat >= 1
+    ), buck AS (
+      SELECT LENGTH(BIN(lat)) AS oct,
+             (lat * 16) // (1::BIGINT << (LENGTH(BIN(lat)) - 1)) - 16 AS sub,
+             COUNT(*) AS cnt
+      FROM lats GROUP BY 1, 2
+    ), cum AS (
+      SELECT oct, sub, cnt,
+             SUM(cnt) OVER (ORDER BY oct, sub) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM buck
+    ), qs AS (
+      SELECT * FROM (VALUES {", ".join(f"('{nm}', {num}, {den})" for nm, num, den in _HDR_QS)})
+        t(q, num, den)
+    ), est AS (
+      SELECT q, oct, sub, rank, n FROM (
+        SELECT qs.q, c.oct, c.sub, c.n,
+               CAST(CEIL(CAST(c.n * qs.num AS DOUBLE) / qs.den) AS BIGINT) AS rank,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qs.q ORDER BY c.oct, c.sub) AS rn,
+               c.cum
+        FROM cum c JOIN qs
+          ON c.cum >= CAST(CEIL(CAST(c.n * qs.num AS DOUBLE) / qs.den) AS BIGINT)
+          AND c.cum - c.cnt < CAST(CEIL(CAST(c.n * qs.num AS DOUBLE) / qs.den) AS BIGINT)
+      ) WHERE rn = 1
+    ), exact AS (
+      SELECT q, lat AS exact_us FROM (
+        SELECT qs.q, l.lat,
+               ROW_NUMBER() OVER (PARTITION BY qs.q ORDER BY l.lat) AS r,
+               CAST(CEIL(CAST((SELECT COUNT(*) FROM lats) * qs.num AS DOUBLE) / qs.den)
+                 AS BIGINT) AS want
+        FROM lats l CROSS JOIN qs
+      ) WHERE r = want
+    )
+    SELECT e.q AS quantile,
+           CAST(((16 + e.sub) * (1::BIGINT << (e.oct - 1))) AS DOUBLE) / 16.0
+             AS est_lower_us,
+           CAST(x.exact_us AS BIGINT) AS exact_us,
+           {sql_trunc6(
+               "(CAST(((16 + e.sub) * (1::BIGINT << (e.oct - 1))) AS DOUBLE) / 16.0"
+               " - CAST(x.exact_us AS DOUBLE)) / CAST(x.exact_us AS DOUBLE)"
+           )} AS rel_err,
+           CAST(e.n AS BIGINT) AS n_latencies
+    FROM est e JOIN exact x ON x.q = e.q
+    ORDER BY quantile
+    """,
+    doc="HDR-histogram quantile sketch over per-user inter-event "
+    "latencies: integer-exact log-linear buckets (octave x 16 linear "
+    "sub-buckets, <=1/16 relative error), mergeable bucket counts, "
+    "p50/p90/p99 extraction + exact-order-statistic audit",
+    tags=("events",),
+)
+def q_hdr_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lats = (
+        e.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_id",
+        )
+        .select((F.col("ts_us") - F.lag("ts_us").over(w)).alias("lat"))
+        .filter(F.col("lat").isNotNull() & (F.col("lat") >= 1))
+    )
+    # exact power of 2: shiftleft on a LONG is integer-exact; lat*16
+    # stays far below int64 (lat < 2^40 us). SQL-expression form —
+    # pyspark's F.shiftleft only accepts a literal bit count.
+    buck = (
+        lats.selectExpr("lat", "length(bin(lat)) AS oct")
+        .selectExpr(
+            "oct",
+            "(lat * 16) DIV shiftleft(CAST(1 AS BIGINT), oct - 1) - 16 AS sub",
+        )
+        .groupBy("oct", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cw = Window.orderBy("oct", "sub").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buck.select(
+        "oct",
+        "sub",
+        "cnt",
+        F.sum("cnt").over(cw).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    qs = spark.createDataFrame(list(_HDR_QS), "q string, num int, den int")
+    rank = F.ceil((F.col("n") * F.col("num")).cast("double") / F.col("den")).cast(
+        "long"
+    )
+    est = (
+        cum.join(
+            F.broadcast(qs),
+            (F.col("cum") >= rank) & ((F.col("cum") - F.col("cnt")) < rank),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("q").orderBy("oct", "sub")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("q", "oct", "sub", "n")
+    )
+    n_total = lats.count()  # scalar the audit branch needs; one agg job
+    exact = (
+        lats.crossJoin(F.broadcast(qs))
+        .withColumn("r", F.row_number().over(Window.partitionBy("q").orderBy("lat")))
+        .filter(
+            F.col("r")
+            == F.ceil(
+                (F.lit(n_total) * F.col("num")).cast("double") / F.col("den")
+            ).cast("long")
+        )
+        .select("q", F.col("lat").alias("exact_us"))
+    )
+    est_val = F.expr(
+        "CAST((16 + sub) * shiftleft(CAST(1 AS BIGINT), oct - 1) AS DOUBLE) / 16.0"
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            F.col("q").alias("quantile"),
+            est_val.alias("est_lower_us"),
+            F.col("exact_us").cast("bigint").alias("exact_us"),
+            trunc6(
+                (est_val - F.col("exact_us").cast("double"))
+                / F.col("exact_us").cast("double")
+            ).alias("rel_err"),
+            F.col("n").cast("bigint").alias("n_latencies"),
+        )
+        .orderBy("quantile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Label propagation communities (Raghavan et al. '07) on the >=2-order
+# co-purchase graph — the lightweight community detector every
+# recommender-graph pipeline runs before heavier modularity methods.
+# Synchronous variant, fully deterministic: label_r(v) = the most
+# frequent label among v's neighbors at r-1, ties broken by SMALLEST
+# label (integer counts + integer labels, so both engines agree
+# bit-exactly). Per-round output: labels moved, community count,
+# largest community — the convergence trace.
+# Scale shape: per round ONE edge-keyed join (labels onto neighbor
+# endpoints) + one (node,label)-keyed count + a partial-aggregable
+# min(struct) argmax per node — all key-shuffles, no windows over the
+# graph; per-round relations are localCheckpointed so the iteration
+# never replays prior rounds (the q_kcore_decomposition pattern).
+# Oracle: unrolled MATERIALIZED rounds (duckdb re-expands non-
+# materialized CTEs exponentially in iterative chains).
+_LP_ROUNDS = 3
+
+
+def _lp_oracle() -> str:
+    rounds = []
+    for r in range(1, _LP_ROUNDS + 1):
+        rounds.append(f"""
+    , l{r} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT b.u AS node, l.lbl, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY b.u
+                                  ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        FROM b JOIN l{r-1} l ON l.node = b.v
+        GROUP BY b.u, l.lbl) WHERE rn = 1
+    )""")
+    summaries = "\n      UNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM l{r} n
+                JOIN l{r-1} p ON p.node = n.node AND p.lbl <> n.lbl) AS n_moved,
+             (SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) FROM l{r}) AS n_communities,
+             (SELECT CAST(MAX(c) AS BIGINT) FROM (
+                SELECT COUNT(*) AS c FROM l{r} GROUP BY lbl)) AS largest"""
+        for r in range(1, _LP_ROUNDS + 1)
+    )
+    return f"""
+    WITH e AS MATERIALIZED ({_COPURCHASE_EDGES_CTE}
+    ), b AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, u AS lbl FROM b
+    ){''.join(rounds)}
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS round, CAST(0 AS BIGINT) AS n_moved,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM l0) AS n_communities,
+             CAST(1 AS BIGINT) AS largest
+      UNION ALL {summaries}
+    ) ORDER BY round
+    """
+
+
+@_q(
+    "q_label_propagation",
+    _lp_oracle(),
+    doc=f"synchronous label propagation ({_LP_ROUNDS} rounds, most-"
+    "frequent neighbor label, min-label ties) over the co-purchase "
+    "graph: per-round moved/community-count/largest-community trace",
+    tags=("relational", "graph"),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    e = _copurchase_edges(li)
+    both = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=True)  # the iteration's base relation
+    )
+    labels = both.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint(eager=True)
+    n_nodes = labels.count()
+    rows = [(0, 0, n_nodes, 1)]
+    for r in range(1, _LP_ROUNDS + 1):
+        # argmax(count) with min-label ties as a partial-aggregable
+        # min(struct(-c, lbl)) — the oracle's ROW_NUMBER ordering
+        new = (
+            both.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("node")
+            .agg(F.min(F.struct(-F.col("c"), F.col("lbl")))["lbl"].alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        moved = (
+            new.join(
+                labels.withColumnsRenamed({"lbl": "plbl"}), "node"
+            )
+            .filter(F.col("lbl") != F.col("plbl"))
+            .count()
+        )
+        comm = new.groupBy("lbl").agg(F.count(F.lit(1)).alias("c"))
+        agg = comm.agg(
+            F.count(F.lit(1)).alias("n_communities"), F.max("c").alias("largest")
+        ).collect()[0]
+        rows.append((r, moved, int(agg["n_communities"]), int(agg["largest"])))
+        labels = new
+    return spark.createDataFrame(
+        rows, "round bigint, n_moved bigint, n_communities bigint, largest bigint"
+    ).orderBy("round")

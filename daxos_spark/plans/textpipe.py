@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 
 from ..catalog import load_tables
 from ..functions.hashing import md5_long, md5_long_sql, word_shingles
@@ -3128,4 +3129,140 @@ def t_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(F.max("nll")).alias("max_nll"),
         )
         .orderBy("stage")
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+# SIGMOD '03 — the MOSS algorithm): hash every K-token gram, slide a
+# W-window over the gram-hash stream, keep each window's MINIMUM hash;
+# the selected set is the doc's fingerprint sketch. Guarantees: any
+# shared run of >= K+W-1 tokens shares >= 1 fingerprint (the detection
+# threshold), density ~ 2/(W+1). This is the sub-linear-sketch
+# companion to the exact K-gram stream (t_substring_spans): candidate
+# pairs come from fingerprint collisions instead of full position
+# joins. Integer md5 hashes + integer window-min → bit-deterministic.
+# Scale shape: one documents scan → gram explode (inline expression,
+# no named-array copy) → DOC-PARTITIONED window min (never a corpus
+# window) → distinct + source-keyed aggregates; the fingerprint
+# relation shuffles, the corpus doesn't.
+_WN_K = 5  # gram size (noise threshold)
+_WN_W = 4  # winnowing window; guarantee t = K + W - 1 = 8 tokens
+
+
+@_q(
+    "t_winnowing_fingerprint",
+    f"""
+    WITH dtk AS (
+      SELECT doc_id, source, {_TOKS} AS tk FROM documents
+    ), h AS (
+      SELECT doc_id, source, len(tk) - {_WN_K} + 1 AS ng, i,
+             {md5_long_sql(f"array_to_string(list_slice(tk, i, i + {_WN_K - 1}), ' ')")} AS h
+      FROM (SELECT doc_id, source, tk,
+                   unnest(range(1, len(tk) - {_WN_K} + 2)) AS i
+            FROM dtk WHERE len(tk) >= {_WN_K})
+    ), wmin AS (
+      SELECT doc_id, source, ng, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING) AS hm
+      FROM h
+    ), sel AS (
+      SELECT DISTINCT doc_id, source, hm
+      FROM wmin WHERE i <= ng - {_WN_W} + 1
+    ), per_source AS (
+      SELECT source,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             COUNT(*) AS n_selected,
+             COUNT(DISTINCT hm) AS n_distinct
+      FROM sel GROUP BY source
+    ), grams AS (
+      SELECT source, COUNT(*) AS n_grams FROM h GROUP BY source
+    ), cross_doc AS (
+      SELECT source, COUNT(*) AS n_crossdoc FROM (
+        SELECT source, hm FROM sel GROUP BY source, hm
+        HAVING COUNT(DISTINCT doc_id) >= 2)
+      GROUP BY source
+    )
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(g.n_grams AS BIGINT) AS n_grams,
+           CAST(p.n_selected AS BIGINT) AS n_selected,
+           CAST(p.n_distinct AS BIGINT) AS n_distinct,
+           {sql_trunc6("CAST(p.n_selected AS DOUBLE) / CAST(g.n_grams AS DOUBLE)")}
+             AS density,
+           CAST(COALESCE(c.n_crossdoc, 0) AS BIGINT) AS n_crossdoc
+    FROM per_source p
+    JOIN grams g ON g.source = p.source
+    LEFT JOIN cross_doc c ON c.source = p.source
+    ORDER BY p.source
+    """,
+    doc=f"winnowing fingerprints (MOSS; K={_WN_K}-gram, W={_WN_W} window, "
+    "min-hash per window): per-source fingerprint counts, selection "
+    "density vs the ~2/(W+1) theoretical rate, and cross-doc shared "
+    "fingerprints (the near-dup candidate signal)",
+)
+def t_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    k, wdw = _WN_K, _WN_W
+    tk = d.select("doc_id", "source", toks.alias("tk"))
+    npos = F.size(F.col("tk")) - F.lit(k - 1)
+    h = tk.select(
+        "doc_id",
+        "source",
+        npos.alias("ng"),
+        "tk",
+        F.explode(
+            F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        "source",
+        "ng",
+        "i",
+        md5_long(F.array_join(F.slice(F.col("tk"), F.col("i"), k), " ")).alias("h"),
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, wdw - 1)
+    sel = (
+        h.select(
+            "doc_id",
+            "source",
+            "ng",
+            "i",
+            F.min("h").over(wmin).alias("hm"),
+        )
+        .filter(F.col("i") <= F.col("ng") - wdw + 1)
+        .select("doc_id", "source", "hm")
+        .distinct()
+    )
+    per_source = sel.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_selected"),
+        F.countDistinct("hm").alias("n_distinct"),
+    )
+    grams = h.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    cross_doc = (
+        sel.groupBy("source", "hm")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_crossdoc"))
+    )
+    return (
+        per_source.join(grams, "source")
+        .join(cross_doc, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_selected").cast("bigint").alias("n_selected"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            trunc6(
+                F.col("n_selected").cast("double") / F.col("n_grams").cast("double")
+            ).alias("density"),
+            F.coalesce(F.col("n_crossdoc"), F.lit(0)).cast("bigint").alias("n_crossdoc"),
+        )
+        .orderBy("source")
     )
