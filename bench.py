@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "q_hdr_latency",
     "q_label_propagation",
     "t_winnowing_fingerprint",
+    "v_semantic_keep",
 ]
 
 

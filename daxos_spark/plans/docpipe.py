@@ -1166,7 +1166,11 @@ def d_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # threshold is calibrated to this synthetic corpus (max candidate
 # cosine ≈ 0.48); at 100 TB the same plan holds with the bucket id as
 # partition key and a near-1.0 threshold. Ints-only output.
-def _semantic_oracle() -> str:
+def _semantic_pairs_cte() -> str:
+    """Shared WITH-chain: embedded docs → (lang, LSH-bucket) blocked
+    candidate pairs → integer-cosine similarity verdicts (`s` carries
+    both pair endpoints so consumers can aggregate OR build keep
+    lists)."""
     from ..functions.similarity import lsh_planes
     from ..plans.vecpipe import _lsh_sql_bucket
 
@@ -1178,26 +1182,31 @@ def _semantic_oracle() -> str:
     ), b AS (
       SELECT doc_id, lang, c, {_lsh_sql_bucket('c', lsh_planes())} AS bk FROM j
     ), p AS (
-      SELECT a.lang,
+      SELECT a.lang, a.doc_id AS da, b2.doc_id AS db,
              CAST(list_dot_product(a.c, b2.c) AS BIGINT) AS num,
              CAST(list_dot_product(a.c, a.c) AS BIGINT) AS na,
              CAST(list_dot_product(b2.c, b2.c) AS BIGINT) AS nb
       FROM b a JOIN b b2
         ON a.lang = b2.lang AND a.bk = b2.bk AND a.doc_id < b2.doc_id
     ), s AS (
-      SELECT lang,
+      SELECT lang, da, db,
              CASE WHEN num > 0 AND CAST(num AS DOUBLE) * CAST(num AS DOUBLE) >
                        (0.09 * CAST(na AS DOUBLE)) * CAST(nb AS DOUBLE)
                   THEN 1 ELSE 0 END AS sim
       FROM p
-    )
+    )"""
+
+
+def _semantic_oracle() -> str:
+    return f"""{_semantic_pairs_cte()}
     SELECT lang, COUNT(*) AS n_candidates, CAST(SUM(sim) AS BIGINT) AS n_similar
     FROM s GROUP BY lang ORDER BY lang
     """
 
 
-@_q("d_semantic_neardup", _semantic_oracle())
-def d_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semantic_pairs(spark: SparkSession, sf_dir: str):
+    """Spark twin of `_semantic_pairs_cte`: returns (``b`` embedded docs
+    with bucket ids, ``s`` blocked-pair similarity verdicts)."""
     from ..functions.similarity import int_code, lsh_bucket, lsh_planes
     from ..functions.vectors import to_double
 
@@ -1247,6 +1256,12 @@ def d_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("sim"),
     )
+    return b, s
+
+
+@_q("d_semantic_neardup", _semantic_oracle())
+def d_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _b, s = _semantic_pairs(spark, sf_dir)
     return (
         s.groupBy("lang")
         .agg(
@@ -1254,6 +1269,43 @@ def d_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sim").alias("n_similar"),
         )
         .orderBy("lang")
+    )
+
+
+# The consumable, LINEAR face of semantic dedup (the stage a 100 TB
+# refinery actually runs — see SCALE.md "Round-7 refinery profile":
+# exact Lloyd SemDeDup is quadratic in either assignment or pair mass,
+# while this LSH-bucket-blocked form's candidate generation is an
+# equi-join on (lang, bucket), measured 1.3× at 10× data): per embedded
+# doc, keep = 1 unless it is the HIGHER-id side of a similar blocked
+# pair — identical keep-lowest-id semantics to v_semdedup_keep, LSH
+# blocking instead of Lloyd clusters.
+@_q(
+    "v_semantic_keep",
+    f"""{_semantic_pairs_cte()}
+    SELECT b.doc_id, b.lang, b.bk AS bucket,
+           CASE WHEN rm.db IS NULL THEN 1 ELSE 0 END AS keep
+    FROM b LEFT JOIN (SELECT DISTINCT db FROM s WHERE sim = 1) rm
+      ON rm.db = b.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc="LSH-blocked semantic-dedup keep-list: per embedded doc "
+    "(lang, bucket, keep) with keep-lowest-id within similar blocked "
+    "pairs — the linear production stage the corpus refinery swaps in "
+    "for the quadratic exact-Lloyd SemDeDup at scale",
+)
+def v_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b, s = _semantic_pairs(spark, sf_dir)
+    rm = s.filter(F.col("sim") == 1).select("db").distinct()
+    return (
+        b.join(rm, b["doc_id"] == rm["db"], "left")
+        .select(
+            b["doc_id"],
+            b["lang"],
+            b["bk"].alias("bucket"),
+            F.when(rm["db"].isNull(), 1).otherwise(0).alias("keep"),
+        )
+        .orderBy("doc_id")
     )
 
 
