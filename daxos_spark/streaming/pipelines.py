@@ -694,3 +694,96 @@ def cusum_monitor_stream(
     return hourly.groupBy(series_col).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def hdr_latency_stream(events: DataFrame) -> DataFrame:
+    """Streaming HDR-histogram latency sketch — the incremental face of
+    q_hdr_latency: per-user arbitrary state keeps (running max event
+    time, bucket counts) and every in-order inter-event latency is
+    bucketed with the SAME pure-integer log-linear math as the batch
+    query (octave = bit length, 16 linear sub-buckets ⇒ ≤1/16 relative
+    error). Out-of-order events (ts below the running max) are COUNTED
+    (n_skipped) but not bucketed — reordering them is the watermarked-
+    aggregation path's job; this monitor never buffers. Each micro-batch
+    emits the user's full current bucket table as parallel arrays
+    sorted by (octave, sub) — downstream merge = explode + bucket-keyed
+    SUM across users/shards, the defining property of the sketch.
+    State per user is O(distinct buckets) ≤ ~16·64 ints — bounded by
+    the value DOMAIN, not the stream. Groups larger than one Arrow
+    chunk are concatenated and sorted ONCE per micro-batch (the
+    lateness_monitor_stream chunk rule)."""
+    import pandas as pd  # local import: executors need it, driver may not
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("octs", ArrayType(IntegerType())),
+            StructField("subs", ArrayType(IntegerType())),
+            StructField("cnts", ArrayType(LongType())),
+            StructField("n_skipped", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("max_ts", LongType()),
+            StructField("octs", ArrayType(IntegerType())),
+            StructField("subs", ArrayType(IntegerType())),
+            StructField("cnts", ArrayType(LongType())),
+            StructField("n_skipped", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            mx, octs, subs, cnts, nskip = state.get
+            buckets = {
+                (int(o), int(s)): int(c) for o, s, c in zip(octs, subs, cnts)
+            }
+            mx = int(mx) if mx is not None else None
+            nskip = int(nskip)
+        else:
+            mx, buckets, nskip = None, {}, 0
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            batch = batch.assign(
+                __ts=batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            ).sort_values("event_id")
+            for ts in batch["__ts"].to_list():
+                ts = int(ts)
+                if mx is None:
+                    mx = ts
+                elif ts >= mx:
+                    lat = ts - mx
+                    if lat >= 1:
+                        oct_ = lat.bit_length()
+                        sub = (lat * 16) // (1 << (oct_ - 1)) - 16
+                        buckets[(oct_, sub)] = buckets.get((oct_, sub), 0) + 1
+                    mx = ts
+                else:
+                    nskip += 1
+        ordered = sorted(buckets.items())
+        octs = [o for (o, _s), _c in ordered]
+        subs = [s for (_o, s), _c in ordered]
+        cnts = [c for (_o, _s), c in ordered]
+        state.update((mx, octs, subs, cnts, nskip))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "octs": [octs],
+                "subs": [subs],
+                "cnts": [cnts],
+                "n_skipped": [nskip],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

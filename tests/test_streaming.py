@@ -602,3 +602,85 @@ def test_lateness_monitor_stream_matches_batch(spark, tmp_path, batch_events):
     }
     assert got == want
     assert sum(v[1] for v in got.values()) > 0  # disorder actually present
+
+
+def test_hdr_latency_stream_matches_batch(spark, tmp_path, batch_events):
+    """Per-user HDR bucket tables across 3 scrambled-arrival micro-
+    batches == a python replay of the same arrival order with the same
+    integer bucket math (and merged across users, the corpus sketch
+    equals the merge of per-user sketches — the mergeability
+    property)."""
+    from daxos_spark.streaming.pipelines import hdr_latency_stream, run_to_memory
+
+    scrambled = batch_events.withColumn(
+        "event_id",
+        F.pmod(F.col("event_id") * 48271, F.lit(100003)) * 1000000 + F.col("event_id"),
+    )
+    hi = scrambled.agg(F.max("event_id")).first()[0]
+    ev_dir = str(tmp_path / "hdr_events")
+    cuts = [0, hi // 3, 2 * hi // 3, hi + 1]
+    for i in range(3):
+        scrambled.filter(
+            (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
+        ).write.parquet(f"{ev_dir}/slice={i}")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(ev_dir)
+    )
+    run_to_memory(hdr_latency_stream(stream), "t_hdr_stream", output_mode="update")
+
+    got: dict[int, tuple] = {}
+    for r in spark.table("t_hdr_stream").collect():  # update mode: last wins
+        got[r["user_id"]] = (
+            list(zip(r["octs"], r["subs"], r["cnts"])),
+            r["n_skipped"],
+        )
+
+    rows = (
+        scrambled.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+    mx: dict[int, int] = {}
+    want_b: dict[int, dict] = {}
+    want_skip: dict[int, int] = {}
+    for r in rows:
+        u, ts = r["user_id"], r["us"]
+        if u not in mx:
+            mx[u] = ts
+            want_b.setdefault(u, {})
+            want_skip.setdefault(u, 0)
+        elif ts >= mx[u]:
+            lat = ts - mx[u]
+            if lat >= 1:
+                o = lat.bit_length()
+                s = (lat * 16) // (1 << (o - 1)) - 16
+                want_b[u][(o, s)] = want_b[u].get((o, s), 0) + 1
+            mx[u] = ts
+        else:
+            want_skip[u] += 1
+    assert set(got) == set(want_b)
+    for u in want_b:
+        assert got[u][0] == sorted(
+            (o, s, c) for (o, s), c in want_b[u].items()
+        ), u
+        assert got[u][1] == want_skip[u], u
+    # mergeability: bucket-keyed sum across users == global replay
+    merged: dict[tuple, int] = {}
+    for u in got:
+        for o, s, c in got[u][0]:
+            merged[(o, s)] = merged.get((o, s), 0) + c
+    want_m: dict[tuple, int] = {}
+    for u in want_b:
+        for k, c in want_b[u].items():
+            want_m[k] = want_m.get(k, 0) + c
+    assert merged == want_m
