@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "q_label_propagation",
     "t_winnowing_fingerprint",
     "v_semantic_keep",
+    "t_refinery_linear",
 ]
 
 

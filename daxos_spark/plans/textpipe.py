@@ -2695,15 +2695,14 @@ for _lr_q, _lr_fin in (
 # doc-cardinality joins of the verdict relations; the final stage
 # table is a SINGLE conditional aggregate (5 survivor counters in one
 # scan) unpivoted to rows — never 5 re-filters of the corpus.
-def _refinery_e2e_oracle() -> str:
-    from .vecpipe2 import _semdedup_cte
-
-    return f"""{_semdedup_cte()}
-    , keepv AS (
-      SELECT af2.vec_id,
-             CASE WHEN rm.dup_id IS NULL THEN 1 ELSE 0 END AS keep
-      FROM af af2 LEFT JOIN rm
-        ON rm.cluster = af2.cluster AND rm.dup_id = af2.vec_id
+def _refinery_tail_oracle(keepv_cte: str) -> str:
+    """The funnel's shared oracle tail: gopher + bigram + ExactSubstr
+    chains, the joined verdict relation, and the 5-stage conditional
+    aggregate. ``keepv_cte`` supplies the semantic-dedup keep list as a
+    CTE body producing (vec_id, keep) — the ONLY stage the two gated
+    funnels differ in (exact-Lloyd SemDeDup vs LSH-blocked)."""
+    return f"""
+    , keepv AS ({keepv_cte}
     ), {_gopher_cte()}, {_bigram_scored_cte()}, nll AS (
       SELECT doc_id,
              -(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)) AS avg_nll
@@ -2753,9 +2752,23 @@ def _refinery_e2e_oracle() -> str:
     """
 
 
-def _refinery_e2e_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
-    from .vecpipe2 import _semdedup_keep_lazy
+def _refinery_e2e_oracle() -> str:
+    from .vecpipe2 import _semdedup_cte
 
+    return _semdedup_cte() + _refinery_tail_oracle(
+        """
+      SELECT af2.vec_id,
+             CASE WHEN rm.dup_id IS NULL THEN 1 ELSE 0 END AS keep
+      FROM af af2 LEFT JOIN rm
+        ON rm.cluster = af2.cluster AND rm.dup_id = af2.vec_id"""
+    )
+
+
+def _refinery_gates(spark: SparkSession, sf_dir: str, persist: bool = True):
+    """The funnel's three document-side gate relations (gopher flags,
+    bigram NLL, ExactSubstr coverage) + the caches the caller must
+    release — shared by both gated funnels (they differ only in the
+    semantic stage)."""
     d = _fanout(load_tables(spark, sf_dir)["documents"])
     caches: list = []
 
@@ -2800,17 +2813,29 @@ def _refinery_e2e_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_cov"))
     )
+    return gf, nll, cov, caches
+
+
+def _refinery_e2e_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
+    from .vecpipe2 import _semdedup_keep_lazy
+
+    gf, nll, cov, caches = _refinery_gates(spark, sf_dir, persist=persist)
     keep, sem_caches = _semdedup_keep_lazy(spark, sf_dir, persist=persist)
     caches.extend(sem_caches)
+    keep = keep.select(F.col("vec_id").alias("doc_id"), F.col("keep").alias("sem0"))
+    return _refinery_funnel(gf, nll, cov, keep), caches
 
+
+def _refinery_funnel(gf, nll, cov, keep):
+    """Shared funnel tail: join the four verdict relations and compute
+    all 5 stages in ONE conditional-aggregate scan (stack()-unpivoted).
+    ``keep`` must carry (doc_id, sem0); docs without a row pass
+    vacuously (COALESCE 1) — semantic dedup can only judge embedded
+    docs."""
     fl = (
         gf.join(nll, "doc_id", "left")
         .join(cov, "doc_id", "left")
-        .join(
-            keep.select(F.col("vec_id").alias("doc_id"), F.col("keep").alias("sem0")),
-            "doc_id",
-            "left",
-        )
+        .join(keep, "doc_id", "left")
         .select(
             "n_tok",
             "p_gopher",
@@ -2855,7 +2880,7 @@ def _refinery_e2e_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
         " CAST(5 AS BIGINT), 'semantic_dedup', n5, t5"
         ") AS (stage, stage_name, n_docs, n_tokens)"
     ).orderBy("stage")
-    return out, caches
+    return out
 
 
 @_q(
@@ -2876,6 +2901,60 @@ def t_refinery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ALL_SPECS["t_refinery_e2e"].lazy_plan = (
     lambda spark, sf_dir: _refinery_e2e_lazy(spark, sf_dir, persist=False)[0]
+)
+
+
+# The 100 TB configuration of the same funnel: stage 5 swaps the exact-
+# Lloyd SemDeDup keep-list (quadratic in assignment or pair mass — see
+# SCALE.md "Round-7 refinery profile") for the LSH-bucket-blocked
+# v_semantic_keep (candidate generation is an equi-join on
+# (lang, bucket); d_semantic_neardup's family measures 1.3× at 10×).
+# Stages 1-4 are the identical audited gate relations, so the two gated
+# funnels differ in EXACTLY the stage the scale analysis says to swap —
+# both under the hash gate, both probed at 10×.
+def _refinery_linear_oracle() -> str:
+    from .docpipe import _semantic_pairs_cte
+
+    return _semantic_pairs_cte() + _refinery_tail_oracle(
+        """
+      SELECT b.doc_id AS vec_id,
+             CASE WHEN rm.db IS NULL THEN 1 ELSE 0 END AS keep
+      FROM b LEFT JOIN (SELECT DISTINCT db FROM s WHERE sim = 1) rm
+        ON rm.db = b.doc_id"""
+    )
+
+
+def _refinery_linear_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
+    from .docpipe import _semantic_pairs
+
+    gf, nll, cov, caches = _refinery_gates(spark, sf_dir, persist=persist)
+    b, s = _semantic_pairs(spark, sf_dir)
+    rm = s.filter(F.col("sim") == 1).select("db").distinct()
+    keep = b.join(rm, b["doc_id"] == rm["db"], "left").select(
+        b["doc_id"],
+        F.when(rm["db"].isNull(), 1).otherwise(0).alias("sem0"),
+    )
+    return _refinery_funnel(gf, nll, cov, keep), caches
+
+
+@_q(
+    "t_refinery_linear",
+    _refinery_linear_oracle(),
+    doc="the refinery funnel in its at-scale configuration: identical "
+    "gopher/bigram/ExactSubstr gates, semantic stage = LSH-bucket-"
+    "blocked keep-list (v_semantic_keep) instead of exact-Lloyd "
+    "SemDeDup — the linear swap SCALE.md prescribes for 100 TB",
+)
+def t_refinery_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, caches = _refinery_linear_lazy(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
+ALL_SPECS["t_refinery_linear"].lazy_plan = (
+    lambda spark, sf_dir: _refinery_linear_lazy(spark, sf_dir, persist=False)[0]
 )
 
 
