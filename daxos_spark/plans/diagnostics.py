@@ -722,15 +722,17 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .select("o_custkey", F.col("o_orderpriority").alias("s"))
         .join(
-            F.broadcast(
-                t["customer"].select(
-                    "c_custkey",
-                    F.col("c_mktsegment").alias("seg"),
-                    "c_nationkey",
-                    F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
-                    .cast("bigint")
-                    .alias("bal_band"),
-                )
+            # NO broadcast hint: customer is SF-scaled (unbounded at
+            # 100 TB) — let AQE pick broadcast vs shuffled-hash (the
+            # round-7 q_kcore_decomposition rule); at test scale AQE
+            # broadcasts it anyway
+            t["customer"].select(
+                "c_custkey",
+                F.col("c_mktsegment").alias("seg"),
+                "c_nationkey",
+                F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+                .cast("bigint")
+                .alias("bal_band"),
             ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
@@ -965,15 +967,15 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("o_orderpriority", 1, 1).cast("int").alias("slot"),
         )
         .join(
-            F.broadcast(
-                t["customer"].select(
-                    "c_custkey",
-                    F.col("c_mktsegment").alias("seg"),
-                    "c_nationkey",
-                    F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
-                    .cast("bigint")
-                    .alias("bal_band"),
-                )
+            # NO broadcast hint: customer is SF-scaled (unbounded at
+            # 100 TB) — AQE decides (the round-7 q_kcore rule)
+            t["customer"].select(
+                "c_custkey",
+                F.col("c_mktsegment").alias("seg"),
+                "c_nationkey",
+                F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+                .cast("bigint")
+                .alias("bal_band"),
             ),
             F.col("o_custkey") == F.col("c_custkey"),
         )

@@ -4791,7 +4791,7 @@ _HDR_QS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))  # name, num, den
     "p50/p90/p99 extraction + exact-order-statistic audit",
     tags=("events",),
 )
-def q_hdr_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_hdr_latency(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     lats = (
@@ -4803,6 +4803,12 @@ def q_hdr_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("ts_us") - F.lag("ts_us").over(w)).alias("lat"))
         .filter(F.col("lat").isNotNull() & (F.col("lat") >= 1))
     )
+    # the latency relation feeds the bucket aggregate, its own 1-row
+    # count, AND the exact-rank audit — without the cache the events
+    # scan + user-keyed lag window executes three times (round-7
+    # review fix; released via checkpoint_release below)
+    if persist:
+        lats = lats.persist()
     # exact power of 2: shiftleft on a LONG is integer-exact; lat*16
     # stays far below int64 (lat < 2^40 us). SQL-expression form —
     # pyspark's F.shiftleft only accepts a literal bit count.
@@ -4843,14 +4849,17 @@ def q_hdr_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("q", "oct", "sub", "n")
     )
-    n_total = lats.count()  # scalar the audit branch needs; one agg job
+    # total count as a 1-row broadcast aggregate (the oracle's scalar
+    # subquery), not a driver-side count(): keeps the plan fully lazy
+    nt = lats.agg(F.count(F.lit(1)).alias("nt"))
     exact = (
         lats.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(nt))
         .withColumn("r", F.row_number().over(Window.partitionBy("q").orderBy("lat")))
         .filter(
             F.col("r")
             == F.ceil(
-                (F.lit(n_total) * F.col("num")).cast("double") / F.col("den")
+                (F.col("nt") * F.col("num")).cast("double") / F.col("den")
             ).cast("long")
         )
         .select("q", F.col("lat").alias("exact_us"))
@@ -4858,7 +4867,7 @@ def q_hdr_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_val = F.expr(
         "CAST((16 + sub) * shiftleft(CAST(1 AS BIGINT), oct - 1) AS DOUBLE) / 16.0"
     )
-    return (
+    out = (
         est.join(exact, "q")
         .select(
             F.col("q").alias("quantile"),
@@ -4872,6 +4881,12 @@ def q_hdr_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quantile")
     )
+    return checkpoint_release(out, [lats]) if persist else out
+
+
+ALL_SPECS["q_hdr_latency"].lazy_plan = lambda spark, sf_dir: q_hdr_latency(
+    spark, sf_dir, persist=False
+)
 
 
 # --------------------------------------------------------------------------

@@ -3280,7 +3280,7 @@ _WN_W = 4  # winnowing window; guarantee t = K + W - 1 = 8 tokens
     "density vs the ~2/(W+1) theoretical rate, and cross-doc shared "
     "fingerprints (the near-dup candidate signal)",
 )
-def t_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t_winnowing_fingerprint(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     d = _fanout(load_tables(spark, sf_dir)["documents"])
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     k, wdw = _WN_K, _WN_W
@@ -3303,6 +3303,12 @@ def t_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         md5_long(F.array_join(F.slice(F.col("tk"), F.col("i"), k), " ")).alias("h"),
     )
+    # h feeds the window/sel branch AND the per-source gram count —
+    # without the cache the tokenize/explode/md5 lineage executes
+    # twice (two corpus scans at 100 TB; the d_oov_bigram_score rule).
+    # Released via checkpoint_release below.
+    if persist:
+        h = h.persist()
     wmin = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, wdw - 1)
     sel = (
         h.select(
@@ -3329,7 +3335,7 @@ def t_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_crossdoc"))
     )
-    return (
+    out = (
         per_source.join(grams, "source")
         .join(cross_doc, "source", "left")
         .select(
@@ -3345,3 +3351,9 @@ def t_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    return checkpoint_release(out, [h]) if persist else out
+
+
+ALL_SPECS["t_winnowing_fingerprint"].lazy_plan = (
+    lambda spark, sf_dir: t_winnowing_fingerprint(spark, sf_dir, persist=False)
+)

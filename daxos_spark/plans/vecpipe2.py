@@ -337,9 +337,12 @@ def _semdedup_marks(e: DataFrame, n_clusters: int, persist: bool = True):
     idot = lambda x, y: F.aggregate(
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0).cast("bigint"), lambda acc, v: acc + v
     )
-    cd = e.select("vec_id", int_code(to_double(F.col("embedding"))).alias("c")).join(
-        af, "vec_id"
-    )
+    # derive codes from the fanned-out (and cached) emb, not the raw
+    # single-partition e: int_code(xs) ≡ int_code(to_double(embedding)),
+    # and this keeps the O(dim) HOF off the one-core scan (round-7
+    # review fix — the fanout comment above claimed this and the code
+    # didn't deliver)
+    cd = emb.select("vec_id", int_code(F.col("xs")).alias("c")).join(af, "vec_id")
     # self-norms once per vector — not per pair
     cn = cd.withColumn("nn", idot(F.col("c"), F.col("c")))
     a, b = cn.alias("a"), cn.alias("b")
@@ -393,16 +396,9 @@ def v_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _semdedup_keep_lazy(
-    spark: SparkSession,
-    sf_dir: str,
-    persist: bool = True,
-    n_clusters: int | None = None,
-):
+def _semdedup_keep_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
     af, rm, caches = _semdedup_marks(
-        load_tables(spark, sf_dir)["embeddings"],
-        _SD_K if n_clusters is None else n_clusters,
-        persist=persist,
+        load_tables(spark, sf_dir)["embeddings"], _SD_K, persist=persist
     )
     out = (
         af.join(rm, (rm["cluster"] == af["cluster"]) & (rm["dup_id"] == af["vec_id"]), "left")

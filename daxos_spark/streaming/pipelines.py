@@ -352,7 +352,11 @@ def lateness_monitor_stream(events: DataFrame) -> DataFrame:
             # normalize to ns BEFORE the int64 view: some pandas/Arrow
             # combinations surface datetime64[us] series, and a bare
             # astype('int64') on those would leave the // 1000 scale
-            # 1000x off (lateness in ms, not us)
+            # 1000x off (lateness in ms, not us). Null ts rows are
+            # DROPPED (the batch queries' epoch_us(NULL)→NULL filter):
+            # NaT raises on the int64 view on pandas 2.x, and on older
+            # pandas it becomes int64-min and poisons the running max.
+            batch = batch[batch["ts"].notna()]
             batch = batch.assign(
                 __ts=batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
             ).sort_values("event_id")
@@ -749,6 +753,10 @@ def hdr_latency_stream(events: DataFrame) -> DataFrame:
         chunks = [pdf for pdf in pdf_iter if len(pdf)]
         if chunks:
             batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            # drop null ts BEFORE the int64 view (NaT raises on pandas
+            # 2.x, becomes int64-min on older) — the batch twin's
+            # lat IS NOT NULL filter
+            batch = batch[batch["ts"].notna()]
             batch = batch.assign(
                 __ts=batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
             ).sort_values("event_id")

@@ -88,10 +88,16 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
 
     con = duckdb.connect()
+    import os
+
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # harness dirs hold single FILES; synthesized scale-up dirs
+        # (tools/sf1_probe.py) hold Spark-written DIRECTORIES
+        p = f"{sf_dir}/{t}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
     n_pass = n_fail = n_rowsonly = 0
     t_all = time.time()
