@@ -169,3 +169,53 @@ def test_label_propagation_trace_invariants(spark):
         assert 0 <= rows[r]["n_moved"] <= n_nodes
     # labels moved in round 1 (the graph is non-trivial)
     assert rows[1]["n_moved"] > 0
+
+
+def test_semantic_keep_matches_python_replay(spark):
+    """Full python replay of the LSH-blocked keep-list: md5-derived
+    integer hyperplanes, floor(x*1000) codes, integer-cosine threshold,
+    keep-lowest-id within similar blocked pairs."""
+    from daxos_spark.catalog import load_tables
+    from daxos_spark.functions.similarity import lsh_planes
+
+    t = load_tables(spark, SF_DIR)
+    langs = {r["doc_id"]: r["lang"] for r in t["documents"].select("doc_id", "lang").collect()}
+    planes = lsh_planes()
+    rows = {}
+    for r in t["embeddings"].select("vec_id", "embedding").collect():
+        if r["vec_id"] not in langs:
+            continue
+        code = [math.floor(x * 1000.0) for x in r["embedding"]]
+        bucket = sum(
+            (1 << b)
+            for b, w in enumerate(planes)
+            if sum(c * ww for c, ww in zip(code, w)) >= 0
+        )
+        rows[r["vec_id"]] = (langs[r["vec_id"]], bucket, code)
+    removed = set()
+    ids = sorted(rows)
+    by_block: dict[tuple, list[int]] = {}
+    for i in ids:
+        by_block.setdefault(rows[i][:2], []).append(i)
+    for block in by_block.values():
+        for ai in range(len(block)):
+            for bi in range(ai + 1, len(block)):
+                a, b = block[ai], block[bi]
+                ca, cb = rows[a][2], rows[b][2]
+                num = sum(x * y for x, y in zip(ca, cb))
+                na = sum(x * x for x in ca)
+                nb = sum(y * y for y in cb)
+                if num > 0 and float(num) * float(num) > (0.09 * float(na)) * float(nb):
+                    removed.add(b)
+    import __spark_entry__ as E
+
+    got = {
+        r["doc_id"]: (r["lang"], r["bucket"], r["keep"])
+        for r in E.queries()["v_semantic_keep"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(rows)
+    for d in rows:
+        assert got[d][0] == rows[d][0], d
+        assert got[d][1] == rows[d][1], d
+        assert got[d][2] == (0 if d in removed else 1), d
+    assert removed, "corpus should contain at least one semantic near-dup"
