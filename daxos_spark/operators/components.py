@@ -36,7 +36,10 @@ def connected_components(
     materializing it) — skips the sizing probe's extra count() job,
     which on one-shot small graphs can outweigh the per-round
     scheduling savings it buys. ``None`` keeps the self-probing
-    behavior.
+    behavior. NOTE: no registered query currently has a free count to
+    pass (their edge relations are persisted but never counted before
+    CC, so the probe doubles as the cache materializer); the knob is
+    for library consumers that maintain edge-count statistics.
     """
     both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))

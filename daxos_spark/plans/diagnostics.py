@@ -491,13 +491,34 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # domain, never the table.
 _KANON_K = 5
 
+# THE quasi-identifier definition for the whole governance ladder
+# (k-anonymity → l-diversity → t-closeness): one SQL fragment + one
+# Spark projection, so a band-width or QI-column change cannot drift
+# between the three audits that claim "the same QI classes".
+_QI_SQL = (
+    "c_mktsegment AS seg, c_nationkey, "
+    "CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_band"
+)
+
+
+def _qi_customer(customer: DataFrame) -> DataFrame:
+    """(c_custkey, seg, c_nationkey, bal_band) — the Spark twin of
+    ``_QI_SQL``."""
+    return customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("bal_band"),
+    )
+
 
 @_q(
     "q_k_anonymity",
     f"""
     WITH classes AS (
-      SELECT c_mktsegment AS seg, c_nationkey,
-             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_band,
+      SELECT {_QI_SQL},
              COUNT(*) AS sz
       FROM customer GROUP BY 1, 2, 3
     )
@@ -524,13 +545,8 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_tables(spark, sf_dir)["customer"]
     small = F.col("sz") < _KANON_K
     classes = (
-        c.groupBy(
-            F.col("c_mktsegment").alias("seg"),
-            "c_nationkey",
-            F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
-            .cast("bigint")
-            .alias("bal_band"),
-        )
+        _qi_customer(c)
+        .groupBy("seg", "c_nationkey", "bal_band")
         .agg(F.count(F.lit(1)).alias("sz"))
     )
     return (
@@ -688,8 +704,7 @@ _LDIV_L = 3
     "q_l_diversity",
     f"""
     WITH r AS (
-      SELECT c_mktsegment AS seg, c_nationkey,
-             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_band,
+      SELECT {_QI_SQL},
              o_orderpriority AS s
       FROM customer JOIN orders ON o_custkey = c_custkey
     ), classes AS (
@@ -726,14 +741,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 100 TB) — let AQE pick broadcast vs shuffled-hash (the
             # round-7 q_kcore_decomposition rule); at test scale AQE
             # broadcasts it anyway
-            t["customer"].select(
-                "c_custkey",
-                F.col("c_mktsegment").alias("seg"),
-                "c_nationkey",
-                F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
-                .cast("bigint")
-                .alias("bal_band"),
-            ),
+            _qi_customer(t["customer"]),
             F.col("o_custkey") == F.col("c_custkey"),
         )
     )
@@ -900,11 +908,13 @@ _TCLOSE_T = 0.2  # max EMD before a class is flagged
 
 
 def _tclose_emd_sql() -> str:
-    """Fixed-order EMD arithmetic over (n1..n5, sz) vs (g1..g5, n)."""
+    """Fixed-order EMD arithmetic over (n1..n5, sz) vs (g1..g5, n).
+    Only the m−1 = 4 interior prefixes are generated — c5 (the full
+    sum, ≡ 0 by construction) is never read by the EMD."""
     diffs = " ".join(
         f", c{i} + (CAST(n{i + 1} AS DOUBLE) / CAST(sz AS DOUBLE)"
         f" - CAST(g{i + 1} AS DOUBLE) / CAST(n AS DOUBLE)) AS c{i + 1}"
-        for i in range(1, 5)
+        for i in range(1, 4)
     )
     return diffs
 
@@ -913,8 +923,7 @@ def _tclose_emd_sql() -> str:
     "q_t_closeness",
     f"""
     WITH r AS (
-      SELECT c_mktsegment AS seg, c_nationkey,
-             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_band,
+      SELECT {_QI_SQL},
              CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS slot
       FROM customer JOIN orders ON o_custkey = c_custkey
     ), classes AS (
@@ -969,14 +978,7 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             # NO broadcast hint: customer is SF-scaled (unbounded at
             # 100 TB) — AQE decides (the round-7 q_kcore rule)
-            t["customer"].select(
-                "c_custkey",
-                F.col("c_mktsegment").alias("seg"),
-                "c_nationkey",
-                F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
-                .cast("bigint")
-                .alias("bal_band"),
-            ),
+            _qi_customer(t["customer"]),
             F.col("o_custkey") == F.col("c_custkey"),
         )
     )
@@ -999,7 +1001,7 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("g1").cast("double") / F.col("n").cast("double")
     )
     cums = [c]
-    for i in range(2, 6):
+    for i in range(2, 5):  # m-1 = 4 interior prefixes; c5 ≡ 0 unused
         c = c + (
             F.col(f"n{i}").cast("double") / F.col("sz").cast("double")
             - F.col(f"g{i}").cast("double") / F.col("n").cast("double")

@@ -1204,9 +1204,11 @@ def _semantic_oracle() -> str:
     """
 
 
-def _semantic_pairs(spark: SparkSession, sf_dir: str):
+def _semantic_pairs(spark: SparkSession, sf_dir: str, persist: bool = True):
     """Spark twin of `_semantic_pairs_cte`: returns (``b`` embedded docs
-    with bucket ids, ``s`` blocked-pair similarity verdicts)."""
+    with bucket ids, ``s`` blocked-pair similarity verdicts, ``caches``
+    the caller must release after materializing — the CALLER_RELEASED
+    contract)."""
     from ..functions.similarity import int_code, lsh_bucket, lsh_planes
     from ..functions.vectors import to_double
 
@@ -1227,6 +1229,13 @@ def _semantic_pairs(spark: SparkSession, sf_dir: str):
     b = j.withColumn("bk", lsh_bucket(F.col("c"), planes)).withColumn(
         "nn", idot(F.col("c"), F.col("c"))
     )
+    # b feeds BOTH sides of the pair self-join and (for the keep-list
+    # consumers) the left side of the verdict join — without the cache
+    # the docs⋈embeddings scan plus the O(dim) interpreted
+    # int_code/lsh_bucket/self-norm HOFs execute once per consumer
+    # (the multi-consumer rule the SemDeDup emb cache follows)
+    if persist:
+        b = b.persist()
     a, b2 = b.alias("a"), b.alias("b2")
     p = a.join(
         b2,
@@ -1256,13 +1265,38 @@ def _semantic_pairs(spark: SparkSession, sf_dir: str):
         .otherwise(0)
         .alias("sim"),
     )
-    return b, s
+    return b, s, ([b] if persist else [])
+
+
+def _semantic_keep_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
+    """The LSH-blocked keep-list, shared by v_semantic_keep and the
+    linear refinery funnel so the two faces cannot drift: per embedded
+    doc (doc_id, lang, bucket, keep), keep-lowest-id within similar
+    blocked pairs. Returns (keep, caches)."""
+    b, s, caches = _semantic_pairs(spark, sf_dir, persist=persist)
+    rm = s.filter(F.col("sim") == 1).select("db").distinct()
+    keep = b.join(rm, b["doc_id"] == rm["db"], "left").select(
+        b["doc_id"],
+        b["lang"],
+        b["bk"].alias("bucket"),
+        F.when(rm["db"].isNull(), 1).otherwise(0).alias("keep"),
+    )
+    return keep, caches
+
+
+# the keepv CTE body both oracles share (same no-drift rule as the
+# Spark-side helper above)
+_SEMANTIC_KEEP_CTE_BODY = """
+      SELECT b.doc_id, b.lang, b.bk AS bucket,
+             CASE WHEN rm.db IS NULL THEN 1 ELSE 0 END AS keep
+      FROM b LEFT JOIN (SELECT DISTINCT db FROM s WHERE sim = 1) rm
+        ON rm.db = b.doc_id"""
 
 
 @_q("d_semantic_neardup", _semantic_oracle())
-def d_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _b, s = _semantic_pairs(spark, sf_dir)
-    return (
+def d_semantic_neardup(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
+    b, s, caches = _semantic_pairs(spark, sf_dir, persist=persist)
+    out = (
         s.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_candidates"),
@@ -1270,6 +1304,12 @@ def d_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+    return checkpoint_release(out, caches) if persist else out
+
+
+ALL_SPECS["d_semantic_neardup"].lazy_plan = (
+    lambda spark, sf_dir: d_semantic_neardup(spark, sf_dir, persist=False)
+)
 
 
 # The consumable, LINEAR face of semantic dedup (the stage a 100 TB
@@ -1282,31 +1322,24 @@ def d_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blocking instead of Lloyd clusters.
 @_q(
     "v_semantic_keep",
-    f"""{_semantic_pairs_cte()}
-    SELECT b.doc_id, b.lang, b.bk AS bucket,
-           CASE WHEN rm.db IS NULL THEN 1 ELSE 0 END AS keep
-    FROM b LEFT JOIN (SELECT DISTINCT db FROM s WHERE sim = 1) rm
-      ON rm.db = b.doc_id
-    ORDER BY b.doc_id
+    f"""{_semantic_pairs_cte()}, keepv AS ({_SEMANTIC_KEEP_CTE_BODY}
+    )
+    SELECT doc_id, lang, bucket, keep FROM keepv ORDER BY doc_id
     """,
     doc="LSH-blocked semantic-dedup keep-list: per embedded doc "
     "(lang, bucket, keep) with keep-lowest-id within similar blocked "
     "pairs — the linear production stage the corpus refinery swaps in "
     "for the quadratic exact-Lloyd SemDeDup at scale",
 )
-def v_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b, s = _semantic_pairs(spark, sf_dir)
-    rm = s.filter(F.col("sim") == 1).select("db").distinct()
-    return (
-        b.join(rm, b["doc_id"] == rm["db"], "left")
-        .select(
-            b["doc_id"],
-            b["lang"],
-            b["bk"].alias("bucket"),
-            F.when(rm["db"].isNull(), 1).otherwise(0).alias("keep"),
-        )
-        .orderBy("doc_id")
-    )
+def v_semantic_keep(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
+    keep, caches = _semantic_keep_lazy(spark, sf_dir, persist=persist)
+    out = keep.orderBy("doc_id")
+    return checkpoint_release(out, caches) if persist else out
+
+
+ALL_SPECS["v_semantic_keep"].lazy_plan = (
+    lambda spark, sf_dir: v_semantic_keep(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------

@@ -2913,27 +2913,24 @@ ALL_SPECS["t_refinery_e2e"].lazy_plan = (
 # funnels differ in EXACTLY the stage the scale analysis says to swap —
 # both under the hash gate, both probed at 10×.
 def _refinery_linear_oracle() -> str:
-    from .docpipe import _semantic_pairs_cte
+    from .docpipe import _SEMANTIC_KEEP_CTE_BODY, _semantic_pairs_cte
 
+    # the same keepv body v_semantic_keep gates, projected to the
+    # (vec_id, keep) contract the shared tail consumes
     return _semantic_pairs_cte() + _refinery_tail_oracle(
-        """
-      SELECT b.doc_id AS vec_id,
-             CASE WHEN rm.db IS NULL THEN 1 ELSE 0 END AS keep
-      FROM b LEFT JOIN (SELECT DISTINCT db FROM s WHERE sim = 1) rm
-        ON rm.db = b.doc_id"""
+        f"""
+      SELECT doc_id AS vec_id, keep FROM ({_SEMANTIC_KEEP_CTE_BODY}
+      )"""
     )
 
 
 def _refinery_linear_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
-    from .docpipe import _semantic_pairs
+    from .docpipe import _semantic_keep_lazy
 
     gf, nll, cov, caches = _refinery_gates(spark, sf_dir, persist=persist)
-    b, s = _semantic_pairs(spark, sf_dir)
-    rm = s.filter(F.col("sim") == 1).select("db").distinct()
-    keep = b.join(rm, b["doc_id"] == rm["db"], "left").select(
-        b["doc_id"],
-        F.when(rm["db"].isNull(), 1).otherwise(0).alias("sem0"),
-    )
+    keep, sem_caches = _semantic_keep_lazy(spark, sf_dir, persist=persist)
+    caches.extend(sem_caches)
+    keep = keep.select("doc_id", F.col("keep").alias("sem0"))
     return _refinery_funnel(gf, nll, cov, keep), caches
 
 

@@ -18,6 +18,7 @@ CALLER_RELEASED = {
     "_jaccard_edge_pairs",
     "_ss_position_stream",
     "_semdedup_marks",
+    "_semantic_pairs",
     "_lr_pipeline",
     "_bm25_lazy",
     "_bpe_learn",
