@@ -874,7 +874,8 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .select("l_orderkey", "l_partkey", "l_quantity")
         .join(
-            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            # part is SF-scaled — no forced broadcast, AQE decides
+            t["part"].select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("l_orderkey", "p_brand", "l_quantity")

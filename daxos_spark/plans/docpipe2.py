@@ -757,8 +757,11 @@ def _dedup_agreement_lazy(spark: SparkSession, sf_dir: str, persist: bool = True
             F.coalesce(F.col("j"), F.lit(0.0)).alias("j"),
         )
     )
-    ca = F.broadcast(bk.select(F.col("doc_id").alias("da"), F.col("c").alias("c_a"), F.col("nn").alias("n_a")))
-    cb = F.broadcast(bk.select(F.col("doc_id").alias("db"), F.col("c").alias("c_b"), F.col("nn").alias("n_b")))
+    # bk is the CORPUS-scaled code table — forcing it broadcast (on both
+    # sides, no less) is the k-core anti-pattern; the enrichment joins
+    # key on doc ids, so AQE picks broadcast only when bk measures small
+    ca = bk.select(F.col("doc_id").alias("da"), F.col("c").alias("c_a"), F.col("nn").alias("n_a"))
+    cb = bk.select(F.col("doc_id").alias("db"), F.col("c").alias("c_b"), F.col("nn").alias("n_b"))
     num = idot(F.col("c_a"), F.col("c_b"))
     scored = (
         univ.join(ca, "da")

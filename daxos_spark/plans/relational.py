@@ -101,10 +101,11 @@ def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
-    # customer is the only broadcast-able side at scale; lineitem⋈orders
-    # is a shuffle join on l_orderkey (AQE may still convert if small).
+    # no forced broadcast: the filtered customer side is still SF-scaled
+    # (unbounded at 100 TB) — AQE converts to broadcast at runtime when
+    # it measures small; lineitem⋈orders is a shuffle join on l_orderkey.
     return (
-        li.join(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+        li.join(orders.join(cust, F.col("o_custkey") == F.col("c_custkey")),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -339,7 +340,8 @@ def q_window_top3_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = t["orders"].withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
     return (
         ranked.join(
-            F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "MACHINERY")),
+            # segment-filtered customers are still SF-scaled — AQE decides
+            t["customer"].filter(F.col("c_mktsegment") == "MACHINERY"),
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .select("c_custkey", "o_orderkey", "o_totalprice", "rk")

@@ -163,7 +163,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             trunc6(F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_share"),
             F.count(F.lit(1)).alias("n_items"),
@@ -255,7 +255,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    j = t["lineitem"].join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+    j = t["lineitem"].join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
@@ -368,8 +368,8 @@ def q09_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("bigint").alias("o_year"))
@@ -410,7 +410,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("mx"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("sk"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("sk"))
         .select("s_suppkey", "s_name", trunc6(F.col("total_rev")).alias("total_rev"))
         .orderBy("s_suppkey")
     )
@@ -612,7 +612,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unit_cost") == F.col("min_cost")
     )
     return (
-        best.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("sk"))
+        best.join(t["supplier"], F.col("s_suppkey") == F.col("sk"))
         .groupBy("s_nationkey")
         .agg(F.count(F.lit(1)).alias("n_best_pairs"))
         .orderBy("s_nationkey")
@@ -774,7 +774,7 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         t["lineitem"]
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
     )
     target = F.when(F.col("n_name") == "NATION_3", rev).otherwise(F.lit(0.0))
