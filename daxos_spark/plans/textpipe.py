@@ -1076,8 +1076,11 @@ def _bm25_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
     scored = (
         q.join(tf, "t")
         .filter(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(df_), "t")
-        .join(F.broadcast(dl), "doc_id")
+        # df_ is vocabulary-scaled and dl is CORPUS-scaled (per-doc
+        # lengths) — no forced broadcast; AQE picks broadcast when the
+        # query-term-restricted sides measure small
+        .join(df_, "t")
+        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("qid", "doc_id", (idf * tf_term).cast("decimal(25,6)").alias("s"))
         .groupBy("qid", "doc_id")
@@ -1533,10 +1536,14 @@ def t_minhash_accuracy(spark: SparkSession, sf_dir: str, persist: bool = True) -
         )
     )
     pairs = (
-        inter.join(F.broadcast(sa), "da")
-        .join(F.broadcast(sb), "db")
-        .join(F.broadcast(siga), "da")
-        .join(F.broadcast(sigb), "db")
+        # sizes/signatures are PER-DOC relations (corpus-scaled; the
+        # signature side is 128 ints per doc) — forcing them broadcast
+        # is the k-core anti-pattern; the joins key on the bounded
+        # candidate-pair relation, so AQE broadcasts when small
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .join(siga, "da")
+        .join(sigb, "db")
         .select(
             F.floor(
                 1e6 * F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))

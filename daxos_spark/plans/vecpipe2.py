@@ -1002,8 +1002,11 @@ def v_hybrid_search(spark: SparkSession, sf_dir: str, persist: bool = True) -> D
     scored = (
         q.join(tf, "t")
         .filter(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(df_), "t")
-        .join(F.broadcast(dl), "doc_id")
+        # df_ is vocabulary-scaled and dl is CORPUS-scaled (per-doc
+        # lengths) — no forced broadcast; AQE picks broadcast when the
+        # query-term-restricted sides measure small
+        .join(df_, "t")
+        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("qid", "doc_id", (idf * tt).cast("decimal(25,6)").alias("s"))
         .groupBy("qid", "doc_id")
