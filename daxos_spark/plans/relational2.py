@@ -4723,9 +4723,12 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drop at scale (same convention as the KMV/recall audits).
 # Scale shape: one events scan → user-keyed lag window (partitioned,
 # bounded per user) → map-side-combining bucket count; quantile
-# extraction is a window over the ≤1k-row bucket table; the exact
-# order-statistic audit is one TakeOrdered-style rank filter per
-# quantile on the latency relation.
+# extraction is a window over the ≤1k-row bucket table. The exact
+# order-statistic audit branch is a per-quantile rank over the full
+# latency relation (a 3-partition sort — row_number with a COLUMN
+# rank target cannot become TakeOrderedAndProject): it is the audit
+# you DROP at 100 TB, exactly like the KMV exact-count branch — the
+# sketch path (bucket counts + extraction) is the product.
 _HDR_QS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))  # name, num, den
 
 
