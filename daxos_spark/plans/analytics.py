@@ -676,11 +676,11 @@ def q_itemcf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         sym.join(F.broadcast(probes), "item")
         .join(
-            F.broadcast(deg.select(F.col("l_partkey").alias("item"), F.col("n").alias("na"))),
+            deg.select(F.col("l_partkey").alias("item"), F.col("n").alias("na")),
             "item",
         )
         .join(
-            F.broadcast(deg.select(F.col("l_partkey").alias("other"), F.col("n").alias("nb"))),
+            deg.select(F.col("l_partkey").alias("other"), F.col("n").alias("nb")),
             "other",
         )
         .select(

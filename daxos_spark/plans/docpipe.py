@@ -733,8 +733,9 @@ def _jaccard_edge_pairs(d: DataFrame, persist: bool = True):
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    # doc-cardinality size lookups: broadcast, never shuffle inter
-    sa, sb = F.broadcast(sizes.alias("sa")), F.broadcast(sizes.alias("sb"))
+    # doc-cardinality size lookups scale with the corpus — no forced
+    # broadcast; AQE picks broadcast at test scale, shuffle at 100 TB
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     pairs = (
         inter.join(sa, F.col("da") == F.col("sa.doc_id"))
         .join(sb, F.col("db") == F.col("sb.doc_id"))

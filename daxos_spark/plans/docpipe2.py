@@ -136,13 +136,14 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str, persist: bool = Tr
         ).alias("t"),
     )
     # global document frequency per token — the prefix ordering key.
-    # Tiny relative to the corpus (vocabulary-sized): broadcast it.
+    # Vocabulary grows ~ heap with corpus size, so no forced broadcast
+    # (AQE broadcasts at test scale, shuffles when the vocab outgrows it).
     dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     # per-doc token array sorted rarest-first (df asc, token asc —
     # struct array_sort gives the lexicographic (df, t) order, total and
     # engine-independent)
     sorted_tk = (
-        tok.join(F.broadcast(dfreq), "t")
+        tok.join(dfreq, "t")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "t"))).alias("st"))
         .select(

@@ -496,7 +496,7 @@ def q_supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t["supplier"].join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
     return (
         t["lineitem"]
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("n_name")
         .agg(dsum(F.col("l_quantity")).alias("total_qty"), F.count(F.lit(1)).alias("n_items"))
         .orderBy("n_name")

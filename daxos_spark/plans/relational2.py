@@ -195,7 +195,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(davg(F.col("l_quantity")).alias("avg_qty"))
     brand = t["part"].filter(F.col("p_brand") == "Brand#11")
     return (
-        li.join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(brand, F.col("p_partkey") == F.col("l_partkey"))
         .join(pa, F.col("pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
@@ -332,7 +332,7 @@ def q07_nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -1069,7 +1069,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_type", "p_size")
@@ -1237,7 +1237,7 @@ def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_order = (
         t["lineitem"]
-        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sn, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_orderkey")
         .agg(
             # size(collect_set) = COUNT(DISTINCT ...) in ONE aggregation
@@ -1295,7 +1295,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = (
         t["lineitem"]
-        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sn, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias(
@@ -1384,7 +1384,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     widget_parts = t["part"].filter(F.col("p_name").like("%widget%")).select("p_partkey")
     sp = (
         t["lineitem"]
-        .join(F.broadcast(widget_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(widget_parts, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
     )
@@ -1399,7 +1399,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["supplier"]
-        .join(F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("s_name", "n_name")
         .orderBy("s_name")
