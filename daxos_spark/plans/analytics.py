@@ -409,8 +409,8 @@ def _trajectory_knn_lazy(
         .agg(F.sum(F.col("pcnt") * F.col("cnt")).cast("bigint").alias("num"))
     )
     scored = (
-        num.join(F.broadcast(nrm.select(F.col("user_id").alias("pid"), F.col("nn").alias("na"))), "pid")
-        .join(F.broadcast(nrm.select(F.col("user_id").alias("cid"), F.col("nn").alias("nb"))), "cid")
+        num.join(nrm.select(F.col("user_id").alias("pid"), F.col("nn").alias("na")), "pid")
+        .join(nrm.select(F.col("user_id").alias("cid"), F.col("nn").alias("nb")), "cid")
     )
     rank_key = (
         F.col("num").cast("double") * F.col("num").cast("double")

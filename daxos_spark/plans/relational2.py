@@ -2854,8 +2854,8 @@ def q_basket_rules(spark: SparkSession, sf_dir: str, persist: bool = True) -> Da
     ia = item.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("cnt_a"))
     ib = item.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("cnt_b"))
     out = (
-        pair.join(F.broadcast(ia), "pa")
-        .join(F.broadcast(ib), "pb")
+        pair.join(ia, "pa")
+        .join(ib, "pb")
         .select(
             "pa", "pb", "both_cnt", "cnt_a", "cnt_b",
             F.floor(1e6 * F.col("both_cnt") / F.col("cnt_a")).cast("bigint").alias(
@@ -4597,7 +4597,9 @@ def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = e.groupBy("b").agg(F.max("ts_us").alias("bmax"))
     wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
     pm = bm.select("b", F.max("bmax").over(wb).alias("prior_max"))
-    late = e.join(F.broadcast(pm), "b").select(
+    # pm is per-BATCH (n_events / _WM_BATCH rows) - data-scaled, so no
+    # forced broadcast; AQE broadcasts it while it fits
+    late = e.join(pm, "b").select(
         F.greatest(
             F.coalesce(F.col("prior_max") - F.col("ts_us"), F.lit(0)), F.lit(0)
         ).alias("lateness_us")
