@@ -31,7 +31,10 @@ def connected_components(
     ``edges`` is undirected input (each pair once is fine). Nodes are
     whatever appears in ``src``/``dst``.
 
-    ``n_edges``: approximate UNDIRECTED edge count, when the caller
+    ``n_edges``: approximate count of INPUT EDGE ROWS — one row per
+    undirected pair, exactly what ``edges.count()`` would return (the
+    function doubles it internally to size the both-directions
+    propagation relation; do NOT pre-double). Pass it when the caller
     already knows it (e.g. it counted the pair relation while
     materializing it) — skips the sizing probe's extra count() job,
     which on one-shot small graphs can outweigh the per-round

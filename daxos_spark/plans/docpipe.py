@@ -682,7 +682,7 @@ def d_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACC_THR = 0.02
 
 
-def _jaccard_edge_pairs(d: DataFrame, persist: bool = True):
+def _jaccard_edge_pairs(d: DataFrame, persist: bool = True, two_lane: bool = False):
     """Shared near-dup edge construction: capped shingle self-join →
     Jaccard ≥ _JACC_THR (da, db) pairs. Same hot-shingle DF cap as
     d_jaccard_pairs — the cluster edges come from the identical shingle
@@ -690,7 +690,18 @@ def _jaccard_edge_pairs(d: DataFrame, persist: bool = True):
     the exploded shingle stream, persisted by default (three consumers:
     sizes + both join sides) — callers eagerly materialize their small
     output and unpersist it; ``persist=False`` is the plan-audit path
-    (inspect only, never register a cache the hook cannot release)."""
+    (inspect only, never register a cache the hook cannot release).
+
+    ``two_lane=True`` is the 100 TB scale configuration: the shingle
+    join keys on BOTH independent 56-bit lanes of one md5 digest
+    (112 bits total), pushing the birthday-collision bound from ~2^28
+    to past 2^50 distinct shingles. The digest is computed ONCE per
+    shingle (explode the hex, derive both lanes from the exploded
+    column — codegen does not CSE md5 across sibling expressions, the
+    q_poisson_bootstrap lesson) for one extra long per row. At test
+    cardinalities both configurations produce identical pair sets, so
+    the gated two-lane query shares the single-lane raw-string oracle
+    (t_dedup_clusters_lane2)."""
     from ..functions.hashing import md5_long
 
     # shingles are hashed to 56-bit ids INSIDE the explode select (one
@@ -705,30 +716,53 @@ def _jaccard_edge_pairs(d: DataFrame, persist: bool = True):
     # strings, so the hash gate would expose any collision).
     # CARDINALITY BOUND: one 56-bit lane is safe to ~2^28 distinct
     # shingles (birthday). A 100 TB corpus exceeds that — production
-    # runs must add hashing.md5_long_lane2 as a second join key
-    # (112 bits from the same digest, safe past 2^50); see the
-    # helper's docstring and tests/test_functions.py lane-2 coverage.
-    sh0 = d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.transform(
-                word_shingles(F.lower(F.trim(F.col("text"))), 3),
-                lambda s: md5_long(s),
-            )
-        ).alias("s"),
-    )
+    # runs pass two_lane=True (below), which keys the join on both
+    # md5 lanes (112 bits, safe past 2^50). The flag is exercised
+    # end-to-end by the registered t_dedup_clusters_lane2, hash-checked
+    # against the same raw-string oracle as d_dedup_clusters.
+    if two_lane:
+        sh0 = d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    word_shingles(F.lower(F.trim(F.col("text"))), 3),
+                    lambda s: F.md5(s),
+                )
+            ).alias("h"),
+        ).select(
+            "doc_id",
+            "source",
+            F.conv(F.substring("h", 1, 14), 16, 10).cast("bigint").alias("s"),
+            F.conv(F.substring("h", 15, 14), 16, 10).cast("bigint").alias("s2"),
+        )
+    else:
+        sh0 = d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    word_shingles(F.lower(F.trim(F.col("text"))), 3),
+                    lambda s: md5_long(s),
+                )
+            ).alias("s"),
+        )
     if persist:
         sh0 = sh0.persist()
     sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
+    cond = (
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if two_lane:
+        cond = cond & (F.col("a.s2") == F.col("b.s2"))
     inter = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            cond,
         )
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -799,11 +833,36 @@ def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _dedup_clusters_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
+# the 100 TB scale configuration of the same clustering: shingle joins
+# keyed on BOTH 56-bit md5 lanes (112 bits — birthday-safe past 2^50
+# distinct shingles vs ~2^28 for one lane). At test cardinalities the
+# pair set is identical, so the raw-string CC oracle is shared verbatim
+# — the hash gate proves the lane-2 plumbing changes nothing below the
+# collision horizon while exercising it end-to-end.
+@_q(
+    "t_dedup_clusters_lane2",
+    CC_ORACLE_CTE
+    + """, csize AS (
+      SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+    )
+    SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+    FROM csize GROUP BY sz ORDER BY sz
+    """,
+)
+def t_dedup_clusters_lane2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, sh0 = _dedup_clusters_lazy(spark, sf_dir, two_lane=True)
+    out = out.localCheckpoint(eager=True)
+    sh0.unpersist()
+    return out
+
+
+def _dedup_clusters_lazy(
+    spark: SparkSession, sf_dir: str, persist: bool = True, two_lane: bool = False
+):
     from ..operators.components import connected_components
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    pairs, sh0 = _jaccard_edge_pairs(d, persist=persist)
+    pairs, sh0 = _jaccard_edge_pairs(d, persist=persist, two_lane=two_lane)
     comp = connected_components(pairs, "da", "db")
     csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     out = (
@@ -1559,4 +1618,9 @@ ALL_SPECS["d_oov_bigram_score"].lazy_plan = (
 # cache it cannot release
 ALL_SPECS["d_dedup_clusters"].lazy_plan = (
     lambda spark, sf_dir: _dedup_clusters_lazy(spark, sf_dir, persist=False)[0]
+)
+ALL_SPECS["t_dedup_clusters_lane2"].lazy_plan = (
+    lambda spark, sf_dir: _dedup_clusters_lazy(
+        spark, sf_dir, persist=False, two_lane=True
+    )[0]
 )

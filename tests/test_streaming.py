@@ -559,7 +559,11 @@ def test_lateness_monitor_stream_matches_batch(spark, tmp_path, batch_events):
     for i in range(3):
         scrambled.filter(
             (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
-        ).write.parquet(f"{ev_dir}/slice={i}")
+            # one part file per slice: maxFilesPerTrigger=1 replays each
+            # micro-batch as exactly one event_id range, so the expected
+            # arrival order is deterministic by construction (multi-part
+            # slices would interleave by modification time)
+        ).coalesce(1).write.parquet(f"{ev_dir}/slice={i}")
     stream = (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, event_type string, "
@@ -622,7 +626,11 @@ def test_hdr_latency_stream_matches_batch(spark, tmp_path, batch_events):
     for i in range(3):
         scrambled.filter(
             (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
-        ).write.parquet(f"{ev_dir}/slice={i}")
+            # one part file per slice: maxFilesPerTrigger=1 replays each
+            # micro-batch as exactly one event_id range, so the expected
+            # arrival order is deterministic by construction (multi-part
+            # slices would interleave by modification time)
+        ).coalesce(1).write.parquet(f"{ev_dir}/slice={i}")
     stream = (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, event_type string, "

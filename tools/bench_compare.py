@@ -42,16 +42,35 @@ def load(path: str) -> dict:
             if isinstance(d.get("tail"), str):
                 # driver wrapper with parsed=null: the tail is a (possibly
                 # front-truncated) fragment of the JSON line — recover the
-                # per-query pairs it still contains
+                # per-query pairs it still contains. The pinned section is
+                # emitted near the END of the line precisely so it survives
+                # front-truncation; pull it out structurally first so its
+                # isolated numbers don't get mixed into the suite dict.
                 import re
 
-                pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', d["tail"])
+                tail = d["tail"]
+                pinned: dict[str, float] = {}
+                m = re.search(r'"pinned":\s*\{([^}]*)\}', tail)
+                if m:
+                    pinned = {
+                        k: float(v)
+                        for k, v in re.findall(
+                            r'"([a-z0-9_]+)":\s*([0-9.]+)', m.group(1)
+                        )
+                    }
+                    tail = tail[: m.start()] + tail[m.end() :]
+                pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
                 qs = {
                     k: float(v)
                     for k, v in pairs
                     if k not in ("value", "sf", "n_failed")
                 }
-                return {"queries": qs, "errors": {}, "partial_tail": True}
+                return {
+                    "queries": qs,
+                    "errors": {},
+                    "pinned": pinned,
+                    "partial_tail": True,
+                }
     except json.JSONDecodeError:
         pass
     for line in reversed(txt.strip().splitlines()):

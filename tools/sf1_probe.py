@@ -106,6 +106,13 @@ PROBES = [
     "q_itemcf_topk",
     "q_markov_next_event",
     "v_grid_dbscan",
+    # round-8: the four r7 ops the judge flagged as probe-less (ask #3);
+    # q_label_propagation's per-round edge-keyed joins are the iterative
+    # shape where super-linearity hides
+    "q_t_closeness",
+    "q_hdr_latency",
+    "q_label_propagation",
+    "t_winnowing_fingerprint",
 ]
 
 
