@@ -239,6 +239,9 @@ BENCH_QUERIES = [
     "t_winnowing_fingerprint",
     "v_semantic_keep",
     "t_refinery_linear",
+    # round 8
+    "t_kneser_ney_capped",
+    "t_dedup_clusters_lane2",
 ]
 
 # Frozen heavy set for round-over-round comparison (r8 ask #4): the ~28

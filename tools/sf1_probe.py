@@ -113,6 +113,7 @@ PROBES = [
     "q_hdr_latency",
     "q_label_propagation",
     "t_winnowing_fingerprint",
+    "t_kneser_ney_capped",
 ]
 
 
