@@ -242,6 +242,8 @@ BENCH_QUERIES = [
     # round 8
     "t_kneser_ney_capped",
     "t_dedup_clusters_lane2",
+    "q_dp_histogram",
+    "v_ndcg_audit",
 ]
 
 # Frozen heavy set for round-over-round comparison (r8 ask #4): the ~28

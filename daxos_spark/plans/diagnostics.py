@@ -1037,3 +1037,86 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# --------------------------------------------------------------------------
+# Differentially-private histogram release — the RELEASE step after the
+# k-anonymity / l-diversity / t-closeness audits: instead of suppressing
+# risky classes, publish every cell of the (status × priority) order
+# histogram with Laplace(1/ε) noise (ε-DP for counting queries,
+# sensitivity 1 — one order changes one cell by 1; Dwork et al.'s
+# classic mechanism). Noise is DETERMINISTIC for the cross-engine gate:
+# u = (md5(cell key) 56-bit lane + 0.5) / 2^56 ∈ (0,1) exclusive, and
+# the Laplace inverse-CDF −b·sign(u−½)·ln(1−2|u−½|) is evaluated on the
+# identical double in both engines (single LN per row — the
+# q_km_time_to_error precedent; division by 2^56 is exact). A real
+# deployment swaps the md5-uniform for a CSPRNG draw; every other part
+# of the release — cell keying, sensitivity bound, ε accounting — is
+# exactly this plan. Scale shape: one groupBy over the fact table, a
+# per-cell projection; nothing keyed wider than the cell space.
+_DP_EPS_INV = 2.0  # b = sensitivity/ε = 1/0.5
+
+
+@_q(
+    "q_dp_histogram",
+    f"""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), u AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             (CAST({md5_long_sql("concat('dp#', o_orderstatus, '#', o_orderpriority)")} AS DOUBLE) + 0.5)
+               / CAST(72057594037927936 AS DOUBLE) AS u
+      FROM c
+    ), z AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             -CAST({_DP_EPS_INV} AS DOUBLE)
+               * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+               * LN(1.0 - 2.0 * ABS(u - 0.5)) AS noise
+      FROM u
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           {sql_trunc6("CAST(n AS DOUBLE) + noise")} AS released_count,
+           {sql_trunc6("ABS(noise)")} AS abs_noise,
+           CAST((1.0/2.0) AS DOUBLE) AS epsilon
+    FROM z ORDER BY o_orderstatus, o_orderpriority
+    """,
+    doc="ε-differentially-private release of the (status × priority) "
+    "order histogram: Laplace(1/ε) via deterministic md5-uniform "
+    "inverse-CDF (sensitivity 1, ε=0.5), per-cell released count + "
+    "noise magnitude — completes the governance ladder with the "
+    "release mechanism itself",
+)
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    o = load_tables(spark, sf_dir)["orders"]
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    u = (
+        md5_long(
+            F.concat(
+                F.lit("dp#"),
+                F.col("o_orderstatus"),
+                F.lit("#"),
+                F.col("o_orderpriority"),
+            )
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(72057594037927936.0)
+    noise = (
+        -F.lit(_DP_EPS_INV)
+        * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return (
+        c.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            trunc6(F.col("n").cast("double") + noise).alias("released_count"),
+            trunc6(F.abs(noise)).alias("abs_noise"),
+            (F.lit(1.0) / F.lit(2.0)).alias("epsilon"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )

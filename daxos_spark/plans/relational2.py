@@ -2178,6 +2178,105 @@ ALL_SPECS["q_copurchase_triangles"].lazy_plan = (
 
 
 # --------------------------------------------------------------------------
+# Link prediction on the co-purchase graph — Adamic-Adar (the classic
+# common-neighbor score weighting rare shared neighbors higher:
+# Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z)) over 2-hop candidate pairs that are
+# NOT already edges; top-20 predicted links. Wedge enumeration goes
+# through capped-degree centers only (deg ≤ _LP_MAXDEG — the hot-hub
+# exclusion twin of the LSH hot-shingle cap: a hub's 1/ln(deg) carries
+# ~no signal while its deg² wedge mass is the classic skew bomb; same
+# cap in both engines so the score is identical). Per-wedge terms are
+# floor(v·1e6)-quantized before summing (engine-exact, the r6 IRLS
+# rule); top-20 executes as TakeOrderedAndProject. Wedge centers have
+# deg ≥ 2 by construction, so ln(deg) > 0.
+_LP_MAXDEG = 64
+
+
+@_q(
+    "q_link_prediction",
+    f"""
+    WITH e AS ({_COPURCHASE_EDGES_CTE}
+    ), und AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+    ), deg AS (
+      SELECT u AS z, COUNT(*) AS d FROM und GROUP BY u
+    ), ctr AS (
+      SELECT z, d FROM deg WHERE d <= {_LP_MAXDEG}
+    ), wed AS (
+      SELECT x.v AS a, y.v AS b,
+             CAST(FLOOR((1.0 / LN(CAST(c.d AS DOUBLE))) * 1000000) AS BIGINT) AS q
+      FROM und x
+      JOIN ctr c ON c.z = x.u
+      JOIN und y ON y.u = x.u AND x.v < y.v
+    ), cand AS (
+      SELECT a, b, COUNT(*) AS cn,
+             CAST(SUM(q) AS DOUBLE) / 1000000.0 AS aa
+      FROM wed GROUP BY a, b
+    ), nonedge AS (
+      SELECT c.a, c.b, c.cn, c.aa
+      FROM cand c LEFT JOIN e ON e.a = c.a AND e.b = c.b
+      WHERE e.a IS NULL
+    )
+    SELECT a, b, CAST(cn AS BIGINT) AS common_neighbors,
+           {sql_trunc6('aa')} AS adamic_adar
+    FROM nonedge ORDER BY aa DESC, a, b LIMIT 20
+    """,
+    doc="Adamic-Adar link prediction over the co-purchase part graph: "
+    "top-20 non-adjacent 2-hop pairs by Σ 1/ln(deg) of shared "
+    "neighbors, hub-capped wedge enumeration",
+    tags=("relational", "graph"),
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    e = _copurchase_edges(li)
+    if persist:
+        # three consumers: und (x2 via aliases), deg, and the anti-join
+        e = e.persist()
+    und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("z")).agg(F.count(F.lit(1)).alias("d"))
+    ctr = deg.filter(F.col("d") <= _LP_MAXDEG)
+    x, y = und.alias("x"), und.alias("y")
+    wed = (
+        x.join(ctr, F.col("x.u") == F.col("z"))
+        .join(y, (F.col("y.u") == F.col("x.u")) & (F.col("x.v") < F.col("y.v")))
+        .select(
+            F.col("x.v").alias("a"),
+            F.col("y.v").alias("b"),
+            F.floor(
+                (F.lit(1.0) / F.log(F.col("d").cast("double"))) * F.lit(1000000)
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    cand = wed.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("cn"),
+        (F.sum("q").cast("double") / F.lit(1000000.0)).alias("aa"),
+    )
+    out = (
+        cand.join(e, ["a", "b"], "left_anti")
+        .orderBy(F.col("aa").desc(), "a", "b")
+        .limit(20)
+        .select(
+            "a",
+            "b",
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            trunc6(F.col("aa")).alias("adamic_adar"),
+        )
+    )
+    if not persist:
+        return out
+    return checkpoint_release(out, [e])
+
+
+ALL_SPECS["q_link_prediction"].lazy_plan = (
+    lambda spark, sf_dir: q_link_prediction(spark, sf_dir, persist=False)
+)
+
+
+# --------------------------------------------------------------------------
 # Incremental view maintenance, proven by the query itself: split the
 # event stream at a time watermark into BASE and DELTA, maintain the
 # per-user hourly aggregate incrementally (base agg FULL OUTER merge

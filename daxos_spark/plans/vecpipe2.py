@@ -1680,6 +1680,118 @@ def v_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# NDCG@5 retrieval-quality audit — recall says WHETHER the right items
+# came back; NDCG says whether they came back in the right ORDER (the
+# metric retrieval evals actually report). Gold = exact-cosine top-5
+# (graded relevance 6−gold_rank = 5..1), system = the truncated-dim
+# rerank ranking; DCG = Σ rel·ln2/ln(pos+1) with the per-row
+# floor(v·1e6) BIGINT quantizer (engine-exact sums — the r6 IRLS
+# lesson), NDCG = DCG/IDCG. Both rankings' row_number orderings are
+# already hash-verified by v_trunc_knn / e_knn_bruteforce, so the rank
+# values feeding the gains are deterministic. Scale shape: two
+# panel-bounded kNN outputs joined on (qid, cid) — nothing corpus-keyed
+# past the kNN stages themselves.
+_NDCG_QUANT = (
+    "CAST(SUM(CAST(FLOOR(((CAST(rel AS DOUBLE) * LN(CAST(2 AS DOUBLE)))"
+    " / LN(CAST(pos + 1 AS DOUBLE))) * 1000000) AS BIGINT)) AS DOUBLE)"
+    " / 1000000.0"
+)
+
+
+@_q(
+    "v_ndcg_audit",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+             (embedding::DOUBLE[])[1:{_TR_P}] AS qp
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+             (embedding::DOUBLE[])[1:{_TR_P}] AS cp
+      FROM embeddings WHERE vec_id >= 10
+    ), exact_top AS (
+      SELECT qid, cid, rk FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 {_TR_COS.format(a='q.qv', b='c.cv')} DESC, c.cid) AS rk
+        FROM q, c)
+      WHERE rk <= 5
+    ), cand AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                 {_TR_COS.format(a='qp', b='cp')} DESC, cid) AS rn
+        FROM q, c)
+      WHERE rn <= {_TR_C}
+    ), tr_top AS (
+      SELECT qid, cid, rk FROM (
+        SELECT cand.qid, cand.cid,
+               ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+                 {_TR_COS.format(a='q.qv', b='c.cv')} DESC, cand.cid) AS rk
+        FROM cand JOIN q ON q.qid = cand.qid JOIN c ON c.cid = cand.cid)
+      WHERE rk <= 5
+    ), rels AS (
+      SELECT t.qid, t.rk AS pos, COALESCE(6 - e.rk, 0) AS rel
+      FROM tr_top t LEFT JOIN exact_top e ON e.qid = t.qid AND e.cid = t.cid
+    ), dcg AS (
+      SELECT qid, {_NDCG_QUANT} AS dcg,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM rels GROUP BY qid
+    ), idcg AS (
+      SELECT qid, {_NDCG_QUANT} AS idcg
+      FROM (SELECT qid, rk AS pos, 6 - rk AS rel FROM exact_top)
+      GROUP BY qid
+    )
+    SELECT d.qid, d.n_hits,
+           {sql_trunc6('d.dcg / i.idcg')} AS ndcg
+    FROM dcg d JOIN idcg i ON i.qid = d.qid
+    ORDER BY d.qid
+    """,
+    doc="NDCG@5 of the truncated-dim ANN ranking vs exact-cosine gold "
+    "(graded relevance 6-gold_rank): rank-aware retrieval quality, the "
+    "companion to the set-based recall audits",
+)
+def v_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vecpipe import e_knn_bruteforce
+
+    gold = e_knn_bruteforce(spark, sf_dir).select(
+        "qid", F.col("neighbor_id").alias("cid"), F.col("rk").alias("grank")
+    )
+    sysr = v_trunc_knn(spark, sf_dir).select(
+        "qid", F.col("neighbor_id").alias("cid"), F.col("rk").alias("pos")
+    )
+
+    def _qterm(rel, pos):
+        term = (
+            rel.cast("double")
+            * F.log(F.lit(2.0))
+            / F.log((pos + F.lit(1)).cast("double"))
+        )
+        return F.floor(term * F.lit(1000000)).cast("bigint")
+
+    rels = sysr.join(gold, ["qid", "cid"], "left").select(
+        "qid",
+        "pos",
+        F.coalesce(F.lit(6) - F.col("grank"), F.lit(0)).alias("rel"),
+    )
+    dcg = rels.groupBy("qid").agg(
+        (F.sum(_qterm(F.col("rel"), F.col("pos"))).cast("double") / F.lit(1000000.0)).alias("dcg"),
+        F.sum((F.col("rel") > 0).cast("int")).cast("bigint").alias("n_hits"),
+    )
+    idcg = gold.groupBy("qid").agg(
+        (
+            F.sum(_qterm(F.lit(6) - F.col("grank"), F.col("grank"))).cast("double")
+            / F.lit(1000000.0)
+        ).alias("idcg")
+    )
+    return (
+        dcg.join(idcg, "qid")
+        .select("qid", "n_hits", trunc6(F.col("dcg") / F.col("idcg")).alias("ndcg"))
+        .orderBy("qid")
+    )
+
+
+# --------------------------------------------------------------------------
 # kNN label-noise screen (Wilson-editing / "confident-learning-lite")
 # — the labeled-data curation op: for a deterministic 10% probe panel,
 # find each probe's top-5 nearest corpus vectors (fixed-point integer

@@ -88,7 +88,19 @@ def main() -> int:
     args = ap.parse_args()
 
     new, old = load(args.new), load(args.old)
-    new_q, old_q = new.get("queries", {}), old.get("queries", {})
+
+    # Round-8: when BOTH runs carry a pinned section (isolated heavy-set
+    # numbers measured before the suite), THAT is the round-over-round
+    # comparison surface — the full suite's per-query times drift with
+    # suite growth (three rounds of phantom regressions, each costing an
+    # isolated-A/B session to refute). Suite diffs are still printed,
+    # informationally, below.
+    pinned_mode = bool(new.get("pinned")) and bool(old.get("pinned"))
+    if pinned_mode:
+        new_q, old_q = new["pinned"], old["pinned"]
+        print(f"pinned mode: scoring {len(new_q)} isolated heavy-set queries")
+    else:
+        new_q, old_q = new.get("queries", {}), old.get("queries", {})
 
     try:
         from daxos_spark.plans.registry import RENAMES
@@ -109,6 +121,22 @@ def main() -> int:
         ratio = t_new / t_old if t_old > 0 else float("inf")
         if ratio > args.threshold:
             failures.append(f"{name}: {t_old:.2f}s -> {t_new:.2f}s ({ratio:.2f}x)")
+
+    if pinned_mode:
+        # suite times: informational only (suite-load drift is expected)
+        suite_new, suite_old = new.get("queries", {}), old.get("queries", {})
+        drifted = []
+        for name, t_new in sorted(suite_new.items()):
+            t_old = suite_old.get(name, suite_old.get(back.get(name, name)))
+            if t_old is None or (t_new <= NOISE_FLOOR_SEC and t_old <= NOISE_FLOOR_SEC):
+                continue
+            if t_old > 0 and t_new / t_old > args.threshold:
+                drifted.append(f"{name} {t_old:.2f}->{t_new:.2f}s")
+        if drifted:
+            print(
+                f"  note: {len(drifted)} suite-load drifts (NOT scored; "
+                f"check pinned/isolated first): {', '.join(drifted[:10])}"
+            )
 
     new_errs = set(new.get("errors", {}))
     old_errs = set(old.get("errors", {}))
