@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "t_dedup_clusters_lane2",
     "q_dp_histogram",
     "v_ndcg_audit",
+    "q_link_prediction",
 ]
 
 # Frozen heavy set for round-over-round comparison (r8 ask #4): the ~28

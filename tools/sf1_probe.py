@@ -114,6 +114,10 @@ PROBES = [
     "q_label_propagation",
     "t_winnowing_fingerprint",
     "t_kneser_ney_capped",
+    "q_link_prediction",
+    "q_dp_histogram",
+    "v_ndcg_audit",
+    "t_dedup_clusters_lane2",
 ]
 
 
