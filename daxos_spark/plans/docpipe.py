@@ -329,14 +329,21 @@ def d_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAX_SHINGLE_DF = 50_000
 
 
-def _cap_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+def _cap_hot_shingles(
+    sh: DataFrame, max_df: int, keys: tuple[str, ...] = ("s",)
+) -> DataFrame:
     """Drop shingles with document frequency > max_df. ``sh`` must be
     one row per (doc_id, shingle). The hot set is tiny by construction
-    (only ultra-common shingles) → broadcast anti-join, no shuffle."""
-    hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+    (only ultra-common shingles) → broadcast anti-join, no shuffle.
+    ``keys`` is the shingle identity — two-lane callers pass
+    ("s", "s2") so a lane-1 birthday collision past ~2^28 distinct
+    shingles cannot pool two shingles' document frequencies and drop
+    both below-cap shingles (the same collision class the 112-bit join
+    key exists to eliminate)."""
+    hot = sh.groupBy(*keys).agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") > max_df
     )
-    return sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    return sh.join(F.broadcast(hot.select(*keys)), list(keys), "left_anti")
 
 
 @_q(
@@ -749,7 +756,9 @@ def _jaccard_edge_pairs(d: DataFrame, persist: bool = True, two_lane: bool = Fal
         )
     if persist:
         sh0 = sh0.persist()
-    sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
+    sh = _cap_hot_shingles(
+        sh0, _MAX_SHINGLE_DF, keys=("s", "s2") if two_lane else ("s",)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     cond = (

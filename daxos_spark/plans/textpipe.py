@@ -3094,9 +3094,11 @@ def _kn_capped_oracle() -> str:
 @_q(
     "t_kneser_ney_capped",
     _kn_capped_oracle(),
-    doc="Kneser-Ney bigram perplexity over a KenLM-style top-V pruned "
-    "vocabulary (V=1000 by unigram count, OOV bucket): count tables "
-    "bounded by (V+1)^2 regardless of corpus size",
+    doc=f"Kneser-Ney bigram perplexity over a KenLM-style top-V pruned "
+    f"vocabulary (V={_KN_V} by unigram count — sized to the 31-type "
+    "harness corpus so the OOV bucket is gate-exercised; OOV remap "
+    "before bigram counting): count tables bounded by (V+1)^2 "
+    "regardless of corpus size",
 )
 def t_kneser_ney_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _fanout(load_tables(spark, sf_dir)["documents"])

@@ -116,7 +116,9 @@ def test_link_prediction_matches_python_replay(spark):
         adj.setdefault(b, set()).add(a)
     scores: dict[tuple[int, int], tuple[int, int]] = {}  # (cn, q_micro_sum)
     for z, nbrs in adj.items():
-        if len(nbrs) > _LP_MAXDEG:
+        if len(nbrs) > _LP_MAXDEG or len(nbrs) < 2:
+            # deg-1 nodes center no wedge (and ln(1)=0 would divide by
+            # zero here; the SQL/Spark plans never evaluate that row)
             continue
         q = math.floor((1.0 / math.log(float(len(nbrs)))) * 1e6)
         ns = sorted(nbrs)

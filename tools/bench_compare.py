@@ -100,6 +100,14 @@ def main() -> int:
         new_q, old_q = new["pinned"], old["pinned"]
         print(f"pinned mode: scoring {len(new_q)} isolated heavy-set queries")
     else:
+        if new.get("pinned_errors") or old.get("pinned"):
+            # a run that HAS a pinned section but produced no numbers
+            # (all entries failed) must not silently fall back to the
+            # drift-prone suite surface
+            print(
+                "  WARNING: pinned section empty or missing on one side - "
+                "falling back to suite comparison (suite-load drift applies)"
+            )
         new_q, old_q = new.get("queries", {}), old.get("queries", {})
 
     try:
@@ -142,6 +150,14 @@ def main() -> int:
     old_errs = set(old.get("errors", {}))
     for q in sorted(new_errs - old_errs):
         failures.append(f"{q}: NEW ERROR {new.get('errors', {})[q][:120]}")
+    # a query that fails only in the isolated pinned run must surface
+    # too - it would otherwise vanish from the scored surface entirely
+    new_perrs = set(new.get("pinned_errors", {}))
+    old_perrs = set(old.get("pinned_errors", {}))
+    for q in sorted(new_perrs - old_perrs):
+        failures.append(
+            f"{q}: NEW PINNED ERROR {new.get('pinned_errors', {})[q][:120]}"
+        )
 
     dropped = [
         n for n in old_q if n not in new_q and RENAMES.get(n, n) not in new_q
