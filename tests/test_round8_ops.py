@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import hashlib
 import math
-import re
 
 SF_DIR = "/root/testdata/sf0.001"
 
