@@ -333,8 +333,13 @@ def _cap_hot_shingles(
     sh: DataFrame, max_df: int, keys: tuple[str, ...] = ("s",)
 ) -> DataFrame:
     """Drop shingles with document frequency > max_df. ``sh`` must be
-    one row per (doc_id, shingle). The hot set is tiny by construction
-    (only ultra-common shingles) → broadcast anti-join, no shuffle.
+    one row per (doc_id, shingle). The hot set is tiny at test scale
+    (only ultra-common shingles) but it is a DF-THRESHOLD filter, not a
+    top-N cap — its cardinality scales with the corpus (bounded only by
+    shingle_rows/max_df, millions at 100 TB), so no forced broadcast:
+    AQE broadcasts the anti-join side while it fits and shuffles past
+    that (the round-8 bounded-broadcast rule; its own guard test
+    caught this site's old hint).
     ``keys`` is the shingle identity — two-lane callers pass
     ("s", "s2") so a lane-1 birthday collision past ~2^28 distinct
     shingles cannot pool two shingles' document frequencies and drop
@@ -343,7 +348,7 @@ def _cap_hot_shingles(
     hot = sh.groupBy(*keys).agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") > max_df
     )
-    return sh.join(F.broadcast(hot.select(*keys)), list(keys), "left_anti")
+    return sh.join(hot.select(*keys), list(keys), "left_anti")
 
 
 @_q(

@@ -6,9 +6,11 @@ tables (nation/region), fixed-size panels, codebooks (centroids, PQ
 anchors, CMS rows), grid cells, and explicitly capped lists.
 
 Manual sweeps demonstrably don't converge (round 6 fixed 1 site, round
-7 fixed 15 and missed 10, and building THIS allowlist caught 4 more the
+7 fixed 15 and missed 10, and building THIS allowlist caught 5 more the
 round-7 judge audit missed: the trajectory per-user norm table on both
-pair sides and the basket-rules per-item count table on both sides).
+pair sides, the basket-rules per-item count table on both sides, and
+the watermark per-batch prior-max table; a review pass then caught the
+hot-shingle DF-threshold set, mis-certified here as a top-N cap).
 So, like tests/test_cache_discipline.py for persist leaks, every
 ``F.broadcast(`` call site in daxos_spark/ must appear here with an
 exact count and a boundedness justification. Adding a hint anywhere
@@ -131,7 +133,6 @@ ALLOWED: dict[str, tuple[int, str]] = {
         "fixed _ERASE_N subject panel x2 + the panel's own orders",
     ),
     "plans/docpipe.py:d_langid_confusion": (1, "stopword codebook (fixed list)"),
-    "plans/docpipe.py:_cap_hot_shingles": (1, "capped hot-shingle list (top-N)"),
     "plans/docpipe.py:d_decontamination": (1, "eval-set shingles (fixed eval corpus)"),
     # -- plans: ANN query panels and codebooks -----------------------------
     "plans/vecpipe.py:e_knn_bruteforce": (1, "fixed query panel"),
@@ -197,6 +198,28 @@ def test_allowlist_is_not_stale():
         k: (seen.get(k, 0), n) for k, (n, _) in ALLOWED.items() if seen.get(k, 0) != n
     }
     assert not stale, f"allowlist out of date (seen, listed): {stale}"
+
+
+def test_no_alternate_broadcast_spellings():
+    """The inventory matches the literal ``F.broadcast(`` — so any other
+    spelling of the JOIN-hint in plan code would be invisible to the
+    allowlist. In ``plans/`` every ``broadcast(`` call must be spelled
+    ``F.broadcast(`` (bare from-import or module aliases fail here).
+    ``sparkContext.broadcast`` python-object broadcast variables live
+    only outside plans/ (ml/), which this test deliberately excludes."""
+    import re as _re
+
+    offenders = []
+    for p in sorted((PKG / "plans").glob("*.py")):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            for m in _re.finditer(r"broadcast\(", code):
+                if code[max(0, m.start() - 2) : m.start()] != "F.":
+                    offenders.append(f"plans/{p.name}:{i}: {line.strip()}")
+    assert not offenders, (
+        "broadcast( spelled other than F.broadcast( in plans/ - "
+        f"invisible to the allowlist guard: {offenders}"
+    )
 
 
 def test_every_entry_has_a_reason():

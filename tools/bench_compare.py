@@ -59,6 +59,14 @@ def load(path: str) -> dict:
                         )
                     }
                     tail = tail[: m.start()] + tail[m.end() :]
+                elif '"complete"' in tail:
+                    # truncation cut INSIDE the pinned object (its
+                    # '"pinned": {' opener is gone): everything after the
+                    # "complete" key is pinned/pinned_errors fragments -
+                    # drop them rather than mixing isolated times into
+                    # the suite dict (they are not recoverable as pinned
+                    # either, since the section is incomplete)
+                    tail = tail[: tail.rindex('"complete"')]
                 pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
                 qs = {
                     k: float(v)
@@ -100,7 +108,11 @@ def main() -> int:
         new_q, old_q = new["pinned"], old["pinned"]
         print(f"pinned mode: scoring {len(new_q)} isolated heavy-set queries")
     else:
-        if new.get("pinned_errors") or old.get("pinned"):
+        if (
+            new.get("pinned_errors")
+            or old.get("pinned")
+            or old.get("pinned_errors")
+        ):
             # a run that HAS a pinned section but produced no numbers
             # (all entries failed) must not silently fall back to the
             # drift-prone suite surface
