@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "q_dp_histogram",
     "v_ndcg_audit",
     "q_link_prediction",
+    "t_stratified_sample",
 ]
 
 # Frozen heavy set for round-over-round comparison (r8 ask #4): the ~28

@@ -3240,6 +3240,65 @@ def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stratified (per-source) variant of the same Efraimidis-Spirakis
+# reservoir — the balanced-corpus assembly op: an N-doc token-mass-
+# proportional sample WITHIN each source, so no source is starved by a
+# heavier one (the global top-N above would be dominated by whatever
+# source has the largest weights). Same ln(md5-uniform)/weight priority
+# key; the per-group top-N is a row_number over a source-partitioned
+# window — partitions are the natural stratum unit at any corpus size
+# (never a global sort), and N is a constant so the output is
+# #sources × N rows.
+_SS_N = 20
+
+
+@_q(
+    "t_stratified_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             LN(CAST({md5_long_sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+                / CAST(72057594037927936 AS DOUBLE))
+               / CAST(n_chars AS DOUBLE) AS k
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, n_chars, k,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY k DESC, doc_id)
+               AS rk
+      FROM w
+    )
+    SELECT source, rk, doc_id, CAST(n_chars AS BIGINT) AS weight,
+           {sql_trunc6('k')} AS priority
+    FROM r WHERE rk <= {_SS_N}
+    ORDER BY source, rk
+    """,
+    doc=f"stratified Efraimidis-Spirakis sample: top-{_SS_N} docs per "
+    "source by ln(md5-uniform)/weight — weight-proportional sampling "
+    "within each stratum, the balanced-corpus assembly shape",
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    u = md5_long(F.col("doc_id").cast("string")).cast("double") / F.lit(
+        72057594037927936.0
+    )
+    k = F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            k.alias("k"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SS_N)
+        .select("source", "rk", "doc_id", "weight", trunc6(F.col("k")).alias("priority"))
+        .orderBy("source", "rk")
+    )
+
+
 # --------------------------------------------------------------------------
 # Curriculum staging — order the corpus easy→hard by Kneser-Ney
 # perplexity and report the 10 curriculum stages (the data-ordering

@@ -186,3 +186,37 @@ def test_two_lane_jaccard_pairs_identical_below_collision_horizon(spark):
     assert one == two and len(one) > 0
     # the two-lane stream really carries the second lane
     assert "s2" in sh2.columns and "s2" not in sh1.columns
+
+
+def test_stratified_sample_matches_python_replay(spark):
+    import math as _m
+
+    from daxos_spark.catalog import load_tables
+    from daxos_spark.plans.textpipe import _SS_N, t_stratified_sample
+
+    docs = [
+        (r["doc_id"], r["source"], r["n_chars"])
+        for r in load_tables(spark, SF_DIR)["documents"]
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    ]
+    by_src: dict[str, list[tuple[float, int, int]]] = {}
+    for did, src, nc in docs:
+        u = _md5_long(str(did)) / 2**56
+        by_src.setdefault(src, []).append((_m.log(u) / nc, did, nc))
+    want = []
+    for src in sorted(by_src):
+        ranked = sorted(by_src[src], key=lambda t: (-t[0], t[1]))[:_SS_N]
+        for rk, (k, did, nc) in enumerate(ranked, 1):
+            want.append((src, rk, did, nc, _trunc6(k)))
+    got = [
+        (r["source"], r["rk"], r["doc_id"], r["weight"], r["priority"])
+        for r in t_stratified_sample(spark, SF_DIR).collect()
+    ]
+    assert got == want
+    # every stratum filled to min(N, stratum size)
+    from collections import Counter
+
+    per = Counter(s for s, *_ in got)
+    for src, rows in by_src.items():
+        assert per[src] == min(_SS_N, len(rows))

@@ -118,6 +118,7 @@ PROBES = [
     "q_dp_histogram",
     "v_ndcg_audit",
     "t_dedup_clusters_lane2",
+    "t_stratified_sample",
 ]
 
 
