@@ -1078,14 +1078,18 @@ _DP_EPS_INV = 2.0  # b = sensitivity/ε = 1/0.5
     SELECT o_orderstatus, o_orderpriority,
            {sql_trunc6("CAST(n AS DOUBLE) + noise")} AS released_count,
            {sql_trunc6("ABS(noise)")} AS abs_noise,
-           CAST((1.0/2.0) AS DOUBLE) AS epsilon
+           CAST((1.0/2.0) AS DOUBLE) AS nominal_epsilon
     FROM z ORDER BY o_orderstatus, o_orderpriority
     """,
-    doc="ε-differentially-private release of the (status × priority) "
+    doc="differentially-private-SHAPED release of the (status × priority) "
     "order histogram: Laplace(1/ε) via deterministic md5-uniform "
-    "inverse-CDF (sensitivity 1, ε=0.5), per-cell released count + "
-    "noise magnitude — completes the governance ladder with the "
-    "release mechanism itself",
+    "inverse-CDF (sensitivity 1, nominal ε=0.5), per-cell released count "
+    "+ noise magnitude. NOTE: the noise here is a deterministic public "
+    "function of the cell key (required for the cross-engine hash gate), "
+    "so this release provides NO actual privacy — the column is named "
+    "nominal_epsilon for that reason; a real deployment swaps the "
+    "md5-uniform for a CSPRNG draw and keeps every other part of the "
+    "plan",
 )
 def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import md5_long
@@ -1116,7 +1120,7 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             trunc6(F.col("n").cast("double") + noise).alias("released_count"),
             trunc6(F.abs(noise)).alias("abs_noise"),
-            (F.lit(1.0) / F.lit(2.0)).alias("epsilon"),
+            (F.lit(1.0) / F.lit(2.0)).alias("nominal_epsilon"),
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )

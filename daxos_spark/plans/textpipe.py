@@ -3190,7 +3190,10 @@ def _kn_doc_nll(d: DataFrame, top_v: int | None = None) -> DataFrame:
 # Weighted priority sampling — Efraimidis-Spirakis '06 weighted
 # reservoir sampling, the deterministic way to draw a token-mass-
 # proportional corpus subsample in one distributed pass: each doc gets
-# priority key ln(u_i)/w_i with u_i = md5(doc_id)/2^56 ∈ (0,1) and
+# priority key ln(u_i)/w_i with u_i = (md5(doc_id)+½)/2^56 ∈ (0,1)
+# (the +½ endpoint offset keeps u strictly positive even for a 56-bit
+# hash of exactly 0 — F.log(0) is NULL in Spark but -inf/error in
+# duckdb, the q_dp_histogram convention) and
 # w_i = its character mass; the sample is the top-N keys. Equivalent
 # to ranking u^(1/w) but in LOG space, avoiding cross-libm pow(); LN
 # of the same double is identical in both engines (the
@@ -3208,7 +3211,7 @@ _WS_N = 50
     f"""
     WITH w AS (
       SELECT doc_id, source, n_chars,
-             LN(CAST({md5_long_sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+             LN((CAST({md5_long_sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 0.5)
                 / CAST(72057594037927936 AS DOUBLE))
                / CAST(n_chars AS DOUBLE) AS k
       FROM documents
@@ -3223,7 +3226,7 @@ _WS_N = 50
 )
 def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
-    u = md5_long(F.col("doc_id").cast("string")).cast("double") / F.lit(
+    u = (md5_long(F.col("doc_id").cast("string")).cast("double") + F.lit(0.5)) / F.lit(
         72057594037927936.0
     )
     k = F.log(u) / F.col("n_chars").cast("double")
@@ -3257,7 +3260,7 @@ _SS_N = 20
     f"""
     WITH w AS (
       SELECT doc_id, source, n_chars,
-             LN(CAST({md5_long_sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+             LN((CAST({md5_long_sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 0.5)
                 / CAST(72057594037927936 AS DOUBLE))
                / CAST(n_chars AS DOUBLE) AS k
       FROM documents
@@ -3280,7 +3283,7 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_tables(spark, sf_dir)["documents"]
-    u = md5_long(F.col("doc_id").cast("string")).cast("double") / F.lit(
+    u = (md5_long(F.col("doc_id").cast("string")).cast("double") + F.lit(0.5)) / F.lit(
         72057594037927936.0
     )
     k = F.log(u) / F.col("n_chars").cast("double")

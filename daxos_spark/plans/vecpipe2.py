@@ -1688,7 +1688,11 @@ def v_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # floor(v·1e6) BIGINT quantizer (engine-exact sums — the r6 IRLS
 # lesson), NDCG = DCG/IDCG. Both rankings' row_number orderings are
 # already hash-verified by v_trunc_knn / e_knn_bruteforce, so the rank
-# values feeding the gains are deterministic. Scale shape: two
+# values feeding the gains are deterministic. NDCG is clamped with
+# LEAST(·, 1.0): the per-term floor quantization can make floor-sum(DCG)
+# exceed floor-sum(IDCG) by up to ~5e-6 when the system ranking nearly
+# ties gold, so without the clamp the metric's [0,1] bound could be
+# violated in the 6th decimal. Scale shape: two
 # panel-bounded kNN outputs joined on (qid, cid) — nothing corpus-keyed
 # past the kNN stages themselves.
 _NDCG_QUANT = (
@@ -1743,7 +1747,7 @@ _NDCG_QUANT = (
       GROUP BY qid
     )
     SELECT d.qid, d.n_hits,
-           {sql_trunc6('d.dcg / i.idcg')} AS ndcg
+           {sql_trunc6('LEAST(d.dcg / i.idcg, 1.0)')} AS ndcg
     FROM dcg d JOIN idcg i ON i.qid = d.qid
     ORDER BY d.qid
     """,
@@ -1786,7 +1790,11 @@ def v_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         dcg.join(idcg, "qid")
-        .select("qid", "n_hits", trunc6(F.col("dcg") / F.col("idcg")).alias("ndcg"))
+        .select(
+            "qid",
+            "n_hits",
+            trunc6(F.least(F.col("dcg") / F.col("idcg"), F.lit(1.0))).alias("ndcg"),
+        )
         .orderBy("qid")
     )
 

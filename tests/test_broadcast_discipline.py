@@ -22,7 +22,6 @@ code exactly.
 from __future__ import annotations
 
 import pathlib
-import re
 
 PKG = pathlib.Path(__file__).resolve().parent.parent / "daxos_spark"
 
@@ -161,19 +160,52 @@ ALLOWED: dict[str, tuple[int, str]] = {
 }
 
 
+def _spans(src: str) -> list[tuple[int, int, str]]:
+    """(start_line, end_line, name) for every top-level function — parsed
+    with ast (not a '\\ndef ' text split, which mis-buckets module-level
+    code, class methods, and nested defs into whichever chunk precedes
+    them). Decorator lines are folded into the span so a broadcast inside
+    a decorator argument attributes to the decorated function; methods of
+    top-level classes get their own 'Class.method' key."""
+    import ast
+
+    out: list[tuple[int, int, str]] = []
+    for node in ast.parse(src).body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            start = min(
+                [node.lineno] + [d.lineno for d in node.decorator_list]
+            )
+            out.append((start, node.end_lineno, node.name))
+        elif isinstance(node, ast.ClassDef):
+            for sub in node.body:
+                if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    start = min(
+                        [sub.lineno] + [d.lineno for d in sub.decorator_list]
+                    )
+                    out.append(
+                        (start, sub.end_lineno, f"{node.name}.{sub.name}")
+                    )
+    return out
+
+
 def _inventory() -> dict[str, int]:
     seen: dict[str, int] = {}
     for p in sorted(PKG.rglob("*.py")):
         src = p.read_text()
         if "F.broadcast(" not in src:
             continue
-        for chunk in re.split(r"\ndef ", src):
-            header, _, body = chunk.partition("\n")
-            name = header.split("(")[0].strip()
-            n = (header + "\n" + body).count("F.broadcast(")
-            if n:
-                key = f"{p.relative_to(PKG)}:{name}"
-                seen[key] = seen.get(key, 0) + n
+        spans = _spans(src)
+        for lineno, line in enumerate(src.splitlines(), 1):
+            n = line.count("F.broadcast(")
+            if not n:
+                continue
+            name = "<module>"
+            for s, e, nm in spans:
+                if s <= lineno <= e:
+                    name = nm
+                    break
+            key = f"{p.relative_to(PKG)}:{name}"
+            seen[key] = seen.get(key, 0) + n
     return seen
 
 

@@ -27,7 +27,7 @@ def test_dp_histogram_is_exact_count_plus_deterministic_laplace(spark):
         (r["o_orderstatus"], r["o_orderpriority"]): (
             r["released_count"],
             r["abs_noise"],
-            r["epsilon"],
+            r["nominal_epsilon"],
         )
         for r in q_dp_histogram(spark, SF_DIR).collect()
     }
