@@ -3231,11 +3231,21 @@ ALL_SPECS["q_recursive_trade_reach"].lazy_plan = _reach_lazy
 # ORM-generated "top-N per key" queries arrive in). Catalyst rewrites
 # the correlated LATERAL into a join; the window form
 # (a1_window_top3_per_cust) is its plan-level twin.
+# The micro cast is hoisted OUT of the lateral select list on purpose
+# (round-9 find): with a Project between LIMIT and ORDER BY, Catalyst's
+# decorrelation fails to match Limit(Sort(...)) and emits a per-key
+# row_number with an EMPTY window order (the subquery's sort survives
+# only as a separate global Sort below the shuffle) — the top-2 pick
+# then depends on shuffle encounter order: right on local mode by luck,
+# nondeterministic on a real cluster. With Limit directly over Sort the
+# rewrite puts the sort INTO the window spec, which is also what makes
+# it WindowGroupLimit-eligible (map-side per-key top-2 heaps).
 _LATERAL_SQL = """
-SELECT c.c_custkey, t.o_orderkey, t.o_totalprice_micro
+SELECT c.c_custkey, t.o_orderkey,
+       CAST(FLOOR(t.o_totalprice * 1000000.0) AS BIGINT) AS o_totalprice_micro
 FROM customer c,
 LATERAL (
-  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT) AS o_totalprice_micro
+  SELECT o_orderkey, o_totalprice
   FROM orders o WHERE o.o_custkey = c.c_custkey
   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
 ) t

@@ -1635,11 +1635,25 @@ def t_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _ss_position_stream(d: DataFrame, extra_cols: tuple = (), persist: bool = True):
+def _ss_position_stream(
+    d: DataFrame,
+    extra_cols: tuple = (),
+    persist: bool = True,
+    two_lane: bool = False,
+):
     """Tokenization + persisted K-gram position stream shared by the two
     ExactSubstr queries (`extra_cols` passes ``source`` through for the
     span stats). The descending-sequence guard (``sequence(1, n-K+1)``
     DESCENDS when n < K) lives here exactly once.
+
+    ``two_lane=True`` is the 100 TB configuration (the
+    _jaccard_edge_pairs convention): ExactSubstr takes 56-bit K-gram
+    hash equality as gram equality, which is safe to ~2^28 distinct
+    grams (birthday) — a 100 TB corpus has ~2^40+ positions, so
+    production keys the repeat-detection on BOTH independent 56-bit
+    lanes of one md5 digest (112 bits, safe past 2^50). The digest is
+    computed once per position; callers must group/join on ("h", "h2")
+    when set.
 
     Persist rationale: the position stream feeds BOTH the k-gram count
     and a join back on the same key — without it the full
@@ -1670,9 +1684,28 @@ def _ss_position_stream(d: DataFrame, extra_cols: tuple = (), persist: bool = Tr
             "doc_id",
             *extra_cols,
             "i",
-            md5_long(F.array_join(F.slice(F.col("tk"), F.col("i"), k), " ")).alias("h"),
+            *(
+                [F.md5(F.array_join(F.slice(F.col("tk"), F.col("i"), k), " ")).alias("hx")]
+                if two_lane
+                else [
+                    md5_long(
+                        F.array_join(F.slice(F.col("tk"), F.col("i"), k), " ")
+                    ).alias("h")
+                ]
+            ),
         )
     )
+    if two_lane:
+        # both lanes from the ONE digest column (codegen does not CSE
+        # md5 across sibling expressions — the q_poisson_bootstrap
+        # lesson), one extra long per position row
+        pos = pos.select(
+            "doc_id",
+            *extra_cols,
+            "i",
+            F.conv(F.substring("hx", 1, 14), 16, 10).cast("bigint").alias("h"),
+            F.conv(F.substring("hx", 15, 14), 16, 10).cast("bigint").alias("h2"),
+        )
     if persist:
         pos = pos.persist()
     return toks, pos
@@ -2771,11 +2804,16 @@ def _refinery_e2e_oracle() -> str:
     )
 
 
-def _refinery_gates(spark: SparkSession, sf_dir: str, persist: bool = True):
+def _refinery_gates(
+    spark: SparkSession, sf_dir: str, persist: bool = True, two_lane: bool = False
+):
     """The funnel's three document-side gate relations (gopher flags,
     bigram NLL, ExactSubstr coverage) + the caches the caller must
-    release — shared by both gated funnels (they differ only in the
-    semantic stage)."""
+    release — shared by the gated funnels (they differ only in the
+    semantic stage). ``two_lane`` widens the ExactSubstr repeat keys to
+    112 bits (see _ss_position_stream) — the funnel's only stage that
+    trusts hash equality unverified (the semantic stage exact-scores
+    every blocked candidate, so its bucket collisions are benign)."""
     d = _fanout(load_tables(spark, sf_dir)["documents"])
     caches: list = []
 
@@ -2799,15 +2837,16 @@ def _refinery_gates(spark: SparkSession, sf_dir: str, persist: bool = True):
             ).alias("avg_nll")
         )
     )
-    _toks, pos = _ss_position_stream(d, persist=persist)
+    _toks, pos = _ss_position_stream(d, persist=persist, two_lane=two_lane)
     caches.append(pos)
+    keys = ["h", "h2"] if two_lane else ["h"]
     canon = (
-        pos.groupBy("h")
+        pos.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("c"), F.min(F.struct("doc_id", "i")).alias("mo"))
         .filter(F.col("c") >= 2)
     )
     dup_pos = (
-        pos.join(canon, "h")
+        pos.join(canon, keys)
         .filter(F.struct("doc_id", "i") != F.col("mo"))
         .select("doc_id", "i")
     )
@@ -2931,10 +2970,14 @@ def _refinery_linear_oracle() -> str:
     )
 
 
-def _refinery_linear_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
+def _refinery_linear_lazy(
+    spark: SparkSession, sf_dir: str, persist: bool = True, two_lane: bool = False
+):
     from .docpipe import _semantic_keep_lazy
 
-    gf, nll, cov, caches = _refinery_gates(spark, sf_dir, persist=persist)
+    gf, nll, cov, caches = _refinery_gates(
+        spark, sf_dir, persist=persist, two_lane=two_lane
+    )
     keep, sem_caches = _semantic_keep_lazy(spark, sf_dir, persist=persist)
     caches.extend(sem_caches)
     keep = keep.select("doc_id", F.col("keep").alias("sem0"))
@@ -2959,6 +3002,33 @@ def t_refinery_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ALL_SPECS["t_refinery_linear"].lazy_plan = (
     lambda spark, sf_dir: _refinery_linear_lazy(spark, sf_dir, persist=False)[0]
+)
+
+
+@_q(
+    "t_refinery_lane2",
+    _refinery_linear_oracle(),
+    doc="the 100 TB refinery funnel with its ExactSubstr stage keyed on "
+    "two independent 56-bit md5 lanes (112-bit K-gram identity, past "
+    "the birthday bound at corpus scale) — the composed production "
+    "configuration: linear semantic stage AND collision-safe substring "
+    "stage in ONE hash-checked plan. Shares t_refinery_linear's "
+    "raw-semantics oracle (the t_dedup_clusters_lane2 convention: at "
+    "test cardinalities the lanes add no collisions, so any divergence "
+    "the extra lane introduced would fail the gate)",
+)
+def t_refinery_lane2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, caches = _refinery_linear_lazy(spark, sf_dir, two_lane=True)
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
+ALL_SPECS["t_refinery_lane2"].lazy_plan = (
+    lambda spark, sf_dir: _refinery_linear_lazy(
+        spark, sf_dir, persist=False, two_lane=True
+    )[0]
 )
 
 

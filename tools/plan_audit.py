@@ -13,9 +13,23 @@ inspects the physical plan string for plan-quality violations:
    row (caught live on v_ivfpq_knn in round 3; see PLANS.md).
 3. Row-at-a-time BatchEvalPython — every Python crossing in this repo
    is supposed to be Arrow-batched.
+4. Rank-filter without WindowGroupLimit (round 9) — a
+   ``row_number()/rank() ... FILTER (rk <= N)`` site that does NOT get
+   the WindowGroupLimit Partial→Final pushdown full-sorts every
+   partition group at scale instead of keeping N-row map-side heaps.
+   Every rank-filter site must either show a matching WindowGroupLimit
+   node, be over a bounded input (WGL_BOUNDED_INPUT, e.g. a rank
+   re-derivation over an already-TakeOrdered panel), or compare the
+   rank to a COLUMN (WGL_COLUMN_VALUED — the exact-rank audit class
+   the pushdown cannot express, accepted as documented drop-at-scale
+   branches per the round-7 q_hdr_latency convention). Unfiltered rank
+   windows (rank consumed as a value: gaps-and-islands offsets,
+   Spearman/Zipf ranks, attribution positions) are reported by
+   ``--wgl-table`` but not flagged — there is nothing to push down.
 
 Usage:
     python tools/plan_audit.py [sf_dir] [name ...]
+    python tools/plan_audit.py --wgl-table [sf_dir]   # classification table
 
 Exit 1 on any violation; prints one line per query otherwise.
 Construction-time actions (codebook collects, Newton steps) run at the
@@ -30,7 +44,65 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def audit_plan(plan: str) -> list[str]:
+# rank-filter sites where the rank is re-derived over an input a
+# TakeOrderedAndProject already bounded to a fixed panel — the group
+# fits one partition, nothing to push down
+WGL_BOUNDED_INPUT = {
+    "q_kmv_set_ops": "global rank over the TakeOrdered-256 KMV synopsis",
+    "ml_prs_score": "global rank over the TakeOrdered-8 score panel",
+    "q_itemcf_topk": "rank over the TakeOrdered-25 hot-item probe panel",
+    "t_zipf_fit": "global rank over the TakeOrdered-200 frequency head",
+    "q_touch_attribution": (
+        "rn=1 filter sits ABOVE a same-partition count(*) window that "
+        "needs every row (n_touches), so the pushdown is semantically "
+        "impossible; the sorted group is touches-per-conversion "
+        "(domain-bounded, not corpus-bounded)"
+    ),
+}
+
+# rank compared to a COLUMN (not a literal): WindowGroupLimit cannot
+# express these — each is a documented drop-at-scale audit branch
+# (PLANS.md unpartitioned-window table / SCALE.md q_hdr convention)
+WGL_COLUMN_VALUED = {
+    "q_hdr_latency": "exact-rank accuracy audit (rank == column target)",
+    "q_conformal_interval": "calibration quantile index (rank == ceil(q*n))",
+}
+
+_RANK_ATTR = re.compile(
+    r"(row_number|rank|dense_rank)\(\) windowspecdefinition.*? AS (\w+#\d+)"
+)
+
+
+def _wgl_sites(plan: str):
+    """Classify every distinct rank-window attribute in the plan text.
+    Returns {attr: (func, kind, detail)} with kind one of
+    'pushed' / 'literal-miss' / 'column-valued' / 'value-only'."""
+    out = {}
+    funcs = {}
+    for m in _RANK_ATTR.finditer(plan):
+        funcs.setdefault(m.group(2), m.group(1))
+    for attr, func in funcs.items():
+        lit = re.search(rf"\({re.escape(attr)} (<=|<|=) (\d+)\)", plan)
+        col = re.search(rf"\({re.escape(attr)} (<=|<|=|>=|>) (\w+#\d+)\)", plan)
+        if lit:
+            op, n = lit.group(1), int(lit.group(2))
+            limit = n - 1 if op == "<" else n
+            pushed = re.search(
+                rf"WindowGroupLimit \[.*{func}\(\), {limit}(,|\s|$)", plan
+            )
+            out[attr] = (
+                func,
+                "pushed" if pushed else "literal-miss",
+                f"{op} {n}",
+            )
+        elif col:
+            out[attr] = (func, "column-valued", f"{col.group(1)} {col.group(2)}")
+        else:
+            out[attr] = (func, "value-only", "")
+    return out
+
+
+def audit_plan(plan: str, name: str = "") -> list[str]:
     problems = []
     if "CartesianProduct" in plan:
         problems.append("CartesianProduct node")
@@ -41,12 +113,23 @@ def audit_plan(plan: str) -> list[str]:
     dups = {u for u in udfs if udfs.count(u) > 1}
     if dups:
         problems.append(f"duplicated ArrowEvalPython: {sorted(dups)}")
+    for attr, (func, kind, detail) in _wgl_sites(plan).items():
+        if kind == "literal-miss" and name not in WGL_BOUNDED_INPUT:
+            problems.append(
+                f"rank-filter without WindowGroupLimit: {func}() {attr} {detail}"
+            )
+        elif kind == "column-valued" and name not in WGL_COLUMN_VALUED:
+            problems.append(
+                f"undocumented column-valued rank target: {func}() {attr} {detail}"
+            )
     return problems
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--wgl-table"]
+    wgl_table = "--wgl-table" in sys.argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __spark_entry__ as E
     from daxos_spark.plans import get_specs
@@ -73,7 +156,22 @@ def main() -> int:
             continue
         finally:
             spark.catalog.clearCache()  # lazy builders may mark persists
-        problems = audit_plan(plan)
+        if wgl_table:
+            sites = _wgl_sites(plan)
+            if sites:
+                for attr, (func, kind, detail) in sorted(sites.items()):
+                    why = (
+                        WGL_BOUNDED_INPUT.get(name, "")
+                        if kind == "literal-miss"
+                        else WGL_COLUMN_VALUED.get(name, "")
+                        if kind == "column-valued"
+                        else ""
+                    )
+                    print(
+                        f"| {name} | {func}() {attr} | {kind} | {detail} | {why} |"
+                    )
+            continue
+        problems = audit_plan(plan, name)
         if problems:
             print(f"FLAG {name}: {'; '.join(problems)}")
             bad += 1
