@@ -1124,3 +1124,80 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# DP-shaped mean release — the continuous companion to q_dp_histogram:
+# per-group CLIPPED mean of order value (clip to [0, C] bounds each
+# row's influence, the standard DP-mean recipe) plus Laplace noise at
+# the mean's sensitivity C/n, so b = C/(n·ε) SHRINKS as the group
+# grows — the larger the cohort, the less noise a given ε needs, which
+# is the whole reason DP aggregates are usable at 100 TB. Same
+# deterministic md5-uniform inverse-CDF (and the same honesty caveat:
+# recomputable noise provides NO actual privacy — nominal_epsilon);
+# the clipped sum goes through the DECIMAL ladder and n is exact, so
+# both engines divide the identical doubles before the single LN.
+_DPM_CLIP = 200000.0  # C: clip bound on o_totalprice
+_DPM_EPS = 0.5
+
+
+@_q(
+    "q_dp_mean",
+    f"""
+    WITH c AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             {sql_dsum(f'LEAST(o_totalprice, {_DPM_CLIP})')} AS csum
+      FROM orders GROUP BY o_orderpriority
+    ), u AS (
+      SELECT o_orderpriority, n, csum / n AS cmean,
+             {_DPM_CLIP} / (CAST(n AS DOUBLE) * {_DPM_EPS}) AS b,
+             (CAST({md5_long_sql("concat('dpm#', o_orderpriority)")} AS DOUBLE) + 0.5)
+               / CAST(72057594037927936 AS DOUBLE) AS u
+      FROM c
+    ), z AS (
+      SELECT o_orderpriority, n, cmean,
+             -b * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                * LN(1.0 - 2.0 * ABS(u - 0.5)) AS noise
+      FROM u
+    )
+    SELECT o_orderpriority, n,
+           {sql_trunc6('cmean + noise')} AS released_mean,
+           {sql_trunc6('ABS(noise)')} AS abs_noise,
+           CAST((1.0/2.0) AS DOUBLE) AS nominal_epsilon
+    FROM z ORDER BY o_orderpriority
+    """,
+    doc="DP-SHAPED clipped-mean release per order priority: Laplace at "
+    "the mean's C/n sensitivity (noise shrinks with cohort size), "
+    "deterministic md5-uniform inverse-CDF — same nominal_epsilon "
+    "caveat as q_dp_histogram (recomputable noise = no actual privacy; "
+    "a real deployment swaps in a CSPRNG draw)",
+)
+def q_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    o = load_tables(spark, sf_dir)["orders"]
+    c = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.least(F.col("o_totalprice"), F.lit(_DPM_CLIP))).alias("csum"),
+    )
+    u = (
+        md5_long(F.concat(F.lit("dpm#"), F.col("o_orderpriority"))).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(72057594037927936.0)
+    b = F.lit(_DPM_CLIP) / (F.col("n").cast("double") * F.lit(_DPM_EPS))
+    noise = (
+        -b
+        * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    cmean = F.col("csum") / F.col("n")
+    return (
+        c.select(
+            "o_orderpriority",
+            "n",
+            trunc6(cmean + noise).alias("released_mean"),
+            trunc6(F.abs(noise)).alias("abs_noise"),
+            (F.lit(1.0) / F.lit(2.0)).alias("nominal_epsilon"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -3373,6 +3373,70 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Training-shard manifest — the refinery's SINK step: deterministically
+# assign every document to one of S training shards (shard =
+# md5(doc_id) mod S — the WebDataset / TFRecord sharding discipline)
+# with a reproducible within-shard order key drawn from an INDEPENDENT
+# hash (seeded md5, so shard placement and shard-internal shuffle order
+# are uncorrelated — reusing one hash would sort each shard by the
+# residue that placed it there). The manifest row per shard carries the
+# doc count, character mass (the packing-budget input), an
+# order-insensitive id checksum (bounded per-doc residues so the BIGINT
+# sum cannot overflow below ~9e9 docs/shard), and the min/max order
+# keys (the shard's replayable cursor range). Integer-exact end to end
+# — gate-safe at any SF. Scale: one corpus scan, map-side partial aggs
+# into S=16 groups; writing the shards themselves is
+# df.repartition(S, shard_id).sortWithinPartitions(ord) — no global
+# sort at any size.
+_SHARDS = 16
+
+
+@_q(
+    "t_shard_manifest",
+    f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             {md5_long_sql("CAST(doc_id AS VARCHAR)")} % {_SHARDS} AS shard_id,
+             {md5_long_sql("CAST(doc_id AS VARCHAR)", seed=9)} AS ord,
+             {md5_long_sql("CAST(doc_id AS VARCHAR)")} % 1000000000 AS res
+      FROM documents
+    )
+    SELECT shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS char_mass,
+           CAST(SUM(res) AS BIGINT) AS id_checksum,
+           MIN(ord) AS min_ord,
+           MAX(ord) AS max_ord
+    FROM s GROUP BY shard_id ORDER BY shard_id
+    """,
+    doc=f"deterministic training-shard manifest: md5(doc_id) mod "
+    f"{_SHARDS} shard assignment + independent seeded-md5 within-shard "
+    "order keys; per shard doc count, char mass, id checksum and order "
+    "cursor range — the refinery's reproducible sink step",
+)
+def t_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    h = md5_long(F.col("doc_id").cast("string"))
+    s = d.select(
+        F.pmod(h, F.lit(_SHARDS)).alias("shard_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        md5_long(F.col("doc_id").cast("string"), seed=9).alias("ord"),
+        F.pmod(h, F.lit(1000000000)).alias("res"),
+    )
+    return (
+        s.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("char_mass"),
+            F.sum("res").alias("id_checksum"),
+            F.min("ord").alias("min_ord"),
+            F.max("ord").alias("max_ord"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Curriculum staging — order the corpus easy→hard by Kneser-Ney
 # perplexity and report the 10 curriculum stages (the data-ordering
 # step of curriculum learning / difficulty-staged pretraining).

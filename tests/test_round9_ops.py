@@ -59,3 +59,73 @@ def test_two_lane_position_stream_carries_both_md5_lanes(spark):
     # single-lane h is the same first lane (md5_long convention)
     one = {r["i"]: r["h"] for r in pos1.collect()}
     assert one == {i: h for i, (h, _h2) in rows.items()}
+
+
+def test_shard_manifest_matches_python_replay(spark):
+    """Shard assignment, checksum, and cursor range replayed in pure
+    python over the raw parquet — and the two hash lanes must be
+    independent draws (shard placement must not order the shard)."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from daxos_spark.plans.textpipe import _SHARDS, t_shard_manifest
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, n_chars FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    exp = defaultdict(lambda: [0, 0, 0, None, None])
+    for doc_id, n_chars in rows:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:14], 16)
+        o = int(hashlib.md5(f"{doc_id}#9".encode()).hexdigest()[:14], 16)
+        e = exp[h % _SHARDS]
+        e[0] += 1
+        e[1] += n_chars
+        e[2] += h % 1000000000
+        e[3] = o if e[3] is None else min(e[3], o)
+        e[4] = o if e[4] is None else max(e[4], o)
+    got = {
+        r["shard_id"]: [
+            r["n_docs"], r["char_mass"], r["id_checksum"], r["min_ord"], r["max_ord"]
+        ]
+        for r in t_shard_manifest(spark, SF_DIR).collect()
+    }
+    assert got == {k: list(v) for k, v in exp.items()}
+    # no empty shards at this corpus size, and every doc accounted for
+    assert sum(v[0] for v in got.values()) == len(rows)
+
+
+def test_dp_mean_noise_shrinks_with_cohort_and_mean_is_clipped(spark):
+    """released_mean − noise must equal the exact clipped mean, and the
+    Laplace scale must be C/(n·ε) — recomputed per group from the same
+    md5-uniform draw."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from daxos_spark.plans.diagnostics import _DPM_CLIP, _DPM_EPS, q_dp_mean
+
+    con = duckdb.connect()
+    exact = {
+        p: (n, s)
+        for p, n, s in con.execute(
+            f"""SELECT o_orderpriority, COUNT(*),
+                 CAST(SUM(CAST(LEAST(o_totalprice, {_DPM_CLIP}) AS DECIMAL(25,6))) AS DOUBLE)
+               FROM read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1"""
+        ).fetchall()
+    }
+    for r in q_dp_mean(spark, SF_DIR).collect():
+        n, s = exact[r["o_orderpriority"]]
+        assert r["n"] == n
+        u = (
+            int(hashlib.md5(f"dpm#{r['o_orderpriority']}".encode()).hexdigest()[:14], 16)
+            + 0.5
+        ) / 2.0**56
+        b = _DPM_CLIP / (n * _DPM_EPS)
+        noise = -b * (1.0 if u >= 0.5 else -1.0) * math.log(1.0 - 2.0 * abs(u - 0.5))
+        assert abs(r["released_mean"] - math.floor((s / n + noise) * 1e6) / 1e6) < 2e-6
+        assert abs(r["abs_noise"] - math.floor(abs(noise) * 1e6) / 1e6) < 2e-6
+        # clipped mean can never exceed the clip bound
+        assert s / n <= _DPM_CLIP

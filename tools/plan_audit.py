@@ -66,6 +66,11 @@ WGL_BOUNDED_INPUT = {
 WGL_COLUMN_VALUED = {
     "q_hdr_latency": "exact-rank accuracy audit (rank == column target)",
     "q_conformal_interval": "calibration quantile index (rank == ceil(q*n))",
+    "q_changepoint_revenue": (
+        "binary-seg split enumeration (k < n) over the DAY-grain revenue "
+        "series — date-cardinality-bounded input, rank consumed as the "
+        "prefix index"
+    ),
 }
 
 _RANK_ATTR = re.compile(
@@ -82,8 +87,14 @@ def _wgl_sites(plan: str):
     for m in _RANK_ATTR.finditer(plan):
         funcs.setdefault(m.group(2), m.group(1))
     for attr, func in funcs.items():
-        lit = re.search(rf"\({re.escape(attr)} (<=|<|=) (\d+)\)", plan)
-        col = re.search(rf"\({re.escape(attr)} (<=|<|=|>=|>) (\w+#\d+)\)", plan)
+        a = re.escape(attr)
+        lit = re.search(rf"\({a} (<=|<|=) (\d+)\)", plan)
+        # column-valued comparisons render with the rank cast-wrapped,
+        # e.g. Filter (cast(rn#186 as bigint) <= CEIL(0.9 * ...))
+        col = re.search(
+            rf"(?:\(|\b)(?:cast\()?{a}(?: as \w+\))? (<=|<|=|>=|>) ([^)\n]+?)[),]",
+            plan,
+        )
         if lit:
             op, n = lit.group(1), int(lit.group(2))
             limit = n - 1 if op == "<" else n
@@ -95,8 +106,8 @@ def _wgl_sites(plan: str):
                 "pushed" if pushed else "literal-miss",
                 f"{op} {n}",
             )
-        elif col:
-            out[attr] = (func, "column-valued", f"{col.group(1)} {col.group(2)}")
+        elif col and not re.fullmatch(r"\d+", col.group(2)):
+            out[attr] = (func, "column-valued", f"{col.group(1)} {col.group(2)[:40]}")
         else:
             out[attr] = (func, "value-only", "")
     return out
