@@ -997,9 +997,13 @@ def d_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # class-balanced downsampling: every language class reduced to the
 # global minority-class size by deterministic hash rank (md5 of doc_id
 # — portable, seedable, reproducible; NOT rand(), which no oracle can
-# replay). Two shuffles: the per-class rank window and the min-count
-# global window over the tiny per-class agg. The standard label-
-# rebalancing op before training-set assembly.
+# replay). The standard label-rebalancing op before training-set
+# assembly. Two-phase on the Spark side (round 9): the minority-class
+# size is a 1-row aggregate collected and RELIT as a literal bound —
+# with a literal, the per-class rank filter qualifies for the
+# WindowGroupLimit Partial→Final pushdown (map-side min_n-row heaps
+# per class); with a runtime column bound every class would FULL-SORT
+# at 100 TB. The curriculum-thresholds collect+relit precedent.
 @_q(
     "d_balanced_sample",
     f"""
@@ -1032,10 +1036,10 @@ def d_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .agg(F.min("cnt").alias("min_n"))
+        .collect()[0]["min_n"]
     )
     return (
-        ranked.crossJoin(F.broadcast(min_n))
-        .filter(F.col("rk") <= F.col("min_n"))
+        ranked.filter(F.col("rk") <= F.lit(min_n))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),

@@ -82,7 +82,6 @@ ALLOWED: dict[str, tuple[int, str]] = {
         "fixed quantile list x2 + 1-row total (bucket table is <=16*64 rows)",
     ),
     "plans/docpipe.py:d_incremental_dedup": (2, "1-row corpus/batch split point x2"),
-    "plans/docpipe.py:d_balanced_sample": (1, "1-row min-group-size aggregate"),
     "plans/docpipe2.py:d_temperature_mix": (1, "1-row total"),
     "plans/docpipe2.py:d_temperature_sample": (2, "per-source weights (source enum) + 1-row total"),
     "plans/docpipe2.py:d_unigram_ppl": (1, "1-row corpus-token total"),

@@ -97,6 +97,11 @@ ALLOWED: dict[str, tuple[int, str]] = {
         1,
         "fixed _ERASE_N subject panel (collect+relit to avoid re-scan)",
     ),
+    "plans/docpipe.py:d_balanced_sample": (
+        1,
+        "1-row minority-class-size aggregate, relit as a literal so the "
+        "per-class rank filter gets the WindowGroupLimit pushdown",
+    ),
     "plans/mlpipe.py:ml_platt_calibration": (1, "1-row (a,b) coefficients"),
     "plans/mlpipe.py:ml_refit_pruned": (1, "p-length importance rows"),
     "plans/relational.py:q_ols_residualize": (1, "1-row gramian aggregate"),
