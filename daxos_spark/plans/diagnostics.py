@@ -1201,3 +1201,133 @@ def q_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch — the mergeable cardinality
+# primitive every 100 TB pipeline leans on (approx_count_distinct is
+# Spark's built-in HLL++, but its register layout is engine-private;
+# this portable construction makes the sketch itself auditable and
+# cross-engine hash-checkable). b=8 → m=256 registers; register id is
+# the low 8 bits of the 56-bit md5 lane, rank = leading-zero count of
+# the remaining 48-bit suffix + 1, computed EXACTLY via
+# length(bin(suffix)) (no float log2). The indicator sum Σ 2^-rho needs
+# up to 57 mantissa bits — more than a double carries — so both engines
+# sum the INTEGER scaled form Σ 2^(49-rho) (≤ 2^56, exact, and
+# order-independent, hence partial-aggregable) and divide by 2^49 once
+# at the end. Small-range correction (linear counting) applies when
+# E ≤ 2.5m and empty registers remain — at sf cardinalities that is
+# the active branch; the raw-estimate branch takes over at scale.
+# Scale shape: one partial-agg max per (event_type, register) — only
+# m rows per group cross the exchange — then a 256-row final agg; the
+# exact COUNT(DISTINCT) audit column is itself a two-level exchange on
+# (event_type, user_id). Flagship use: per-event-type distinct users.
+_HLL_M = 256  # 2^8 registers
+_HLL_TWO49 = 562949953421312.0  # 2^49, the integer-sum descale
+
+
+@_q(
+    "q_hll_distinct",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {md5_long_sql("concat('hll#', user_id)")} AS h
+      FROM events
+    ), r AS (
+      SELECT event_type, h & 255 AS reg,
+             CASE WHEN (h >> 8) = 0 THEN 49
+                  ELSE 49 - length(bin(h >> 8)) END AS rho
+      FROM h
+    ), regs AS (
+      SELECT event_type, reg, MAX(rho) AS rho_max
+      FROM r GROUP BY event_type, reg
+    ), agg AS (
+      SELECT event_type,
+             SUM(CAST(1 AS BIGINT) << (49 - rho_max)) AS sum_int,
+             COUNT(*) AS v
+      FROM regs GROUP BY event_type
+    ), est AS (
+      SELECT event_type, v,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+               / (CAST(sum_int AS DOUBLE) / {_HLL_TWO49}
+                  + CAST(256 - v AS DOUBLE)) AS e_raw,
+             256 - v AS zeros
+      FROM agg
+    ), fin AS (
+      SELECT event_type, v,
+             CASE WHEN e_raw <= 640.0 AND zeros > 0
+                  THEN 256.0 * LN(256.0 / zeros) ELSE e_raw END AS e
+      FROM est
+    ), ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT f.event_type, CAST(f.v AS BIGINT) AS n_registers,
+           {sql_trunc6('f.e')} AS hll_estimate,
+           ex.exact_distinct,
+           {sql_trunc6('ABS(f.e - ex.exact_distinct) / ex.exact_distinct * 100.0')}
+             AS rel_err_pct
+    FROM fin f JOIN ex ON ex.event_type = f.event_type
+    ORDER BY f.event_type
+    """,
+    doc="portable HyperLogLog (m=256) distinct-user sketch per event "
+    "type: md5-derived registers, EXACT integer rank via bin-length "
+    "(no float log2), order-independent integer indicator sum, linear "
+    "counting in the small range — with the exact COUNT(DISTINCT) and "
+    "relative error as self-audit columns",
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    e = load_tables(spark, sf_dir)["events"]
+    h = e.select(
+        "event_type",
+        md5_long(F.concat(F.lit("hll#"), F.col("user_id").cast("string"))).alias("h"),
+    )
+    suf = F.shiftright(F.col("h"), 8)
+    r = h.select(
+        "event_type",
+        F.col("h").bitwiseAND(F.lit(255)).alias("reg"),
+        F.when(suf == 0, F.lit(49))
+        .otherwise(F.lit(49) - F.length(F.bin(suf)))
+        .alias("rho"),
+    )
+    regs = r.groupBy("event_type", "reg").agg(F.max("rho").alias("rho_max"))
+    agg = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - rho_max AS INT))")
+        ).alias("sum_int"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    zeros = F.lit(256) - F.col("v")
+    e_raw = (
+        F.lit(0.7213 / (1.0 + 1.079 / 256.0)) * F.lit(65536.0)
+    ) / (
+        F.col("sum_int").cast("double") / F.lit(_HLL_TWO49)
+        + zeros.cast("double")
+    )
+    est = agg.select(
+        "event_type",
+        "v",
+        F.when((e_raw <= 640.0) & (zeros > 0), F.lit(256.0) * F.log(F.lit(256.0) / zeros))
+        .otherwise(e_raw)
+        .alias("e"),
+    )
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(ex, "event_type")
+        .select(
+            "event_type",
+            F.col("v").cast("bigint").alias("n_registers"),
+            trunc6(F.col("e")).alias("hll_estimate"),
+            "exact_distinct",
+            trunc6(
+                F.abs(F.col("e") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                * F.lit(100.0)
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -1642,3 +1642,74 @@ ALL_SPECS["t_dedup_clusters_lane2"].lazy_plan = (
         spark, sf_dir, persist=False, two_lane=True
     )[0]
 )
+
+
+# --------------------------------------------------------------------------
+# SoftDedup — keep EVERY document but down-weight near-duplicates:
+# per-doc training weight 1/|near-dup cluster| (singletons weigh 1.0),
+# so a 40-copy boilerplate family contributes one document's worth of
+# gradient instead of 40 while rare text keeps full weight. The modern
+# alternative to hard dedup when the duplicated text is still useful
+# signal. Reuses the _jaccard_edge_pairs → connected-components chain
+# (identical edge semantics to d_dedup_clusters, so the same
+# recursive-CTE oracle verifies the clustering) and left-joins the
+# cluster sizes back onto the corpus — docs with no near-dup edge never
+# enter the CC relation and coalesce to size 1. Scale shape: the edge
+# build is the LSH-capped self-join (never all-pairs), CC is
+# edge-count-scaled, and the final join is corpus ⋈ cluster-table on
+# doc_id (AQE broadcasts the cluster side while it is small, shuffles
+# at 100 TB). Output is the consumable per-doc weight table a trainer
+# ingests directly.
+def _soft_dedup_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
+    from ..operators.components import connected_components
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    pairs, sh0 = _jaccard_edge_pairs(d, persist=persist)
+    comp = connected_components(pairs, "da", "db")
+    csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    docw = (
+        d.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(csize, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("sz"), F.lit(1)).cast("bigint").alias("cluster_size"),
+        )
+    )
+    out = docw.select(
+        "doc_id",
+        "cluster_size",
+        trunc6(F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+    ).orderBy("doc_id")
+    return out, sh0
+
+
+@_q(
+    "d_soft_dedup_weights",
+    CC_ORACLE_CTE
+    + """, csize AS (
+      SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(cs.sz, 1) AS BIGINT) AS cluster_size,
+           FLOOR((1.0 / COALESCE(cs.sz, 1)) * 1000000.0) / 1000000.0 AS weight
+    FROM documents d
+    LEFT JOIN comp c ON c.node = d.doc_id
+    LEFT JOIN csize cs ON cs.component = c.component
+    ORDER BY d.doc_id
+    """,
+    doc="SoftDedup: per-doc training weight 1/|near-dup cluster| from "
+    "the MinHash-threshold connected components (singletons weigh 1.0) "
+    "— down-weight duplicates instead of dropping them; the consumable "
+    "weight table a trainer joins on doc_id",
+)
+def d_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, sh0 = _soft_dedup_lazy(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    sh0.unpersist()
+    return out
+
+
+ALL_SPECS["d_soft_dedup_weights"].lazy_plan = (
+    lambda spark, sf_dir: _soft_dedup_lazy(spark, sf_dir, persist=False)[0]
+)

@@ -3650,3 +3650,95 @@ def t_winnowing_fingerprint(spark: SparkSession, sf_dir: str, persist: bool = Tr
 ALL_SPECS["t_winnowing_fingerprint"].lazy_plan = (
     lambda spark, sf_dir: t_winnowing_fingerprint(spark, sf_dir, persist=False)
 )
+
+
+# --------------------------------------------------------------------------
+# character-entropy quality signal — the cheapest garbage detector in a
+# training-data funnel: encoding noise, base64 blobs and mojibake score
+# HIGH character entropy while keyboard-mash / repeated-padding junk
+# scores LOW, so funnels gate on both tails. Per doc:
+# H = log2 n − (Σ c·ln c)/(n·ln 2) over the per-character counts c —
+# the algebraic form that needs only ONE pass over the exploded chars
+# (no p=c/n division per row). The Σ c·ln c term goes through the
+# DECIMAL ladder (order-independent), the per-doc entropy is trunc6'd
+# BEFORE the per-source rollup so the tail-count threshold compares
+# identical doubles in both engines. Scale shape: the explode is
+# O(corpus bytes) — linear, the price of any char-level signal — then
+# one partial-agg exchange on (doc_id, ch), a per-doc agg, and a
+# 20-row source rollup; nothing is ever collected.
+_ENT_LOW = 3.5  # bits — below this a doc is counted as low-entropy junk
+
+
+@_q(
+    "t_char_entropy",
+    f"""
+    WITH chars AS (
+      SELECT doc_id, source, length(text) AS n, substr(text, i, 1) AS ch
+      FROM (
+        SELECT doc_id, source, text,
+               unnest(range(1, length(text) + 1)) AS i
+        FROM documents WHERE length(text) >= 1
+      )
+    ), cc AS (
+      SELECT doc_id, source, n, ch, COUNT(*) AS c
+      FROM chars GROUP BY doc_id, source, n, ch
+    ), ent AS (
+      SELECT doc_id, source,
+             {sql_trunc6(
+                 f"(LN(CAST(n AS DOUBLE)) - {sql_dsum('CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))')} / n) / LN(2.0)"
+             )} AS ent_bits
+      FROM cc GROUP BY doc_id, source, n
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           {sql_trunc6(sql_davg('ent_bits'))} AS avg_entropy_bits,
+           MIN(ent_bits) AS min_entropy_bits,
+           MAX(ent_bits) AS max_entropy_bits,
+           CAST(SUM(CASE WHEN ent_bits < {_ENT_LOW} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_entropy
+    FROM ent GROUP BY source ORDER BY source
+    """,
+    doc="per-source character-entropy profile: Shannon entropy in bits "
+    "per doc via the one-pass Σ c·ln c form, per-source mean/min/max "
+    "and a low-entropy (< 3.5 bits) junk count — the cheapest quality "
+    "gate in the funnel",
+)
+def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import dsum
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    chars = (
+        d.filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").alias("n"),
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+            "text",
+        )
+        .select("doc_id", "source", "n", F.expr("substring(text, i, 1)").alias("ch"))
+    )
+    cc = chars.groupBy("doc_id", "source", "n", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    term = F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+    ent = cc.groupBy("doc_id", "source", "n").agg(dsum(term).alias("s")).select(
+        "doc_id",
+        "source",
+        trunc6(
+            (F.log(F.col("n").cast("double")) - F.col("s") / F.col("n"))
+            / F.log(F.lit(2.0))
+        ).alias("ent_bits"),
+    )
+    return (
+        ent.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            trunc6(davg(F.col("ent_bits"))).alias("avg_entropy_bits"),
+            F.min("ent_bits").alias("min_entropy_bits"),
+            F.max("ent_bits").alias("max_entropy_bits"),
+            F.sum(F.when(F.col("ent_bits") < _ENT_LOW, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -129,3 +129,117 @@ def test_dp_mean_noise_shrinks_with_cohort_and_mean_is_clipped(spark):
         assert abs(r["abs_noise"] - math.floor(abs(noise) * 1e6) / 1e6) < 2e-6
         # clipped mean can never exceed the clip bound
         assert s / n <= _DPM_CLIP
+
+
+def test_hll_distinct_matches_python_replay(spark):
+    """q_hll_distinct's registers, rank arithmetic and estimate must
+    equal an independent python HLL on the same md5-derived hashes —
+    and the exact_distinct audit column must equal the true distinct
+    count."""
+    import hashlib
+    import math
+
+    from daxos_spark.plans.diagnostics import q_hll_distinct
+
+    rows = q_hll_distinct(spark, SF_DIR).collect()
+    assert rows, "no event types"
+
+    import duckdb
+
+    con = duckdb.connect()
+    users = con.execute(
+        f"SELECT event_type, user_id FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    by_type: dict[str, list[int]] = {}
+    for et, uid in users:
+        by_type.setdefault(et, []).append(uid)
+
+    for r in rows:
+        uids = by_type[r["event_type"]]
+        exact = len(set(uids))
+        assert r["exact_distinct"] == exact
+        regs = [0] * 256
+        for uid in uids:
+            h = int(hashlib.md5(f"hll#{uid}".encode()).hexdigest()[:14], 16)
+            reg, suf = h & 255, h >> 8
+            rho = 49 if suf == 0 else 49 - suf.bit_length()
+            regs[reg] = max(regs[reg], rho)
+        v = sum(1 for x in regs if x > 0)
+        assert r["n_registers"] == v
+        zeros = 256 - v
+        z = sum(2.0 ** -x for x in regs if x > 0) + zeros
+        e_raw = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / z
+        e = 256.0 * math.log(256.0 / zeros) if (e_raw <= 640.0 and zeros > 0) else e_raw
+        assert abs(r["hll_estimate"] - e) < 1e-5
+        # HLL with m=256 has ~6.5% std error; tiny sf cardinalities in
+        # the linear-counting regime are much tighter — sanity band
+        assert abs(r["hll_estimate"] - exact) / exact < 0.5
+
+
+def test_soft_dedup_weights_invariants(spark):
+    """Every doc appears exactly once; weights are 1/cluster_size; the
+    weight mass of each cluster is ~1; cluster sizes reconcile with the
+    d_dedup_clusters histogram on the same corpus."""
+    from collections import Counter
+
+    from daxos_spark.plans.docpipe import d_dedup_clusters, d_soft_dedup_weights
+
+    w = d_soft_dedup_weights(spark, SF_DIR).collect()
+    import duckdb
+
+    n_docs = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(w) == n_docs
+    assert len({r["doc_id"] for r in w}) == n_docs
+    for r in w:
+        assert r["cluster_size"] >= 1
+        assert abs(r["weight"] - (1.0 / r["cluster_size"])) <= 1e-6  # trunc6
+    # histogram reconciliation: multi-doc cluster sizes from the weight
+    # table must equal d_dedup_clusters' histogram (which only sees
+    # docs that have near-dup edges, i.e. cluster_size >= 2)
+    hist = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in d_dedup_clusters(spark, SF_DIR).collect()
+    }
+    sizes = Counter(r["cluster_size"] for r in w if r["cluster_size"] >= 2)
+    derived = {sz: cnt // sz for sz, cnt in sizes.items()}
+    assert derived == {sz: n for sz, n in hist.items() if sz >= 2}
+
+
+def test_char_entropy_matches_python_replay(spark):
+    """Per-source entropy stats equal an exact python recomputation
+    (same Σ c·ln c / trunc6 pipeline) on the raw parquet text."""
+    import math
+    from collections import Counter
+
+    from daxos_spark.plans.textpipe import t_char_entropy
+
+    def t6(x: float) -> float:
+        return math.floor(x * 1e6) / 1e6
+
+    rows = {r["source"]: r for r in t_char_entropy(spark, SF_DIR).collect()}
+
+    import duckdb
+
+    docs = duckdb.connect().execute(
+        f"SELECT source, text FROM read_parquet('{SF_DIR}/documents.parquet') WHERE length(text) >= 1"
+    ).fetchall()
+    per_source: dict[str, list[float]] = {}
+    for source, text in docs:
+        n = len(text)
+        cnt = Counter(text)
+        s = sum(c * math.log(c) for c in cnt.values())
+        ent = t6((math.log(n) - s / n) / math.log(2.0))
+        per_source.setdefault(source, []).append(ent)
+
+    assert set(rows) == set(per_source)
+    for src, ents in per_source.items():
+        r = rows[src]
+        assert r["n_docs"] == len(ents)
+        # engines run Σ c·ln c through the DECIMAL(25,6) ladder; the
+        # python replay sums exact floats — allow one trunc6 step
+        assert abs(r["min_entropy_bits"] - min(ents)) < 2e-6
+        assert abs(r["max_entropy_bits"] - max(ents)) < 2e-6
+        assert r["n_low_entropy"] == sum(1 for x in ents if x < 3.5)
+        assert abs(r["avg_entropy_bits"] - t6(sum(ents) / len(ents))) < 2e-6
