@@ -124,3 +124,28 @@ def simhash32(tokens: Column) -> Column:
 def hamming32(a: Column, b: Column) -> Column:
     """Hamming distance between two 32-bit simhashes stored as bigint."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ------------------------------------------------------------- HyperLogLog
+# register derivation shared by the batch sketch (plans/diagnostics.
+# q_hll_distinct) and its streaming twin (streaming/pipelines.
+# hll_registers_stream). Both take the ALREADY-HASHED 56-bit md5 lane
+# (one md5 evaluation, reg and rho derived from the same column —
+# codegen does not CSE md5 across sibling expressions) so the two
+# consumers cannot drift on the hash convention.
+
+def hll_reg(h: Column) -> Column:
+    """HLL register index: the low 8 bits of the 56-bit md5 lane
+    (b=8 → m=256 registers)."""
+    return h.bitwiseAND(F.lit(255))
+
+
+def hll_rho(h: Column) -> Column:
+    """HLL rank: leading-zero count of the remaining 48-bit suffix + 1,
+    computed EXACTLY via length(bin(suffix)) — no float log2. Range
+    1..49 (suffix 0 → 49)."""
+    suf = F.shiftright(h, 8)
+    return (
+        F.when(suf == 0, F.lit(49))
+        .otherwise(F.lit(49) - F.length(F.bin(suf)))
+    )

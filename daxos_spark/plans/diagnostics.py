@@ -1277,20 +1277,17 @@ _HLL_TWO49 = 562949953421312.0  # 2^49, the integer-sum descale
     "relative error as self-audit columns",
 )
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import md5_long
+    from ..functions.hashing import hll_reg, hll_rho, md5_long
 
     e = load_tables(spark, sf_dir)["events"]
     h = e.select(
         "event_type",
         md5_long(F.concat(F.lit("hll#"), F.col("user_id").cast("string"))).alias("h"),
     )
-    suf = F.shiftright(F.col("h"), 8)
     r = h.select(
         "event_type",
-        F.col("h").bitwiseAND(F.lit(255)).alias("reg"),
-        F.when(suf == 0, F.lit(49))
-        .otherwise(F.lit(49) - F.length(F.bin(suf)))
-        .alias("rho"),
+        hll_reg(F.col("h")).alias("reg"),
+        hll_rho(F.col("h")).alias("rho"),
     )
     regs = r.groupBy("event_type", "reg").agg(F.max("rho").alias("rho_max"))
     agg = regs.groupBy("event_type").agg(

@@ -795,3 +795,35 @@ def hdr_latency_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def hll_registers_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Streaming HyperLogLog register build — the arriving-batch twin
+    of plans/diagnostics.q_hll_distinct's register stage. An HLL
+    register holds MAX(rho), and max is mergeable, so the sketch is
+    streaming-native: the aggregation state is exactly the per-key
+    256-register table (#keys × 256 rows) regardless of stream length
+    or user cardinality — the sketch's bounded-memory guarantee IS the
+    streaming state bound, no watermark needed. Run in complete/update
+    mode; the final registers equal the batch build bit-for-bit (both
+    derive reg and rho from the same md5 lane via the shared
+    functions.hashing helpers), so the driver-side estimate formula
+    applied to the sink yields the batch estimate exactly.
+    """
+    from ..functions.hashing import hll_reg, hll_rho, md5_long
+
+    h = events.select(
+        F.col(key_col).alias("k"),
+        md5_long(
+            F.concat(F.lit("hll#"), F.col(id_col).cast("string"))
+        ).alias("h"),
+    )
+    return (
+        h.select("k", hll_reg(F.col("h")).alias("reg"), hll_rho(F.col("h")).alias("rho"))
+        .groupBy("k", "reg")
+        .agg(F.max("rho").alias("rho_max"))
+    )

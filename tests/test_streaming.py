@@ -692,3 +692,37 @@ def test_hdr_latency_stream_matches_batch(spark, tmp_path, batch_events):
         for k, c in want_b[u].items():
             want_m[k] = want_m.get(k, 0) + c
     assert merged == want_m
+
+
+def test_hll_registers_stream_matches_batch(spark, tmp_path, batch_events):
+    """Streaming HLL registers (complete mode, state = #keys x 256
+    rows) == a python HLL register replay on the same events — and
+    therefore == the batch q_hll_distinct register stage, which the
+    replay in test_round9_ops pins to the same convention."""
+    import hashlib
+
+    from daxos_spark.streaming.pipelines import hll_registers_stream, run_to_memory
+
+    ev_dir = str(tmp_path / "ev")
+    batch_events.select("event_type", "user_id").write.parquet(ev_dir)
+
+    want: dict = {}
+    for r in batch_events.select("event_type", "user_id").collect():
+        h = int(hashlib.md5(f"hll#{r['user_id']}".encode()).hexdigest()[:14], 16)
+        reg, suf = h & 255, h >> 8
+        rho = 49 if suf == 0 else 49 - suf.bit_length()
+        k = (r["event_type"], reg)
+        want[k] = max(want.get(k, 0), rho)
+
+    stream = spark.readStream.schema("event_type string, user_id long").parquet(ev_dir)
+    run_to_memory(
+        hll_registers_stream(stream), "hllstream", output_mode="complete"
+    )
+    got = {
+        (r["k"], r["reg"]): r["rho_max"]
+        for r in spark.sql("SELECT k, reg, rho_max FROM hllstream").collect()
+    }
+    assert got == want
+    # state bound: at most (#event types) x 256 register rows
+    n_keys = batch_events.select("event_type").distinct().count()
+    assert len(got) <= n_keys * 256
