@@ -149,3 +149,27 @@ def hll_rho(h: Column) -> Column:
         F.when(suf == 0, F.lit(49))
         .otherwise(F.lit(49) - F.length(F.bin(suf)))
     )
+
+
+# Spark-SQL text of a 56-bit SimHash over a token-array column named in
+# `tk_col` — the per-row single-pass form: one md5 per token, 56 bit
+# votes accumulated in an array state, majority-packed into a bigint.
+# Zero shuffle (no explode/groupBy) and no 57-buffer codegen aggregate;
+# interpreted HOF cost is ~56 integer ops per token. Value-identical to
+# the explode+vote layout (pure integer arithmetic) — the duckdb oracle
+# keeps the explode form, the gate hash proves equality.
+def simhash56_sql(tk_col: str = "tk") -> str:
+    return f"""
+    aggregate(
+      zip_with(
+        aggregate(
+          transform({tk_col}, t -> CAST(conv(substr(md5(t),1,14),16,10) AS BIGINT)),
+          array_repeat(CAST(0 AS BIGINT), 56),
+          (acc, h) -> zip_with(acc, sequence(0, 55), (a, b) -> a + (shiftright(h, b) & CAST(1 AS BIGINT)))
+        ),
+        sequence(0, 55),
+        (c, b) -> IF(2*c > size({tk_col}), shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))
+      ),
+      CAST(0 AS BIGINT),
+      (acc, x) -> acc + x
+    )"""

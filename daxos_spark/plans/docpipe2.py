@@ -801,3 +801,278 @@ def _dedup_agreement_lazy(spark: SparkSession, sf_dir: str, persist: bool = True
 _SPECS["t_dedup_agreement"].lazy_plan = (
     lambda spark, sf_dir: _dedup_agreement_lazy(spark, sf_dir, persist=False)[0]
 )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-duplicate detection (Manku/Jain/Das Sarma, WWW'07 — the
+# Google web-crawl dedup design) on a 56-bit fingerprint: per-bit
+# majority vote of token md5 hashes, then Hamming-distance ≤ K pair
+# mining WITHOUT the all-pairs product. Blocking is the pigeonhole
+# band trick the paper's "permuted tables" implement: split the 56
+# bits into K+1 = 4 contiguous 14-bit bands; any pair at Hamming ≤ 3
+# has ≥ 1 band its flips miss entirely, so an equi-join on
+# (band_index, band_value) is a LOSSLESS candidate generator for the
+# K=3 threshold. Scale shape: fingerprinting is one explode + one
+# partial-aggregable groupBy (56 integer sums); the candidate join
+# buckets on 2^14 values per band (corpus/16k expected bucket size —
+# the paper's production variant widens to 64-bit prints and more/
+# narrower tables as the corpus grows; the construction is identical).
+# Beyond-parity (reference processes no text); complements the MinHash
+# lane: SimHash detects SMALL EDIT near-dups (Hamming on a global
+# fingerprint), MinHash detects set-overlap near-dups.
+_SIMHASH_BITS = 56
+_SIMHASH_K = 3  # max Hamming distance
+_SIMHASH_BAND_BITS = 14  # 4 bands × 14 bits = 56
+
+_SIMHASH56_SQL = f"""
+    tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ), th AS (
+      SELECT doc_id, {md5_long_sql('t')} AS h FROM tok
+    ), bits AS (
+      SELECT doc_id, g.b AS b,
+             CASE WHEN 2 * SUM((h >> g.b) & 1) > COUNT(*) THEN 1 ELSE 0 END AS bit
+      FROM (SELECT doc_id, h, unnest(range(0, {_SIMHASH_BITS})) AS b FROM th) g
+      GROUP BY doc_id, g.b
+    ), prints AS (
+      SELECT doc_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS sh
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@_q(
+    "d_simhash_neardup",
+    f"""
+    WITH {_SIMHASH56_SQL},
+    bands AS (
+      SELECT doc_id, sh, g.b AS b,
+             (sh >> (g.b * {_SIMHASH_BAND_BITS})) & {(1 << _SIMHASH_BAND_BITS) - 1} AS bv
+      FROM (SELECT doc_id, sh, unnest(range(0, {_SIMHASH_K + 1})) AS b FROM prints) g
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS sa, b.sh AS sb
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {_SIMHASH_K}
+    ORDER BY hamming, da, db
+    """,
+    doc="SimHash near-dup pairs (Manku et al. WWW'07): 56-bit per-bit "
+    "majority fingerprint, lossless 4×14-bit pigeonhole band join for "
+    "Hamming ≤ 3, exact bit_count verify on candidates only — the "
+    "small-edit complement to the MinHash set-overlap lane",
+)
+def d_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+    from ..functions.hashing import simhash56_sql
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    # per-row single-pass fingerprint (simhash56_sql): one md5 per
+    # token, bit votes in an array state, majority-packed — ZERO
+    # shuffle (the oracle's explode+groupBy layout would shuffle every
+    # token hash and pay a 57-buffer codegen aggregate; measured 0.4s
+    # vs 12s warm at sf0.01 for identical values).
+    prints = d.select("doc_id", T.tokens(F.col("text")).alias("tk")).select(
+        "doc_id", F.expr(simhash56_sql("tk")).alias("sh")
+    )
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("sh"), b * _SIMHASH_BAND_BITS).bitwiseAND(
+                F.lit((1 << _SIMHASH_BAND_BITS) - 1)
+            )
+            for b in range(_SIMHASH_K + 1)
+        ]
+    )
+    bands = prints.select("doc_id", "sh", F.posexplode(band_vals).alias("b", "bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.sh").alias("sa"),
+            F.col("b.sh").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.filter(ham <= _SIMHASH_K)
+        .select("da", "db", ham.cast("bigint").alias("hamming"))
+        .orderBy("hamming", "da", "db")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-pass Sorted-Neighborhood Method (Hernández & Stolfo, SIGMOD'95
+# — the classic entity-resolution blocking strategy): sort the corpus
+# by a key, compare only records within a sliding window of W ranks.
+# Distributed layout: the sort is PARTITIONED by (source, 4-char key
+# prefix) — the sorted-blocks deployment of SNM — so no global
+# single-partition window exists; within a block, the W-neighborhood
+# join is linearized by the rank-block trick (blk = (rank-1) div W;
+# a pair ≤ W apart differs by ≤ 1 in blk, so the a-side fans out to
+# [blk, blk+1] and the join is equi on (source, bkt, blk) — O(n·W)
+# candidates, never O(block²)). SNM is inherently lossy at window
+# boundaries and for dups disagreeing in the key's first chars; the
+# standard remedy, implemented here, is a SECOND pass on an
+# independent key (the reversed text) with candidates unioned.
+# Verification: exact 3-shingle Jaccard on the candidate pairs only.
+_SNM_W = 4
+_SNM_SHINGLE = "concat_ws(' ', tk[i], tk[i+1], tk[i+2])"
+
+
+def _snm_cand_sql(key: str) -> str:
+    """Candidate pairs (da < db) of one SNM pass over the given key."""
+    return f"""
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM (SELECT doc_id, source, substr(k, 1, 4) AS bkt,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY source, substr(k, 1, 4)
+                     ORDER BY k, doc_id) AS rk
+            FROM (SELECT doc_id, source, {key} AS k FROM documents)) a
+      JOIN (SELECT doc_id, source, substr(k, 1, 4) AS bkt,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY source, substr(k, 1, 4)
+                     ORDER BY k, doc_id) AS rk
+            FROM (SELECT doc_id, source, {key} AS k FROM documents)) b
+        ON a.source = b.source AND a.bkt = b.bkt
+       AND b.rk - a.rk BETWEEN 1 AND {_SNM_W}
+    """
+
+
+@_q(
+    "d_sorted_neighborhood",
+    f"""
+    WITH cand AS (
+      SELECT da, db,
+             MAX(fwd) AS found_fwd, MAX(rev) AS found_rev
+      FROM (
+        SELECT LEAST(da, db) AS da, GREATEST(da, db) AS db, 1 AS fwd, 0 AS rev
+        FROM ({_snm_cand_sql(_NORM)}) f
+        UNION ALL
+        SELECT LEAST(da, db) AS da, GREATEST(da, db) AS db, 0 AS fwd, 1 AS rev
+        FROM ({_snm_cand_sql(f"reverse({_NORM})")}) r
+      ) u
+      GROUP BY da, db
+    ), toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, {_SNM_SHINGLE} AS s
+      FROM (SELECT doc_id, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.da, c.db, MAX(c.found_fwd) AS found_fwd, MAX(c.found_rev) AS found_rev,
+             COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.da
+      JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+      GROUP BY c.da, c.db
+    )
+    SELECT i.da, i.db,
+           CAST(i.found_fwd AS BIGINT) AS found_fwd,
+           CAST(i.found_rev AS BIGINT) AS found_rev,
+           {sql_trunc6('i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)')} AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.da
+                 JOIN sizes sb ON sb.doc_id = i.db
+    ORDER BY jaccard DESC, da, db
+    LIMIT 20
+    """,
+    doc="multi-pass Sorted-Neighborhood blocking (Hernández-Stolfo "
+    "SIGMOD'95): W=4 sliding window over (source, key-prefix)-"
+    "partitioned sort order, forward + reversed-key passes unioned, "
+    "exact 3-shingle Jaccard verify on candidates only (top-20 pairs); "
+    "the rank-block join keeps candidates O(n·W). Recall on this "
+    "token-shuffled corpus is honestly LOW vs the LSH lane — near-dups "
+    "rarely agree in their key prefix — which is SNM's documented "
+    "failure mode and why the engine's production dedup is MinHash-LSH",
+)
+def d_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import word_shingles
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    norm = F.lower(F.trim(F.col("text")))
+
+    def one_pass(key_col, tag: str) -> DataFrame:
+        keyed = d.select(
+            "doc_id", "source", key_col.alias("k"), F.substring(key_col, 1, 4).alias("bkt")
+        )
+        w = Window.partitionBy("source", "bkt").orderBy("k", "doc_id")
+        ranked = keyed.select(
+            "doc_id", "source", "bkt", F.row_number().over(w).alias("rk")
+        ).withColumn("blk", ((F.col("rk") - 1) / F.lit(_SNM_W)).cast("bigint"))
+        # a-side fans out to its own and the next rank-block: a pair at
+        # rank distance ≤ W differs by ≤ 1 block, so the equi-join on
+        # (source, bkt, blk) is exhaustive and O(n·W), never O(block²).
+        a = ranked.select(
+            "doc_id",
+            "source",
+            "bkt",
+            "rk",
+            F.explode(F.array(F.col("blk"), F.col("blk") + 1)).alias("jblk"),
+        ).alias("a")
+        b = ranked.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.source") == F.col("b.source"))
+                & (F.col("a.bkt") == F.col("b.bkt"))
+                & (F.col("a.jblk") == F.col("b.blk"))
+                & (F.col("b.rk") - F.col("a.rk") >= 1)
+                & (F.col("b.rk") - F.col("a.rk") <= _SNM_W),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("da"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("db"),
+                F.lit(1 if tag == "fwd" else 0).alias("fwd"),
+                F.lit(1 if tag == "rev" else 0).alias("rev"),
+            )
+        )
+
+    cand = (
+        one_pass(norm, "fwd")
+        .unionByName(one_pass(F.reverse(norm), "rev"))
+        .groupBy("da", "db")
+        .agg(F.max("fwd").alias("found_fwd"), F.max("rev").alias("found_rev"))
+    )
+    sh = d.select("doc_id", F.explode(word_shingles(norm, 3)).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("x"), F.col("x.doc_id") == F.col("da"))
+        .join(
+            sh.alias("y"),
+            (F.col("y.doc_id") == F.col("db")) & (F.col("y.s") == F.col("x.s")),
+        )
+        .groupBy("da", "db")
+        .agg(
+            F.max("found_fwd").alias("found_fwd"),
+            F.max("found_rev").alias("found_rev"),
+            F.count(F.lit(1)).alias("n_inter"),
+        )
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    union_sz = F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("da"))
+        .join(sb, F.col("sb.doc_id") == F.col("db"))
+        .select(
+            "da",
+            "db",
+            F.col("found_fwd").cast("bigint").alias("found_fwd"),
+            F.col("found_rev").cast("bigint").alias("found_rev"),
+            trunc6(F.col("n_inter") / union_sz).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "da", "db")
+        .limit(20)
+    )

@@ -5107,3 +5107,109 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round bigint, n_moved bigint, n_communities bigint, largest bigint"
     ).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# Weighted single-source shortest path (bounded Bellman-Ford) on the
+# nation trade graph — the missing classic in the graph family
+# (pagerank / label-propagation / k-core / link-prediction / recursive
+# reach all exist). Edges: top-2 trade lanes per source nation (same
+# relation as q_recursive_trade_reach), weighted by an integer cost
+# inversely proportional to lane revenue — "cheaper to route through
+# high-volume lanes". cost_micro = FLOOR(1e12 / rev): rev is the
+# exact-decimal revenue sum cast to double (identical in both
+# engines), so the integer cost is engine-identical too.
+# Scale shape: K iterations of dist ⋈ edges + min-reduce — the
+# textbook distributed Bellman-Ford. The dist relation is
+# |V| = nation-cardinality rows; every iteration is one small shuffle
+# and NOTHING is collected. Costs are pure bigints; ties on cost are
+# broken by fewer hops (min(struct(cost, hop)) ≡ the oracle's two-step
+# arg-min), so the result is deterministic.
+_SSSP_SOURCE = 9
+_SSSP_HOPS = 6
+
+_SSSP_EDGES_SQL = """
+SELECT sn, cn, CAST(FLOOR(1000000000000.0 / rev) AS BIGINT) AS cost FROM (
+  SELECT sn, cn, rev, ROW_NUMBER() OVER (PARTITION BY sn ORDER BY rev DESC, cn) AS rk FROM (
+    SELECT s.s_nationkey AS sn, c.c_nationkey AS cn,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS rev
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE s.s_nationkey <> c.c_nationkey
+    GROUP BY s.s_nationkey, c.c_nationkey) t) r
+WHERE rk <= 2
+"""
+
+
+@_q(
+    "q_trade_shortest_path",
+    f"""
+    WITH RECURSIVE edges AS ({_SSSP_EDGES_SQL}),
+    walk(nk, cost, hop) AS (
+      SELECT CAST({_SSSP_SOURCE} AS INT), CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT CAST(e.cn AS INT), w.cost + e.cost, w.hop + 1
+      FROM walk w JOIN edges e ON e.sn = w.nk
+      WHERE w.hop < {_SSSP_HOPS}
+    ), best AS (
+      SELECT nk, MIN(cost) AS min_cost_micro FROM walk GROUP BY nk
+    ), best_hop AS (
+      SELECT b.nk, b.min_cost_micro, MIN(w.hop) AS hops
+      FROM best b JOIN walk w ON w.nk = b.nk AND w.cost = b.min_cost_micro
+      GROUP BY b.nk, b.min_cost_micro
+    )
+    SELECT n.n_name, bh.min_cost_micro, CAST(bh.hops AS BIGINT) AS hops
+    FROM best_hop bh JOIN nation n ON n.n_nationkey = bh.nk
+    ORDER BY bh.min_cost_micro, n.n_name
+    """,
+    doc="single-source weighted shortest path (Bellman-Ford, ≤ 6 hops) "
+    "over the top-2-lanes-per-nation trade graph with integer "
+    "inverse-revenue costs; distributed as K small join+min-reduce "
+    "rounds over a |V|-row dist relation, ties broken by hop count",
+    tags=("graph",),
+)
+def q_trade_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    # materialize the edge relation once (≤ 2·|nations| rows); the K
+    # relax rounds re-scan these cached rows instead of re-running the
+    # 4-way fact join (same rationale as q_recursive_trade_reach).
+    edges = (
+        spark.sql(_SSSP_EDGES_SQL)
+        .withColumnRenamed("cost", "ecost")
+        .localCheckpoint(eager=True)
+    )
+    nation = load_tables(spark, sf_dir)["nation"]
+    dist = spark.createDataFrame(
+        [(_SSSP_SOURCE, 0, 0)], "nk int, cost bigint, hop int"
+    )
+    for _ in range(_SSSP_HOPS):
+        relaxed = (
+            dist.join(edges, dist["nk"] == edges["sn"])
+            .select(
+                F.col("cn").cast("int").alias("nk"),
+                (F.col("cost") + F.col("ecost")).alias("cost"),
+                (dist["hop"] + 1).alias("hop"),
+            )
+        )
+        # min-reduce each round keeps dist at |V| rows (true
+        # Bellman-Ford, not a path enumeration): lexicographic
+        # min(struct(cost, hop)) = min cost, ties → fewer hops.
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("nk")
+            .agg(F.min(F.struct("cost", "hop")).alias("s"))
+            .select("nk", F.col("s.cost").alias("cost"), F.col("s.hop").alias("hop"))
+        )
+    return (
+        dist.join(nation, dist["nk"] == nation["n_nationkey"])
+        .select(
+            "n_name",
+            F.col("cost").alias("min_cost_micro"),
+            F.col("hop").cast("bigint").alias("hops"),
+        )
+        .orderBy("min_cost_micro", "n_name")
+    )

@@ -243,3 +243,158 @@ def test_char_entropy_matches_python_replay(spark):
         assert abs(r["max_entropy_bits"] - max(ents)) < 2e-6
         assert r["n_low_entropy"] == sum(1 for x in ents if x < 3.5)
         assert abs(r["avg_entropy_bits"] - t6(sum(ents) / len(ents))) < 2e-6
+
+
+def test_simhash56_matches_python_replay(spark):
+    """The per-row simhash56 SQL expression == a python md5
+    majority-vote replay on a tiny frame (the fingerprint the banded
+    near-dup join blocks on)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from daxos_spark.functions.hashing import simhash56_sql
+
+    toks = ["alpha", "beta", "alpha", "gamma", "beta", "alpha"]
+    d = spark.createDataFrame([(1, " ".join(toks))], "doc_id int, text string")
+    got = (
+        d.select(F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("tk"))
+        .select(F.expr(simhash56_sql("tk")).alias("sh"))
+        .collect()[0]["sh"]
+    )
+    hashes = [int(hashlib.md5(t.encode()).hexdigest()[:14], 16) for t in toks]
+    want = 0
+    for b in range(56):
+        votes = sum((h >> b) & 1 for h in hashes)
+        if 2 * votes > len(hashes):
+            want |= 1 << b
+    assert got == want
+
+
+def test_simhash_neardup_banding_is_lossless(spark):
+    """Pigeonhole guarantee: the 4×14-bit band join must produce
+    EXACTLY the pairs a brute-force all-pairs Hamming ≤ 3 scan finds
+    (4 bands, ≤ 3 flipped bits → ≥ 1 band untouched)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from daxos_spark.catalog import load_tables
+    from daxos_spark.functions import text as T
+    from daxos_spark.functions.hashing import simhash56_sql
+    from daxos_spark.plans.docpipe2 import _SIMHASH_K, d_simhash_neardup
+
+    d = load_tables(spark, SF_DIR)["documents"]
+    prints = {
+        r["doc_id"]: r["sh"]
+        for r in d.select(
+            "doc_id", T.tokens(F.col("text")).alias("tk")
+        ).select("doc_id", F.expr(simhash56_sql("tk")).alias("sh")).collect()
+    }
+    brute = {
+        (a, b): bin(prints[a] ^ prints[b]).count("1")
+        for a, b in combinations(sorted(prints), 2)
+        if bin(prints[a] ^ prints[b]).count("1") <= _SIMHASH_K
+    }
+    got = {
+        (r["da"], r["db"]): r["hamming"]
+        for r in d_simhash_neardup(spark, SF_DIR).collect()
+    }
+    assert got == brute
+    assert got  # non-vacuous: the corpus plants near-identical docs
+
+
+def test_sorted_neighborhood_matches_python_replay(spark):
+    """Full python replay of multi-pass SNM (sort by key within
+    (source, 4-char prefix) buckets, window W, forward + reversed
+    keys, 3-shingle Jaccard, top-20): flags, pair set, and jaccard
+    must all match."""
+    from collections import defaultdict
+
+    from daxos_spark.catalog import load_tables
+    from daxos_spark.plans.docpipe2 import _SNM_W, d_sorted_neighborhood
+
+    rows = load_tables(spark, SF_DIR)["documents"].select(
+        "doc_id", "source", "text"
+    ).collect()
+    docs = {r["doc_id"]: (r["source"], r["text"].strip().lower()) for r in rows}
+
+    def cand_pass(keyfn):
+        buckets = defaultdict(list)
+        for did, (src, txt) in docs.items():
+            k = keyfn(txt)
+            buckets[(src, k[:4])].append((k, did))
+        pairs = set()
+        for b in buckets.values():
+            b.sort()
+            for i in range(len(b)):
+                for j in range(i + 1, min(i + _SNM_W + 1, len(b))):
+                    da, db = sorted((b[i][1], b[j][1]))
+                    pairs.add((da, db))
+        return pairs
+
+    fwd = cand_pass(lambda t: t)
+    rev = cand_pass(lambda t: t[::-1])
+
+    def shingles(txt):
+        tk = txt.split()
+        n = max(len(tk) - 2, 1)
+        return {" ".join(tk[i : i + 3]) for i in range(n)}
+
+    import math
+
+    scored = []
+    for da, db in fwd | rev:
+        sa, sb = shingles(docs[da][1]), shingles(docs[db][1])
+        ni = len(sa & sb)
+        if not ni:
+            continue
+        j = math.floor(ni / (len(sa) + len(sb) - ni) * 1e6) / 1e6
+        scored.append((-j, da, db, int((da, db) in fwd), int((da, db) in rev)))
+    scored.sort()
+    want = [(da, db, f, r, -nj) for nj, da, db, f, r in scored[:20]]
+    got = [
+        (r["da"], r["db"], r["found_fwd"], r["found_rev"], r["jaccard"])
+        for r in d_sorted_neighborhood(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_trade_shortest_path_matches_python_bellman_ford(spark):
+    """Python Bellman-Ford over the collected (≤ 2·|V|-row) edge
+    relation == the iterative join plan: min cost within ≤ 6 hops,
+    ties → fewer hops, source at distance 0."""
+    from daxos_spark.plans.relational2 import (
+        _SSSP_EDGES_SQL,
+        _SSSP_HOPS,
+        _SSSP_SOURCE,
+        q_trade_shortest_path,
+    )
+    from daxos_spark.catalog import load_tables, register_views
+
+    register_views(spark, SF_DIR)
+    edges = [
+        (r["sn"], r["cn"], r["cost"]) for r in spark.sql(_SSSP_EDGES_SQL).collect()
+    ]
+    names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_tables(spark, SF_DIR)["nation"].collect()
+    }
+    dist = {_SSSP_SOURCE: (0, 0)}
+    for _ in range(_SSSP_HOPS):
+        new = dict(dist)
+        for sn, cn, c in edges:
+            if sn in dist:
+                cand = (dist[sn][0] + c, dist[sn][1] + 1)
+                if cn not in new or cand < new[cn]:
+                    new[cn] = cand
+        dist = new
+    want = sorted(
+        (cost, names[nk], hop) for nk, (cost, hop) in dist.items()
+    )
+    got = [
+        (r["min_cost_micro"], r["n_name"], r["hops"])
+        for r in q_trade_shortest_path(spark, SF_DIR).collect()
+    ]
+    assert got == want
+    assert got[0][0] == 0  # the source itself
