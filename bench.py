@@ -246,6 +246,18 @@ BENCH_QUERIES = [
     "v_ndcg_audit",
     "q_link_prediction",
     "t_stratified_sample",
+    # round 9
+    "q_hll_distinct",
+    "d_soft_dedup_weights",
+    "t_char_entropy",
+    "t_shard_manifest",
+    "q_dp_mean",
+    "t_refinery_lane2",
+    "d_simhash_neardup",
+    "d_sorted_neighborhood",
+    "q_trade_shortest_path",
+    "q_dp_quantile",
+    "m_shot_boundaries",
 ]
 
 # Frozen heavy set for round-over-round comparison (r8 ask #4): the ~28

@@ -450,3 +450,92 @@ def m_asset_neardup(spark: SparkSession, sf_dir: str, persist: bool = True) -> D
 ALL_SPECS["m_asset_neardup"].lazy_plan = (
     lambda spark, sf_dir: m_asset_neardup(spark, sf_dir, persist=False)
 )
+
+
+# --------------------------------------------------------------------------
+# shot-boundary detection — the video-pipeline primitive missing from
+# the frame family: fan each "video" out into consecutive frames (REAL
+# mapInPandas sampler, stride 1), compute a per-frame content
+# signature (byte sum — the deterministic stand-in for a histogram;
+# a real deployment swaps the signature UDF for a decoded-histogram
+# distance, same plan shape), and mark a boundary wherever the
+# signature jumps by more than a threshold between CONSECUTIVE frames
+# (lag window per asset). Scale shape: the fan-out is a narrow
+# transform, the signature a vectorized Arrow-batched UDF, and the lag
+# window partitions by asset_id — per-asset frame counts bound every
+# window, nothing is corpus-wide.
+# Oracle: frames are byte slices of the (all-ASCII) payload, so duckdb
+# reproduces the signatures with substr+ord arithmetic.
+_SHOT_FRAME = 32
+_SHOT_TAU = 256
+
+
+@_q(
+    "m_shot_boundaries",
+    f"""
+    WITH f AS (
+      SELECT doc_id, source, i,
+             substr(text, CAST(i * {_SHOT_FRAME} + 1 AS BIGINT), {_SHOT_FRAME}) AS fr
+      FROM (SELECT doc_id, source, text,
+                   unnest(range(0, CAST(CEIL(octet_length(encode(text)) / {_SHOT_FRAME}.0) AS BIGINT))) AS i
+            FROM documents)
+    ), sums AS (
+      SELECT doc_id, source, i, SUM(ord(substr(fr, CAST(j AS INT), 1))) AS bsum
+      FROM (SELECT doc_id, source, i, fr, unnest(range(1, len(fr) + 1)) AS j FROM f)
+      GROUP BY doc_id, source, i
+    ), lagged AS (
+      SELECT doc_id, source, bsum,
+             LAG(bsum) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM sums
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_assets,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND ABS(bsum - prev) > {_SHOT_TAU}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+           CAST(COUNT(DISTINCT doc_id)
+                + SUM(CASE WHEN prev IS NOT NULL AND ABS(bsum - prev) > {_SHOT_TAU}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_shots
+    FROM lagged
+    GROUP BY source ORDER BY source
+    """,
+    doc="shot-boundary detection per source: stride-1 frame fan-out "
+    "(mapInPandas), vectorized byte-sum frame signature, lag-window "
+    "jump threshold per asset — the video segmentation primitive; "
+    "signature UDF swaps for a real histogram distance at deploy time",
+)
+def m_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    d = load_tables(spark, sf_dir)["documents"]
+    assets = attach_blob(d, "doc_id", "text")
+    frames = sample_frames(assets, frame_bytes=_SHOT_FRAME, stride=1)
+
+    @pandas_udf("bigint")
+    def byte_sum(frame):
+        import numpy as np
+
+        return frame.map(lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()))
+
+    sig = frames.select("asset_id", "frame_idx", byte_sum(F.col("frame")).alias("bsum"))
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    lagged = sig.select(
+        "asset_id", "bsum", F.lag("bsum").over(w).alias("prev")
+    )
+    boundary = (
+        F.col("prev").isNotNull() & (F.abs(F.col("bsum") - F.col("prev")) > _SHOT_TAU)
+    ).cast("int")
+    j = lagged.join(
+        d.select(F.col("doc_id").alias("asset_id"), "source"), "asset_id"
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.countDistinct("asset_id").alias("n_assets"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(boundary).cast("bigint").alias("n_boundaries"),
+            (F.countDistinct("asset_id") + F.sum(boundary)).cast("bigint").alias("n_shots"),
+        )
+        .orderBy("source")
+    )

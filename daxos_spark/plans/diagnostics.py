@@ -1328,3 +1328,128 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# DP-shaped QUANTILE release — the exponential mechanism (McSherry &
+# Talwar '07), completing the ladder: q_dp_histogram (counts, Laplace)
+# → q_dp_mean (clipped mean, Laplace) → q_dp_quantile (median, the
+# mechanism for non-numeric-aggregable outputs). Candidates are the
+# $5000 bucket UPPER EDGES observed in each group; utility is the
+# integer u2(c) = -|2·below(c) - n| (twice the classic rank distance,
+# keeping everything integral; sensitivity 1 per row → score = ε·u2/4).
+# "Sampling" ∝ exp(score) is the Gumbel-max trick with the same
+# deterministic md5-uniform draws as its ladder siblings (and the same
+# honesty caveat — recomputable noise = NO actual privacy →
+# nominal_epsilon): winner = argmax(score + Gumbel(md5)). below(edge)
+# is EXACT from the bucket histogram (price < (k+1)·5000 ⟺
+# floor(price/5000) ≤ k), so both engines compare identical doubles
+# built from identical integers and one LN(LN) chain.
+# Scale shape: one groupBy histogram (bounded by groups × price-range/
+# 5000 — value-domain-bounded, not corpus-scaled), a cumsum window and
+# an argmax window over those same bounded rows.
+_DPQ_EPS = 0.5
+_DPQ_BUCKET = 5000
+
+
+@_q(
+    "q_dp_quantile",
+    f"""
+    WITH hist AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice / {_DPQ_BUCKET}) AS BIGINT) AS k,
+             COUNT(*) AS c
+      FROM orders GROUP BY o_orderpriority, k
+    ), cum AS (
+      SELECT o_orderpriority, k, c,
+             SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY k) AS below,
+             SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+      FROM hist
+    ), scored AS (
+      SELECT o_orderpriority, k, below, n,
+             -ABS(2 * below - n) AS u2,
+             (CAST({md5_long_sql(f"concat('dpq#', o_orderpriority, '#', k)")} AS DOUBLE) + 0.5)
+               / CAST(72057594037927936 AS DOUBLE) AS u
+      FROM cum
+    ), g AS (
+      SELECT o_orderpriority, k, below, n,
+             CAST(u2 AS DOUBLE) * {_DPQ_EPS} / 4.0 - LN(-LN(u)) AS key
+      FROM scored
+    ), win AS (
+      SELECT o_orderpriority, k, n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY key DESC, k) AS rn
+      FROM g
+    ), true_edge AS (
+      SELECT o_orderpriority, MIN(k) AS tk
+      FROM cum WHERE 2 * below >= n GROUP BY o_orderpriority
+    )
+    SELECT w.o_orderpriority, CAST(w.n AS BIGINT) AS n,
+           (w.k + 1) * {_DPQ_BUCKET} AS dp_median_edge,
+           (t.tk + 1) * {_DPQ_BUCKET} AS true_median_edge,
+           ABS(w.k - t.tk) AS abs_err_buckets,
+           CAST((1.0/2.0) AS DOUBLE) AS nominal_epsilon
+    FROM win w JOIN true_edge t ON t.o_orderpriority = w.o_orderpriority
+    WHERE w.rn = 1
+    ORDER BY w.o_orderpriority
+    """,
+    doc="DP-SHAPED median release per order priority via the "
+    "exponential mechanism: bucket-edge candidates, integer rank "
+    "utility, deterministic md5-Gumbel argmax — completes the DP "
+    "ladder (histogram/mean/quantile); same nominal_epsilon caveat "
+    "(recomputable noise = no actual privacy)",
+)
+def q_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    o = load_tables(spark, sf_dir)["orders"]
+    hist = o.groupBy(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / _DPQ_BUCKET).cast("bigint").alias("k"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wk = Window.partitionBy("o_orderpriority").orderBy("k")
+    wall = Window.partitionBy("o_orderpriority")
+    cum = hist.select(
+        "o_orderpriority",
+        "k",
+        F.sum("c").over(wk).alias("below"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    u = (
+        md5_long(
+            F.concat(
+                F.lit("dpq#"), F.col("o_orderpriority"), F.lit("#"), F.col("k")
+            )
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(72057594037927936.0)
+    u2 = -F.abs(F.lit(2) * F.col("below") - F.col("n"))
+    key = u2.cast("double") * F.lit(_DPQ_EPS) / F.lit(4.0) - F.log(-F.log(u))
+    win = (
+        cum.select(
+            "o_orderpriority",
+            "k",
+            "n",
+            F.row_number()
+            .over(Window.partitionBy("o_orderpriority").orderBy(key.desc(), "k"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    true_edge = (
+        cum.filter(F.lit(2) * F.col("below") >= F.col("n"))
+        .groupBy("o_orderpriority")
+        .agg(F.min("k").alias("tk"))
+    )
+    return (
+        win.join(true_edge, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("bigint").alias("n"),
+            ((F.col("k") + 1) * _DPQ_BUCKET).alias("dp_median_edge"),
+            ((F.col("tk") + 1) * _DPQ_BUCKET).alias("true_median_edge"),
+            F.abs(F.col("k") - F.col("tk")).alias("abs_err_buckets"),
+            (F.lit(1.0) / F.lit(2.0)).alias("nominal_epsilon"),
+        )
+        .orderBy("o_orderpriority")
+    )

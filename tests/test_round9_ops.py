@@ -398,3 +398,93 @@ def test_trade_shortest_path_matches_python_bellman_ford(spark):
     ]
     assert got == want
     assert got[0][0] == 0  # the source itself
+
+
+def test_dp_quantile_matches_python_replay(spark):
+    """Exponential-mechanism replay: bucket histogram → integer rank
+    utility → md5-Gumbel argmax, plus the exact integer median edge."""
+    import hashlib
+    import math
+
+    from daxos_spark.catalog import load_tables
+    from daxos_spark.plans.diagnostics import _DPQ_BUCKET, _DPQ_EPS, q_dp_quantile
+
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    from collections import Counter, defaultdict
+
+    hist = defaultdict(Counter)
+    for r in orders:
+        hist[r["o_orderpriority"]][int(r["o_totalprice"] // _DPQ_BUCKET)] += 1
+    want = []
+    for prio in sorted(hist):
+        ks = sorted(hist[prio])
+        n = sum(hist[prio].values())
+        below = 0
+        best, tk = None, None
+        for k in ks:
+            below += hist[prio][k]
+            u2 = -abs(2 * below - n)
+            h = int(hashlib.md5(f"dpq#{prio}#{k}".encode()).hexdigest()[:14], 16)
+            u = (h + 0.5) / 2**56
+            key = u2 * _DPQ_EPS / 4.0 - math.log(-math.log(u))
+            if best is None or key > best[0]:
+                best = (key, k)
+            if tk is None and 2 * below >= n:
+                tk = k
+        want.append(
+            (
+                prio,
+                n,
+                (best[1] + 1) * _DPQ_BUCKET,
+                (tk + 1) * _DPQ_BUCKET,
+                abs(best[1] - tk),
+            )
+        )
+    got = [
+        (
+            r["o_orderpriority"],
+            r["n"],
+            r["dp_median_edge"],
+            r["true_median_edge"],
+            r["abs_err_buckets"],
+        )
+        for r in q_dp_quantile(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_shot_boundaries_matches_python_replay(spark):
+    """Frame fan-out + byte-sum signature + lag-threshold replay."""
+    from collections import defaultdict
+
+    from daxos_spark.catalog import load_tables
+    from daxos_spark.plans.blobpipe import _SHOT_FRAME, _SHOT_TAU, m_shot_boundaries
+
+    docs = load_tables(spark, SF_DIR)["documents"].select(
+        "doc_id", "source", "text"
+    ).collect()
+    agg = defaultdict(lambda: [set(), 0, 0])  # assets, frames, boundaries
+    for r in docs:
+        raw = r["text"].encode()
+        sums = [
+            sum(raw[i : i + _SHOT_FRAME])
+            for i in range(0, len(raw), _SHOT_FRAME)
+        ]
+        a = agg[r["source"]]
+        a[0].add(r["doc_id"])
+        a[1] += len(sums)
+        a[2] += sum(
+            1 for p, c in zip(sums, sums[1:]) if abs(c - p) > _SHOT_TAU
+        )
+    want = [
+        (src, len(a[0]), a[1], a[2], a[2] + len(a[0]))
+        for src, a in sorted(agg.items())
+    ]
+    got = [
+        (r["source"], r["n_assets"], r["n_frames"], r["n_boundaries"], r["n_shots"])
+        for r in m_shot_boundaries(spark, SF_DIR).collect()
+    ]
+    assert got == want
+    assert any(a[3] > 0 for a in want)  # thresholds actually fire

@@ -88,6 +88,13 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
 
     con = duckdb.connect()
+    # Bound the oracle's RAM and let it spill: at the synthesized 10×
+    # corpus an unbounded in-memory duckdb grew to ~116 GB on the
+    # refinery oracles and drew the kernel OOM-killer (which takes the
+    # whole gate process with it, Spark results included). 48 GB +
+    # disk spill keeps the box alive; the oracle just runs longer.
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_gate_spill'")
     import os
 
     for t in (

@@ -119,6 +119,10 @@ PROBES = [
     "v_ndcg_audit",
     "t_dedup_clusters_lane2",
     "t_stratified_sample",
+    # round-9: the new dedup-blocking lanes + the Bellman-Ford graph op
+    "d_simhash_neardup",
+    "d_sorted_neighborhood",
+    "q_trade_shortest_path",
 ]
 
 
