@@ -173,3 +173,25 @@ def simhash56_sql(tk_col: str = "tk") -> str:
       CAST(0 AS BIGINT),
       (acc, x) -> acc + x
     )"""
+
+
+# SimHash banding constants shared by the batch near-dup join
+# (plans/docpipe2.d_simhash_neardup) and its streaming ingest twin
+# (streaming/pipelines.simhash_neardup_stream): 56 bits split into
+# K+1 = 4 contiguous 14-bit bands — the pigeonhole guarantee that any
+# pair at Hamming ≤ K shares at least one intact band.
+SIMHASH_BITS = 56
+SIMHASH_K = 3
+SIMHASH_BAND_BITS = 14
+
+
+def simhash_bands(sh: Column) -> Column:
+    """The K+1 band values of a 56-bit simhash, as array<bigint>."""
+    return F.array(
+        *[
+            F.shiftright(sh, b * SIMHASH_BAND_BITS).bitwiseAND(
+                F.lit((1 << SIMHASH_BAND_BITS) - 1)
+            )
+            for b in range(SIMHASH_K + 1)
+        ]
+    )

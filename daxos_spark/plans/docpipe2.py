@@ -820,9 +820,9 @@ _SPECS["t_dedup_agreement"].lazy_plan = (
 # Beyond-parity (reference processes no text); complements the MinHash
 # lane: SimHash detects SMALL EDIT near-dups (Hamming on a global
 # fingerprint), MinHash detects set-overlap near-dups.
-_SIMHASH_BITS = 56
-_SIMHASH_K = 3  # max Hamming distance
-_SIMHASH_BAND_BITS = 14  # 4 bands × 14 bits = 56
+from ..functions.hashing import SIMHASH_BAND_BITS as _SIMHASH_BAND_BITS
+from ..functions.hashing import SIMHASH_BITS as _SIMHASH_BITS
+from ..functions.hashing import SIMHASH_K as _SIMHASH_K
 
 _SIMHASH56_SQL = f"""
     tok AS (
@@ -877,15 +877,11 @@ def d_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prints = d.select("doc_id", T.tokens(F.col("text")).alias("tk")).select(
         "doc_id", F.expr(simhash56_sql("tk")).alias("sh")
     )
-    band_vals = F.array(
-        *[
-            F.shiftright(F.col("sh"), b * _SIMHASH_BAND_BITS).bitwiseAND(
-                F.lit((1 << _SIMHASH_BAND_BITS) - 1)
-            )
-            for b in range(_SIMHASH_K + 1)
-        ]
+    from ..functions.hashing import simhash_bands
+
+    bands = prints.select(
+        "doc_id", "sh", F.posexplode(simhash_bands(F.col("sh"))).alias("b", "bv")
     )
-    bands = prints.select("doc_id", "sh", F.posexplode(band_vals).alias("b", "bv"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -2762,7 +2762,14 @@ def _refinery_tail_oracle(keepv_cte: str) -> str:
         SELECT DISTINCT doc_id, t FROM (
           SELECT doc_id, unnest(range(i, i + {_SS_K})) AS t FROM sdp))
       GROUP BY doc_id
-    ), fl AS (
+    ), fl AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing at scale, not a style choice:
+      -- fl feeds the five funnel-stage UNION branches below, and when
+      -- duckdb INLINES it each branch recomputes the whole upstream
+      -- chain CONCURRENTLY — five copies of the sdp gram self-join's
+      -- hash tables drew the kernel OOM-killer at the synthesized 3×
+      -- corpus (~125 GB). Materialized: one evaluation, 6 s / 27 GB.
+      -- Result-identical either way, so all gate hashes are unchanged.
       SELECT g.doc_id, g.n_tok,
              g.p_wc * g.p_mwl * g.p_alpha * g.p_stop * g.p_rep AS p_gopher,
              CASE WHEN COALESCE(n.avg_nll <= {_BG_HI}, TRUE) THEN 1 ELSE 0 END AS p_ppl,
@@ -2775,18 +2782,24 @@ def _refinery_tail_oracle(keepv_cte: str) -> str:
     )
     SELECT * FROM (
       SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
-             COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM fl
+             COUNT(*) AS n_docs,
+             -- COALESCE: a stage with ZERO survivors must report 0
+             -- tokens, matching the Spark funnel's conditional sum
+             -- (SUM over an empty set is NULL in SQL; the divergence
+             -- only materializes on corpora where a gate kills every
+             -- doc — seen first at the bijected 10x probe corpus)
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM fl
       UNION ALL
-      SELECT CAST(2 AS BIGINT), 'gopher_rules', COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      SELECT CAST(2 AS BIGINT), 'gopher_rules', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
       FROM fl WHERE p_gopher = 1
       UNION ALL
-      SELECT CAST(3 AS BIGINT), 'bigram_ppl', COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      SELECT CAST(3 AS BIGINT), 'bigram_ppl', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
       FROM fl WHERE p_gopher = 1 AND p_ppl = 1
       UNION ALL
-      SELECT CAST(4 AS BIGINT), 'substring_dedup', COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      SELECT CAST(4 AS BIGINT), 'substring_dedup', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
       FROM fl WHERE p_gopher = 1 AND p_ppl = 1 AND p_sub = 1
       UNION ALL
-      SELECT CAST(5 AS BIGINT), 'semantic_dedup', COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      SELECT CAST(5 AS BIGINT), 'semantic_dedup', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
       FROM fl WHERE p_gopher = 1 AND p_ppl = 1 AND p_sub = 1 AND p_sem = 1
     ) ORDER BY stage
     """

@@ -2495,3 +2495,259 @@ def v_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "doc_id", "in_bm25", "in_vec", trunc6(F.col("rrf")).alias("rrf"))
         .orderBy("qid", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Structured-rotation binary quantization — the FAISS/ScaNN/RaBitQ
+# trick: rotate vectors by an orthogonal matrix BEFORE taking sign
+# bits, so quantization error decorrelates from the coordinate axes.
+# The rotation is the 64-point Walsh-Hadamard matrix H[i][j] =
+# (−1)^popcount(i AND j) applied to the floor(x·1000) integer codes —
+# EXACT integer arithmetic (|y_j| ≤ 64·max|code| ≪ 2^63), so both
+# engines compute identical rotated signs with no libm anywhere.
+# H is orthogonal (H·Hᵀ = 64·I): exact cosine ranking is invariant,
+# ONLY the 64 sign bits change — which is the entire point. The audit
+# emits plain-BQ and rotated-BQ recall@5 side by side vs the exact
+# integer-dot gold. Measured on THIS corpus the rotation HURTS
+# (recall@5 0.64 → 0.50 at sf0.01; a centered variant 0.54): the dims
+# are uncentered and near-isotropic, so mixing them only destroys the
+# axis-aligned structure the plain sign bits exploit. The rotation
+# pays off on skewed/correlated real-world embedding dims (the
+# OPQ/RaBitQ setting); this audit is what tells an operator which
+# regime their corpus is in before switching the index config.
+# Scale shape: the rotation is a per-row projection (zero shuffle);
+# candidate generation stays the signature-words-only broadcast join.
+def _rot_word_udfs():
+    """Two Arrow-batched UDFs computing the rotated sign words.
+
+    A pure-Catalyst HOF form is value-identical but interpreted HOFs
+    re-evaluate the inlined fixed-point transform per lambda access —
+    ~0.5M integer ops per row, measured minutes at sf0.001 — while
+    numpy does the 64-pt Hadamard as one int64 matmul per Arrow batch
+    (the duckdb oracle hoists xq/y to columns for the same reason). Two separate UDFs (not one array-
+    returning UDF split by getItem) so projection collapse cannot
+    duplicate a single ArrowEvalPython node (the round-3 bug class
+    tools/plan_audit.py flags). Exact int64 end to end — same values
+    as the duckdb comprehension.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    hmat = np.array(
+        [[1 - 2 * (bin(i & j).count("1") % 2) for i in range(64)] for j in range(64)],
+        dtype=np.int64,
+    )
+
+    def words(col, off):
+        out = []
+        for v in col:
+            xq = np.floor(np.asarray(v, dtype=np.float64) * 1000.0).astype(np.int64)
+            y = hmat @ xq
+            bits = (y[off : off + 32] > 0).astype(np.int64)
+            out.append(int((bits << np.arange(32)).sum()))
+        return pd.Series(out)
+
+    @pandas_udf("bigint")
+    def rot_w0(col):
+        return words(col, 0)
+
+    @pandas_udf("bigint")
+    def rot_w1(col):
+        return words(col, 32)
+
+    return rot_w0, rot_w1
+
+
+@_q(
+    "v_rotated_bq_recall",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * 1000.0) AS BIGINT)) AS xq,
+             CAST(list_sum([CASE WHEN embedding[x+1] > 0 THEN 2**x ELSE 0 END FOR x IN range(0,32)]) AS BIGINT) AS w0,
+             CAST(list_sum([CASE WHEN embedding[x+33] > 0 THEN 2**x ELSE 0 END FOR x IN range(0,32)]) AS BIGINT) AS w1
+      FROM embeddings
+    ), rotv AS (
+      -- xq and y hoisted to COLUMNS: spelling them inline in the sign
+      -- words re-evaluates the fixed-point transform per lambda access
+      -- (~0.5M ops/row, measured ~180 s at sf0.001); as columns the
+      -- rotation is one 4096-add pass per row
+      SELECT vec_id, v, w0, w1,
+             list_transform(range(0, 64), j -> list_sum(list_transform(range(0, 64),
+               i -> CASE WHEN bit_count(i & j) % 2 = 0 THEN xq[CAST(i + 1 AS INT)]
+                         ELSE -xq[CAST(i + 1 AS INT)] END))) AS y
+      FROM base
+    ), sig AS (
+      SELECT vec_id, v, w0, w1,
+             CAST(list_sum([CASE WHEN y[x + 1] > 0 THEN 2**x ELSE 0 END FOR x IN range(0, 32)]) AS BIGINT) AS r0,
+             CAST(list_sum([CASE WHEN y[x + 33] > 0 THEN 2**x ELSE 0 END FOR x IN range(0, 32)]) AS BIGINT) AS r1
+      FROM rotv
+    ), q AS (
+      SELECT vec_id AS qid, v AS qv, w0 AS q0, w1 AS q1, r0, r1
+      FROM sig WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv, w0 AS c0, w1 AS c1, r0 AS d0, r1 AS d1
+      FROM sig WHERE vec_id >= 10
+    ), exact_top AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 {_BQ_COS.format(a='q.qv', b='c.cv')} DESC, c.cid) AS rk
+        FROM q, c)
+      WHERE rk <= 5
+    ), plain_top AS (
+      SELECT qid, cid FROM (
+        SELECT cand.qid, cand.cid,
+               ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+                 {_BQ_COS.format(a='q.qv', b='c.cv')} DESC, cand.cid) AS rk
+        FROM (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                     bit_count(xor(q0, c0)) + bit_count(xor(q1, c1)), cid) AS rn
+            FROM q, c) WHERE rn <= {_BQ_C}) cand
+        JOIN q ON q.qid = cand.qid JOIN c ON c.cid = cand.cid)
+      WHERE rk <= 5
+    ), rot_top AS (
+      SELECT qid, cid FROM (
+        SELECT cand.qid, cand.cid,
+               ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+                 {_BQ_COS.format(a='q.qv', b='c.cv')} DESC, cand.cid) AS rk
+        FROM (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                     bit_count(xor(r0, d0)) + bit_count(xor(r1, d1)), cid) AS rn
+            FROM q, c) WHERE rn <= {_BQ_C}) cand
+        JOIN q ON q.qid = cand.qid JOIN c ON c.cid = cand.cid)
+      WHERE rk <= 5
+    )
+    SELECT e.qid,
+           COUNT(*) AS k_exact,
+           CAST(SUM(CASE WHEN p.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_plain,
+           CAST(SUM(CASE WHEN r.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rotated
+    FROM exact_top e
+    LEFT JOIN plain_top p ON p.qid = e.qid AND p.cid = e.cid
+    LEFT JOIN rot_top r ON r.qid = e.qid AND r.cid = e.cid
+    GROUP BY e.qid ORDER BY e.qid
+    """,
+    doc="structured-rotation BQ audit: exact integer 64-pt Walsh-"
+    "Hadamard rotation of the fixed-point codes before sign-bit "
+    "quantization (FAISS-OPQ/RaBitQ shape), recall@5 of plain vs "
+    "rotated signatures vs the exact gold, side by side. Measured "
+    "verdict on THIS corpus: rotation HURTS (0.64 plain vs 0.50 "
+    "rotated at sf0.01) — the dims are uncentered, and Hadamard row 0 "
+    "(all ones) aggregates the mean into one component; a centered "
+    "variant measured 0.54, still no win on near-isotropic synthetic "
+    "dims. That measurement IS the op's purpose: the audit tells an "
+    "operator whether a given embedding corpus wants the rotation "
+    "(real correlated/skewed dims do — the OPQ/RaBitQ setting) "
+    "before an index config flips it on",
+)
+def v_rotated_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    emb = F.col("embedding")
+    rot_w0, rot_w1 = _rot_word_udfs()
+    # signature table materialized ONCE (localCheckpoint): plain and
+    # rotated sign words are the at-rest index artifact — every
+    # downstream consumer (two Hamming candidate stages, both reading
+    # signature words only) scans the 4-longs-per-vector table instead
+    # of re-running the Arrow UDFs per plan branch (plan_audit's
+    # duplicated-ArrowEvalPython rule caught the un-materialized form).
+    sig = e.select(
+        "vec_id",
+        _bq_word(emb, 0).alias("w0"),
+        _bq_word(emb, 32).alias("w1"),
+        rot_w0(emb).alias("r0"),
+        rot_w1(emb).alias("r1"),
+    ).localCheckpoint(eager=True)
+    vecs = e.select("vec_id", to_double(emb).alias("v"), l2_norm(emb).alias("vn"))
+    qv = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("vn").alias("qn")
+    )
+    cv = vecs.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
+    )
+    qs = sig.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "w0", "w1", "r0", "r1"
+    )
+    cs = sig.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"),
+        F.col("w0").alias("c0"),
+        F.col("w1").alias("c1"),
+        F.col("r0").alias("d0"),
+        F.col("r1").alias("d1"),
+    )
+    cos = (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos")
+    exact = (
+        cv.crossJoin(F.broadcast(qv))
+        .select("qid", "cid", cos)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("qid", "cid")
+    )
+
+    def bq_top(qw0, qw1, cw0, cw1):
+        # candidate stage reads ONLY the signature words
+        ham = cs.select("cid", cw0, cw1).crossJoin(
+            F.broadcast(qs.select("qid", qw0, qw1))
+        ).select(
+            "qid",
+            "cid",
+            _bq_hamming(F.col(qw0), F.col(qw1), F.col(cw0), F.col(cw1)).alias("ham"),
+        )
+        cand = (
+            ham.withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("qid").orderBy("ham", "cid")),
+            )
+            .filter(F.col("rn") <= _BQ_C)
+            .select("qid", "cid")
+        )
+        return (
+            cand.join(qv, "qid")
+            .join(cv, "cid")
+            .select("qid", "cid", cos)
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+                ),
+            )
+            .filter(F.col("rk") <= 5)
+            .select("qid", "cid")
+        )
+
+    # rename BOTH join keys on the approximate sides: exact/plain/rot all
+    # descend from the same scans, so unqualified qid/cid predicates
+    # would resolve to the shared attribute (a trivially-true self-
+    # comparison) instead of a real equi-join
+    plain = bq_top("w0", "w1", "c0", "c1").select(
+        F.col("qid").alias("pqid"), F.col("cid").alias("pcid")
+    )
+    rot = bq_top("r0", "r1", "d0", "d1").select(
+        F.col("qid").alias("rqid"), F.col("cid").alias("rcid")
+    )
+    return (
+        exact.join(
+            plain,
+            (F.col("qid") == F.col("pqid")) & (F.col("cid") == F.col("pcid")),
+            "left",
+        )
+        .join(
+            rot,
+            (F.col("qid") == F.col("rqid")) & (F.col("cid") == F.col("rcid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("k_exact"),
+            F.sum(F.col("pcid").isNotNull().cast("int")).cast("bigint").alias("n_plain"),
+            F.sum(F.col("rcid").isNotNull().cast("int")).cast("bigint").alias("n_rotated"),
+        )
+        .orderBy("qid")
+    )

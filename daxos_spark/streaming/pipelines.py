@@ -827,3 +827,57 @@ def hll_registers_stream(
         .groupBy("k", "reg")
         .agg(F.max("rho").alias("rho_max"))
     )
+
+
+def simhash_corpus_index(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Static corpus band index for simhash_neardup_stream: per doc the
+    56-bit simhash (per-row single-pass fingerprint — zero shuffle) and
+    its K+1 band values, one row per band. At rest this table is
+    bucketed by (b, bv) so arriving probes co-locate with their band
+    bucket without a corpus-side shuffle."""
+    from ..functions import text as T
+    from ..functions.hashing import simhash56_sql, simhash_bands
+
+    fp = docs.select(
+        F.col(id_col).alias("match_id"), T.tokens(F.col("text")).alias("tk")
+    ).select("match_id", F.expr(simhash56_sql("tk")).alias("msh"))
+    return fp.select(
+        "match_id", "msh", F.posexplode(simhash_bands(F.col("msh"))).alias("b", "bv")
+    )
+
+
+def simhash_neardup_stream(
+    docs: DataFrame, corpus_bands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming SimHash near-dup flagging — the ingest face of
+    plans/docpipe2.d_simhash_neardup: each ARRIVING document is
+    fingerprinted per-row (simhash56 — a stateless projection), band-
+    exploded, and probed against the static corpus band index
+    (stream-static equi-join on (band, band_value) — the pigeonhole-
+    lossless candidate generator for Hamming ≤ K), then candidates are
+    verified with an exact bit_count. One arriving doc can hit the same
+    corpus doc through several intact bands; dropDuplicates on
+    (doc_id, match_id) collapses them — state bounded by the arriving
+    batch's match count (add a watermark upstream for unbounded
+    streams, same convention as dedup_against_corpus_stream).
+
+    Output: (doc_id, match_id, hamming) — the corpus near-dups of each
+    arriving doc; route no-match docs onward with a left_anti join
+    against this at the sink.
+    """
+    from ..functions import text as T
+    from ..functions.hashing import SIMHASH_K, simhash56_sql, simhash_bands
+
+    fp = docs.select(id_col, T.tokens(F.col("text")).alias("tk")).select(
+        id_col, F.expr(simhash56_sql("tk")).alias("sh")
+    )
+    bands = fp.select(
+        id_col, "sh", F.posexplode(simhash_bands(F.col("sh"))).alias("b", "bv")
+    )
+    ham = F.bit_count(F.col("sh").bitwiseXOR(F.col("msh")))
+    return (
+        bands.join(corpus_bands, ["b", "bv"])
+        .filter(ham <= SIMHASH_K)
+        .select(id_col, "match_id", ham.cast("bigint").alias("hamming"))
+        .dropDuplicates([id_col, "match_id"])
+    )

@@ -147,6 +147,11 @@ ALLOWED: dict[str, tuple[int, str]] = {
     "plans/vecpipe2.py:v_hybrid_search": (1, "query panel"),
     "plans/vecpipe2.py:v_pca_power": (1, "d x d gramian / eigvec iterate (d-bounded)"),
     "plans/vecpipe2.py:v_bq_knn": (2, "1-bit query codes + query panel"),
+    "plans/vecpipe2.py:v_rotated_bq_recall": (
+        2,
+        "10-row fixed query panel (exact-gold scan + the shared plain/"
+        "rotated signature candidate stage)",
+    ),
     "plans/vecpipe2.py:v_ivf_incremental": (1, "K-bounded centroids"),
     "plans/vecpipe2.py:v_trunc_knn": (2, "prefix-dim query panel x2"),
     "plans/vecpipe2.py:_label_noise_score": (1, "fixed probe panel"),

@@ -488,3 +488,53 @@ def test_shot_boundaries_matches_python_replay(spark):
     ]
     assert got == want
     assert any(a[3] > 0 for a in want)  # thresholds actually fire
+
+
+def test_rotated_bq_words_match_pure_python_replay(spark):
+    """The Arrow-UDF rotated sign words == a pure-python (no numpy)
+    Walsh-Hadamard replay: y_j = Σ_i (−1)^popcount(i&j)·floor(x_i·1000),
+    word bits from y_j > 0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from daxos_spark.catalog import load_tables
+    from daxos_spark.plans.vecpipe2 import _rot_word_udfs
+
+    e = load_tables(spark, "/root/testdata/sf0.001")["embeddings"].filter(
+        F.col("vec_id") < 8
+    )
+    rot_w0, rot_w1 = _rot_word_udfs()
+    got = {
+        r["vec_id"]: (r["r0"], r["r1"])
+        for r in e.select(
+            "vec_id",
+            rot_w0(F.col("embedding")).alias("r0"),
+            rot_w1(F.col("embedding")).alias("r1"),
+        ).collect()
+    }
+    for r in e.select("vec_id", "embedding").collect():
+        xq = [math.floor(float(x) * 1000.0) for x in r["embedding"]]
+        y = [
+            sum(
+                (x if bin(i & j).count("1") % 2 == 0 else -x)
+                for i, x in enumerate(xq)
+            )
+            for j in range(64)
+        ]
+        w0 = sum(1 << b for b in range(32) if y[b] > 0)
+        w1 = sum(1 << b for b in range(32) if y[32 + b] > 0)
+        assert got[r["vec_id"]] == (w0, w1)
+
+
+def test_rotated_bq_recall_audit_invariants(spark):
+    """recall counters bounded by k_exact; the orthogonal rotation must
+    leave the exact gold untouched (k_exact == 5 per query)."""
+    from daxos_spark.plans.vecpipe2 import v_rotated_bq_recall
+
+    rows = v_rotated_bq_recall(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["k_exact"] == 5
+        assert 0 <= r["n_plain"] <= 5
+        assert 0 <= r["n_rotated"] <= 5

@@ -726,3 +726,50 @@ def test_hll_registers_stream_matches_batch(spark, tmp_path, batch_events):
     # state bound: at most (#event types) x 256 register rows
     n_keys = batch_events.select("event_type").distinct().count()
     assert len(got) <= n_keys * 256
+
+
+def test_simhash_neardup_stream_matches_batch(spark, tmp_path):
+    """Streaming SimHash near-dup probe (stream-static band join +
+    bit_count verify) == the same join run in batch, across multiple
+    micro-batches, on the sf0.001 corpus split corpus/arrivals."""
+    from daxos_spark.catalog import load_tables
+    from daxos_spark.streaming.pipelines import (
+        run_to_memory,
+        simhash_corpus_index,
+        simhash_neardup_stream,
+    )
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 25)
+    arriving = docs.filter(F.col("doc_id") >= 25)
+    idx = simhash_corpus_index(corpus)
+    idx.persist().count()
+
+    batch = {
+        (r["doc_id"], r["match_id"], r["hamming"])
+        for r in simhash_neardup_stream(arriving, idx).collect()
+    }
+
+    arr_dir = str(tmp_path / "arriving_docs")
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    arriving.filter(F.col("doc_id") < 38).coalesce(1).write.parquet(arr_dir)
+    arriving.filter(F.col("doc_id") >= 38).coalesce(1).write.mode("append").parquet(
+        arr_dir
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arr_dir)
+    )
+    run_to_memory(
+        simhash_neardup_stream(stream, idx), "simdup", output_mode="append"
+    )
+    got = {
+        (r["doc_id"], r["match_id"], r["hamming"])
+        for r in spark.sql("SELECT * FROM simdup").collect()
+    }
+    assert got == batch
+    assert batch  # the corpus plants near-identical docs across the split
+    idx.unpersist()
