@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "q_trade_shortest_path",
     "q_dp_quantile",
     "m_shot_boundaries",
+    "v_rotated_bq_recall",
 ]
 
 # Frozen heavy set for round-over-round comparison (r8 ask #4): the ~28
