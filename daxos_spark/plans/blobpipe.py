@@ -476,7 +476,15 @@ _SHOT_TAU = 256
     WITH f AS (
       SELECT doc_id, source, i,
              substr(text, CAST(i * {_SHOT_FRAME} + 1 AS BIGINT), {_SHOT_FRAME}) AS fr
-      FROM (SELECT doc_id, source, text,
+      FROM (SELECT doc_id, source,
+                   -- substr slices CHARACTERS while the Spark plan's
+                   -- sample_frames slices UTF-8 BYTES; they agree only
+                   -- on ASCII text. Fail LOUDLY on the first non-ASCII
+                   -- document instead of via a silent hash mismatch.
+                   CASE WHEN octet_length(encode(text)) = length(text) THEN text
+                        ELSE error('m_shot_boundaries oracle requires ASCII text: doc_id '
+                                   || doc_id || ' has multi-byte chars (byte-vs-char slicing diverges)')
+                   END AS text,
                    unnest(range(0, CAST(CEIL(octet_length(encode(text)) / {_SHOT_FRAME}.0) AS BIGINT))) AS i
             FROM documents)
     ), sums AS (

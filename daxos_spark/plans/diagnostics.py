@@ -1078,7 +1078,7 @@ _DP_EPS_INV = 2.0  # b = sensitivity/ε = 1/0.5
     SELECT o_orderstatus, o_orderpriority,
            {sql_trunc6("CAST(n AS DOUBLE) + noise")} AS released_count,
            {sql_trunc6("ABS(noise)")} AS abs_noise,
-           CAST((1.0/2.0) AS DOUBLE) AS nominal_epsilon
+           CAST({1.0 / _DP_EPS_INV} AS DOUBLE) AS nominal_epsilon
     FROM z ORDER BY o_orderstatus, o_orderpriority
     """,
     doc="differentially-private-SHAPED release of the (status × priority) "
@@ -1120,7 +1120,7 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             trunc6(F.col("n").cast("double") + noise).alias("released_count"),
             trunc6(F.abs(noise)).alias("abs_noise"),
-            (F.lit(1.0) / F.lit(2.0)).alias("nominal_epsilon"),
+            F.lit(1.0 / _DP_EPS_INV).alias("nominal_epsilon"),
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
@@ -1163,7 +1163,7 @@ _DPM_EPS = 0.5
     SELECT o_orderpriority, n,
            {sql_trunc6('cmean + noise')} AS released_mean,
            {sql_trunc6('ABS(noise)')} AS abs_noise,
-           CAST((1.0/2.0) AS DOUBLE) AS nominal_epsilon
+           CAST({_DPM_EPS} AS DOUBLE) AS nominal_epsilon
     FROM z ORDER BY o_orderpriority
     """,
     doc="DP-SHAPED clipped-mean release per order priority: Laplace at "
@@ -1197,7 +1197,7 @@ def q_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             trunc6(cmean + noise).alias("released_mean"),
             trunc6(F.abs(noise)).alias("abs_noise"),
-            (F.lit(1.0) / F.lit(2.0)).alias("nominal_epsilon"),
+            F.lit(float(_DPM_EPS)).alias("nominal_epsilon"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1388,7 +1388,7 @@ _DPQ_BUCKET = 5000
            (w.k + 1) * {_DPQ_BUCKET} AS dp_median_edge,
            (t.tk + 1) * {_DPQ_BUCKET} AS true_median_edge,
            ABS(w.k - t.tk) AS abs_err_buckets,
-           CAST((1.0/2.0) AS DOUBLE) AS nominal_epsilon
+           CAST({_DPQ_EPS} AS DOUBLE) AS nominal_epsilon
     FROM win w JOIN true_edge t ON t.o_orderpriority = w.o_orderpriority
     WHERE w.rn = 1
     ORDER BY w.o_orderpriority
@@ -1449,7 +1449,7 @@ def q_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("k") + 1) * _DPQ_BUCKET).alias("dp_median_edge"),
             ((F.col("tk") + 1) * _DPQ_BUCKET).alias("true_median_edge"),
             F.abs(F.col("k") - F.col("tk")).alias("abs_err_buckets"),
-            (F.lit(1.0) / F.lit(2.0)).alias("nominal_epsilon"),
+            F.lit(float(_DPQ_EPS)).alias("nominal_epsilon"),
         )
         .orderBy("o_orderpriority")
     )

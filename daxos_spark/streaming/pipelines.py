@@ -497,26 +497,69 @@ def enrich_events_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     )
 
 
+def _bounded_dedup(
+    df: DataFrame,
+    subset: list[str],
+    op_name: str,
+    watermark_col: str | None,
+    watermark_delay: str,
+    unbounded_ok: bool,
+) -> DataFrame:
+    """Enforce the streaming state-bounding contract around a
+    first-occurrence dedup. ``dropDuplicates`` on an unbounded stream
+    grows its state table forever; Spark only evicts dedup state under
+    an event-time watermark. Streaming callers must therefore either
+    name an event-time column (state evicted ``watermark_delay`` past
+    the watermark via ``dropDuplicatesWithinWatermark``) or explicitly
+    accept unbounded state with ``unbounded_ok=True`` (legitimate for
+    bounded file replays and tests). Batch inputs dedup plainly —
+    the contract is about streaming state only."""
+    if not df.isStreaming:
+        return df.dropDuplicates(subset)
+    if watermark_col is not None:
+        return df.withWatermark(
+            watermark_col, watermark_delay
+        ).dropDuplicatesWithinWatermark(subset)
+    if unbounded_ok:
+        return df.dropDuplicates(subset)
+    raise ValueError(
+        f"{op_name} deduplicates {subset} with streaming state; on an "
+        "unbounded stream that state grows without bound. Pass "
+        "watermark_col (+ watermark_delay) to bound it, or set "
+        "unbounded_ok=True for bounded/replay streams."
+    )
+
+
 def dedup_against_corpus_stream(
     docs: DataFrame,
     corpus_fps: DataFrame,
     fp_col: str = "fp",
+    watermark_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+    unbounded_ok: bool = False,
 ) -> DataFrame:
     """Streaming incremental dedup — the arriving-batch twin of
     plans/docpipe.d_incremental_dedup: drop arriving documents whose
     content fingerprint already exists in the static corpus index
     (stream-static LEFT ANTI join; the static side is the bucketed/
     Bloom-fronted fingerprint table at scale), then keep only the first
-    in-stream occurrence of each remaining fingerprint
-    (``dropDuplicates`` on the fingerprint — state bounded by the
-    arriving batch's distinct-fp count; add a watermark upstream for
-    unbounded streams).
+    in-stream occurrence of each remaining fingerprint. First-occurrence
+    state is bounded by the watermark contract (see ``_bounded_dedup``):
+    pass ``watermark_col`` for unbounded streams, or ``unbounded_ok=True``
+    for bounded replays.
 
     ``docs`` must already carry ``fp_col`` (text fingerprinting is a
     stateless projection — functions/text.fingerprint).
     """
     fresh = docs.join(corpus_fps.select(fp_col), fp_col, "left_anti")
-    return fresh.dropDuplicates([fp_col])
+    return _bounded_dedup(
+        fresh,
+        [fp_col],
+        "dedup_against_corpus_stream",
+        watermark_col,
+        watermark_delay,
+        unbounded_ok,
+    )
 
 
 def ivf_assign_stream(
@@ -847,7 +890,12 @@ def simhash_corpus_index(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def simhash_neardup_stream(
-    docs: DataFrame, corpus_bands: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    watermark_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+    unbounded_ok: bool = False,
 ) -> DataFrame:
     """Streaming SimHash near-dup flagging — the ingest face of
     plans/docpipe2.d_simhash_neardup: each ARRIVING document is
@@ -856,10 +904,10 @@ def simhash_neardup_stream(
     (stream-static equi-join on (band, band_value) — the pigeonhole-
     lossless candidate generator for Hamming ≤ K), then candidates are
     verified with an exact bit_count. One arriving doc can hit the same
-    corpus doc through several intact bands; dropDuplicates on
-    (doc_id, match_id) collapses them — state bounded by the arriving
-    batch's match count (add a watermark upstream for unbounded
-    streams, same convention as dedup_against_corpus_stream).
+    corpus doc through several intact bands; the (doc_id, match_id)
+    dedup that collapses them carries streaming state, bounded by the
+    watermark contract (see ``_bounded_dedup``): pass ``watermark_col``
+    for unbounded streams, or ``unbounded_ok=True`` for bounded replays.
 
     Output: (doc_id, match_id, hamming) — the corpus near-dups of each
     arriving doc; route no-match docs onward with a left_anti join
@@ -868,16 +916,25 @@ def simhash_neardup_stream(
     from ..functions import text as T
     from ..functions.hashing import SIMHASH_K, simhash56_sql, simhash_bands
 
-    fp = docs.select(id_col, T.tokens(F.col("text")).alias("tk")).select(
-        id_col, F.expr(simhash56_sql("tk")).alias("sh")
+    keep = [id_col] + ([watermark_col] if watermark_col is not None else [])
+    fp = docs.select(*keep, T.tokens(F.col("text")).alias("tk")).select(
+        *keep, F.expr(simhash56_sql("tk")).alias("sh")
     )
     bands = fp.select(
-        id_col, "sh", F.posexplode(simhash_bands(F.col("sh"))).alias("b", "bv")
+        *keep, "sh", F.posexplode(simhash_bands(F.col("sh"))).alias("b", "bv")
     )
     ham = F.bit_count(F.col("sh").bitwiseXOR(F.col("msh")))
-    return (
+    matched = (
         bands.join(corpus_bands, ["b", "bv"])
         .filter(ham <= SIMHASH_K)
-        .select(id_col, "match_id", ham.cast("bigint").alias("hamming"))
-        .dropDuplicates([id_col, "match_id"])
+        .select(*keep, "match_id", ham.cast("bigint").alias("hamming"))
     )
+    out = _bounded_dedup(
+        matched,
+        [id_col, "match_id"],
+        "simhash_neardup_stream",
+        watermark_col,
+        watermark_delay,
+        unbounded_ok,
+    )
+    return out.drop(watermark_col) if watermark_col is not None else out

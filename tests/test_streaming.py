@@ -229,7 +229,9 @@ def test_dedup_against_corpus_stream_matches_batch(spark, tmp_path):
         .select("doc_id", fingerprint(F.col("text")).alias("fp"))
     )
     run_to_memory(
-        dedup_against_corpus_stream(stream, corpus), "incdedup", output_mode="append"
+        dedup_against_corpus_stream(stream, corpus, unbounded_ok=True),
+        "incdedup",
+        output_mode="append",
     )
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM incdedup").collect()}
     # 6 dropped (corpus dup); one of 9/10 dropped (in-batch dup)
@@ -764,7 +766,9 @@ def test_simhash_neardup_stream_matches_batch(spark, tmp_path):
         .parquet(arr_dir)
     )
     run_to_memory(
-        simhash_neardup_stream(stream, idx), "simdup", output_mode="append"
+        simhash_neardup_stream(stream, idx, unbounded_ok=True),
+        "simdup",
+        output_mode="append",
     )
     got = {
         (r["doc_id"], r["match_id"], r["hamming"])
@@ -773,3 +777,83 @@ def test_simhash_neardup_stream_matches_batch(spark, tmp_path):
     assert got == batch
     assert batch  # the corpus plants near-identical docs across the split
     idx.unpersist()
+
+
+def test_streaming_dedup_state_contract(spark, tmp_path):
+    """The state-bounding contract is LOUD: a streaming input without a
+    watermark and without unbounded_ok=True is refused; a watermark
+    bounds the dedup state via dropDuplicatesWithinWatermark and the
+    results still match the unbounded run; batch inputs are exempt."""
+    import pytest
+
+    from daxos_spark.catalog import load_tables
+    from daxos_spark.streaming.pipelines import (
+        run_to_memory,
+        simhash_corpus_index,
+        simhash_neardup_stream,
+    )
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 25)
+    arriving = docs.filter(F.col("doc_id") >= 25)
+    idx = simhash_corpus_index(corpus)
+    idx.persist().count()
+
+    arr_dir = str(tmp_path / "arriving_docs_wm")
+    arriving.coalesce(1).write.parquet(arr_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(arr_dir)
+
+    # refusal path: streaming + no watermark + no explicit opt-in
+    with pytest.raises(ValueError, match="state grows without bound"):
+        simhash_neardup_stream(stream, idx)
+
+    # watermark path: event-time column bounds the dedup state; the
+    # admitted set equals the batch (unbounded) run on the same docs
+    wm_stream = stream.withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id"))
+    )
+    run_to_memory(
+        simhash_neardup_stream(wm_stream, idx, watermark_col="ts"),
+        "simdup_wm",
+        output_mode="append",
+    )
+    got = {
+        (r["doc_id"], r["match_id"], r["hamming"])
+        for r in spark.sql("SELECT doc_id, match_id, hamming FROM simdup_wm").collect()
+    }
+    want = {
+        (r["doc_id"], r["match_id"], r["hamming"])
+        for r in simhash_neardup_stream(arriving, idx).collect()
+    }
+    assert got == want and want
+
+    # batch inputs carry no streaming state — contract does not apply
+    assert not simhash_neardup_stream(arriving, idx).isStreaming
+    idx.unpersist()
+
+
+def test_dedup_against_corpus_stream_refusal(spark, tmp_path):
+    """dedup_against_corpus_stream refuses an unwatermarked unbounded
+    stream unless the caller explicitly accepts unbounded state."""
+    import pandas as pd
+    import pytest
+
+    from daxos_spark.functions.text import fingerprint
+    from daxos_spark.streaming.pipelines import dedup_against_corpus_stream
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["alpha beta"]})
+    ).select(fingerprint(F.col("text")).alias("fp"))
+    batch_dir = str(tmp_path / "arr_refusal")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["gamma delta"]})
+    ).write.parquet(batch_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(batch_dir)
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    )
+    with pytest.raises(ValueError, match="dedup_against_corpus_stream"):
+        dedup_against_corpus_stream(stream, corpus)
