@@ -841,14 +841,36 @@ _SIMHASH56_SQL = f"""
 """
 
 
-@_q(
-    "d_simhash_neardup",
-    f"""
+# Hot-bucket cap for the band join — the SimHash twin of the MinHash
+# lane's hot-shingle DF cap (_MAX_SHINGLE_DF, same constant scale): a
+# dup-heavy corpus puts an entire duplicate family into ONE
+# (band, 14-bit value) bucket and the candidate set goes quadratic in
+# family size (m docs → m²/2 verify pairs per intact band). A bucket
+# holding more docs than the cap is template/exact-dup mass — the
+# upstream exact-dedup lane's job, carrying no per-pair signal this
+# stage needs — so it is dropped from candidate generation in BOTH
+# engines (Manku et al.'s production remedy is equivalent in effect:
+# widen prints / narrow bands until no class is hot). The cap (>= the
+# 10× probe's whole corpus size) provably cannot fire at any committed
+# gate scale — no bucket outgrows its corpus — so all committed hashes
+# are cap-invariant (measured max bucket: 36 at sf0.01, 382 at sf0.1);
+# the drop semantics are pytest-proven with a tiny cap and hash-proven
+# cross-engine on the adversarial dup-heavy probe corpus, where one
+# planted family of 3,000 alone carries 4.5M candidate pairs uncapped
+# (tools/adversarial_dup_probe.py, SCALE.md round-10).
+_SIMHASH_BUCKET_CAP = 50_000
+
+
+def _simhash_neardup_oracle(bucket_cap: int = _SIMHASH_BUCKET_CAP) -> str:
+    return f"""
     WITH {_SIMHASH56_SQL},
     bands AS (
       SELECT doc_id, sh, g.b AS b,
              (sh >> (g.b * {_SIMHASH_BAND_BITS})) & {(1 << _SIMHASH_BAND_BITS) - 1} AS bv
       FROM (SELECT doc_id, sh, unnest(range(0, {_SIMHASH_K + 1})) AS b FROM prints) g
+      QUALIFY COUNT(*) OVER (PARTITION BY g.b,
+             (sh >> (g.b * {_SIMHASH_BAND_BITS})) & {(1 << _SIMHASH_BAND_BITS) - 1})
+             <= {bucket_cap}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS sa, b.sh AS sb
       FROM bands a JOIN bands b
@@ -858,13 +880,23 @@ _SIMHASH56_SQL = f"""
     FROM cand
     WHERE bit_count(xor(sa, sb)) <= {_SIMHASH_K}
     ORDER BY hamming, da, db
-    """,
+    """
+
+
+@_q(
+    "d_simhash_neardup",
+    _simhash_neardup_oracle(),
     doc="SimHash near-dup pairs (Manku et al. WWW'07): 56-bit per-bit "
     "majority fingerprint, lossless 4×14-bit pigeonhole band join for "
-    "Hamming ≤ 3, exact bit_count verify on candidates only — the "
-    "small-edit complement to the MinHash set-overlap lane",
+    "Hamming ≤ 3 with a hot-bucket DF cap (the MinHash hot-shingle "
+    "cap's twin — bounds the quadratic blowup a dup-heavy corpus packs "
+    "into one 14-bit collision class), exact bit_count verify on "
+    "candidates only — the small-edit complement to the MinHash "
+    "set-overlap lane",
 )
-def d_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d_simhash_neardup(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = _SIMHASH_BUCKET_CAP
+) -> DataFrame:
     from ..functions import text as T
     from ..functions.hashing import simhash56_sql
 
@@ -882,6 +914,12 @@ def d_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = prints.select(
         "doc_id", "sh", F.posexplode(simhash_bands(F.col("sh"))).alias("b", "bv")
     )
+    if bucket_cap is not None:
+        from .docpipe import _cap_hot_shingles
+
+        # same DF-threshold anti-join shape as the MinHash lane: the
+        # hot set scales with corpus (rows/cap), so no forced broadcast
+        bands = _cap_hot_shingles(bands, bucket_cap, keys=("b", "bv"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -872,21 +872,37 @@ def hll_registers_stream(
     )
 
 
-def simhash_corpus_index(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def simhash_corpus_index(
+    docs: DataFrame, id_col: str = "doc_id", bucket_cap: int | None = None
+) -> DataFrame:
     """Static corpus band index for simhash_neardup_stream: per doc the
     56-bit simhash (per-row single-pass fingerprint — zero shuffle) and
     its K+1 band values, one row per band. At rest this table is
     bucketed by (b, bv) so arriving probes co-locate with their band
-    bucket without a corpus-side shuffle."""
+    bucket without a corpus-side shuffle.
+
+    ``bucket_cap`` drops (band, value) buckets holding more than that
+    many corpus docs from the index — the same hot-bucket DF cap as the
+    batch lane (plans/docpipe2._SIMHASH_BUCKET_CAP): a dup-heavy corpus
+    packs an entire duplicate family into one 14-bit collision class
+    and every arriving probe of that class fans out to the whole
+    family. Defaults to None (index everything) because the index build
+    is a one-off whose corpus is usually already exact-deduped; pass
+    the batch constant when it is not."""
     from ..functions import text as T
     from ..functions.hashing import simhash56_sql, simhash_bands
 
     fp = docs.select(
         F.col(id_col).alias("match_id"), T.tokens(F.col("text")).alias("tk")
     ).select("match_id", F.expr(simhash56_sql("tk")).alias("msh"))
-    return fp.select(
+    idx = fp.select(
         "match_id", "msh", F.posexplode(simhash_bands(F.col("msh"))).alias("b", "bv")
     )
+    if bucket_cap is not None:
+        from ..plans.docpipe import _cap_hot_shingles
+
+        idx = _cap_hot_shingles(idx, bucket_cap, keys=("b", "bv"))
+    return idx
 
 
 def simhash_neardup_stream(
