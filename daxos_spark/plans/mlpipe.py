@@ -102,6 +102,7 @@ def _qo(name: str, oracle: str, doc: str = ""):
 # single shuffle (the "215k regressions in one aggregation" trick from
 # SURVEY §7.2); the 64-row beta table broadcasts back for residual aggs.
 from .registry import sql_davg, sql_dsum, sql_trunc6, trunc6  # noqa: E402
+from ..functions.hashing import md5_long_sql  # noqa: E402
 from ..functions.vectors import to_double  # noqa: E402
 
 _MOM = """
@@ -1904,3 +1905,184 @@ def ml_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(F.col("bm") * F.sqrt(F.col("wt"))).alias("z_meta"),
         trunc6(qterm).alias("cochran_q"),
     ).orderBy("pos")
+
+
+# --------------------------------------------------------------------------
+# Round-10 deterministic-core companions for the three rows-only
+# model-training queries (VERDICT-r9 ask #5). Each pins the DECISION /
+# METRIC arithmetic of one training pipeline on inputs DuckDB can
+# replay, so the hash gate covers the part of the pipeline that is
+# deterministic dataflow; the seeded tree fits themselves remain
+# rows-only by nature (pytest-pinned).
+
+
+@_qo(
+    "ml_prune_replay_fixed",
+    f"""
+    WITH pts AS (
+      SELECT vec_id, {_TS_X} AS x, {_TS_Y} AS y
+      FROM embeddings WHERE vec_id < 500
+    ), v AS (
+      SELECT vec_id,
+             (CASE WHEN x <= 1.0 THEN {_TS_P1} ELSE {_TS_P4} END) - ({_TS_P0}) AS c0,
+             (CASE WHEN x <= 1.0 THEN {_TS_EL} ELSE {_TS_ER} END)
+               - (CASE WHEN x <= 1.0 THEN {_TS_P1} ELSE {_TS_P4} END) AS c1
+      FROM pts
+    ), mm AS (
+      SELECT 0 AS pos, {sql_dsum('ABS(c0)')} / COUNT(*) AS mean_abs FROM v
+      UNION ALL
+      SELECT 1, {sql_dsum('ABS(c1)')} / COUNT(*) FROM v
+      UNION ALL
+      SELECT 2, CAST(0 AS DOUBLE)  -- never-split features: exactly-zero mass
+      UNION ALL
+      SELECT 3, CAST(0 AS DOUBLE)
+    )
+    SELECT CAST(pos AS BIGINT) AS pos,
+           {sql_trunc6('mean_abs')} AS mean_abs_contrib,
+           CAST(CASE WHEN mean_abs > 0 THEN 1 ELSE 0 END AS BIGINT) AS used,
+           CAST(ROW_NUMBER() OVER (ORDER BY mean_abs DESC, pos) AS BIGINT) AS prune_rank,
+           CAST(CASE WHEN mean_abs > 0
+                 AND ROW_NUMBER() OVER (ORDER BY mean_abs DESC, pos) <= 1
+                THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM mm ORDER BY pos
+    """,
+    doc="fit -> prune -> refit DECISION replay (a2_refit_pruned's "
+    "deterministic core; reference refit.py:62-80): the fixed explicit "
+    "tree splits only on features 0/1 of a 4-feature point set, so the "
+    "used_features replay (mean |Saabas contribution| > 0 over the REAL "
+    "distributed walk) must recover exactly {0,1}, and the top-K "
+    "contribution ranking must pick the same survivor in both engines; "
+    "features 2/3 are the never-split columns the prune drops",
+)
+def ml_prune_replay_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..ml.contrib import tree_contributions_from_flat
+    from .registry import dsum
+
+    p1 = (10.0 * (1.0 / 3.0) + 30.0 * (5.0 / 7.0)) / 40.0
+    p4 = (20.0 * (-1.0 / 3.0) + 40.0 * (3.0 / 7.0)) / 60.0
+    p0 = (40.0 * p1 + 60.0 * p4) / 100.0
+    tree = _fixed_tree(internal_preds=(p0, p1, p4))
+    e = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 500)
+    # 4-feature points: the tree never touches positions 2/3, so the
+    # real Saabas walk must hand them exactly-zero contribution mass
+    pts = _fixed_pts(e).withColumn(
+        "features",
+        F.concat(
+            F.col("features"),
+            F.array(
+                F.pmod(F.col("row_idx"), F.lit(5)).cast("double"),
+                F.lit(1.0),
+            ),
+        ),
+    )
+    contribs = tree_contributions_from_flat(pts, [tree], [1.0])
+    m = (
+        contribs.select(F.posexplode("contribs").alias("pos", "c"))
+        .groupBy("pos")
+        .agg((dsum(F.abs(F.col("c"))) / F.count(F.lit(1))).alias("mean_abs"))
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("mean_abs").desc(), "pos"))
+    used = F.col("mean_abs") > 0
+    return m.select(
+        F.col("pos").cast("bigint").alias("pos"),
+        trunc6(F.col("mean_abs")).alias("mean_abs_contrib"),
+        used.cast("bigint").alias("used"),
+        rk.cast("bigint").alias("prune_rank"),
+        (used & (rk <= 1)).cast("bigint").alias("kept"),
+    ).orderBy("pos")
+
+
+@_qo(
+    "ml_continuation_ladder",
+    """
+    WITH n AS (
+      SELECT COUNT(*) AS n_train FROM embeddings
+      WHERE vec_id < 600 AND vec_id % 5 <> 0
+    ), r AS (SELECT unnest(range(1, 4)) AS round_idx)
+    SELECT CAST(r.round_idx AS BIGINT) AS round_idx,
+           CAST(2 AS BIGINT) AS n_trees,
+           CAST(2 * r.round_idx AS BIGINT) AS ensemble_trees,
+           CAST(n.n_train AS BIGINT) AS n_train
+    FROM r, n ORDER BY round_idx
+    """,
+    doc="incremental-training tree-count ladder (a2_incremental_"
+    "ensemble's deterministic core; reference crossvalidate.py:203-240 "
+    "T7/O8): three REAL incremental_fit rounds at n_boost_round=2, "
+    "per-round tree counts read back from the fitted MLlib models and "
+    "accumulated into the ensemble size — the continuation bookkeeping "
+    "(after round r the ensemble holds 2r trees, exactly what the "
+    "warm-start xgb_model path grows a single booster to)",
+)
+def ml_continuation_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.crossvalidate import incremental_fit
+
+    df = (
+        _binary_embeddings(spark, sf_dir, cap=600)
+        .withColumn("row_idx", F.col("vec_id"))
+        .cache()
+    )
+    train = df.filter(~F.col("is_test"))
+    params = GBTParams(eta=0.1, max_depth=2, n_boost_round=2, seed=42)
+    models = incremental_fit(
+        train, params, n_rounds=3, sample_fraction=0.7, row_chunks=100
+    )
+    n_train = train.count()
+    rows, cum = [], 0
+    for i, m in enumerate(models, 1):
+        nt = int(m.getNumTrees)
+        cum += nt
+        rows.append((i, nt, cum, n_train))
+    return spark.createDataFrame(
+        rows, "round_idx long, n_trees long, ensemble_trees long, n_train long"
+    )
+
+
+@_qo(
+    "ml_auc_exact_audit",
+    f"""
+    WITH s AS (
+      SELECT {md5_long_sql("concat('auc#', vec_id)")} % 1024 AS p,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings WHERE vec_id < 2000
+    ), g AS (
+      SELECT p, COUNT(*) AS cnt, SUM(y) AS pos FROM s GROUP BY p
+    ), c AS (
+      SELECT pos, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM g
+    ), a AS (
+      SELECT SUM(pos * (2 * cum + cnt + 1)) AS r2pos,
+             SUM(cnt) AS n, SUM(pos) AS npos
+      FROM c
+    )
+    SELECT CAST(npos AS BIGINT) AS n_pos,
+           CAST(n - npos AS BIGINT) AS n_neg,
+           {sql_trunc6('CAST(r2pos - npos * (npos + 1) AS DOUBLE) / CAST(2 * npos * (n - npos) AS DOUBLE)')} AS auc
+    FROM a
+    """,
+    doc="EXACT rank-based ROC-AUC (Mann-Whitney with tie-averaged "
+    "ranks) on a deterministic md5-scored frame — the metric-arithmetic "
+    "core of a2_gbt_train_eval's eval stage (A5, reference "
+    "crossvalidate.py:130-145), hash-checked where the binned MLlib "
+    "evaluator cannot be; scores are md5%1024 so tie blocks are "
+    "exercised for real. pytest ties auc_exact to score_auc on the "
+    "same frame (trapezoid == tie-averaged Mann-Whitney)",
+)
+def ml_auc_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+    from ..ml.scoring import auc_exact
+
+    e = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 2000)
+    scored = e.select(
+        (F.col("label") >= 5).cast("double").alias("label"),
+        F.pmod(
+            md5_long(F.concat(F.lit("auc#"), F.col("vec_id").cast("string"))),
+            F.lit(1024),
+        ).cast("double").alias("y_pred"),
+    )
+    return auc_exact(scored).select(
+        "n_pos", "n_neg", trunc6(F.col("auc")).alias("auc")
+    )

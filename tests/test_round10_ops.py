@@ -103,3 +103,77 @@ def test_simhash_corpus_index_bucket_cap(spark):
     }
     assert (top["b"], top["bv"]) not in sizes
     assert sizes and max(sizes.values()) <= cap
+
+
+def test_auc_exact_matches_mllib_evaluator(spark):
+    """auc_exact (integer Mann-Whitney, tie-averaged ranks) == the
+    MLlib evaluator's trapezoid AUC in the no-binning regime — the link
+    that lets the hash-checked audit stand in for score_auc's metric
+    arithmetic. Exercises ties (md5 % 64 over 500 rows)."""
+    from daxos_spark.catalog import load_tables
+    from daxos_spark.functions.hashing import md5_long
+    from daxos_spark.ml.scoring import auc_exact, score_auc
+
+    e = load_tables(spark, SF_DIR)["embeddings"].filter(F.col("vec_id") < 500)
+    scored = e.select(
+        (F.col("label") >= 5).cast("double").alias("label"),
+        F.pmod(
+            md5_long(F.concat(F.lit("t#"), F.col("vec_id").cast("string"))),
+            F.lit(64),
+        ).cast("double").alias("y_pred"),
+    ).cache()
+    row = auc_exact(scored).first()
+    assert row["n_pos"] + row["n_neg"] == 500
+    assert abs(row["auc"] - score_auc(scored)) < 1e-9
+    scored.unpersist()
+
+
+def test_prune_replay_matches_engine_ranking(spark):
+    """The hash-checked prune decision == the production path's
+    (mean_abs_contributions over tree_contributions_from_flat) ranking:
+    used features exactly {0,1}, survivor = the engine argmax."""
+    from daxos_spark.ml.contrib import (
+        mean_abs_contributions,
+        tree_contributions_from_flat,
+    )
+    from daxos_spark.plans.mlpipe import (
+        _fixed_pts,
+        _fixed_tree,
+        ml_prune_replay_fixed,
+    )
+    from daxos_spark.catalog import load_tables
+
+    got = {r["pos"]: r for r in ml_prune_replay_fixed(spark, SF_DIR).collect()}
+    assert {p for p, r in got.items() if r["used"]} == {0, 1}
+    assert {p for p, r in got.items() if r["kept"]} < {0, 1}
+    assert sum(r["kept"] for r in got.values()) == 1
+
+    p1 = (10.0 * (1.0 / 3.0) + 30.0 * (5.0 / 7.0)) / 40.0
+    p4 = (20.0 * (-1.0 / 3.0) + 40.0 * (3.0 / 7.0)) / 60.0
+    p0 = (40.0 * p1 + 60.0 * p4) / 100.0
+    e = load_tables(spark, SF_DIR)["embeddings"].filter(F.col("vec_id") < 500)
+    pts = _fixed_pts(e)
+    eng = {
+        r["pos"]: r["mean_abs_contrib"]
+        for r in mean_abs_contributions(
+            tree_contributions_from_flat(
+                pts, [_fixed_tree(internal_preds=(p0, p1, p4))], [1.0]
+            )
+        ).collect()
+    }
+    engine_argmax = max(eng, key=eng.get)
+    assert got[engine_argmax]["kept"] == 1
+    for p, v in eng.items():
+        assert abs(v - got[p]["mean_abs_contrib"]) < 2e-6  # dsum ladder vs avg
+
+
+def test_continuation_ladder_runs_real_models(spark):
+    """Every ladder rung is a REAL fitted model: n_trees read back from
+    MLlib equals the param, ensemble size accumulates."""
+    from daxos_spark.plans.mlpipe import ml_continuation_ladder
+
+    rows = sorted(
+        (r["round_idx"], r["n_trees"], r["ensemble_trees"])
+        for r in ml_continuation_ladder(spark, SF_DIR).collect()
+    )
+    assert rows == [(1, 2, 2), (2, 2, 4), (3, 2, 6)]

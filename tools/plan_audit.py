@@ -58,6 +58,12 @@ WGL_BOUNDED_INPUT = {
         "impossible; the sorted group is touches-per-conversion "
         "(domain-bounded, not corpus-bounded)"
     ),
+    "ml_prune_replay_fixed": (
+        "prune decision (rk <= K consumed as a COLUMN of the output, "
+        "not a filter) over the p-length feature-position relation — "
+        "p-bounded like the reference's driver-side prune vector "
+        "(refit.py:66), not corpus-bounded"
+    ),
 }
 
 # rank compared to a COLUMN (not a literal): WindowGroupLimit cannot
