@@ -1,0 +1,305 @@
+"""HTML-pipeline queries: main-content extraction + the HTML-fed
+refinery head (round-10; VERDICT-r9 ask #4).
+
+Beyond-parity (the reference processes no markup): the one
+training-data pipeline stage the engine lacked — every text gate
+assumed extracted text; these queries supply and audit the extraction
+itself (functions/html.py, jusText-lite block scoring).
+
+The harness registers no HTML table, so the fixture corpus is
+SYNTHESIZED deterministically from ``documents.text`` inside the query
+— in BOTH engines, from one shared template — and then extracted. The
+template plants the canonical page chrome (nav / inline promo / footer,
+all link-dense; a two-word title) around the document's text split
+into two paragraphs, so the extractor must drop exactly the chrome and
+reassemble the content. The duckdb oracle replays synthesis AND
+extraction, so the hash gate covers the whole chain.
+
+Scale shape: synthesis+extraction are per-row JVM string expressions
+(zero shuffle); the only exchanges are the final per-source aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.html import (
+    MIN_WORDS,
+    TAG_RE,
+    block_stats,
+    extract_main,
+    keep_cond,
+    sql_block_stats,
+    sql_extract_main,
+    sql_keep_cond,
+)
+from .docpipe import _fanout
+from .registry import QuerySpec, register, sql_trunc6, trunc6
+from .textpipe import _TOKS, _gopher_cte
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        register(QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc, tags=("html",)))
+        return fn
+
+    return deco
+
+
+# one template, two renderings — the pieces are (kind, value) with kind
+# 'lit' (shared string literal), 'id' (doc_id), 'p1'/'p2' (paragraph
+# halves of the tokenized text)
+_TEMPLATE = (
+    ("lit", '<html><head><title>doc '),
+    ("id", None),
+    ("lit", "</title></head><body>"),
+    (
+        "lit",
+        '<div class="nav"><a href="/">home</a> <a href="/about">about us</a>'
+        ' <a href="/contact">contact</a> <a href="/archive">archive</a></div>',
+    ),
+    ("lit", "<p>"),
+    ("p1", None),
+    ("lit", "</p>"),
+    (
+        "lit",
+        '<div class="promo">subscribe to <a href="/newsletter">our weekly'
+        ' newsletter</a> and <a href="/premium">go premium today</a> now</div>',
+    ),
+    ("lit", "<p>"),
+    ("p2", None),
+    ("lit", "</p>"),
+    (
+        "lit",
+        '<div class="footer">copyright 2024 example corp'
+        ' <a href="/terms">terms of service</a>'
+        ' <a href="/privacy">privacy policy</a>'
+        ' <a href="/cookies">cookie settings</a></div>',
+    ),
+    ("lit", "</body></html>"),
+)
+
+# paragraph split point: first ceil(n/2) tokens / the rest
+_K_SQL = "((len(tk) + 1) // 2)"
+_K_SPARK = "((size(tk) + 1) div 2)"
+
+
+def _html_spark() -> F.Column:
+    parts = []
+    for kind, val in _TEMPLATE:
+        if kind == "lit":
+            parts.append(F.lit(val))
+        elif kind == "id":
+            parts.append(F.col("doc_id").cast("string"))
+        elif kind == "p1":
+            parts.append(F.expr(f"array_join(slice(tk, 1, {_K_SPARK}), ' ')"))
+        else:
+            parts.append(
+                F.expr(f"array_join(slice(tk, {_K_SPARK} + 1, size(tk)), ' ')")
+            )
+    return F.concat(*parts)
+
+
+def _html_sql() -> str:
+    parts = []
+    for kind, val in _TEMPLATE:
+        if kind == "lit":
+            parts.append("'" + val.replace("'", "''") + "'")
+        elif kind == "id":
+            parts.append("CAST(doc_id AS VARCHAR)")
+        elif kind == "p1":
+            parts.append(f"array_to_string(tk[1:{_K_SQL}], ' ')")
+        else:
+            parts.append(f"array_to_string(tk[{_K_SQL} + 1:len(tk)], ' ')")
+    return " || ".join(parts)
+
+
+_HTML_BASE_SQL = f"""base AS (
+      SELECT doc_id, source, {_TOKS} AS tk FROM documents
+    ), h AS (
+      SELECT doc_id, source, {_html_sql()} AS html FROM base
+    ), st AS (
+      SELECT doc_id, source, html, {sql_block_stats('html')} AS stats FROM h
+    )"""
+
+
+def _html_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    return (
+        d.select("doc_id", "source", T.tokens(F.col("text")).alias("tk"))
+        .withColumn("html", _html_spark())
+        .withColumn("stats", block_stats("html"))
+    )
+
+
+@_q(
+    "t_html_extract",
+    f"""
+    WITH {_HTML_BASE_SQL},
+    b AS (
+      SELECT doc_id, source, unnest(stats) AS s FROM st
+    ), m AS (
+      SELECT doc_id, source,
+             len(s.txt) AS chars,
+             CASE WHEN len(s.txt) = 0 THEN 0
+                  ELSE len(string_split(s.txt, ' ')) END AS nw,
+             s.lc AS lc,
+             CASE WHEN {sql_keep_cond('s')} THEN 1 ELSE 0 END AS kept
+      FROM b WHERE len(s.txt) > 0
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN nw < {MIN_WORDS} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_short,
+           CAST(SUM(CASE WHEN nw >= {MIN_WORDS} AND kept = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_linky,
+           CAST(SUM(kept * nw) AS BIGINT) AS kept_words,
+           CAST(SUM(kept * chars) AS BIGINT) AS kept_chars,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           {sql_trunc6('1.0 - CAST(SUM(kept * chars) AS DOUBLE) / SUM(chars)')} AS boiler_ratio
+    FROM m GROUP BY source ORDER BY source
+    """,
+    doc="HTML main-content extraction audit (jusText-lite, Pomikálek "
+    "'11): deterministic page synthesis around each document's text, "
+    "block split on block-level tags, integer text-length + "
+    "link-density scoring, per-source kept/dropped block census and "
+    "boilerplate char ratio — the extraction stage every downstream "
+    "text gate assumes; zero pre-aggregate shuffles",
+)
+def t_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _html_stats_df(spark, sf_dir)
+    b = st.select("doc_id", "source", F.explode("stats").alias("s")).filter(
+        F.expr("length(s.txt) > 0")
+    )
+    m = b.select(
+        "doc_id",
+        "source",
+        F.expr("length(s.txt)").alias("chars"),
+        F.expr("size(split(s.txt, ' '))").alias("nw"),
+        F.expr(f"CASE WHEN {keep_cond('s')} THEN 1 ELSE 0 END").alias("kept"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("kept").alias("n_kept"),
+            F.sum((F.col("nw") < MIN_WORDS).cast("int")).alias("n_dropped_short"),
+            F.sum(((F.col("nw") >= MIN_WORDS) & (F.col("kept") == 0)).cast("int")).alias(
+                "n_dropped_linky"
+            ),
+            F.sum(F.col("kept") * F.col("nw")).alias("kept_words"),
+            F.sum(F.col("kept") * F.col("chars")).alias("kept_chars"),
+            F.sum("chars").alias("total_chars"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_blocks").cast("bigint").alias("n_blocks"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.col("n_dropped_short").cast("bigint").alias("n_dropped_short"),
+            F.col("n_dropped_linky").cast("bigint").alias("n_dropped_linky"),
+            F.col("kept_words").cast("bigint").alias("kept_words"),
+            F.col("kept_chars").cast("bigint").alias("kept_chars"),
+            F.col("total_chars").cast("bigint").alias("total_chars"),
+            trunc6(
+                F.lit(1.0)
+                - F.col("kept_chars").cast("double") / F.col("total_chars")
+            ).alias("boiler_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_STRIP_SQL = (
+    f"trim(regexp_replace(regexp_replace(html, '{TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+@_q(
+    "t_html_refinery",
+    f"""
+    WITH {_HTML_BASE_SQL},
+    ext AS (
+      SELECT doc_id, source,
+             len(string_split({_STRIP_SQL}, ' ')) AS raw_words,
+             {sql_extract_main('stats')} AS text
+      FROM st
+    ), ex2 AS (
+      SELECT doc_id, source, text FROM ext WHERE len(text) > 0
+    ), {_gopher_cte('ex2')},
+    gp AS (
+      SELECT SUM(p_wc * p_mwl * p_alpha * p_stop * p_rep) AS n3,
+             SUM(p_wc * p_mwl * p_alpha * p_stop * p_rep * n_tok) AS t3
+      FROM gflag
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'raw_html' AS stage_name,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(raw_words) AS BIGINT) AS n_tokens
+      FROM ext
+      UNION ALL
+      SELECT 2, 'extracted', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+      FROM ex2
+      UNION ALL
+      SELECT 3, 'gopher_rules', CAST(n3 AS BIGINT), CAST(t3 AS BIGINT) FROM gp
+    ) ORDER BY stage
+    """,
+    doc="the refinery head STARTING FROM RAW HTML: synthesize -> "
+    "extract main content (jusText-lite) -> Gopher quality gate on the "
+    "EXTRACTED text (the shared _gopher_cte/_gopher_flags verdicts, so "
+    "this funnel and t_refinery_e2e can never drift) — per-stage "
+    "surviving docs + token mass; the stage every text funnel in this "
+    "engine previously assumed had already happened",
+)
+def t_html_refinery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textpipe import _gopher_flags
+
+    st = _html_stats_df(spark, sf_dir)
+    ext = st.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "size(split(trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' '),"
+            " '\\\\s+', ' ')), ' '))"
+        ).alias("raw_words"),
+        extract_main("stats").alias("text"),
+    ).localCheckpoint(eager=True)
+    # ^ the gopher stage re-tokenizes `text` several times; checkpoint
+    # the per-doc extraction ONCE so the synthesis+extraction regex
+    # chain is not re-evaluated per downstream consumer (the r9
+    # Arrow-node-materialization lesson, JVM-expression edition).
+    ex2 = ext.filter(F.length("text") > 0)
+    g = _gopher_flags(ex2)
+    p_all = (
+        F.col("p_wc") * F.col("p_mwl") * F.col("p_alpha") * F.col("p_stop") * F.col("p_rep")
+    )
+    s1 = ext.agg(
+        F.count(F.lit(1)).alias("n1"), F.sum("raw_words").cast("bigint").alias("t1")
+    )
+    s2 = ex2.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.sum(F.expr("size(split(text, ' '))")).cast("bigint").alias("t2"),
+    )
+    s3 = g.agg(
+        F.sum(p_all).cast("bigint").alias("n3"),
+        F.sum(p_all * F.col("n_tok")).cast("bigint").alias("t3"),
+    )
+    out = (
+        s1.crossJoin(s2)
+        .crossJoin(s3)
+        .selectExpr(
+            "stack(3,"
+            " CAST(1 AS BIGINT), 'raw_html', CAST(n1 AS BIGINT), t1,"
+            " CAST(2 AS BIGINT), 'extracted', CAST(n2 AS BIGINT), t2,"
+            " CAST(3 AS BIGINT), 'gopher_rules', n3, t3"
+            ") AS (stage, stage_name, n_docs, n_tokens)"
+        )
+        .orderBy("stage")
+    )
+    return out

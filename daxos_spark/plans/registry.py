@@ -157,6 +157,7 @@ def get_specs() -> dict[str, QuerySpec]:
         diagnostics,
         docpipe,
         docpipe2,
+        htmlpipe,
         layout,
         mlpipe,
         relational,

@@ -2457,16 +2457,18 @@ ALL_SPECS["t_dedup_best_keep"].lazy_plan = (
 _GOPHER_STOP = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for'"
 
 
-def _gopher_cte() -> str:
+def _gopher_cte(src: str = "documents") -> str:
     """Per-doc Gopher verdict chain (gs → gr → gflag, no leading WITH):
     gflag carries (doc_id, source, n_tok, p_wc..p_rep). Shared by the
-    t_gopher_rules per-source audit and the t_refinery_e2e funnel so
-    the two oracles can never drift apart."""
+    t_gopher_rules per-source audit, the t_refinery_e2e funnel, and
+    (via ``src``) the HTML-refinery's extracted-text gate, so the
+    oracles can never drift apart. ``src`` must expose
+    (doc_id, source, text)."""
     return f"""gs AS (
       SELECT doc_id, source, {_TOKS} AS toks,
              len({_TOKS}) AS n_tok,
              length(regexp_replace({_NORM}, '\\s+', '', 'g')) AS n_chars_ws
-      FROM documents
+      FROM {src}
     ), gr AS (
       SELECT doc_id, source, n_tok,
              CAST(n_chars_ws AS DOUBLE) / n_tok AS mwl,

