@@ -301,6 +301,42 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibration(spark) -> float:
+    """Fixed, DATA-INDEPENDENT synthetic workload measured before
+    everything else (round-10, VERDICT-r9 ask #3): BENCH_COMPARE_r9
+    proved the box state shifts 1.1-1.3x round-over-round, forcing
+    fresh-process A/B adjudication of pure noise. This workload never
+    changes (no parquet, no query code — spark.range -> 3 xxhash64
+    lanes -> 64k-key partial-agg shuffle -> second agg; ANSI-safe via
+    pmod masking), so its round-over-round ratio measures the BOX/JVM,
+    not the engine; tools/bench_compare.py divides pinned ratios by it
+    before flagging. min of 3 (~3.5 s on the reference box)."""
+    from pyspark.sql import functions as F
+
+    def build():
+        df = spark.range(0, 800_000_000, 1, 32).select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(65536)).alias("b"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(1_000_000)).alias("v1"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(1_000_000)).alias("v2"),
+        )
+        g1 = df.groupBy("b").agg(
+            F.sum("v1").alias("s1"),
+            F.sum(F.col("v1") - F.col("v2")).alias("s2"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        return g1.groupBy(F.pmod(F.col("b"), F.lit(512)).alias("b2")).agg(
+            F.sum("s1").alias("t1"), F.sum("s2").alias("t2"), F.sum("c").alias("tc")
+        )
+
+    _materialize(build())  # warm (codegen)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _materialize(build())
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     from daxos_spark.plans import get_specs
     from daxos_spark.session import get_spark
@@ -312,6 +348,10 @@ def main() -> None:
     from daxos_spark.catalog import load_tables
 
     load_tables(spark, SF_DIR)["region"].count()
+
+    # -- calibration (box-state probe; see _calibration) ------------------
+    calibration_s = _calibration(spark)
+    print(f"# calibration: {calibration_s:.2f}s", file=sys.stderr)
 
     # -- PINNED section (round-over-round comparison surface) ------------
     # Runs FIRST, in frozen order, each query isolated: warm run (codegen
@@ -413,6 +453,9 @@ def main() -> None:
                 "complete": not errors,
                 "pinned": pinned,
                 "pinned_errors": pinned_errors,
+                # near the END of the line (like pinned) so it survives
+                # the driver wrapper's front-truncation
+                "calibration_s": calibration_s,
                 "sf": sf_val,
             }
         )

@@ -67,18 +67,22 @@ def load(path: str) -> dict:
                     # the suite dict (they are not recoverable as pinned
                     # either, since the section is incomplete)
                     tail = tail[: tail.rindex('"complete"')]
+                cal = re.search(r'"calibration_s":\s*([0-9.]+)', tail)
                 pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
                 qs = {
                     k: float(v)
                     for k, v in pairs
-                    if k not in ("value", "sf", "n_failed")
+                    if k not in ("value", "sf", "n_failed", "calibration_s")
                 }
-                return {
+                out = {
                     "queries": qs,
                     "errors": {},
                     "pinned": pinned,
                     "partial_tail": True,
                 }
+                if cal:
+                    out["calibration_s"] = float(cal.group(1))
+                return out
     except json.JSONDecodeError:
         pass
     for line in reversed(txt.strip().splitlines()):
@@ -128,6 +132,23 @@ def main() -> int:
         RENAMES = {}
     back = {v: k for k, v in RENAMES.items()}
 
+    # Round-10 (VERDICT-r9 ask #3): when both runs carry the
+    # data-independent calibration workload, its ratio IS the box/JVM
+    # shift (the workload never changes) — divide per-query ratios by
+    # it before flagging, so a uniform box slowdown is auto-attributed
+    # instead of needing fresh-process ab_probe adjudication. Only a
+    # SLOWDOWN is normalized away (cal_ratio floored at 1.0): a faster
+    # box must never mask a genuine code regression.
+    cal_new, cal_old = new.get("calibration_s"), old.get("calibration_s")
+    cal_ratio = 1.0
+    if cal_new and cal_old:
+        cal_ratio = max(1.0, float(cal_new) / float(cal_old))
+        print(
+            f"calibration: {cal_old:.2f}s -> {cal_new:.2f}s "
+            f"(box shift {float(cal_new)/float(cal_old):.2f}x; "
+            f"normalizing ratios by {cal_ratio:.2f}x)"
+        )
+
     failures: list[str] = []
     checked = 0
     for name, t_new in sorted(new_q.items()):
@@ -138,9 +159,12 @@ def main() -> int:
         checked += 1
         if t_new <= NOISE_FLOOR_SEC and t_old <= NOISE_FLOOR_SEC:
             continue
-        ratio = t_new / t_old if t_old > 0 else float("inf")
+        ratio = (t_new / t_old if t_old > 0 else float("inf")) / cal_ratio
         if ratio > args.threshold:
-            failures.append(f"{name}: {t_old:.2f}s -> {t_new:.2f}s ({ratio:.2f}x)")
+            failures.append(
+                f"{name}: {t_old:.2f}s -> {t_new:.2f}s "
+                f"({ratio:.2f}x box-normalized)"
+            )
 
     if pinned_mode:
         # suite times: informational only (suite-load drift is expected)
