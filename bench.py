@@ -259,6 +259,12 @@ BENCH_QUERIES = [
     "q_dp_quantile",
     "m_shot_boundaries",
     "v_rotated_bq_recall",
+    # round 10
+    "t_html_extract",
+    "t_html_refinery",
+    "ml_prune_replay_fixed",
+    "ml_continuation_ladder",
+    "ml_auc_exact_audit",
 ]
 
 # Frozen heavy set for round-over-round comparison (r8 ask #4): the ~28

@@ -853,7 +853,8 @@ _SIMHASH56_SQL = f"""
 # widen prints / narrow bands until no class is hot). The cap (>= the
 # 10× probe's whole corpus size) provably cannot fire at any committed
 # gate scale — no bucket outgrows its corpus — so all committed hashes
-# are cap-invariant (measured max bucket: 36 at sf0.01, 382 at sf0.1);
+# are cap-invariant (measured max bucket: 36 at sf0.01, 382 at sf0.1,
+# 815/716 at the 10× suffix/rotate probe corpora);
 # the drop semantics are pytest-proven with a tiny cap and hash-proven
 # cross-engine on the adversarial dup-heavy probe corpus, where one
 # planted family of 3,000 alone carries 4.5M candidate pairs uncapped

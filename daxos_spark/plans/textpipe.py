@@ -2887,17 +2887,20 @@ def _refinery_e2e_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
     return _refinery_funnel(gf, nll, cov, keep), caches
 
 
-def _refinery_funnel(gf, nll, cov, keep):
-    """Shared funnel tail: join the four verdict relations and compute
-    all 5 stages in ONE conditional-aggregate scan (stack()-unpivoted).
+def _refinery_verdicts(gf, nll, cov, keep):
+    """Per-doc funnel verdict relation (doc_id, n_tok, p_gopher, p_ppl,
+    p_sub, p_sem): the four gate verdicts joined onto one row per doc.
     ``keep`` must carry (doc_id, sem0); docs without a row pass
     vacuously (COALESCE 1) — semantic dedup can only judge embedded
-    docs."""
-    fl = (
+    docs. Shared by the aggregate funnel tail and the lane-equality
+    probe (tools/refinery_lane_probe.py), which needs the SURVIVOR SET
+    identities, not just the counts."""
+    return (
         gf.join(nll, "doc_id", "left")
         .join(cov, "doc_id", "left")
         .join(keep, "doc_id", "left")
         .select(
+            "doc_id",
             "n_tok",
             "p_gopher",
             F.when(
@@ -2914,6 +2917,12 @@ def _refinery_funnel(gf, nll, cov, keep):
             F.coalesce(F.col("sem0"), F.lit(1)).alias("p_sem"),
         )
     )
+
+
+def _refinery_funnel(gf, nll, cov, keep):
+    """Shared funnel tail: join the four verdict relations and compute
+    all 5 stages in ONE conditional-aggregate scan (stack()-unpivoted)."""
+    fl = _refinery_verdicts(gf, nll, cov, keep)
     # one conditional-aggregate scan computes the whole funnel; stack()
     # unpivots the 1-row aggregate into the 5 stage rows
     s2 = F.col("p_gopher")
@@ -2986,7 +2995,11 @@ def _refinery_linear_oracle() -> str:
 
 
 def _refinery_linear_lazy(
-    spark: SparkSession, sf_dir: str, persist: bool = True, two_lane: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    persist: bool = True,
+    two_lane: bool = False,
+    tail=_refinery_funnel,
 ):
     from .docpipe import _semantic_keep_lazy
 
@@ -2996,7 +3009,7 @@ def _refinery_linear_lazy(
     keep, sem_caches = _semantic_keep_lazy(spark, sf_dir, persist=persist)
     caches.extend(sem_caches)
     keep = keep.select("doc_id", F.col("keep").alias("sem0"))
-    return _refinery_funnel(gf, nll, cov, keep), caches
+    return tail(gf, nll, cov, keep), caches
 
 
 @_q(

@@ -123,10 +123,30 @@ PROBES = [
     "d_simhash_neardup",
     "d_sorted_neighborhood",
     "q_trade_shortest_path",
+    # round-10: HTML extraction (regex-heavy map-side scan) + the
+    # exact-AUC audit (global distinct-score window)
+    "t_html_extract",
+    "t_html_refinery",
+    "ml_auc_exact_audit",
 ]
 
 
-def synthesize(spark, out_dir: str) -> None:
+def synthesize(spark, out_dir: str, bijection: str = "suffix") -> None:
+    """``bijection`` controls how replica text stays internally-
+    structured but cross-replica disjoint:
+
+    - "suffix" (default): content tokens get the replica digit
+      appended. Duplicate/shingle mass scales linearly, BUT the +1 char
+      pushes mean word length past the Gopher R2 bound, so the 10×
+      corpus has ZERO quality-gate survivors (the r9 caveat) — right
+      for dedup/join plan-shape probes, wrong for funnel-tail probes.
+    - "rotate": content tokens are Caesar-rotated by the replica index
+      (length-preserving char bijection; stopwords untouched). Every
+      Gopher feature (word count, mean word length, alpha ratio,
+      stopword hits, repetition) is replica-invariant, so the quality
+      funnel stays LIVE at 10× — survivor mass scales with the corpus.
+      Used by tools/refinery_lane_probe.py (tmp_sf1_live).
+    """
     from daxos_spark.catalog import TABLES, load_tables
 
     os.makedirs(out_dir, exist_ok=True)
@@ -158,18 +178,22 @@ def synthesize(spark, out_dir: str) -> None:
                 # robustness find, now guarded in the product, but not
                 # the workload this probe means to measure)
                 stop = "('the','a','of','and','to','in','is','for','on','with')"
+                stop_list = [s.strip("'") for s in stop.strip("()").split(",")]
+                if bijection == "rotate":
+                    alpha = "abcdefghijklmnopqrstuvwxyz"
+                    rot = alpha[r % 26 :] + alpha[: r % 26]
+                    perturb = lambda t, rot=rot: F.translate(t, alpha, rot)  # noqa: E731
+                else:
+                    perturb = lambda t, r=r: F.concat(t, F.lit(str(r)))  # noqa: E731
                 d = d.withColumn(
                     "text",
                     F.concat_ws(
                         " ",
                         F.transform(
                             F.split(F.col("text"), " "),
-                            lambda t: F.when(
-                                t.isin(
-                                    *[s.strip("'") for s in stop.strip("()").split(",")]
-                                ),
-                                t,
-                            ).otherwise(F.concat(t, F.lit(str(r)))),
+                            lambda t: F.when(t.isin(*stop_list), t).otherwise(
+                                perturb(t)
+                            ),
                         ),
                     ),
                 ).withColumn("n_chars", F.length("text"))
