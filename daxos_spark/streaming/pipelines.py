@@ -954,3 +954,34 @@ def simhash_neardup_stream(
         unbounded_ok,
     )
     return out.drop(watermark_col) if watermark_col is not None else out
+
+
+def html_extract_stream(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Streaming HTML main-content extraction — the INGEST face of
+    plans/htmlpipe.t_html_extract: every arriving raw page is block-
+    split, scored (jusText-lite text-length + link-density), and
+    reassembled into extracted main text, per row. Extraction is a
+    STATELESS projection (functions/html.py — pure JVM expressions, no
+    state, no watermark needed), so the crawl→refinery boundary can run
+    as a continuous stream: raw HTML in, extracted text + block census
+    out, ready for the downstream quality/dedup gates (which carry
+    their own state contracts).
+
+    Output: every input column except ``html_col``, plus
+    (text, n_blocks, n_kept, boiler_chars) — the extracted main
+    content and the per-page census the batch audit aggregates.
+    """
+    from ..functions.html import block_stats, extract_main, keep_cond
+
+    keep = [c for c in pages.columns if c != html_col]
+    st = pages.withColumn("__stats", block_stats(html_col))
+    return st.select(
+        *keep,
+        extract_main("__stats").alias("text"),
+        F.expr("size(filter(__stats, s -> length(s.txt) > 0))").alias("n_blocks"),
+        F.expr(f"size(filter(__stats, s -> {keep_cond('s')}))").alias("n_kept"),
+        F.expr(
+            f"aggregate(filter(__stats, s -> length(s.txt) > 0"
+            f" AND NOT ({keep_cond('s')})), 0, (a, x) -> a + length(x.txt))"
+        ).alias("boiler_chars"),
+    )

@@ -857,3 +857,40 @@ def test_dedup_against_corpus_stream_refusal(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dedup_against_corpus_stream"):
         dedup_against_corpus_stream(stream, corpus)
+
+
+def test_html_extract_stream_matches_batch(spark, tmp_path):
+    """Streaming HTML extraction (stateless jusText-lite projection) ==
+    the same expressions in batch, across micro-batches, on pages
+    synthesized from the sf0.001 documents via the htmlpipe template."""
+    from daxos_spark.plans.htmlpipe import _html_spark
+    from daxos_spark.streaming.pipelines import html_extract_stream, run_to_memory
+
+    from daxos_spark.functions import text as T
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    pages = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("tk")
+    ).select("doc_id", _html_spark().alias("html"))
+
+    want = {
+        (r["doc_id"], r["text"], r["n_blocks"], r["n_kept"], r["boiler_chars"])
+        for r in html_extract_stream(pages).collect()
+    }
+
+    pg_dir = str(tmp_path / "pages")
+    pages.filter(F.col("doc_id") < 25).coalesce(1).write.parquet(pg_dir)
+    pages.filter(F.col("doc_id") >= 25).coalesce(1).write.mode("append").parquet(pg_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, html string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pg_dir)
+    )
+    run_to_memory(html_extract_stream(stream), "htmlex", output_mode="append")
+    got = {
+        (r["doc_id"], r["text"], r["n_blocks"], r["n_kept"], r["boiler_chars"])
+        for r in spark.sql("SELECT * FROM htmlex").collect()
+    }
+    assert got == want
+    assert all(n == 6 for _, _, n, _, _ in got)  # template: 6 non-empty blocks
+    assert all(k <= 2 for _, _, _, k, _ in got)  # at most the 2 paragraphs kept
