@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "ml_prune_replay_fixed",
     "ml_continuation_ladder",
     "ml_auc_exact_audit",
+    "t_html_link_graph",
 ]
 
 # Frozen heavy set for round-over-round comparison (r8 ask #4): the ~28

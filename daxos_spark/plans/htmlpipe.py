@@ -303,3 +303,104 @@ def t_html_refinery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("stage")
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Crawl link graph — the other thing a page carries besides content:
+# out-links. Link extraction feeds the crawl frontier, site-level
+# quality (in-degree as a prior), and URL-level dedup; this query is
+# the extraction + in-degree census primitive. The fixture template
+# gains a deterministic "related articles" block (two /doc/<id> links
+# derived from doc_id by fixed modular arithmetic, so the digraph is
+# non-degenerate and both engines synthesize it identically); chrome
+# links (nav/footer, non-/doc/ hrefs) are NOT counted — the href
+# pattern anchors on the internal-article URL shape, exactly how a
+# production extractor whitelists its own host. Dangling targets (ids
+# past the corpus size at small SF) are kept: real crawl graphs dangle,
+# and the census is over LINK TARGETS, not resolved pages.
+# Scale shape: per-row regex extraction (map-side), one explode, one
+# groupBy dst with map-side partial agg, TakeOrdered top-20.
+_LINK_MOD = 1000
+_DOC_HREF_RE = r'href="/doc/([0-9]+)"'
+
+
+def _linked_html_sql() -> str:
+    return (
+        f"{_html_sql()} || '<div class=\"related\">see also '"
+        " || '<a href=\"/doc/' || CAST((doc_id * 7 + 3) % "
+        f"{_LINK_MOD} AS VARCHAR) || '\">article one</a> and '"
+        " || '<a href=\"/doc/' || CAST((doc_id * 13 + 5) % "
+        f"{_LINK_MOD} AS VARCHAR) || '\">article two</a></div>'"
+    )
+
+
+def _linked_html_spark() -> F.Column:
+    return F.concat(
+        _html_spark(),
+        F.lit('<div class="related">see also <a href="/doc/'),
+        F.pmod(F.col("doc_id") * 7 + 3, F.lit(_LINK_MOD)).cast("string"),
+        F.lit('">article one</a> and <a href="/doc/'),
+        F.pmod(F.col("doc_id") * 13 + 5, F.lit(_LINK_MOD)).cast("string"),
+        F.lit('">article two</a></div>'),
+    )
+
+
+@_q(
+    "t_html_link_graph",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, {_TOKS} AS tk FROM documents
+    ), h AS (
+      SELECT doc_id, source, {_linked_html_sql()} AS html FROM base
+    ), e AS (
+      SELECT doc_id AS src, source,
+             CAST(unnest(regexp_extract_all(html, '{_DOC_HREF_RE}', 1)) AS BIGINT) AS dst
+      FROM h
+    )
+    SELECT dst,
+           CAST(COUNT(*) AS BIGINT) AS in_degree,
+           CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src,
+           CAST(MIN(src) AS BIGINT) AS first_src,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM e GROUP BY dst
+    ORDER BY in_degree DESC, dst LIMIT 20
+    """,
+    doc="crawl link-graph extraction: internal-article out-links pulled "
+    "from raw HTML (host-anchored href pattern — chrome links excluded "
+    "by construction), exploded into (src, dst) edges, in-degree census "
+    "of the top-20 link targets; the extraction feeds crawl frontier / "
+    "link-prior quality / URL dedup — per-row regex + one partial-agg "
+    "groupBy + TakeOrdered, nothing corpus-wide",
+)
+def t_html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    h = d.select("doc_id", "source", T.tokens(F.col("text")).alias("tk")).select(
+        "doc_id", "source", _linked_html_spark().alias("html")
+    )
+    e = h.select(
+        F.col("doc_id").alias("src"),
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(html, '{_DOC_HREF_RE}', 1)")
+        ).alias("dst_s"),
+    ).select("src", "source", F.col("dst_s").cast("bigint").alias("dst"))
+    return (
+        e.groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).alias("in_degree"),
+            F.countDistinct("src").alias("n_src"),
+            F.min("src").alias("first_src"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .select(
+            "dst",
+            F.col("in_degree").cast("bigint").alias("in_degree"),
+            F.col("n_src").cast("bigint").alias("n_src"),
+            F.col("first_src").cast("bigint").alias("first_src"),
+            F.col("n_sources").cast("bigint").alias("n_sources"),
+        )
+        .orderBy(F.col("in_degree").desc(), "dst")
+        .limit(20)
+    )

@@ -221,3 +221,26 @@ def test_html_block_scoring_edges(spark):
     assert "pre is inline here" in out  # <pre>/<b>-style inline tags stripped, text kept
     assert "one two three" not in out  # link-dense chrome dropped
     assert "short title" not in out  # sub-MIN_WORDS stub dropped
+
+
+def test_html_link_graph_extracts_only_article_links(spark):
+    """Each synthesized page carries exactly 2 internal /doc/ links
+    (chrome hrefs excluded by the host-anchored pattern); the census
+    totals must account for every one of them."""
+    from daxos_spark.catalog import load_tables
+    from daxos_spark.plans.htmlpipe import _LINK_MOD, t_html_link_graph
+
+    n_docs = load_tables(spark, SF_DIR)["documents"].count()
+    top = t_html_link_graph(spark, SF_DIR).collect()
+    assert len(top) == 20
+    assert all(0 <= r["dst"] < _LINK_MOD for r in top)
+    # replay the planted modular link targets in python
+    from collections import Counter
+
+    c = Counter()
+    for d in range(n_docs):
+        c[(d * 7 + 3) % _LINK_MOD] += 1
+        c[(d * 13 + 5) % _LINK_MOD] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["dst"], r["in_degree"]) for r in top]
+    assert got == want

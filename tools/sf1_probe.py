@@ -128,6 +128,7 @@ PROBES = [
     "t_html_extract",
     "t_html_refinery",
     "ml_auc_exact_audit",
+    "t_html_link_graph",
 ]
 
 
