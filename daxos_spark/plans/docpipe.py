@@ -477,11 +477,19 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on candidates only.
 _N_HASH = 8
 _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+# band-bucket membership cap — see the bcap CTE note + the SimHash twin
+# (docpipe2._SIMHASH_BUCKET_CAP); measured on the adversarial dup-heavy
+# corpus (tools/adversarial_dup_probe.py corpus): a planted family of
+# 3,000 exact dups pushed d_lsh_candidates from ~4 s to 56 s through one
+# hot (band, bkt) class, while the shingle DF cap never fired (family
+# shingle DF = 3,000 << 50k). Upstream exact-dedup (0.1 s) remains the
+# family REMEDY; the cap is the engine-level bound when that contract
+# is violated.
+_LSH_BUCKET_CAP = 50_000
 
 
-@_q(
-    "d_lsh_candidates",
-    f"""
+def _lsh_candidates_oracle(bucket_cap: int = _LSH_BUCKET_CAP) -> str:
+    return f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS tk FROM documents
     ), sh0 AS (
@@ -495,9 +503,16 @@ _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
       FROM sh GROUP BY doc_id
     ), buckets AS (
       {' UNION ALL '.join(f"SELECT doc_id, {bi} AS band, concat(m{a}, ':', m{b}) AS bkt FROM sig" for bi, (a, b) in enumerate(_BANDS))}
+    ), bcap AS (
+      -- hot-bucket cap, the SimHash lane's twin (docpipe2._SIMHASH_BUCKET_CAP
+      -- rationale): a duplicate family shares ALL band signatures, so one
+      -- (band, bkt) class goes quadratic in family size; family shingle DF
+      -- stays far below _MAX_SHINGLE_DF, so the shingle cap cannot help.
+      -- Cap >= corpus size at every gate scale -> committed hashes unchanged.
+      SELECT * FROM buckets QUALIFY COUNT(*) OVER (PARTITION BY band, bkt) <= {bucket_cap}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      FROM buckets a JOIN buckets b ON a.bkt = b.bkt AND a.band = b.band AND a.doc_id < b.doc_id
+      FROM bcap a JOIN bcap b ON a.bkt = b.bkt AND a.band = b.band AND a.doc_id < b.doc_id
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
     ), inter AS (
@@ -509,9 +524,16 @@ _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
     FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
     ORDER BY jaccard DESC, da, db
     LIMIT 20
-    """,
-)
-def d_lsh_candidates(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
+    """
+
+
+@_q("d_lsh_candidates", _lsh_candidates_oracle())
+def d_lsh_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    persist: bool = True,
+    bucket_cap: int | None = _LSH_BUCKET_CAP,
+) -> DataFrame:
     d = _fanout(load_tables(spark, sf_dir)["documents"])
     # persist: sh feeds the DF cap, sig, sizes, and both sides of the
     # candidate verification join (6 consumers). The capped view is a
@@ -543,6 +565,10 @@ def d_lsh_candidates(spark: SparkSession, sf_dir: str, persist: bool = True) -> 
     buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt")
     )
+    # hot-bucket cap (see _LSH_BUCKET_CAP above): same DF-threshold
+    # anti-join as the shingle cap, keyed on the band bucket
+    if bucket_cap is not None:
+        buckets = _cap_hot_shingles(buckets, bucket_cap, keys=("band", "bkt"))
     ba, bb = buckets.alias("ba"), buckets.alias("bb")
     cand = (
         ba.join(

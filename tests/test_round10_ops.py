@@ -244,3 +244,32 @@ def test_html_link_graph_extracts_only_article_links(spark):
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = [(r["dst"], r["in_degree"]) for r in top]
     assert got == want
+
+
+def test_lsh_bucket_cap_drops_hot_family(spark, tmp_path):
+    """The MinHash LSH band join honors the same hot-bucket cap as the
+    SimHash lane: a duplicate family larger than the cap shares all
+    band signatures and is dropped from candidate generation; the
+    production cap is structurally gate-invariant (>= corpus size)."""
+    from daxos_spark.plans.docpipe import _LSH_BUCKET_CAP, d_lsh_candidates
+
+    assert _LSH_BUCKET_CAP >= 50_000
+    fam = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    pair = (
+        "one two three four five six seven eight nine ten eleven twelve"
+    )
+    rows = (
+        [(i, "web", fam) for i in range(5)]
+        + [(10, "web", pair), (11, "web", pair)]
+        + [(20, "web", "lorem ipsum dolor sit amet consectetur adipiscing elit")]
+    )
+    sf = _mini_sf_dir(spark, tmp_path, rows)
+    capped = {
+        (r["da"], r["db"]) for r in d_lsh_candidates(spark, sf, bucket_cap=3).collect()
+    }
+    assert capped == {(10, 11)}
+    uncapped = {
+        (r["da"], r["db"])
+        for r in d_lsh_candidates(spark, sf, bucket_cap=None).collect()
+    }
+    assert (10, 11) in uncapped and len(uncapped) == 11  # C(5,2) + the pair

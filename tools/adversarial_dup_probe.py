@@ -148,7 +148,48 @@ def main() -> int:
     }
     spark.catalog.clearCache()
     print(f"gopher gate on adversarial corpus (per source n_docs, pass_all): {g}")
-    return 0 if ok and same else 1
+    ok_lsh = lsh_lane(spark, out_dir)
+    return 0 if ok and same and ok_lsh else 1
+
+
+def lsh_lane(spark, out_dir: str) -> bool:
+    """Round-10 extension: the MinHash LSH band join has the same
+    duplicate-family failure (the family shares ALL band signatures —
+    one hot (band, bkt) class, quadratic candidates — while the shingle
+    DF cap never fires: family shingle DF = 3,000 << 50k). Demonstrate
+    the band-bucket cap on this corpus at cap=500 (production cap is
+    structurally gate-invariant at 50k) and hash-prove it cross-engine;
+    measure capped vs uncapped wall."""
+    import duckdb
+
+    from tools.check_oracle import frame_digest
+
+    from daxos_spark.plans.docpipe import _lsh_candidates_oracle, d_lsh_candidates
+
+    t0 = time.time()
+    sdf = d_lsh_candidates(spark, out_dir, bucket_cap=PROBE_CAP).toPandas()
+    t_cap = time.time() - t0
+    spark.catalog.clearCache()
+    con = duckdb.connect()
+    con.execute("SET memory_limit='48GB'")
+    p = f"{out_dir}/documents.parquet"
+    pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pat}')")
+    odf = con.execute(_lsh_candidates_oracle(bucket_cap=PROBE_CAP)).fetchdf()
+    sn, sc, sh = frame_digest(sdf)
+    on, oc, oh = frame_digest(odf)
+    ok = (sn, sc, sh) == (on, oc, oh)
+    print(
+        f"{'PASS' if ok else 'FAIL'} d_lsh_candidates capped@{PROBE_CAP}: "
+        f"spark n={sn} h={sh} ({t_cap:.1f}s) vs duckdb n={on} h={oh}"
+    )
+    t0 = time.time()
+    d_lsh_candidates(spark, out_dir, bucket_cap=None).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    print(f"uncapped d_lsh_candidates wall: {time.time()-t0:.1f}s vs capped {t_cap:.1f}s")
+    spark.catalog.clearCache()
+    return ok
 
 
 if __name__ == "__main__":
