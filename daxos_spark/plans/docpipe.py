@@ -565,10 +565,21 @@ def d_lsh_candidates(
     buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt")
     )
-    # hot-bucket cap (see _LSH_BUCKET_CAP above): same DF-threshold
-    # anti-join as the shingle cap, keyed on the band bucket
+    # hot-bucket cap (see _LSH_BUCKET_CAP above). NOT the shingle cap's
+    # anti-join: buckets derives from the expensive sig aggregation, and
+    # an anti-join would re-derive it for the count side (measured
+    # 3.3->5.3 s at sf0.1); the count-window form is ONE pass and its
+    # (band, bkt) shuffle is the same key the candidate self-join hashes
+    # on anyway — the duckdb QUALIFY twin, literally.
     if bucket_cap is not None:
-        buckets = _cap_hot_shingles(buckets, bucket_cap, keys=("band", "bkt"))
+        from pyspark.sql import Window as _W
+
+        _bw = _W.partitionBy("band", "bkt")
+        buckets = (
+            buckets.withColumn("__bc", F.count(F.lit(1)).over(_bw))
+            .filter(F.col("__bc") <= bucket_cap)
+            .drop("__bc")
+        )
     ba, bb = buckets.alias("ba"), buckets.alias("bb")
     cand = (
         ba.join(
