@@ -20,12 +20,17 @@ Block scoring (jusText-lite):
     that carry most of its accuracy; stopword density is available
     downstream via the Gopher gate the extracted text feeds.
 
+Entities: the named core set (&amp; &lt; &gt; &quot; &nbsp; &apos;)
+plus the numeric apostrophe are decoded after tag strip, before
+whitespace collapse, in BOTH engines (see _ENTITIES); arbitrary
+&#NN; stays literal (deterministic, shared).
+
 Limitations (documented, deterministic): anchor inner text is counted
-raw (a nested tag inside <a> overcounts link chars — conservative:
-pushes chrome-like blocks toward drop); script/style bodies are
-treated as blocks and fail the word/density gates only if they look
-like chrome. Both engines share every limitation, so the cross-engine
-hash gate is exact.
+with inline tags intact (a nested tag inside <a> overcounts link
+chars — conservative: pushes chrome-like blocks toward drop);
+script/style bodies are treated as blocks and fail the word/density
+gates only if they look like chrome. Both engines share every
+limitation, so the cross-engine hash gate is exact.
 
 Spark and duckdb sides are generated from the SAME regex/threshold
 constants so the two engines cannot drift. The patterns avoid
@@ -45,16 +50,51 @@ BLOCK_TAG_RE = (
     r"|tbody|tr|td|th|nav|header|footer|article|section|aside|form"
     r"|blockquote)(?:[\s/][^>]*)?>"
 )
-ANCHOR_RE = r"(?i)<a[\s/>][^>]*?>(.*?)</a>|(?i)<a>(.*?)</a>"
+# anchor matching needs one regex with ONE capture group for
+# regexp_extract_all in both engines — the attribute-tolerant
+# single-group form
+ANCHOR_RE = r"(?i)<a(?:[\s/][^>]*)?>(.*?)</a>"
 TAG_RE = r"<[^>]*>"
 MIN_WORDS = 5
 # link density keep-bound 0.3 expressed integrally: lc*10 <= chars*3
 LINK_DENS_NUM, LINK_DENS_DEN = 3, 10
 
-# anchor matching needs one regex with ONE capture group for
-# regexp_extract_all in both engines; the alternation above would need
-# group juggling — use the simpler attribute-tolerant single-group form
-ANCHOR_RE = r"(?i)<a(?:[\s/][^>]*)?>(.*?)</a>"
+# named/numeric entities decoded AFTER tag strip (safe: a decoded '<'
+# is plain text by then, never re-parsed) and BEFORE whitespace
+# collapse (&nbsp; becomes a collapsible space). &amp; is decoded LAST
+# so '&amp;lt;' round-trips to the literal '&lt;' per the HTML spec's
+# single-decode semantics. The set is the named core + the numeric
+# apostrophe — the entities that actually dominate crawled text;
+# arbitrary &#NN; stays literal (documented, deterministic, and
+# identical in both engines).
+_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _decode_expr(expr: str, quote_fn) -> str:
+    """Wrap ``expr`` in the chained replace() entity decode; quote_fn
+    renders a python string as the dialect's string literal."""
+    out = expr
+    for ent, ch in _ENTITIES:
+        out = f"replace({out}, {quote_fn(ent)}, {quote_fn(ch)})"
+    return out
+
+
+def _sql_q(s: str) -> str:
+    """duckdb string literal (doubled-quote escaping)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _spark_q(s: str) -> str:
+    """Spark SQL string literal (backslash escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def _spark_lit(pat: str) -> str:
@@ -67,13 +107,16 @@ def block_stats(html_col: str) -> Column:
     """array<struct<txt: string, lc: int>> — one entry per raw block:
     the tag-stripped whitespace-collapsed block text and its total
     anchor-text char count. Pure JVM higher-order expression."""
+    stripped = f"regexp_replace(b, '{_spark_lit(TAG_RE)}', ' ')"
+    decoded = _decode_expr(stripped, _spark_q)
+    inner = _decode_expr("x", _spark_q)
     return F.expr(
         f"""
         transform(split({html_col}, '{_spark_lit(BLOCK_TAG_RE)}'),
           b -> struct(
-            trim(regexp_replace(regexp_replace(b, '{_spark_lit(TAG_RE)}', ' '), '\\\\s+', ' ')) AS txt,
+            trim(regexp_replace({decoded}, '\\\\s+', ' ')) AS txt,
             coalesce(aggregate(
-              transform(regexp_extract_all(b, '{_spark_lit(ANCHOR_RE)}', 1), x -> length(x)),
+              transform(regexp_extract_all(b, '{_spark_lit(ANCHOR_RE)}', 1), x -> length({inner})),
               0, (a, v) -> a + v), 0) AS lc
           ))
         """
@@ -106,11 +149,13 @@ def extract_main(stats_col: str) -> Column:
 
 def sql_block_stats(html_expr: str) -> str:
     """duckdb: list<struct(txt, lc)> of block stats for ``html_expr``."""
+    decoded = _decode_expr(f"regexp_replace(b, '{TAG_RE}', ' ', 'g')", _sql_q)
+    inner = _decode_expr("x", _sql_q)
     return f"""list_transform(regexp_split_to_array({html_expr}, '{BLOCK_TAG_RE}'),
       b -> struct_pack(
-        txt := trim(regexp_replace(regexp_replace(b, '{TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g')),
+        txt := trim(regexp_replace({decoded}, '\\s+', ' ', 'g')),
         lc := coalesce(list_sum(list_transform(
-                regexp_extract_all(b, '{ANCHOR_RE}', 1), x -> len(x))), 0)
+                regexp_extract_all(b, '{ANCHOR_RE}', 1), x -> len({inner}))), 0)
       ))"""
 
 
@@ -126,3 +171,18 @@ def sql_extract_main(stats_expr: str) -> str:
         f"array_to_string(list_transform(list_filter({stats_expr},"
         f" s -> {sql_keep_cond('s')}), x -> x.txt), ' ')"
     )
+
+
+def page_text(html_expr: str) -> str:
+    """Spark-SQL fragment: the whole page tag-stripped, entity-decoded,
+    whitespace-collapsed (the raw-text face of the page, boilerplate
+    included — what the refinery's stage-1 token mass counts)."""
+    decoded = _decode_expr(
+        f"regexp_replace({html_expr}, '{_spark_lit(TAG_RE)}', ' ')", _spark_q
+    )
+    return f"trim(regexp_replace({decoded}, '\\\\s+', ' '))"
+
+
+def sql_page_text(html_expr: str) -> str:
+    decoded = _decode_expr(f"regexp_replace({html_expr}, '{TAG_RE}', ' ', 'g')", _sql_q)
+    return f"trim(regexp_replace({decoded}, '\\s+', ' ', 'g'))"

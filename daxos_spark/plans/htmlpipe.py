@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions.html import page_text as _page_text
 from ..functions.html import (
     MIN_WORDS,
     TAG_RE,
@@ -73,8 +74,8 @@ _TEMPLATE = (
     ("lit", "</p>"),
     (
         "lit",
-        '<div class="footer">copyright 2024 example corp'
-        ' <a href="/terms">terms of service</a>'
+        '<div class="footer">copyright 2024 example corp &amp; co&nbsp;'
+        '&#39;est 1999&#39; <a href="/terms">terms of service</a>'
         ' <a href="/privacy">privacy policy</a>'
         ' <a href="/cookies">cookie settings</a></div>',
     ),
@@ -215,9 +216,9 @@ def t_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STRIP_SQL = (
-    f"trim(regexp_replace(regexp_replace(html, '{TAG_RE}', ' ', 'g'), '\\s+', ' ', 'g'))"
-)
+from ..functions.html import sql_page_text as _sql_page_text  # noqa: E402
+
+_STRIP_SQL = _sql_page_text("html")
 
 
 @_q(
@@ -264,10 +265,7 @@ def t_html_refinery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = st.select(
         "doc_id",
         "source",
-        F.expr(
-            "size(split(trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' '),"
-            " '\\\\s+', ' ')), ' '))"
-        ).alias("raw_words"),
+        F.expr(f"size(split({_page_text('html')}, ' '))").alias("raw_words"),
         extract_main("stats").alias("text"),
     ).localCheckpoint(eager=True)
     # ^ the gopher stage re-tokenizes `text` several times; checkpoint

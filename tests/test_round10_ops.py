@@ -273,3 +273,21 @@ def test_lsh_bucket_cap_drops_hot_family(spark, tmp_path):
         for r in d_lsh_candidates(spark, sf, bucket_cap=None).collect()
     }
     assert (10, 11) in uncapped and len(uncapped) == 11  # C(5,2) + the pair
+
+
+def test_html_entity_decode(spark):
+    """Named entities + the numeric apostrophe decode after tag strip in
+    extracted content; &amp;lt; single-decodes to the literal '&lt;'."""
+    from daxos_spark.functions.html import block_stats, extract_main
+
+    html = (
+        "<p>tom &amp; jerry say &quot;hi&quot; it&#39;s a&nbsp;fine day"
+        " and 1 &lt; 2 here</p>"
+        "<p>escaped &amp;lt; stays literal in this second paragraph</p>"
+    )
+    df = spark.createDataFrame([(html,)], "html string").withColumn(
+        "stats", block_stats("html")
+    )
+    out = df.select(extract_main("stats").alias("t")).first()["t"]
+    assert 'tom & jerry say "hi" it\'s a fine day and 1 < 2 here' in out
+    assert "escaped &lt; stays literal" in out
