@@ -29,9 +29,12 @@ def test_no_unreleased_persists():
     offenders = []
     for p in sorted(PLANS.glob("*.py")):
         for chunk in re.split(r"\ndef ", p.read_text()):
-            header, _, body = chunk.partition("\n")
-            name = header.split("(")[0].strip()
-            full = header + "\n" + body
+            name = chunk.split("(")[0].strip()
+            # the signature may span lines (black reflows long ones):
+            # header = everything up to the def's closing "):" / ") ->:"
+            m = re.search(r"\)\s*(?:->[^:]*)?:", chunk)
+            header = chunk[: m.end()] if m else chunk.partition("\n")[0]
+            full = chunk
             n_p = full.count(".persist()")
             n_u = full.count(".unpersist()")
             if n_p <= n_u:
