@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "ml_continuation_ladder",
     "ml_auc_exact_audit",
     "t_html_link_graph",
+    "t_html_dedup_recovery",
 ]
 
 # Frozen heavy set for round-over-round comparison (r8 ask #4): the ~28

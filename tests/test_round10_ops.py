@@ -291,3 +291,17 @@ def test_html_entity_decode(spark):
     out = df.select(extract_main("stats").alias("t")).first()["t"]
     assert 'tom & jerry say "hi" it\'s a fine day and 1 < 2 here' in out
     assert "escaped &lt; stays literal" in out
+
+
+def test_html_dedup_recovery_ground_truth(spark):
+    """Two-site rendering ground truth: raw-page fingerprints find ZERO
+    cross-site duplicates (the title id alone makes every raw page
+    unique — chrome always differs in the wild), extracted fingerprints
+    pair every doc's two renderings."""
+    from daxos_spark.plans.htmlpipe import t_html_dedup_recovery
+
+    r = t_html_dedup_recovery(spark, SF_DIR).first()
+    assert r["n_pages"] == 2 * r["extracted_unique"]
+    assert r["dups_found_raw"] == 0
+    assert r["dups_found_extracted"] == r["extracted_unique"]
+    assert r["recovered"] == r["dups_found_extracted"]

@@ -129,6 +129,7 @@ PROBES = [
     "t_html_refinery",
     "ml_auc_exact_audit",
     "t_html_link_graph",
+    "t_html_dedup_recovery",
 ]
 
 
