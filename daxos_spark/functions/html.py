@@ -52,8 +52,14 @@ BLOCK_TAG_RE = (
 )
 # anchor matching needs one regex with ONE capture group for
 # regexp_extract_all in both engines — the attribute-tolerant
-# single-group form
-ANCHOR_RE = r"(?i)<a(?:[\s/][^>]*)?>(.*?)</a>"
+# single-group form. (?s) is load-bearing for cross-engine identity:
+# without it `.`'s line-terminator exclusion set DIFFERS between Java
+# regex (excludes \r, U+0085, U+2028, U+2029) and RE2 (excludes only
+# \n), so an anchor whose inner text contains a bare \r would count as
+# link mass in duckdb but not Spark. DOTALL is supported identically by
+# both engines and makes `.` truly universal, so multi-line anchors in
+# real crawled HTML score the same link density on both sides.
+ANCHOR_RE = r"(?is)<a(?:[\s/][^>]*)?>(.*?)</a>"
 TAG_RE = r"<[^>]*>"
 MIN_WORDS = 5
 # link density keep-bound 0.3 expressed integrally: lc*10 <= chars*3

@@ -484,7 +484,9 @@ _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
 # hot (band, bkt) class, while the shingle DF cap never fired (family
 # shingle DF = 3,000 << 50k). Upstream exact-dedup (0.1 s) remains the
 # family REMEDY; the cap is the engine-level bound when that contract
-# is violated.
+# is violated. The cap never fires SILENTLY: t_cap_census
+# (docpipe2.py) is the co-scheduled monitor — rows_dropped > 0 at this
+# cap is the fired alarm, naming the un-flagged pair mass.
 _LSH_BUCKET_CAP = 50_000
 
 

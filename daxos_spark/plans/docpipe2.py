@@ -858,7 +858,9 @@ _SIMHASH56_SQL = f"""
 # the drop semantics are pytest-proven with a tiny cap and hash-proven
 # cross-engine on the adversarial dup-heavy probe corpus, where one
 # planted family of 3,000 alone carries 4.5M candidate pairs uncapped
-# (tools/adversarial_dup_probe.py, SCALE.md round-10).
+# (tools/adversarial_dup_probe.py, SCALE.md round-10). The cap never
+# fires SILENTLY: t_cap_census (below) is the co-scheduled monitor —
+# rows_dropped > 0 at this cap is the fired alarm.
 _SIMHASH_BUCKET_CAP = 50_000
 
 
@@ -943,6 +945,182 @@ def d_simhash_neardup(
         .select("da", "db", ham.cast("bigint").alias("hamming"))
         .orderBy("hamming", "da", "db")
     )
+
+
+# --------------------------------------------------------------------------
+# Cap-fire census — the no-silent-caps monitor for the three dedup
+# degeneracy caps (ADVICE r10: an over-cap bucket must leave an
+# observable signal, not just a comment). The capped lanes themselves
+# cannot carry an in-plan metric: their bucket frames feed self-joins,
+# and a CollectMetrics node duplicated through a self-join breaks the
+# observed-metric uniqueness contract (measured: Observation.get
+# asserts). So the signal is this CO-SCHEDULED census — one aggregate
+# pass over each lane's bucket-size relation, reporting for a threshold
+# ladder (small probes + each lane's REAL cap) how many buckets exceed
+# the threshold, the member-row mass the cap would drop, and the max
+# bucket. A production dedup run schedules it alongside the dedup job
+# (bucket-size relations are the same first shuffle the lanes already
+# pay, aggregated once more); rows_dropped > 0 at a lane's real cap IS
+# the cap-fired alarm, and names the mass that went un-flagged — the
+# operator's cue to route the hot families through the exact-dedup
+# remedy. The small ladder steps exist so the census is exercised
+# non-vacuously at every gate scale (the real caps, by design, never
+# fire on healthy corpora).
+_CAP_LADDER = (2, 8, 64)
+
+
+def _cap_census_oracle() -> str:
+    from .docpipe import _LSH_BUCKET_CAP, _MAX_SHINGLE_DF, _N_HASH, _SHINGLE
+    from .docpipe import _BANDS as _LSH_BANDS
+
+    def caps_sql(lane: str, real: int) -> str:
+        ladder = list(_CAP_LADDER) + [real]
+        return (
+            f"SELECT '{lane}' AS lane, unnest([{', '.join(str(c) for c in ladder)}]) AS cap"
+        )
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), sh0 AS (
+      SELECT DISTINCT doc_id, {_SHINGLE} AS s
+      FROM (SELECT doc_id, tk, unnest(range(1, GREATEST(len(tk) - 2, 1) + 1)) AS i FROM toks)
+    ), shc AS (
+      SELECT COUNT(*) AS sz FROM sh0 GROUP BY s
+    ), sh AS (
+      SELECT * FROM sh0 QUALIFY COUNT(*) OVER (PARTITION BY s) <= {_MAX_SHINGLE_DF}
+    ), sig AS (
+      SELECT doc_id,
+             {', '.join(f"MIN({md5_long_sql('s', seed=i)}) AS m{i}" for i in range(_N_HASH))}
+      FROM sh GROUP BY doc_id
+    ), buckets AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {bi} AS band, concat(m{a}, ':', m{b}) AS bkt FROM sig" for bi, (a, b) in enumerate(_LSH_BANDS))}
+    ), bkc AS (
+      SELECT COUNT(*) AS sz FROM buckets GROUP BY band, bkt
+    ), {_SIMHASH56_SQL.strip().rstrip()}, svc AS (
+      SELECT COUNT(*) AS sz
+      FROM (SELECT doc_id, g.b AS b,
+                   (sh >> (g.b * {_SIMHASH_BAND_BITS})) & {(1 << _SIMHASH_BAND_BITS) - 1} AS bv
+            FROM (SELECT doc_id, sh, unnest(range(0, {_SIMHASH_K + 1})) AS b FROM prints) g)
+      GROUP BY b, bv
+    ), all_sz AS (
+      SELECT 'lsh_band' AS lane, sz FROM bkc
+      UNION ALL SELECT 'lsh_shingle', sz FROM shc
+      UNION ALL SELECT 'simhash_band', sz FROM svc
+    ), caps AS (
+      {caps_sql('lsh_band', _LSH_BUCKET_CAP)}
+      UNION ALL {caps_sql('lsh_shingle', _MAX_SHINGLE_DF)}
+      UNION ALL {caps_sql('simhash_band', _SIMHASH_BUCKET_CAP)}
+    )
+    SELECT a.lane, c.cap,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN sz > c.cap THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+           CAST(SUM(CASE WHEN sz > c.cap THEN sz ELSE 0 END) AS BIGINT) AS rows_dropped
+    FROM all_sz a JOIN caps c ON c.lane = a.lane
+    GROUP BY a.lane, c.cap ORDER BY a.lane, c.cap
+    """
+
+
+@_q(
+    "t_cap_census",
+    _cap_census_oracle(),
+    doc="cap-fire census (no-silent-caps monitor): for each dedup "
+    "degeneracy cap — MinHash hot-shingle DF cap, LSH band-bucket cap, "
+    "SimHash band-bucket cap — the bucket-occupancy spectrum at a "
+    "threshold ladder ending in the lane's REAL cap: buckets over "
+    "threshold, member-row mass the cap would drop, max bucket; "
+    "rows_dropped > 0 at the real cap is the cap-fired alarm a "
+    "production dedup run co-schedules this to raise",
+)
+def t_cap_census(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
+    from ..functions.hashing import md5_long, simhash56_sql, simhash_bands, word_shingles
+    from ..functions import text as T
+    from .docpipe import _LSH_BUCKET_CAP, _MAX_SHINGLE_DF, _N_HASH
+    from .docpipe import _BANDS as _LSH_BANDS
+    from .docpipe import _cap_hot_shingles
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    sh0 = d.select(
+        "doc_id", F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s")
+    )
+    if persist:
+        sh0 = sh0.persist()
+    shc = sh0.groupBy("s").agg(F.count(F.lit(1)).alias("sz")).select("sz")
+    # band buckets mirror the REAL lane exactly: signatures over the
+    # DF-capped shingle stream (the census must audit what runs, not a
+    # variant of it)
+    sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(md5_long(F.col("s"), seed=i)).alias(f"m{i}") for i in range(_N_HASH)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat(
+                    F.col(f"m{ai}").cast("string"), F.lit(":"), F.col(f"m{b}").cast("string")
+                ).alias("bkt"),
+            )
+            for bi, (ai, b) in enumerate(_LSH_BANDS)
+        ]
+    )
+    bkc = (
+        sig.select(F.explode(band_structs).alias("bb"))
+        .groupBy("bb.band", "bb.bkt")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .select("sz")
+    )
+    prints = d.select("doc_id", T.tokens(F.col("text")).alias("tk")).select(
+        "doc_id", F.expr(simhash56_sql("tk")).alias("sh")
+    )
+    svc = (
+        prints.select(F.posexplode(simhash_bands(F.col("sh"))).alias("b", "bv"))
+        .groupBy("b", "bv")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .select("sz")
+    )
+
+    def lane(df: DataFrame, name: str, real_cap: int) -> DataFrame:
+        ladder = list(_CAP_LADDER) + [real_cap]
+        return df.select(
+            F.lit(name).alias("lane"),
+            F.explode(F.array(*[F.lit(c).cast("bigint") for c in ladder])).alias("cap"),
+            "sz",
+        )
+
+    all_sz = (
+        lane(bkc, "lsh_band", _LSH_BUCKET_CAP)
+        .unionByName(lane(shc, "lsh_shingle", _MAX_SHINGLE_DF))
+        .unionByName(lane(svc, "simhash_band", _SIMHASH_BUCKET_CAP))
+    )
+    over = F.col("sz") > F.col("cap")
+    out = (
+        all_sz.groupBy("lane", "cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("sz").alias("max_bucket"),
+            F.sum(over.cast("int")).alias("n_over"),
+            F.sum(F.when(over, F.col("sz")).otherwise(F.lit(0))).alias("rows_dropped"),
+        )
+        .select(
+            "lane",
+            "cap",
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            F.col("max_bucket").cast("bigint").alias("max_bucket"),
+            F.col("n_over").cast("bigint").alias("n_over"),
+            F.col("rows_dropped").cast("bigint").alias("rows_dropped"),
+        )
+        .orderBy("lane", "cap")
+    )
+    if not persist:
+        return out
+    return checkpoint_release(out, [sh0])
+
+
+_SPECS["t_cap_census"].lazy_plan = lambda spark, sf_dir: t_cap_census(
+    spark, sf_dir, persist=False
+)
 
 
 # --------------------------------------------------------------------------

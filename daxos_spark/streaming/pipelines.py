@@ -513,7 +513,19 @@ def _bounded_dedup(
     the watermark via ``dropDuplicatesWithinWatermark``) or explicitly
     accept unbounded state with ``unbounded_ok=True`` (legitimate for
     bounded file replays and tests). Batch inputs dedup plainly —
-    the contract is about streaming state only."""
+    the contract is about streaming state only.
+
+    The watermark path is a SEMANTIC WEAKENING, not just state
+    bounding: once a key's state is evicted (its event time falls
+    ``watermark_delay`` behind the stream's watermark), a LATE
+    duplicate of that key is re-admitted as if first-seen. "Keep only
+    the first occurrence" therefore holds exactly for duplicates
+    arriving within ``watermark_delay`` of each other and best-effort
+    beyond it — size ``watermark_delay`` against the duplicate-arrival
+    spread (for crawl re-fetches: the re-crawl interval), and treat the
+    downstream batch dedup (d_exact_dedup over the landed corpus) as
+    the exactness backstop, which is how production ingest actually
+    layers these."""
     if not df.isStreaming:
         return df.dropDuplicates(subset)
     if watermark_col is not None:
@@ -546,7 +558,13 @@ def dedup_against_corpus_stream(
     in-stream occurrence of each remaining fingerprint. First-occurrence
     state is bounded by the watermark contract (see ``_bounded_dedup``):
     pass ``watermark_col`` for unbounded streams, or ``unbounded_ok=True``
-    for bounded replays.
+    for bounded replays. On the watermark path the first-occurrence
+    guarantee is windowed, not absolute: a duplicate fingerprint whose
+    event time arrives more than ``watermark_delay`` after the previous
+    occurrence finds its state evicted and PASSES THROUGH — size the
+    delay against the duplicate-arrival spread, and rely on the
+    landed-corpus batch dedup (d_exact_dedup / the next index refresh)
+    as the exactness backstop.
 
     ``docs`` must already carry ``fp_col`` (text fingerprinting is a
     stateless projection — functions/text.fingerprint).
@@ -924,6 +942,11 @@ def simhash_neardup_stream(
     dedup that collapses them carries streaming state, bounded by the
     watermark contract (see ``_bounded_dedup``): pass ``watermark_col``
     for unbounded streams, or ``unbounded_ok=True`` for bounded replays.
+    Watermark path caveat (see ``_bounded_dedup``): a (doc_id, match_id)
+    pair recurring more than ``watermark_delay`` apart in event time is
+    re-emitted after its state evicts — harmless here (the sink's
+    anti-join is idempotent per pair) but callers counting emitted
+    pairs must dedup at rest.
 
     Output: (doc_id, match_id, hamming) — the corpus near-dups of each
     arriving doc; route no-match docs onward with a left_anti join
