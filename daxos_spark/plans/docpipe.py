@@ -1283,11 +1283,13 @@ def d_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # threshold is calibrated to this synthetic corpus (max candidate
 # cosine ≈ 0.48); at 100 TB the same plan holds with the bucket id as
 # partition key and a near-1.0 threshold. Ints-only output.
-def _semantic_pairs_cte() -> str:
+def _semantic_pairs_cte(src: str = "documents") -> str:
     """Shared WITH-chain: embedded docs → (lang, LSH-bucket) blocked
     candidate pairs → integer-cosine similarity verdicts (`s` carries
     both pair endpoints so consumers can aggregate OR build keep
-    lists)."""
+    lists). ``src`` (must expose doc_id, lang) restricts the doc set —
+    the HTML-fed funnel dedups only the EXTRACTED corpus (production
+    stage order: extraction before dedup)."""
     from ..functions.similarity import lsh_planes
     from ..plans.vecpipe import _lsh_sql_bucket
 
@@ -1295,7 +1297,7 @@ def _semantic_pairs_cte() -> str:
     return f"""
     WITH j AS (
       SELECT d.doc_id, d.lang, {code} AS c
-      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      FROM {src} d JOIN embeddings e ON d.doc_id = e.vec_id
     ), b AS (
       SELECT doc_id, lang, c, {_lsh_sql_bucket('c', lsh_planes())} AS bk FROM j
     ), p AS (
@@ -1321,19 +1323,23 @@ def _semantic_oracle() -> str:
     """
 
 
-def _semantic_pairs(spark: SparkSession, sf_dir: str, persist: bool = True):
+def _semantic_pairs(
+    spark: SparkSession, sf_dir: str, persist: bool = True, docs: DataFrame | None = None
+):
     """Spark twin of `_semantic_pairs_cte`: returns (``b`` embedded docs
     with bucket ids, ``s`` blocked-pair similarity verdicts, ``caches``
     the caller must release after materializing — the CALLER_RELEASED
-    contract)."""
+    contract). ``docs`` (doc_id, lang) overrides the document set —
+    the `src` seam of the oracle twin."""
     from ..functions.similarity import int_code, lsh_bucket, lsh_planes
     from ..functions.vectors import to_double
 
     planes = lsh_planes()
     t = load_tables(spark, sf_dir)
+    if docs is None:
+        docs = t["documents"].select("doc_id", "lang")
     j = (
-        t["documents"]
-        .select("doc_id", "lang")
+        docs.select("doc_id", "lang")
         .join(t["embeddings"], F.col("doc_id") == F.col("vec_id"))
         .select("doc_id", "lang", int_code(to_double(F.col("embedding"))).alias("c"))
     )
@@ -1385,12 +1391,15 @@ def _semantic_pairs(spark: SparkSession, sf_dir: str, persist: bool = True):
     return b, s, ([b] if persist else [])
 
 
-def _semantic_keep_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
+def _semantic_keep_lazy(
+    spark: SparkSession, sf_dir: str, persist: bool = True, docs: DataFrame | None = None
+):
     """The LSH-blocked keep-list, shared by v_semantic_keep and the
     linear refinery funnel so the two faces cannot drift: per embedded
     doc (doc_id, lang, bucket, keep), keep-lowest-id within similar
-    blocked pairs. Returns (keep, caches)."""
-    b, s, caches = _semantic_pairs(spark, sf_dir, persist=persist)
+    blocked pairs. Returns (keep, caches). ``docs`` restricts the doc
+    set (the HTML-fed funnel passes the extracted corpus)."""
+    b, s, caches = _semantic_pairs(spark, sf_dir, persist=persist, docs=docs)
     rm = s.filter(F.col("sim") == 1).select("db").distinct()
     keep = b.join(rm, b["doc_id"] == rm["db"], "left").select(
         b["doc_id"],

@@ -306,6 +306,154 @@ def t_html_refinery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# The FULL production funnel from raw crawl HTML in ONE hash-checked
+# plan (VERDICT-r10 ask #1): synthesize pages -> extract main content
+# (jusText-lite) -> Gopher quality -> bigram-LM fluency -> ExactSubstr
+# majority retention -> LSH-blocked linear semantic keep-list. Stages
+# 3-6 are the EXACT shared machinery of t_refinery_linear
+# (_refinery_gates_from / _refinery_stage_agg / _semantic_keep_lazy and
+# their oracle CTEs, parameterized by source relation) run over the
+# EXTRACTED text, so this funnel and the text funnel can never drift —
+# they differ only in what feeds the gates. Scale shape: the extraction
+# head is per-row JVM expressions checkpointed ONCE (multi-consumer
+# rule); the gate stages inherit t_refinery_linear's audited layouts.
+def _refinery_html_oracle() -> str:
+    from .docpipe import _SEMANTIC_KEEP_CTE_BODY, _semantic_pairs_cte
+    from .textpipe import _refinery_tail_oracle
+
+    head = f"""WITH hbase AS (
+      SELECT doc_id, source, lang, {_TOKS} AS tk FROM documents
+    ), hh AS (
+      SELECT doc_id, source, lang, {_html_sql()} AS html FROM hbase
+    ), hst AS (
+      SELECT doc_id, source, lang, html, {sql_block_stats('html')} AS stats FROM hh
+    ), ext AS (
+      SELECT doc_id, source, lang,
+             len(string_split({_STRIP_SQL}, ' ')) AS raw_words,
+             {sql_extract_main('stats')} AS text
+      FROM hst
+    ), exd AS (
+      SELECT doc_id, source, lang, text FROM ext WHERE len(text) > 0
+    ), """
+    # production stage order: the semantic keep-list is computed over
+    # the EXTRACTED corpus (src='exd'), not the raw document set — a
+    # doc whose extraction came up empty cannot evict a real survivor
+    pairs = _semantic_pairs_cte(src="exd").strip()
+    assert pairs.startswith("WITH ")
+    head_branch = """SELECT CAST(1 AS BIGINT) AS stage, 'raw_html' AS stage_name,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(raw_words), 0) AS BIGINT) AS n_tokens
+      FROM ext
+      UNION ALL
+      """
+    return (
+        head
+        + pairs[len("WITH ") :]
+        + _refinery_tail_oracle(
+            f"""
+      SELECT doc_id AS vec_id, keep FROM ({_SEMANTIC_KEEP_CTE_BODY}
+      )""",
+            src="exd",
+            head_branches=head_branch,
+            offset=1,
+            first_name="extracted",
+        )
+    )
+
+
+def _refinery_html_parts(spark: SparkSession, sf_dir: str, persist: bool = True):
+    """(ext, verdicts, caches) — the composed funnel's extraction frame
+    and per-doc verdict relation, exposed so the live-10× lane probe
+    (tools/html_lane_probe.py) can digest the survivor SETS, not just
+    the stage counts."""
+    from ..functions import text as T
+    from .docpipe import _semantic_keep_lazy
+    from .textpipe import _refinery_gates_from, _refinery_verdicts
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    st = (
+        d.select("doc_id", "source", "lang", T.tokens(F.col("text")).alias("tk"))
+        .withColumn("html", _html_spark())
+        .withColumn("stats", block_stats("html"))
+    )
+    ext = st.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.expr(f"size(split({_page_text('html')}, ' '))").alias("raw_words"),
+        extract_main("stats").alias("text"),
+    )
+    if persist:
+        # the gate stages re-consume `text` many times (gopher, unigram
+        # + bigram explodes, the K-gram position stream); checkpoint the
+        # synthesis+extraction regex chain ONCE (t_html_refinery's rule)
+        ext = ext.localCheckpoint(eager=True)
+    exd = ext.filter(F.length("text") > 0).select("doc_id", "source", "lang", "text")
+    gf, nll, cov, caches = _refinery_gates_from(exd, persist=persist)
+    # production stage order: semantic dedup judges the EXTRACTED
+    # corpus (docs=exd) — a doc whose extraction came up empty cannot
+    # evict a real survivor from the keep-list
+    keep, sem_caches = _semantic_keep_lazy(
+        spark, sf_dir, persist=persist, docs=exd.select("doc_id", "lang")
+    )
+    caches.extend(sem_caches)
+    keep = keep.select("doc_id", F.col("keep").alias("sem0"))
+    return ext, _refinery_verdicts(gf, nll, cov, keep), caches
+
+
+def _refinery_html_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
+    from .textpipe import _refinery_stage_agg
+
+    ext, verdicts, caches = _refinery_html_parts(spark, sf_dir, persist=persist)
+    head = ext.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("raw_words").cast("bigint").alias("t0"),
+    )
+    a = _refinery_stage_agg(verdicts)
+    out = (
+        head.crossJoin(a)
+        .selectExpr(
+            "stack(6,"
+            " CAST(1 AS BIGINT), 'raw_html', CAST(n0 AS BIGINT), t0,"
+            " CAST(2 AS BIGINT), 'extracted', n1, t1,"
+            " CAST(3 AS BIGINT), 'gopher_rules', n2, t2,"
+            " CAST(4 AS BIGINT), 'bigram_ppl', n3, t3,"
+            " CAST(5 AS BIGINT), 'substring_dedup', n4, t4,"
+            " CAST(6 AS BIGINT), 'semantic_dedup', n5, t5"
+            ") AS (stage, stage_name, n_docs, n_tokens)"
+        )
+        .orderBy("stage")
+    )
+    return out, caches
+
+
+@_q(
+    "t_refinery_html_e2e",
+    _refinery_html_oracle(),
+    doc="the COMPLETE production refinery from raw crawl HTML as one "
+    "plan: extract main content (jusText-lite) -> Gopher rules -> "
+    "bigram-LM fluency -> ExactSubstr majority retention -> LSH-blocked "
+    "linear semantic keep-list; stages 3-6 are t_refinery_linear's "
+    "audited gate machinery run on the EXTRACTED text (shared code + "
+    "shared oracle CTEs, so the funnels cannot drift) — per-stage "
+    "surviving docs + token mass",
+)
+def t_refinery_html_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, caches = _refinery_html_lazy(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
+from .registry import ALL_SPECS as _ALL  # noqa: E402
+
+_ALL["t_refinery_html_e2e"].lazy_plan = (
+    lambda spark, sf_dir: _refinery_html_lazy(spark, sf_dir, persist=False)[0]
+)
+
+
+# --------------------------------------------------------------------------
 # Crawl link graph — the other thing a page carries besides content:
 # out-links. Link extraction feeds the crawl frontier, site-level
 # quality (in-degree as a prior), and URL-level dedup; this query is

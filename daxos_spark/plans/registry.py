@@ -164,6 +164,7 @@ def get_specs() -> dict[str, QuerySpec]:
         relational2,
         streampipe,
         textpipe,
+        urlpipe,
         vecpipe,
         vecpipe2,
     )

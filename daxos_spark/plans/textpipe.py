@@ -2190,12 +2190,14 @@ def _dedup_best_keep_lazy(
 _BG_HI = 8.0
 
 
-def _bigram_scored_cte() -> str:
+def _bigram_scored_cte(src: str = "documents") -> str:
     """Interpolated-bigram-LM scoring chain (dtk → … → bscored, no
     leading WITH): bscored = per-position (doc_id, lp). Shared by
-    t_bigram_ppl and t_refinery_e2e."""
+    t_bigram_ppl and t_refinery_e2e; ``src`` (must expose doc_id, text)
+    lets the HTML-fed funnel score EXTRACTED text with the identical
+    chain."""
     return f"""dtk AS (
-      SELECT doc_id, {_TOKS} AS tk FROM documents
+      SELECT doc_id, {_TOKS} AS tk FROM {src}
     ), uni AS (
       SELECT doc_id, unnest(tk) AS w FROM dtk
     ), c1 AS (
@@ -2737,15 +2739,27 @@ for _lr_q, _lr_fin in (
 # doc-cardinality joins of the verdict relations; the final stage
 # table is a SINGLE conditional aggregate (5 survivor counters in one
 # scan) unpivoted to rows — never 5 re-filters of the corpus.
-def _refinery_tail_oracle(keepv_cte: str) -> str:
+def _refinery_tail_oracle(
+    keepv_cte: str,
+    src: str = "documents",
+    head_branches: str = "",
+    offset: int = 0,
+    first_name: str = "raw",
+) -> str:
     """The funnel's shared oracle tail: gopher + bigram + ExactSubstr
     chains, the joined verdict relation, and the 5-stage conditional
     aggregate. ``keepv_cte`` supplies the semantic-dedup keep list as a
     CTE body producing (vec_id, keep) — the ONLY stage the two gated
-    funnels differ in (exact-Lloyd SemDeDup vs LSH-blocked)."""
+    funnels differ in (exact-Lloyd SemDeDup vs LSH-blocked).
+    ``src``/``head_branches``/``offset``/``first_name`` let the
+    HTML-fed funnel run the IDENTICAL gate chain over extracted text
+    with its extraction stages prepended (head_branches must end with
+    'UNION ALL' + indent); defaults emit the historical text
+    verbatim."""
+    o = offset
     return f"""
     , keepv AS ({keepv_cte}
-    ), {_gopher_cte()}, {_bigram_scored_cte()}, nll AS (
+    ), {_gopher_cte(src)}, {_bigram_scored_cte(src)}, nll AS (
       SELECT doc_id,
              -(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)) AS avg_nll
       FROM bscored GROUP BY doc_id
@@ -2783,7 +2797,7 @@ def _refinery_tail_oracle(keepv_cte: str) -> str:
       LEFT JOIN keepv k ON k.vec_id = g.doc_id
     )
     SELECT * FROM (
-      SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+      {head_branches}SELECT CAST({1 + o} AS BIGINT) AS stage, '{first_name}' AS stage_name,
              COUNT(*) AS n_docs,
              -- COALESCE: a stage with ZERO survivors must report 0
              -- tokens, matching the Spark funnel's conditional sum
@@ -2792,16 +2806,16 @@ def _refinery_tail_oracle(keepv_cte: str) -> str:
              -- doc — seen first at the bijected 10x probe corpus)
              CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM fl
       UNION ALL
-      SELECT CAST(2 AS BIGINT), 'gopher_rules', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+      SELECT CAST({2 + o} AS BIGINT), 'gopher_rules', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
       FROM fl WHERE p_gopher = 1
       UNION ALL
-      SELECT CAST(3 AS BIGINT), 'bigram_ppl', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+      SELECT CAST({3 + o} AS BIGINT), 'bigram_ppl', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
       FROM fl WHERE p_gopher = 1 AND p_ppl = 1
       UNION ALL
-      SELECT CAST(4 AS BIGINT), 'substring_dedup', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+      SELECT CAST({4 + o} AS BIGINT), 'substring_dedup', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
       FROM fl WHERE p_gopher = 1 AND p_ppl = 1 AND p_sub = 1
       UNION ALL
-      SELECT CAST(5 AS BIGINT), 'semantic_dedup', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+      SELECT CAST({5 + o} AS BIGINT), 'semantic_dedup', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
       FROM fl WHERE p_gopher = 1 AND p_ppl = 1 AND p_sub = 1 AND p_sem = 1
     ) ORDER BY stage
     """
@@ -2830,6 +2844,15 @@ def _refinery_gates(
     trusts hash equality unverified (the semantic stage exact-scores
     every blocked candidate, so its bucket collisions are benign)."""
     d = _fanout(load_tables(spark, sf_dir)["documents"])
+    return _refinery_gates_from(d, persist=persist, two_lane=two_lane)
+
+
+def _refinery_gates_from(
+    d: DataFrame, persist: bool = True, two_lane: bool = False
+):
+    """_refinery_gates over a PREBUILT (doc_id, source, text) frame —
+    the seam the HTML-fed funnel uses to run the identical gate chain
+    on EXTRACTED text (htmlpipe.t_refinery_html_e2e)."""
     caches: list = []
 
     gf = _gopher_flags(d).select(
@@ -2919,17 +2942,15 @@ def _refinery_verdicts(gf, nll, cov, keep):
     )
 
 
-def _refinery_funnel(gf, nll, cov, keep):
-    """Shared funnel tail: join the four verdict relations and compute
-    all 5 stages in ONE conditional-aggregate scan (stack()-unpivoted)."""
-    fl = _refinery_verdicts(gf, nll, cov, keep)
-    # one conditional-aggregate scan computes the whole funnel; stack()
-    # unpivots the 1-row aggregate into the 5 stage rows
+def _refinery_stage_agg(fl):
+    """The funnel's 1-row conditional aggregate (n1..t5) over a verdict
+    relation — shared by the text funnels and the HTML-fed funnel
+    (which prepends its extraction stages)."""
     s2 = F.col("p_gopher")
     s3 = s2 * F.col("p_ppl")
     s4 = s3 * F.col("p_sub")
     s5 = s4 * F.col("p_sem")
-    a = fl.agg(
+    return fl.agg(
         F.count(F.lit(1)).alias("n1"),
         F.sum("n_tok").cast("bigint").alias("t1"),
         F.sum(s2).cast("bigint").alias("n2"),
@@ -2941,6 +2962,15 @@ def _refinery_funnel(gf, nll, cov, keep):
         F.sum(s5).cast("bigint").alias("n5"),
         F.sum(s5 * F.col("n_tok")).cast("bigint").alias("t5"),
     )
+
+
+def _refinery_funnel(gf, nll, cov, keep):
+    """Shared funnel tail: join the four verdict relations and compute
+    all 5 stages in ONE conditional-aggregate scan (stack()-unpivoted)."""
+    fl = _refinery_verdicts(gf, nll, cov, keep)
+    # one conditional-aggregate scan computes the whole funnel; stack()
+    # unpivots the 1-row aggregate into the 5 stage rows
+    a = _refinery_stage_agg(fl)
     out = a.selectExpr(
         "stack(5,"
         " CAST(1 AS BIGINT), 'raw', n1, t1,"

@@ -24,9 +24,9 @@ def _mini_sf_dir(spark, tmp_path, docs_rows):
             os.symlink(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
     spark.createDataFrame(
         pd.DataFrame(docs_rows, columns=["doc_id", "source", "text"])
-    ).withColumn("n_chars", F.length("text")).write.parquet(
-        str(d / "documents.parquet")
-    )
+    ).withColumn("n_chars", F.length("text")).withColumn(
+        "lang", F.lit("en")
+    ).write.parquet(str(d / "documents.parquet"))
     return str(d)
 
 
@@ -100,6 +100,92 @@ def test_cap_census_fires_on_planted_family(spark, tmp_path):
     }
     assert capped_pairs == {(10, 11)}  # family silently absent...
     assert got[("simhash_band", 2)][3] >= 5 * 4  # ...but census names its mass
+
+
+def test_refinery_html_composed_equals_staged(spark, tmp_path):
+    """t_refinery_html_e2e (one plan) must equal the staged deployment
+    (extract -> materialize -> t_refinery_linear) on a corpus where
+    extraction is NON-TRIVIAL: doc 3's text is too short to survive
+    block scoring (empty extraction), so the composed funnel must drop
+    it at stage 2 AND exclude it from the semantic keep-list doc set."""
+    from daxos_spark.plans.htmlpipe import _refinery_html_parts, t_refinery_html_e2e
+    from daxos_spark.plans.textpipe import _refinery_gates_from, _refinery_verdicts
+    from daxos_spark.plans.textpipe import _refinery_stage_agg  # noqa: F401
+
+    rows = [
+        (
+            i,
+            "web",
+            " ".join(f"w{j} the of and to in" for j in range(6)).replace("w", f"t{i}w"),
+        )
+        for i in range(3)
+    ] + [(3, "web", "tiny")]  # 1 token -> every block under MIN_WORDS
+    sf = _mini_sf_dir(spark, tmp_path, rows)
+
+    funnel = {r["stage"]: (r["stage_name"], r["n_docs"]) for r in t_refinery_html_e2e(spark, sf).collect()}
+    assert funnel[1] == ("raw_html", 4)
+    assert funnel[2] == ("extracted", 3)  # doc 3's extraction is empty
+
+    # staged lane: gates fed the materialized extracted text directly
+    ext, verdicts, caches = _refinery_html_parts(spark, sf, persist=False)
+    exd = ext.filter(F.length("text") > 0)
+    import pandas as pd_  # noqa: F401
+
+    mat = exd.select("doc_id", "source", "text").toPandas()
+    assert set(mat["doc_id"]) == {0, 1, 2}
+    staged = _refinery_verdicts(
+        *_refinery_gates_from(
+            spark.createDataFrame(mat), persist=False
+        )[:3],
+        # semantic stage vacuous here (no embeddings rows for these ids)
+        spark.createDataFrame([], "doc_id bigint, sem0 int"),
+    )
+    got = {
+        int(r["doc_id"]): (r["p_gopher"], r["p_ppl"], r["p_sub"], r["p_sem"])
+        for r in staged.collect()
+    }
+    composed = {
+        int(r["doc_id"]): (r["p_gopher"], r["p_ppl"], r["p_sub"], r["p_sem"])
+        for r in _refinery_html_parts(spark, sf, persist=False)[1].collect()
+    }
+    assert got == composed and set(got) == {0, 1, 2}
+
+
+def test_url_canonical_adversarial_pairs(spark):
+    """Adversarial URL variant pairs must collapse to the documented
+    canonical form IDENTICALLY in both engines (case, www, default
+    port, tracking params, fragment, trailing slash), and the
+    documented non-rules (non-default port, real params, scheme-less,
+    double slashes) must pass through."""
+    import duckdb
+
+    from daxos_spark.functions.url import sql_url_canonical, url_canonical_sqlexpr
+
+    cases = {
+        "https://www.Example.COM:443/Articles/Doc-7/?utm_source=f&utm_medium=r#top":
+            "https://example.com/Articles/Doc-7",
+        "HTTP://NEWS.example.com:80/a/b?id=3&utm_campaign=x&ref=home":
+            "http://news.example.com/a/b?id=3",
+        "https://example.com/a/b/?ref=nav": "https://example.com/a/b",
+        "https://example.com/?utm_source=x": "https://example.com",
+        "https://example.com/a?x=1&fbclid=abc": "https://example.com/a?x=1",
+        "https://example.com/a?utm_a=1&utm_b=2": "https://example.com/a",
+        "https://www.example.com": "https://example.com",
+        # non-rules: unchanged
+        "https://example.com:8443/keep-port": "https://example.com:8443/keep-port",
+        "https://example.com//double//": "https://example.com//double//",
+        "example.com/no-scheme/?utm_source=x#f": "example.com/no-scheme",
+    }
+    sdf = spark.createDataFrame([(u,) for u in cases], "u string")
+    got_s = dict(
+        zip(cases, (r[0] for r in sdf.select(F.expr(url_canonical_sqlexpr("u"))).collect()))
+    )
+    con = duckdb.connect()
+    for u, want in cases.items():
+        got_d = con.execute(
+            f"SELECT {sql_url_canonical('u')} FROM (SELECT ? AS u)", [u]
+        ).fetchone()[0]
+        assert got_s[u] == got_d == want, (u, got_s[u], got_d, want)
 
 
 def test_anchor_re_dotall_cross_engine(spark):
