@@ -555,6 +555,237 @@ def t_html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Robots / opt-out gate — the governance stage real training pipelines
+# run FIRST (VERDICT-r10 ask #5): pages whose <meta name="robots">
+# carries noai / noindex / none, and pages from sources on the per-
+# source opt-out list, are dropped BEFORE any extraction cost is spent
+# (the gate is one cheap regex on the raw bytes; extraction is the
+# expensive HOF chain — ordering them the other way wastes the cluster
+# bill on pages that must be discarded anyway, and a compliance gate
+# that runs late is a compliance bug). The fixture plants the meta tags
+# deterministically (doc_id % 13 → noai, else % 17 → noindex; ids
+# divisible by both take the noai arm — CASE order) so both engines
+# synthesize the identical corpus.
+_META_ROBOTS_RE = r'(?is)<meta\s[^>]*name="robots"[^>]*content="([^"]*)"'
+_OPTOUT_SOURCES = ("src3", "src17")
+
+
+def _meta_sql() -> str:
+    return (
+        "CASE WHEN doc_id % 13 = 0 THEN"
+        " '<meta name=\"robots\" content=\"noai, noimageai\">'"
+        " WHEN doc_id % 17 = 0 THEN '<meta name=\"robots\" content=\"noindex\">'"
+        " ELSE '' END"
+    )
+
+
+_OPTOUT_IN = ", ".join(f"'{s}'" for s in _OPTOUT_SOURCES)
+
+
+def _optout_base_sql() -> str:
+    """CTE chain: pages with planted meta tags + per-page verdicts."""
+    return f"""obase AS (
+      SELECT doc_id, source, {_TOKS} AS tk FROM documents
+    ), oh AS (
+      SELECT doc_id, source, {_html_sql()} AS html FROM obase
+    ), pages AS (
+      SELECT doc_id, source,
+             replace(html, '</head>', {_meta_sql()} || '</head>') AS page
+      FROM oh
+    ), verdicts AS (
+      SELECT doc_id, source, page,
+             lower(regexp_extract(page, '{_META_ROBOTS_RE}', 1)) AS robots,
+             CASE WHEN source IN ({_OPTOUT_IN}) THEN 1 ELSE 0 END AS src_optout
+      FROM pages
+    ), flags AS (
+      SELECT doc_id, source, page,
+             CASE WHEN position('noai' IN robots) > 0 THEN 1 ELSE 0 END AS meta_noai,
+             CASE WHEN position('noindex' IN robots) > 0 OR robots = 'none'
+                  THEN 1 ELSE 0 END AS meta_noindex,
+             src_optout
+      FROM verdicts
+    ), gate AS (
+      SELECT *,
+             CASE WHEN meta_noai = 0 AND meta_noindex = 0 AND src_optout = 0
+                  THEN 1 ELSE 0 END AS kept
+      FROM flags
+    )"""
+
+
+def _optout_verdicts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+    from ..functions.html import _spark_lit
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    pages = (
+        d.select("doc_id", "source", T.tokens(F.col("text")).alias("tk"))
+        .withColumn("html", _html_spark())
+        .select(
+            "doc_id",
+            "source",
+            F.expr(f"replace(html, '</head>', {_meta_sql()} || '</head>')").alias(
+                "page"
+            ),
+        )
+    )
+    robots = f"lower(regexp_extract(page, '{_spark_lit(_META_ROBOTS_RE)}', 1))"
+    return pages.select(
+        "doc_id",
+        "source",
+        "page",
+        F.expr(f"CASE WHEN position('noai' IN {robots}) > 0 THEN 1 ELSE 0 END").alias(
+            "meta_noai"
+        ),
+        F.expr(
+            f"CASE WHEN position('noindex' IN {robots}) > 0 OR {robots} = 'none'"
+            " THEN 1 ELSE 0 END"
+        ).alias("meta_noindex"),
+        F.col("source").isin(*_OPTOUT_SOURCES).cast("int").alias("src_optout"),
+    ).withColumn(
+        "kept",
+        (
+            (F.col("meta_noai") == 0)
+            & (F.col("meta_noindex") == 0)
+            & (F.col("src_optout") == 0)
+        ).cast("int"),
+    )
+
+
+@_q(
+    "t_optout_gate",
+    f"""
+    WITH {_optout_base_sql()}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(meta_noai) AS BIGINT) AS n_meta_noai,
+           CAST(SUM(meta_noindex) AS BIGINT) AS n_meta_noindex,
+           CAST(SUM(src_optout) AS BIGINT) AS n_src_optout,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           {sql_trunc6('CAST(SUM(kept) AS DOUBLE) / COUNT(*)')} AS kept_rate
+    FROM gate GROUP BY source ORDER BY source
+    """,
+    doc="robots/opt-out governance gate: map-side parse of "
+    "<meta name=robots> (noai / noindex / none) on the RAW page plus a "
+    "per-source opt-out list — per-source drop reasons, kept counts, "
+    "kept rate; the compliance stage a training pipeline runs before "
+    "spending any extraction cost",
+)
+def t_optout_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _optout_verdicts_spark(spark, sf_dir)
+    return (
+        v.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.sum("meta_noai").cast("bigint").alias("n_meta_noai"),
+            F.sum("meta_noindex").cast("bigint").alias("n_meta_noindex"),
+            F.sum("src_optout").cast("bigint").alias("n_src_optout"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+        )
+        .withColumn("kept_rate", trunc6(F.col("n_kept").cast("double") / F.col("n_pages")))
+        .orderBy("source")
+    )
+
+
+@_q(
+    "t_optout_refinery",
+    f"""
+    WITH {_optout_base_sql()}, ka AS (
+      SELECT doc_id, source, page FROM gate WHERE kept = 1
+    ), kst AS (
+      SELECT doc_id, source, {sql_block_stats('page')} AS stats FROM ka
+    ), kext AS (
+      SELECT doc_id, {sql_extract_main('stats')} AS text FROM kst
+    ), kx AS (
+      SELECT doc_id, text FROM kext WHERE len(text) > 0
+    ), kg AS (
+      SELECT doc_id, 'x' AS source, text FROM kx
+    ), {_gopher_cte('kg')}, g4 AS (
+      SELECT g.p_wc * g.p_mwl * g.p_alpha * g.p_stop * g.p_rep AS p,
+             len(k.text) AS chars
+      FROM gflag g JOIN kx k ON k.doc_id = g.doc_id
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'raw_html' AS stage_name,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(length(page)) AS BIGINT) AS n_chars
+      FROM gate
+      UNION ALL
+      SELECT 2, 'optout_gate', CAST(COUNT(*) AS BIGINT), CAST(SUM(length(page)) AS BIGINT)
+      FROM gate WHERE kept = 1
+      UNION ALL
+      SELECT 3, 'extracted', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(length(text)), 0) AS BIGINT)
+      FROM kx
+      UNION ALL
+      SELECT 4, 'gopher_rules',
+             CAST(COALESCE(SUM(p), 0) AS BIGINT),
+             CAST(COALESCE(SUM(p * chars), 0) AS BIGINT)
+      FROM g4
+    ) ORDER BY stage
+    """,
+    doc="the refinery head with the governance gate FIRST: raw pages -> "
+    "robots/opt-out gate (cheap regex on raw bytes) -> extraction (the "
+    "expensive HOF chain, now only on compliant pages) -> Gopher gate; "
+    "per-stage doc + char mass — the ordering a production pipeline "
+    "must use so no extraction cost is spent on opted-out content",
+)
+def t_optout_refinery(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
+    from .textpipe import _gopher_flags
+
+    v = _optout_verdicts_spark(spark, sf_dir)
+    # the gate FILTER precedes block_stats in the plan: extraction cost
+    # is spent only on compliant pages (the whole point of the ordering)
+    ka = v.filter(F.col("kept") == 1).select("doc_id", "source", "page")
+    kext = ka.withColumn("stats", block_stats("page")).select(
+        "doc_id", extract_main("stats").alias("text")
+    )
+    kx = kext.filter(F.length("text") > 0)
+    if persist:
+        # gopher re-consumes `text` several times; checkpoint the
+        # extraction once (the shared multi-consumer rule)
+        kx = kx.localCheckpoint(eager=True)
+    g = _gopher_flags(kx.select("doc_id", F.lit("x").alias("source"), "text")).join(
+        kx.select("doc_id", F.length("text").alias("chars")), "doc_id"
+    )
+    p_all = (
+        F.col("p_wc") * F.col("p_mwl") * F.col("p_alpha") * F.col("p_stop") * F.col("p_rep")
+    )
+    s1 = v.agg(
+        F.count(F.lit(1)).alias("a1"), F.sum(F.length("page")).cast("bigint").alias("b1")
+    )
+    s2 = v.filter(F.col("kept") == 1).agg(
+        F.count(F.lit(1)).alias("a2"), F.sum(F.length("page")).cast("bigint").alias("b2")
+    )
+    s3 = kx.agg(
+        F.count(F.lit(1)).alias("a3"), F.sum(F.length("text")).cast("bigint").alias("b3")
+    )
+    s4 = g.agg(
+        F.sum(p_all).cast("bigint").alias("a4"),
+        F.sum(p_all * F.col("chars")).cast("bigint").alias("b4"),
+    )
+    return (
+        s1.crossJoin(s2)
+        .crossJoin(s3)
+        .crossJoin(s4)
+        .selectExpr(
+            "stack(4,"
+            " CAST(1 AS BIGINT), 'raw_html', CAST(a1 AS BIGINT), b1,"
+            " CAST(2 AS BIGINT), 'optout_gate', CAST(a2 AS BIGINT), b2,"
+            " CAST(3 AS BIGINT), 'extracted', CAST(a3 AS BIGINT), b3,"
+            " CAST(4 AS BIGINT), 'gopher_rules', coalesce(a4, CAST(0 AS BIGINT)),"
+            " coalesce(b4, CAST(0 AS BIGINT))"
+            ") AS (stage, stage_name, n_docs, n_chars)"
+        )
+        .orderBy("stage")
+    )
+
+
+_ALL["t_optout_refinery"].lazy_plan = lambda spark, sf_dir: t_optout_refinery(
+    spark, sf_dir, persist=False
+)
+
+
+# --------------------------------------------------------------------------
 # Extraction→dedup synergy, quantified — the canonical reason the
 # extraction stage runs BEFORE dedup in every production refinery: the
 # same article syndicated across two sites carries different chrome, so

@@ -890,6 +890,59 @@ def hll_registers_stream(
     )
 
 
+def url_corpus_index(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Static canonical-URL index for url_ingest_stream: the distinct
+    canonical keys of the landed crawl store (functions/url.py rules —
+    a stateless per-row regex projection). At rest this table is
+    partitioned by the canonical key, so arriving probes prune to their
+    key range without a corpus-side shuffle."""
+    from ..functions.url import url_canonical_sqlexpr
+
+    return pages.select(
+        F.expr(url_canonical_sqlexpr(url_col)).alias("curl")
+    ).distinct()
+
+
+def url_ingest_stream(
+    pages: DataFrame,
+    corpus_urls: DataFrame,
+    url_col: str = "url",
+    watermark_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+    unbounded_ok: bool = False,
+) -> DataFrame:
+    """Streaming URL-level dedup at crawl ingest — the incremental twin
+    of plans/urlpipe.t_url_dedup and the FIRST gate of the ingest path
+    (URL dedup precedes any fetch-content processing): canonicalize
+    each arriving page's URL (functions/url.py — a stateless per-row
+    regex projection, no state), drop pages whose canonical key already
+    exists in the crawl store (stream-static LEFT ANTI join against
+    url_corpus_index — the store's partition key, so the probe prunes),
+    then keep only the FIRST in-stream occurrence per canonical key.
+    First-occurrence state is bounded by the watermark contract (see
+    ``_bounded_dedup``); on the watermark path a canonical key
+    re-arriving more than ``watermark_delay`` later is re-admitted —
+    size the delay against the re-crawl interval, with the next index
+    refresh as the exactness backstop.
+
+    Output: the input columns plus ``curl`` (the canonical key) — the
+    admitted pages, ready for the content stages (extraction, quality,
+    content dedup) that are 100-1000× more expensive per page.
+    """
+    from ..functions.url import url_canonical_sqlexpr
+
+    canon = pages.withColumn("curl", F.expr(url_canonical_sqlexpr(url_col)))
+    fresh = canon.join(corpus_urls.select("curl"), "curl", "left_anti")
+    return _bounded_dedup(
+        fresh,
+        ["curl"],
+        "url_ingest_stream",
+        watermark_col,
+        watermark_delay,
+        unbounded_ok,
+    )
+
+
 def simhash_corpus_index(
     docs: DataFrame, id_col: str = "doc_id", bucket_cap: int | None = None
 ) -> DataFrame:

@@ -188,6 +188,117 @@ def test_url_canonical_adversarial_pairs(spark):
         assert got_s[u] == got_d == want, (u, got_s[u], got_d, want)
 
 
+def test_optout_gate_planted_semantics(spark, tmp_path):
+    """The robots/opt-out verdicts on a planted corpus: doc_ids
+    divisible by 13 carry noai, by 17 noindex (13 wins on both), and
+    the per-source opt-out list drops its sources regardless of meta."""
+    from daxos_spark.plans.htmlpipe import _OPTOUT_SOURCES, _optout_verdicts_spark
+
+    rows = [
+        (0, "src0", "zero is divisible by everything and takes noai"),
+        (13, "src0", "thirteen carries the noai meta tag here"),
+        (17, "src0", "seventeen carries the noindex meta tag here"),
+        (21, "src0", "twentyone carries no robots meta at all"),
+        (25, _OPTOUT_SOURCES[0], "source level opt out drops this"),
+        (221, _OPTOUT_SOURCES[1], "both meta (13 wins) AND source opt-out"),
+    ]
+    sf = _mini_sf_dir(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["meta_noai"], r["meta_noindex"], r["src_optout"], r["kept"])
+        for r in _optout_verdicts_spark(spark, sf).collect()
+    }
+    assert got[0] == (1, 0, 0, 0)  # %13 == 0 -> noai (CASE order)
+    assert got[13] == (1, 0, 0, 0)
+    assert got[17] == (0, 1, 0, 0)
+    assert got[21] == (0, 0, 0, 1)  # no meta, clean source -> kept
+    assert got[25] == (0, 0, 1, 0)  # source opt-out alone drops
+    assert got[221] == (1, 0, 1, 0)  # 221 = 13*17: noai arm + source
+
+
+def test_url_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming URL dedup at ingest (canonicalize -> stream-static
+    anti-join -> first-occurrence) == the batch admission set, across
+    SCRAMBLED micro-batches (one parquet file per batch)."""
+    import pandas as pd
+
+    from daxos_spark.functions.url import url_canonical_sqlexpr
+    from daxos_spark.streaming.pipelines import (
+        run_to_memory,
+        url_corpus_index,
+        url_ingest_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"url": ["https://www.Example.com/a/1?utm_source=x",
+                              "https://example.com/a/2"]})
+    )
+    idx = url_corpus_index(corpus)
+    arriving = [
+        # variants of corpus url 1 -> all dropped by the anti-join
+        (100, "https://example.com/a/1"),
+        (101, "HTTPS://EXAMPLE.COM/a/1#frag"),
+        # a brand-new article fetched under THREE variant spellings ->
+        # exactly one admitted (first occurrence by arrival order
+        # within the drained stream)
+        (102, "https://www.example.com/a/9/"),
+        (103, "https://example.com:443/a/9?ref=x"),
+        (104, "https://example.com/a/9"),
+        # plain new page -> admitted
+        (105, "http://other.net/p"),
+    ]
+    arr_dir = tmp_path / "arriving"
+    arr_dir.mkdir()
+    # scrambled micro-batches: one file per row, shuffled deterministically
+    for i, (pid, url) in enumerate([arriving[3], arriving[0], arriving[5],
+                                    arriving[2], arriving[4], arriving[1]]):
+        spark.createDataFrame(
+            pd.DataFrame({"page_id": [pid], "url": [url]})
+        ).coalesce(1).write.parquet(str(arr_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema("page_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(arr_dir / "b*"))
+    )
+    run_to_memory(
+        url_ingest_stream(stream, idx, unbounded_ok=True),
+        "urlingest",
+        output_mode="append",
+    )
+    got = {r["page_id"] for r in spark.sql("SELECT page_id FROM urlingest").collect()}
+    assert not got & {100, 101}  # corpus dups dropped
+    assert len(got & {102, 103, 104}) == 1  # one admission per canonical key
+    assert 105 in got
+    # batch twin: same admission CARDINALITY per canonical key
+    batch = spark.createDataFrame(
+        pd.DataFrame({"page_id": [p for p, _ in arriving],
+                      "url": [u for _, u in arriving]})
+    ).withColumn("curl", F.expr(url_canonical_sqlexpr("url")))
+    admitted_keys = (
+        batch.join(idx, "curl", "left_anti").select("curl").distinct().count()
+    )
+    assert admitted_keys == len(got) == 2
+
+
+def test_url_ingest_stream_refusal(spark, tmp_path):
+    """url_ingest_stream enforces the watermark contract: unbounded
+    unwatermarked streams are refused unless explicitly accepted."""
+    import pandas as pd
+    import pytest
+
+    from daxos_spark.streaming.pipelines import url_corpus_index, url_ingest_stream
+
+    idx = url_corpus_index(
+        spark.createDataFrame(pd.DataFrame({"url": ["https://example.com/a"]}))
+    )
+    d = tmp_path / "arr"
+    spark.createDataFrame(
+        pd.DataFrame({"page_id": [1], "url": ["https://example.com/b"]})
+    ).write.parquet(str(d))
+    stream = spark.readStream.schema("page_id long, url string").parquet(str(d))
+    with pytest.raises(ValueError, match="url_ingest_stream"):
+        url_ingest_stream(stream, idx)
+
+
 def test_anchor_re_dotall_cross_engine(spark):
     """ADVICE r10: without (?s), `.`'s line-terminator exclusion set
     differs between Java regex (excludes \\r) and RE2 (excludes only
