@@ -267,6 +267,14 @@ BENCH_QUERIES = [
     "ml_auc_exact_audit",
     "t_html_link_graph",
     "t_html_dedup_recovery",
+    # round 11
+    "t_cap_census",
+    "t_refinery_html_e2e",
+    "t_url_canonical",
+    "t_url_dedup",
+    "t_url_dedup_recovery",
+    "t_optout_gate",
+    "t_optout_refinery",
 ]
 
 # Frozen heavy set for round-over-round comparison (r8 ask #4): the ~28
@@ -301,6 +309,9 @@ PINNED_QUERIES = [
     "e_semdedup",
     "d_prefix_filter_jaccard",
     "ml_ld_clump_r2",
+    # round 11 appends (append-only contract: comparable from r11 on)
+    "t_refinery_html_e2e",
+    "t_cap_census",
 ]
 
 

@@ -130,10 +130,38 @@ PROBES = [
     "ml_auc_exact_audit",
     "t_html_link_graph",
     "t_html_dedup_recovery",
+    # round-11: cap monitor, URL family, opt-out gate, composed funnel
+    # (t_refinery_html_e2e needs a LIVE corpus — probe it at tmp_sf1_live)
+    "t_cap_census",
+    "t_url_canonical",
+    "t_url_dedup",
+    "t_url_dedup_recovery",
+    "t_optout_gate",
+    "t_optout_refinery",
+    "t_refinery_html_e2e",
 ]
 
 
-def synthesize(spark, out_dir: str, bijection: str = "suffix") -> None:
+def _rotate_map(r: int) -> str:
+    """Length-preserving letter bijection for replica ``r``: Caesar
+    rotation for r < 26; past the rotation wrap (r >= 26, where r % 26
+    would COLLIDE with replica r-26 and plant quadratic cross-replica
+    duplicate mass) an affine cipher x -> 3x + (r-26) — the multiplier
+    3 is coprime with 26, and no affine map with a=3 equals any
+    rotation (a=1), so all 52 maps r in [0, 52) are pairwise distinct
+    bijections. Lets the 30-50x probes keep the rotate construction's
+    live-funnel property."""
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    if r < 26:
+        return alpha[r:] + alpha[:r]
+    assert r < 52, "extend the multiplier ladder past 52 replicas"
+    b = r - 26
+    return "".join(alpha[(3 * i + b) % 26] for i in range(26))
+
+
+def synthesize(
+    spark, out_dir: str, bijection: str = "suffix", n_rep: int | None = None
+) -> None:
     """``bijection`` controls how replica text stays internally-
     structured but cross-replica disjoint:
 
@@ -143,14 +171,18 @@ def synthesize(spark, out_dir: str, bijection: str = "suffix") -> None:
       corpus has ZERO quality-gate survivors (the r9 caveat) — right
       for dedup/join plan-shape probes, wrong for funnel-tail probes.
     - "rotate": content tokens are Caesar-rotated by the replica index
-      (length-preserving char bijection; stopwords untouched). Every
-      Gopher feature (word count, mean word length, alpha ratio,
-      stopword hits, repetition) is replica-invariant, so the quality
-      funnel stays LIVE at 10× — survivor mass scales with the corpus.
+      (length-preserving char bijection; stopwords untouched; affine
+      continuation past 26 replicas — see _rotate_map). Every Gopher
+      feature (word count, mean word length, alpha ratio, stopword
+      hits, repetition) is replica-invariant, so the quality funnel
+      stays LIVE at 10× — survivor mass scales with the corpus.
       Used by tools/refinery_lane_probe.py (tmp_sf1_live).
+
+    ``n_rep`` overrides the module-level N_REP replica count.
     """
     from daxos_spark.catalog import TABLES, load_tables
 
+    n_rep = N_REP if n_rep is None else n_rep
     os.makedirs(out_dir, exist_ok=True)
     tables = load_tables(spark, BASE)
     spans = {}
@@ -166,7 +198,7 @@ def synthesize(spark, out_dir: str, bijection: str = "suffix") -> None:
             df.write.mode("overwrite").parquet(dst)
             continue
         reps = []
-        for r in range(N_REP):
+        for r in range(n_rep):
             d = df
             for k, span in spans[name].items():
                 d = d.withColumn(k, F.col(k) + F.lit(r * span))
@@ -183,7 +215,7 @@ def synthesize(spark, out_dir: str, bijection: str = "suffix") -> None:
                 stop_list = [s.strip("'") for s in stop.strip("()").split(",")]
                 if bijection == "rotate":
                     alpha = "abcdefghijklmnopqrstuvwxyz"
-                    rot = alpha[r % 26 :] + alpha[: r % 26]
+                    rot = _rotate_map(r)
                     perturb = lambda t, rot=rot: F.translate(t, alpha, rot)  # noqa: E731
                 else:
                     perturb = lambda t, r=r: F.concat(t, F.lit(str(r)))  # noqa: E731
@@ -216,7 +248,7 @@ def synthesize(spark, out_dir: str, bijection: str = "suffix") -> None:
         for d in reps[1:]:
             out = out.unionByName(d)
         out.repartition(32).write.mode("overwrite").parquet(dst)
-        print(f"synthesized {name} x{N_REP}")
+        print(f"synthesized {name} x{n_rep}")
 
 
 def bench(spark, qs, sf_dir: str, names) -> dict[str, float]:
