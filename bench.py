@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "t_url_dedup_recovery",
     "t_optout_gate",
     "t_optout_refinery",
+    "t_ingest_e2e",
 ]
 
 # Frozen heavy set for round-over-round comparison (r8 ask #4): the ~28

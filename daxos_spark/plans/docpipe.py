@@ -1324,17 +1324,27 @@ def _semantic_oracle() -> str:
 
 
 def _semantic_pairs(
-    spark: SparkSession, sf_dir: str, persist: bool = True, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    persist: bool = True,
+    docs: DataFrame | None = None,
+    planes: list | None = None,
 ):
     """Spark twin of `_semantic_pairs_cte`: returns (``b`` embedded docs
     with bucket ids, ``s`` blocked-pair similarity verdicts, ``caches``
     the caller must release after materializing — the CALLER_RELEASED
     contract). ``docs`` (doc_id, lang) overrides the document set —
-    the `src` seam of the oracle twin."""
+    the `src` seam of the oracle twin. ``planes`` overrides the
+    hyperplane set (production = lsh_planes() with LSH_BITS): the
+    plane-scaling remedy SCALE.md prescribes for corpus growth is
+    measured through this seam (tools/scale40_probe.py) — each added
+    plane halves expected bucket occupancy, so planes ∝ log(corpus)
+    keeps per-bucket pair mass constant."""
     from ..functions.similarity import int_code, lsh_bucket, lsh_planes
     from ..functions.vectors import to_double
 
-    planes = lsh_planes()
+    if planes is None:
+        planes = lsh_planes()
     t = load_tables(spark, sf_dir)
     if docs is None:
         docs = t["documents"].select("doc_id", "lang")

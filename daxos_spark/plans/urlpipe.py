@@ -240,3 +240,198 @@ def t_url_dedup_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ru - cu).cast("bigint").alias("recovered"),
         trunc6((ru - cu).cast("double") / n).alias("recovery_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# The COMPLETE crawl-ingest pipeline as ONE hash-checked plan — the
+# composition the stage order arguments have been building toward:
+#   snapshots → URL-level dedup (keep latest per canonical — cheapest,
+#   runs FIRST, before any content byte is touched) → robots/opt-out
+#   gate (cheap regex on raw bytes, before extraction cost) → main-
+#   content extraction (the expensive HOF chain, now only on deduped
+#   compliant pages) → Gopher quality gate (on extracted text).
+# Every stage is the EXACT machinery of its standalone query (urlpipe
+# canonicalizer, htmlpipe meta/gate/extraction, textpipe gopher CTE),
+# so this funnel and the per-stage audits cannot drift. Per-stage doc
+# count + char mass. Fixture: each document is one fetch snapshot
+# (five URL variant classes) whose page carries the planted robots
+# meta — both engines synthesize identically.
+def _ingest_oracle() -> str:
+    from .htmlpipe import _html_sql, _meta_sql, _OPTOUT_IN
+    from ..functions.html import sql_block_stats, sql_extract_main
+    from .textpipe import _TOKS as _DTOKS
+    from .textpipe import _gopher_cte
+
+    return f"""
+    WITH ibase AS (
+      SELECT doc_id, source, {_DTOKS} AS tk, {_TS0} + doc_id AS ts FROM documents
+    ), isnap AS (
+      SELECT doc_id, source, ts,
+             CASE doc_id % {len(_VARIANTS)} {" ".join(
+                 f"WHEN {i} THEN '{p}' || CAST((doc_id % {_N_ART}) % {_N_HOST} AS VARCHAR)"
+                 f" || '{m}' || CAST(doc_id % {_N_ART} AS VARCHAR) || '{s}'"
+                 for i, (p, m, s) in enumerate(_VARIANTS))} END AS url,
+             replace({_html_sql()}, '</head>', {_meta_sql()} || '</head>') AS page
+      FROM ibase
+    ), icanon AS (
+      SELECT *, {_CANON_SQL} AS curl FROM isnap
+    ), ikept AS (
+      SELECT MAX_BY(doc_id, ts) AS doc_id FROM icanon GROUP BY curl
+    ), isurv AS (
+      SELECT c.doc_id, c.source, c.page FROM icanon c JOIN ikept k USING (doc_id)
+    ), irob AS (
+      SELECT doc_id, source, page,
+             lower(regexp_extract(page, '{_META_RE_SQL}', 1)) AS robots
+      FROM isurv
+    ), igate AS (
+      SELECT doc_id, source, page,
+             CASE WHEN position('noai' IN robots) > 0
+                    OR position('noindex' IN robots) > 0 OR robots = 'none'
+                    OR source IN ({_OPTOUT_IN})
+                  THEN 0 ELSE 1 END AS kept
+      FROM irob
+    ), icompliant AS (
+      SELECT doc_id, source, page FROM igate WHERE kept = 1
+    ), iext AS (
+      SELECT doc_id, source,
+             {sql_extract_main(sql_block_stats('page'))} AS text
+      FROM icompliant
+    ), iexd AS (
+      SELECT doc_id, source, text FROM iext WHERE len(text) > 0
+    ), {_gopher_cte('iexd')}, ig5 AS (
+      SELECT g.p_wc * g.p_mwl * g.p_alpha * g.p_stop * g.p_rep AS p,
+             len(k.text) AS chars
+      FROM gflag g JOIN iexd k ON k.doc_id = g.doc_id
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'raw_snapshots' AS stage_name,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(length(page)) AS BIGINT) AS n_chars
+      FROM icanon
+      UNION ALL
+      SELECT 2, 'url_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(length(page)) AS BIGINT)
+      FROM isurv
+      UNION ALL
+      SELECT 3, 'optout_gate', CAST(COUNT(*) AS BIGINT), CAST(SUM(length(page)) AS BIGINT)
+      FROM icompliant
+      UNION ALL
+      SELECT 4, 'extracted', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(length(text)), 0) AS BIGINT)
+      FROM iexd
+      UNION ALL
+      SELECT 5, 'gopher_rules',
+             CAST(COALESCE(SUM(p), 0) AS BIGINT),
+             CAST(COALESCE(SUM(p * chars), 0) AS BIGINT)
+      FROM ig5
+    ) ORDER BY stage
+    """
+
+
+def _ingest_e2e_impl(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
+    from ..functions import text as T
+    from ..functions.html import block_stats, extract_main
+    from .htmlpipe import _html_spark, _meta_sql
+    from .htmlpipe import _OPTOUT_SOURCES as _OPT_SRC
+    from .htmlpipe import _META_ROBOTS_RE as _META_RE
+    from ..functions.html import _spark_lit
+    from .textpipe import _gopher_flags
+
+    d = _fanout(load_tables(spark, sf_dir)["documents"])
+    snap = (
+        d.select(
+            "doc_id",
+            "source",
+            T.tokens(F.col("text")).alias("tk"),
+            (F.lit(_TS0) + F.col("doc_id")).alias("ts"),
+        )
+        .withColumn("url", F.expr(_snap_spark_url()))
+        .withColumn("html", _html_spark())
+        .select(
+            "doc_id",
+            "source",
+            "ts",
+            "url",
+            F.expr(f"replace(html, '</head>', {_meta_sql()} || '</head>')").alias("page"),
+        )
+        .withColumn("curl", F.expr(_CANON_SPARK))
+    )
+    if persist:
+        # snap feeds the stage-1 census AND the dedup/gate/extract chain;
+        # the synthesis is concat-cheap but the canonicalizer is a regex
+        # chain — one checkpoint bounds it to one pass
+        snap = snap.localCheckpoint(eager=True)
+    kept = snap.groupBy("curl").agg(F.expr("max_by(doc_id, ts)").alias("doc_id"))
+    surv = snap.join(kept.select("doc_id"), "doc_id", "left_semi")
+    robots = f"lower(regexp_extract(page, '{_spark_lit(_META_RE)}', 1))"
+    compliant = surv.filter(
+        F.expr(
+            f"NOT (position('noai' IN {robots}) > 0"
+            f" OR position('noindex' IN {robots}) > 0 OR {robots} = 'none')"
+        )
+        & ~F.col("source").isin(*_OPT_SRC)
+    ).select("doc_id", "source", "page")
+    ext = compliant.withColumn("stats", block_stats("page")).select(
+        "doc_id", "source", extract_main("stats").alias("text")
+    )
+    exd = ext.filter(F.length("text") > 0)
+    if persist:
+        exd = exd.localCheckpoint(eager=True)  # gopher multi-consumes text
+    g = _gopher_flags(exd).join(
+        exd.select("doc_id", F.length("text").alias("chars")), "doc_id"
+    )
+    p_all = (
+        F.col("p_wc") * F.col("p_mwl") * F.col("p_alpha") * F.col("p_stop") * F.col("p_rep")
+    )
+    s1 = snap.agg(F.count(F.lit(1)).alias("a1"), F.sum(F.length("page")).cast("bigint").alias("b1"))
+    s2 = surv.agg(F.count(F.lit(1)).alias("a2"), F.sum(F.length("page")).cast("bigint").alias("b2"))
+    s3 = compliant.agg(F.count(F.lit(1)).alias("a3"), F.sum(F.length("page")).cast("bigint").alias("b3"))
+    s4 = exd.agg(F.count(F.lit(1)).alias("a4"), F.sum(F.length("text")).cast("bigint").alias("b4"))
+    s5 = g.agg(
+        F.sum(p_all).cast("bigint").alias("a5"),
+        F.sum(p_all * F.col("chars")).cast("bigint").alias("b5"),
+    )
+    return (
+        s1.crossJoin(s2).crossJoin(s3).crossJoin(s4).crossJoin(s5)
+        .selectExpr(
+            "stack(5,"
+            " CAST(1 AS BIGINT), 'raw_snapshots', CAST(a1 AS BIGINT), b1,"
+            " CAST(2 AS BIGINT), 'url_dedup', CAST(a2 AS BIGINT), b2,"
+            " CAST(3 AS BIGINT), 'optout_gate', CAST(a3 AS BIGINT), b3,"
+            " CAST(4 AS BIGINT), 'extracted', CAST(a4 AS BIGINT), b4,"
+            " CAST(5 AS BIGINT), 'gopher_rules', coalesce(a5, CAST(0 AS BIGINT)),"
+            " coalesce(b5, CAST(0 AS BIGINT))"
+            ") AS (stage, stage_name, n_docs, n_chars)"
+        )
+        .orderBy("stage")
+    )
+
+
+def _register_ingest():
+    from ..functions.html import _spark_lit  # noqa: F401
+    from .htmlpipe import _META_ROBOTS_RE
+    from .registry import ALL_SPECS
+
+    global _META_RE_SQL
+    _META_RE_SQL = _META_ROBOTS_RE
+    register(
+        QuerySpec(
+            name="t_ingest_e2e",
+            spark=_ingest_e2e_impl,
+            oracle=_ingest_oracle(),
+            doc="the COMPLETE crawl-ingest pipeline as one plan, in the "
+            "only cost-correct stage order: URL-level dedup (keep latest "
+            "per canonical key — cheapest, before any content byte) -> "
+            "robots/opt-out gate (regex on raw bytes) -> main-content "
+            "extraction (the expensive HOF chain, only on deduped "
+            "compliant pages) -> Gopher quality; every stage is the "
+            "standalone query's exact machinery; per-stage doc + char mass",
+            tags=("url",),
+        )
+    )
+    ALL_SPECS["t_ingest_e2e"].lazy_plan = lambda spark, sf_dir: _ingest_e2e_impl(
+        spark, sf_dir, persist=False
+    )
+
+
+_META_RE_SQL = ""
+_register_ingest()

@@ -44,20 +44,33 @@ LANES = [
 ]
 
 
-def semantic_pair_census(spark, sf_dir: str) -> tuple[int, int]:
-    """(embedded docs, blocked candidate pairs) of the funnel's
-    semantic stage — the quadratic term the fixed-plane LSH blocking
-    carries as the corpus grows."""
+def semantic_pair_census(
+    spark, sf_dir: str, bits: int | None = None
+) -> tuple[int, int, int]:
+    """(embedded docs, blocked candidate pairs, similar pairs found) of
+    the funnel's semantic stage — the quadratic term the fixed-plane
+    LSH blocking carries as the corpus grows. ``bits`` overrides the
+    plane count (production = similarity.LSH_BITS) so the plane-scaling
+    remedy can be MEASURED: pairs is the cost, similar-found is the
+    recall proxy a bigger plane count may pay with."""
     from pyspark.sql import functions as F
 
+    from daxos_spark.functions.similarity import lsh_planes
     from daxos_spark.plans.docpipe import _semantic_pairs
 
-    b, s, caches = _semantic_pairs(spark, sf_dir, persist=False)
+    planes = None if bits is None else lsh_planes(bits=bits)
+    b, s, caches = _semantic_pairs(spark, sf_dir, persist=True, planes=planes)
     n_docs = b.count()
-    n_pairs = s.count()
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("sim").alias("ns")
+    ).first()
+    # the business metric: how many docs the keep-list would EVICT
+    # (distinct higher-id endpoints of similar pairs) — pair recall can
+    # drop without losing evictions when a dup doc sits in many pairs
+    n_evicted = s.filter(F.col("sim") == 1).select("db").distinct().count()
     for c in caches:
         c.unpersist()
-    return n_docs, n_pairs
+    return n_docs, int(agg["n"]), int(agg["ns"] or 0), n_evicted
 
 
 def main() -> int:
@@ -77,11 +90,29 @@ def main() -> int:
         sp.synthesize(spark, DIR40, bijection="rotate", n_rep=40)
         print(f"synthesized 40x in {time.time()-t0:.0f}s", flush=True)
 
-    print("== semantic-stage pair census (docs, blocked pairs)")
+    print("== semantic-stage pair census (docs, pairs, similar, evicted)")
     census = {}
     for label, d in (("1x", BASE), ("10x", DIR10), ("40x", DIR40)):
         census[label] = semantic_pair_census(spark, d)
-        print(f"  {label:4s} docs={census[label][0]:>8d} pairs={census[label][1]:>12d}", flush=True)
+        n, p, ns, ne = census[label]
+        print(
+            f"  {label:4s} docs={n:>8d} pairs={p:>12d} similar={ns:>8d} evicted={ne:>7d}",
+            flush=True,
+        )
+
+    # the plane-scaling remedy, measured: +2 planes at 10x, +4 at 40x
+    # (planes ∝ log4(corpus growth)) should pull pair mass back toward
+    # linear; similar-found is the recall proxy the extra planes may pay
+    print("== plane-scaling remedy at the same corpora")
+    from daxos_spark.functions.similarity import LSH_BITS
+
+    for label, d, extra in (("10x", DIR10, 2), ("40x", DIR40, 4)):
+        n, p, ns, ne = semantic_pair_census(spark, d, bits=LSH_BITS + extra)
+        print(
+            f"  {label:4s} bits={LSH_BITS + extra} docs={n:>8d} "
+            f"pairs={p:>12d} similar={ns:>8d} evicted={ne:>7d}",
+            flush=True,
+        )
     if "--census-only" in sys.argv:
         return 0
 
