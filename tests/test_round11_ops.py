@@ -299,6 +299,34 @@ def test_url_ingest_stream_refusal(spark, tmp_path):
         url_ingest_stream(stream, idx)
 
 
+def test_ingest_e2e_funnel_ground_truth(spark, tmp_path):
+    """The composed ingest funnel on a planted corpus with an exact
+    URL-duplicate family: doc_ids 1/212/423 are snapshots of the SAME
+    article (doc_id % 211), so URL dedup must collapse them to one
+    (the latest), and the downstream stages see only survivors."""
+    from daxos_spark.plans.urlpipe import _ingest_e2e_impl
+
+    body = "the quick brown fox of the lazy dog and the river " * 3
+    rows = [
+        (1, "src0", body),
+        (212, "src0", body + "extra words here"),
+        (423, "src0", body + "more trailing content"),  # latest snapshot
+        (2, "src0", body),
+    ]
+    sf = _mini_sf_dir(spark, tmp_path, rows)
+    funnel = {
+        r["stage"]: (r["stage_name"], r["n_docs"])
+        for r in _ingest_e2e_impl(spark, sf).collect()
+    }
+    assert funnel[1] == ("raw_snapshots", 4)
+    assert funnel[2] == ("url_dedup", 2)  # {1,212,423} -> one; {2} -> one
+    assert funnel[3] == ("optout_gate", 2)  # no meta arms, clean source
+    assert funnel[4] == ("extracted", 2)
+    # monotone non-increasing doc counts through the whole funnel
+    counts = [funnel[s][1] for s in sorted(funnel)]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
 def test_anchor_re_dotall_cross_engine(spark):
     """ADVICE r10: without (?s), `.`'s line-terminator exclusion set
     differs between Java regex (excludes \\r) and RE2 (excludes only
