@@ -406,6 +406,232 @@ def _ingest_e2e_impl(spark: SparkSession, sf_dir: str, persist: bool = True) -> 
     )
 
 
+# --------------------------------------------------------------------------
+# Incremental crawl ingest — the DELTA twin of the URL-dedup stage, and
+# the operational reality at 100 TB: the corpus is never recomputed; a
+# day's crawl batch merges into the COMMITTED canonical-URL index
+# (curl → latest fetch ts + kept doc). Each batch URL is classified
+#   new_url        — absent from the index            → pays extraction
+#   refetch_newer  — newer than the committed snapshot → pays extraction
+#   refetch_stale  — older than the committed snapshot → dropped free
+# and the merged index is DIGEST-PROVED equal to a from-scratch
+# recompute over the full snapshot history inside the query itself
+# (md5-lane sum — the cross-engine hash gate therefore pins the
+# incremental==full invariant at every scale factor it runs at).
+#
+# Scale shape: both sides are partial-aggregable groupBys on the
+# canonical key; the classify join shuffles only the BATCH to the
+# index's curl-partitioning (day-mass, not corpus-mass — at production
+# the index is a bucketed stored table and the merge is a partition-
+# wise upsert touching only partitions that contain batch keys);
+# extraction cost downstream is ∝ new_urls + refetch_newer, never
+# corpus size. The full-recompute lane exists HERE as the in-query
+# oracle; production runs it only as an audit.
+#
+# Fixture: the urlpipe snapshot corpus split so all three classes are
+# non-empty at every SF — the batch is doc_id % 4 == 0 (interleaved
+# fetch times → both newer and stale refetches) plus every snapshot of
+# articles ≡ 0 (mod 13) (families committed nowhere → new URLs).
+_DELTA_MOD = 4
+_NEWART_MOD = 13
+_DIG_MOD = 1 << 40
+
+
+def _ingest_delta_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    key = "curl || '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(last_ts AS VARCHAR)"
+    dig = f"SUM({md5_long_sql(key)} % {_DIG_MOD})"
+    metrics = """
+      SELECT 1 AS step, 'committed_urls' AS metric, CAST(committed_urls AS BIGINT) AS value FROM stats
+      UNION ALL SELECT 2, 'batch_snapshots', CAST(batch_snapshots AS BIGINT) FROM stats
+      UNION ALL SELECT 3, 'batch_urls', CAST(batch_urls AS BIGINT) FROM stats
+      UNION ALL SELECT 4, 'new_urls', CAST(new_urls AS BIGINT) FROM stats
+      UNION ALL SELECT 5, 'refetch_newer', CAST(refetch_newer AS BIGINT) FROM stats
+      UNION ALL SELECT 6, 'refetch_stale', CAST(refetch_stale AS BIGINT) FROM stats
+      UNION ALL SELECT 7, 'pages_to_extract', CAST(new_urls + refetch_newer AS BIGINT) FROM stats
+      UNION ALL SELECT 8, 'extract_saved_vs_recompute', CAST(full_urls - (new_urls + refetch_newer) AS BIGINT) FROM stats
+      UNION ALL SELECT 9, 'merged_urls', CAST(merged_urls AS BIGINT) FROM stats
+      UNION ALL SELECT 10, 'full_urls', CAST(full_urls AS BIGINT) FROM stats
+      UNION ALL SELECT 11, 'merged_digest', CAST(merged_digest AS BIGINT) FROM stats
+      UNION ALL SELECT 12, 'full_digest', CAST(full_digest AS BIGINT) FROM stats
+      UNION ALL SELECT 13, 'digest_match',
+        CAST(CASE WHEN merged_urls = full_urls AND merged_digest = full_digest
+             THEN 1 ELSE 0 END AS BIGINT) FROM stats
+    """
+    return f"""
+    WITH {_snap_sql()}, c AS (
+      SELECT doc_id, ts, {_CANON_SQL} AS curl,
+             CASE WHEN doc_id % {_DELTA_MOD} = 0
+                    OR (doc_id % {_N_ART}) % {_NEWART_MOD} = 0
+                  THEN 1 ELSE 0 END AS in_delta
+      FROM snaps
+    ), committed AS (
+      SELECT curl, MAX(ts) AS last_ts, MAX_BY(doc_id, ts) AS doc_id
+      FROM c WHERE in_delta = 0 GROUP BY curl
+    ), batch AS (
+      SELECT curl, MAX(ts) AS b_ts, MAX_BY(doc_id, ts) AS b_doc,
+             COUNT(*) AS b_snaps
+      FROM c WHERE in_delta = 1 GROUP BY curl
+    ), cls AS (
+      SELECT b.curl, b.b_ts, b.b_doc, b.b_snaps, k.last_ts, k.doc_id AS c_doc,
+             CASE WHEN k.curl IS NULL THEN 2
+                  WHEN b.b_ts > k.last_ts THEN 1 ELSE 0 END AS verdict
+      FROM batch b LEFT JOIN committed k ON b.curl = k.curl
+    ), merged AS (
+      SELECT curl,
+             CASE WHEN verdict = 0 THEN last_ts ELSE b_ts END AS last_ts,
+             CASE WHEN verdict = 0 THEN c_doc ELSE b_doc END AS doc_id
+      FROM cls
+      UNION ALL
+      SELECT k.curl, k.last_ts, k.doc_id
+      FROM committed k LEFT JOIN batch b ON k.curl = b.curl
+      WHERE b.curl IS NULL
+    ), fullidx AS (
+      SELECT curl, MAX(ts) AS last_ts, MAX_BY(doc_id, ts) AS doc_id
+      FROM c GROUP BY curl
+    ), stats AS (
+      SELECT
+        (SELECT COUNT(*) FROM committed) AS committed_urls,
+        (SELECT COALESCE(SUM(b_snaps), 0) FROM batch) AS batch_snapshots,
+        (SELECT COUNT(*) FROM batch) AS batch_urls,
+        (SELECT COALESCE(SUM(CASE WHEN verdict = 2 THEN 1 ELSE 0 END), 0) FROM cls) AS new_urls,
+        (SELECT COALESCE(SUM(CASE WHEN verdict = 1 THEN 1 ELSE 0 END), 0) FROM cls) AS refetch_newer,
+        (SELECT COALESCE(SUM(CASE WHEN verdict = 0 THEN 1 ELSE 0 END), 0) FROM cls) AS refetch_stale,
+        (SELECT COUNT(*) FROM merged) AS merged_urls,
+        (SELECT COUNT(*) FROM fullidx) AS full_urls,
+        (SELECT COALESCE({dig}, 0) FROM merged) AS merged_digest,
+        (SELECT COALESCE({dig}, 0) FROM fullidx) AS full_digest
+    )
+    SELECT CAST(step AS BIGINT) AS step, metric, value
+    FROM ({metrics}) ORDER BY step
+    """
+
+
+def _ingest_delta_impl(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    c = _snaps_df(spark, sf_dir).select(
+        "doc_id",
+        "ts",
+        F.expr(_CANON_SPARK).alias("curl"),
+        F.expr(
+            f"CASE WHEN doc_id % {_DELTA_MOD} = 0"
+            f" OR (doc_id % {_N_ART}) % {_NEWART_MOD} = 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("in_delta"),
+    )
+    if persist:
+        # the canonicalizer regex chain feeds three groupBys (committed,
+        # batch, fullidx) — one checkpoint bounds it to one pass
+        c = c.localCheckpoint(eager=True)
+    committed = c.filter("in_delta = 0").groupBy("curl").agg(
+        F.max("ts").alias("last_ts"),
+        F.expr("max_by(doc_id, ts)").alias("doc_id"),
+    )
+    batch = c.filter("in_delta = 1").groupBy("curl").agg(
+        F.max("ts").alias("b_ts"),
+        F.expr("max_by(doc_id, ts)").alias("b_doc"),
+        F.count(F.lit(1)).alias("b_snaps"),
+    )
+    if persist:
+        # the index/batch relations each feed three consumers (classify
+        # join, untouched anti-join, census aggregates); both are bounded
+        # by canonical-URL cardinality here — at production `committed`
+        # IS a stored bucketed table, so the checkpoint stands in for the
+        # table scan, not for an extra corpus pass
+        committed = committed.localCheckpoint(eager=True)
+        batch = batch.localCheckpoint(eager=True)
+    cls = batch.join(
+        committed.select("curl", "last_ts", F.col("doc_id").alias("c_doc")),
+        "curl",
+        "left",
+    ).withColumn(
+        "verdict",
+        F.expr(
+            "CASE WHEN last_ts IS NULL THEN 2"
+            " WHEN b_ts > last_ts THEN 1 ELSE 0 END"
+        ),
+    )
+    if persist:
+        cls = cls.localCheckpoint(eager=True)  # survivors + verdict census
+    survivors = cls.select(
+        "curl",
+        F.expr("CASE WHEN verdict = 0 THEN last_ts ELSE b_ts END").alias("last_ts"),
+        F.expr("CASE WHEN verdict = 0 THEN c_doc ELSE b_doc END").alias("doc_id"),
+    )
+    untouched = committed.join(batch.select("curl"), "curl", "left_anti")
+    merged = untouched.select("curl", "last_ts", "doc_id").unionByName(survivors)
+    fullidx = c.groupBy("curl").agg(
+        F.max("ts").alias("last_ts"),
+        F.expr("max_by(doc_id, ts)").alias("doc_id"),
+    )
+
+    def _dig(df: DataFrame, n_name: str, d_name: str) -> DataFrame:
+        key = F.concat_ws(
+            "|",
+            F.col("curl"),
+            F.col("doc_id").cast("string"),
+            F.col("last_ts").cast("string"),
+        )
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_name),
+            F.coalesce(
+                F.sum(F.pmod(md5_long(key), F.lit(_DIG_MOD))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(d_name),
+        )
+
+    s_committed = committed.agg(F.count(F.lit(1)).cast("bigint").alias("committed_urls"))
+    s_batch = batch.agg(
+        F.coalesce(F.sum("b_snaps"), F.lit(0)).cast("bigint").alias("batch_snapshots"),
+        F.count(F.lit(1)).cast("bigint").alias("batch_urls"),
+    )
+    s_cls = cls.agg(
+        F.coalesce(F.sum((F.col("verdict") == 2).cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("new_urls"),
+        F.coalesce(F.sum((F.col("verdict") == 1).cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("refetch_newer"),
+        F.coalesce(F.sum((F.col("verdict") == 0).cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("refetch_stale"),
+    )
+    s_merged = _dig(merged, "merged_urls", "merged_digest")
+    s_full = _dig(fullidx, "full_urls", "full_digest")
+    return (
+        s_committed.crossJoin(s_batch)
+        .crossJoin(s_cls)
+        .crossJoin(s_merged)
+        .crossJoin(s_full)
+        .selectExpr(
+            "stack(13,"
+            " CAST(1 AS BIGINT), 'committed_urls', committed_urls,"
+            " CAST(2 AS BIGINT), 'batch_snapshots', batch_snapshots,"
+            " CAST(3 AS BIGINT), 'batch_urls', batch_urls,"
+            " CAST(4 AS BIGINT), 'new_urls', new_urls,"
+            " CAST(5 AS BIGINT), 'refetch_newer', refetch_newer,"
+            " CAST(6 AS BIGINT), 'refetch_stale', refetch_stale,"
+            " CAST(7 AS BIGINT), 'pages_to_extract', new_urls + refetch_newer,"
+            " CAST(8 AS BIGINT), 'extract_saved_vs_recompute',"
+            "   full_urls - (new_urls + refetch_newer),"
+            " CAST(9 AS BIGINT), 'merged_urls', merged_urls,"
+            " CAST(10 AS BIGINT), 'full_urls', full_urls,"
+            " CAST(11 AS BIGINT), 'merged_digest', merged_digest,"
+            " CAST(12 AS BIGINT), 'full_digest', full_digest,"
+            " CAST(13 AS BIGINT), 'digest_match',"
+            "   CAST(CASE WHEN merged_urls = full_urls"
+            "        AND merged_digest = full_digest THEN 1 ELSE 0 END AS BIGINT)"
+            ") AS (step, metric, value)"
+        )
+        .orderBy("step")
+    )
+
+
 def _register_ingest():
     from ..functions.html import _spark_lit  # noqa: F401
     from .htmlpipe import _META_ROBOTS_RE
@@ -429,6 +655,25 @@ def _register_ingest():
         )
     )
     ALL_SPECS["t_ingest_e2e"].lazy_plan = lambda spark, sf_dir: _ingest_e2e_impl(
+        spark, sf_dir, persist=False
+    )
+    register(
+        QuerySpec(
+            name="t_ingest_delta",
+            spark=_ingest_delta_impl,
+            oracle=_ingest_delta_oracle(),
+            doc="incremental crawl ingest: a day's snapshot batch merges "
+            "into the committed canonical-URL index — per-URL verdicts "
+            "(new / newer refetch / stale refetch), pages that must pay "
+            "extraction vs a full recompute, and an in-query md5-lane "
+            "digest PROVING the merged index equals the from-scratch "
+            "recompute (the hash gate pins incremental==full at every SF); "
+            "classify join shuffles only batch mass to the index "
+            "partitioning — day-bounded cost, never corpus-bounded",
+            tags=("url",),
+        )
+    )
+    ALL_SPECS["t_ingest_delta"].lazy_plan = lambda spark, sf_dir: _ingest_delta_impl(
         spark, sf_dir, persist=False
     )
 
