@@ -943,6 +943,72 @@ def url_ingest_stream(
     )
 
 
+def url_index_latest(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "ts"
+) -> DataFrame:
+    """Static canonical-URL index WITH freshness for ingest_delta_stream:
+    per canonical key the latest committed fetch timestamp (the
+    ``curl → last_ts`` projection of the index plans/urlpipe
+    t_ingest_delta merges into). Partial-aggregable max per key; at
+    rest partitioned by the canonical key like url_corpus_index."""
+    from ..functions.url import url_canonical_sqlexpr
+
+    return (
+        pages.select(
+            F.expr(url_canonical_sqlexpr(url_col)).alias("curl"),
+            F.col(ts_col).alias("last_ts"),
+        )
+        .groupBy("curl")
+        .agg(F.max("last_ts").alias("last_ts"))
+    )
+
+
+def ingest_delta_stream(
+    pages: DataFrame,
+    index_latest: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Refetch-aware streaming ingest classification — the streaming
+    face of plans/urlpipe.t_ingest_delta: each ARRIVING snapshot is
+    canonicalized (stateless per-row regex) and classified against the
+    static freshness index (stream-static LEFT OUTER join on the
+    index's partition key):
+
+      new_url        — canonical key absent from the index  → admitted
+      refetch_newer  — arriving ts > committed last_ts      → admitted
+      refetch_stale  — arriving ts ≤ committed last_ts      → dropped
+
+    Output: admitted pages with ``curl`` and ``verdict`` columns — the
+    candidates that must pay extraction. Deliberately STATELESS (no
+    watermark contract): in-stream latest-per-key reconciliation is NOT
+    attempted here — two admitted refetches of one key in the same
+    index epoch both flow downstream, and the authoritative merge is
+    the next index refresh (t_ingest_delta's digest-proved batch merge,
+    which collapses them exactly). That split keeps the streaming path
+    a pure projection+probe — unbounded state never accumulates — and
+    makes stream==batch equality exact under ANY micro-batch split,
+    which the pytest asserts on scrambled batches."""
+    from ..functions.url import url_canonical_sqlexpr
+
+    canon = pages.withColumn("curl", F.expr(url_canonical_sqlexpr(url_col)))
+    j = canon.join(
+        index_latest.select("curl", F.col("last_ts").alias("_idx_ts")),
+        "curl",
+        "left",
+    )
+    verdict = (
+        F.when(F.col("_idx_ts").isNull(), F.lit("new_url"))
+        .when(F.col(ts_col) > F.col("_idx_ts"), F.lit("refetch_newer"))
+        .otherwise(F.lit("refetch_stale"))
+    )
+    return (
+        j.withColumn("verdict", verdict)
+        .filter(F.col("verdict") != "refetch_stale")
+        .drop("_idx_ts")
+    )
+
+
 def simhash_corpus_index(
     docs: DataFrame, id_col: str = "doc_id", bucket_cap: int | None = None
 ) -> DataFrame:

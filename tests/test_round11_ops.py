@@ -409,3 +409,77 @@ def test_ingest_delta_classes_nontrivial_at_sf0001(spark):
     # the economics the shape exists for: most of the corpus skips
     # extraction on an incremental day
     assert vals["extract_saved_vs_recompute"] > vals["pages_to_extract"]
+
+
+def test_ingest_delta_stream_matches_batch(spark, tmp_path):
+    """Refetch-aware streaming ingest classification == the batch
+    verdicts of t_ingest_delta's classify stage, across SCRAMBLED
+    micro-batches — exact equality (not just cardinality) because the
+    stage is deliberately stateless (latest-per-key reconciliation
+    belongs to the next index refresh, not the stream)."""
+    import pandas as pd
+
+    from daxos_spark.streaming.pipelines import (
+        ingest_delta_stream,
+        run_to_memory,
+        url_index_latest,
+    )
+
+    committed = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    "https://www.Example.com/a/1?utm_source=x",  # last_ts 50
+                    "https://example.com/a/1",                   # same key, older
+                    "https://example.com/a/2",                   # last_ts 70
+                ],
+                "ts": [50, 40, 70],
+            }
+        )
+    )
+    idx = url_index_latest(committed)
+    assert {(r["curl"].split("/")[-1], r["last_ts"]) for r in idx.collect()} == {
+        ("1", 50),
+        ("2", 70),
+    }
+    arriving = [
+        (200, "https://example.com/a/1#frag", 60),   # newer than 50 -> admitted
+        (201, "HTTPS://EXAMPLE.COM/a/1", 45),        # stale vs 50 -> dropped
+        (202, "https://example.com:443/a/2?ref=x", 70),  # ts == last_ts -> stale
+        (203, "https://example.com/a/9/", 10),       # new key -> admitted
+        (204, "https://example.com/a/9", 5),         # SAME new key, same epoch:
+        # also admitted (stateless) — reconciled by the next index merge
+    ]
+    arr_dir = tmp_path / "arr"
+    arr_dir.mkdir()
+    for i, row in enumerate([arriving[2], arriving[4], arriving[0],
+                             arriving[3], arriving[1]]):
+        spark.createDataFrame(
+            pd.DataFrame([row], columns=["page_id", "url", "ts"])
+        ).coalesce(1).write.parquet(str(arr_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema("page_id long, url string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(arr_dir / "b*"))
+    )
+    run_to_memory(
+        ingest_delta_stream(stream, idx), "ingestdelta", output_mode="append"
+    )
+    got = {
+        (r["page_id"], r["verdict"])
+        for r in spark.sql("SELECT page_id, verdict FROM ingestdelta").collect()
+    }
+    assert got == {
+        (200, "refetch_newer"),
+        (203, "new_url"),
+        (204, "new_url"),
+    }
+    # batch twin: identical verdict set from the same classify expression
+    batch = spark.createDataFrame(
+        pd.DataFrame(arriving, columns=["page_id", "url", "ts"])
+    )
+    batch_got = {
+        (r["page_id"], r["verdict"])
+        for r in ingest_delta_stream(batch, idx).collect()
+    }
+    assert batch_got == got
