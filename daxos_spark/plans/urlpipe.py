@@ -437,6 +437,35 @@ _NEWART_MOD = 13
 _DIG_MOD = 1 << 40
 
 
+def _classify_batch(committed: DataFrame, batch: DataFrame) -> DataFrame:
+    """Per-URL verdict of a batch against the committed index:
+    2 = new_url, 1 = refetch_newer, 0 = refetch_stale."""
+    return batch.join(
+        committed.select("curl", "last_ts", F.col("doc_id").alias("c_doc")),
+        "curl",
+        "left",
+    ).withColumn(
+        "verdict",
+        F.expr(
+            "CASE WHEN last_ts IS NULL THEN 2"
+            " WHEN b_ts > last_ts THEN 1 ELSE 0 END"
+        ),
+    )
+
+
+def _merge_index(cls: DataFrame, committed: DataFrame, batch: DataFrame) -> DataFrame:
+    """The index merge: batch survivors override (new/newer) or defer
+    (stale); committed keys untouched by the batch pass through — a
+    partition-wise upsert on the canonical key at production."""
+    survivors = cls.select(
+        "curl",
+        F.expr("CASE WHEN verdict = 0 THEN last_ts ELSE b_ts END").alias("last_ts"),
+        F.expr("CASE WHEN verdict = 0 THEN c_doc ELSE b_doc END").alias("doc_id"),
+    )
+    untouched = committed.join(batch.select("curl"), "curl", "left_anti")
+    return untouched.select("curl", "last_ts", "doc_id").unionByName(survivors)
+
+
 def _ingest_delta_oracle() -> str:
     from ..functions.hashing import md5_long_sql
 
@@ -508,6 +537,212 @@ def _ingest_delta_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Multi-epoch fold — the claim that lets a deployment run t_ingest_delta
+# FOREVER: the index merge is closed under composition,
+#   merge(merge(idx0, day1), day2) == full recompute over all history,
+# digest-proved in-query over TWO consecutive delta days (plus per-epoch
+# verdict censuses showing both days exercise every class). The single-
+# delta query proves one step; this proves the induction step composes —
+# together they are the incremental-maintenance correctness argument.
+# Epoch fixture: articles ≡ 0 (mod 11) appear only on day 1 and
+# articles ≡ 1 (mod 11) only on day 2 (new-URL arms per day); every
+# other family spreads its snapshots across the three epochs by
+# doc_id % 3 (interleaved fetch times → newer AND stale refetches both
+# days).
+_EP_SQL = (
+    f"CASE WHEN (doc_id % {_N_ART}) % 11 = 0 THEN 1"
+    f" WHEN (doc_id % {_N_ART}) % 11 = 1 THEN 2"
+    " ELSE doc_id % 3 END"
+)
+
+
+def _merge_cte_sql(n: str, committed: str, batch: str) -> str:
+    """cls{n} + idx{n} CTE pair — the SQL twin of _classify_batch +
+    _merge_index, parameterized so the fold chains epochs."""
+    return f"""cls{n} AS (
+      SELECT b.curl, b.b_ts, b.b_doc, b.b_snaps, k.last_ts, k.doc_id AS c_doc,
+             CASE WHEN k.curl IS NULL THEN 2
+                  WHEN b.b_ts > k.last_ts THEN 1 ELSE 0 END AS verdict
+      FROM {batch} b LEFT JOIN {committed} k ON b.curl = k.curl
+    ), idx{n} AS (
+      SELECT curl,
+             CASE WHEN verdict = 0 THEN last_ts ELSE b_ts END AS last_ts,
+             CASE WHEN verdict = 0 THEN c_doc ELSE b_doc END AS doc_id
+      FROM cls{n}
+      UNION ALL
+      SELECT k.curl, k.last_ts, k.doc_id
+      FROM {committed} k LEFT JOIN {batch} b ON k.curl = b.curl
+      WHERE b.curl IS NULL
+    )"""
+
+
+def _ingest_epochs_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    key = "curl || '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(last_ts AS VARCHAR)"
+    dig = f"SUM({md5_long_sql(key)} % {_DIG_MOD})"
+    ep_stats = "".join(
+        f"""
+        (SELECT COALESCE(SUM(b_snaps), 0) FROM batch{e}) AS ep{e}_batch_snapshots,
+        (SELECT COUNT(*) FROM batch{e}) AS ep{e}_batch_urls,
+        (SELECT COALESCE(SUM(CASE WHEN verdict = 2 THEN 1 ELSE 0 END), 0) FROM cls{e}) AS ep{e}_new_urls,
+        (SELECT COALESCE(SUM(CASE WHEN verdict = 1 THEN 1 ELSE 0 END), 0) FROM cls{e}) AS ep{e}_refetch_newer,
+        (SELECT COALESCE(SUM(CASE WHEN verdict = 0 THEN 1 ELSE 0 END), 0) FROM cls{e}) AS ep{e}_refetch_stale,
+        (SELECT COUNT(*) FROM idx{e}) AS ep{e}_merged_urls,"""
+        for e in (1, 2)
+    )
+    metrics = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, '{m}' AS metric, CAST({x} AS BIGINT) AS value FROM stats"
+        for i, (m, x) in enumerate(
+            [(f"ep{e}_{s}", f"ep{e}_{s}") for e in (1, 2) for s in (
+                "batch_snapshots", "batch_urls", "new_urls",
+                "refetch_newer", "refetch_stale", "merged_urls")]
+            + [
+                ("fold_urls", "fold_urls"),
+                ("full_urls", "full_urls"),
+                ("fold_digest", "fold_digest"),
+                ("full_digest", "full_digest"),
+                ("digest_match",
+                 "CASE WHEN fold_urls = full_urls AND fold_digest = full_digest"
+                 " THEN 1 ELSE 0 END"),
+            ]
+        )
+    )
+    return f"""
+    WITH {_snap_sql()}, c AS (
+      SELECT doc_id, ts, {_CANON_SQL} AS curl, {_EP_SQL} AS ep FROM snaps
+    ), idx0 AS (
+      SELECT curl, MAX(ts) AS last_ts, MAX_BY(doc_id, ts) AS doc_id
+      FROM c WHERE ep = 0 GROUP BY curl
+    ), batch1 AS (
+      SELECT curl, MAX(ts) AS b_ts, MAX_BY(doc_id, ts) AS b_doc,
+             COUNT(*) AS b_snaps
+      FROM c WHERE ep = 1 GROUP BY curl
+    ), {_merge_cte_sql("1", "idx0", "batch1")}, batch2 AS (
+      SELECT curl, MAX(ts) AS b_ts, MAX_BY(doc_id, ts) AS b_doc,
+             COUNT(*) AS b_snaps
+      FROM c WHERE ep = 2 GROUP BY curl
+    ), {_merge_cte_sql("2", "idx1", "batch2")}, fullidx AS (
+      SELECT curl, MAX(ts) AS last_ts, MAX_BY(doc_id, ts) AS doc_id
+      FROM c GROUP BY curl
+    ), stats AS (
+      SELECT {ep_stats}
+        (SELECT COUNT(*) FROM idx2) AS fold_urls,
+        (SELECT COUNT(*) FROM fullidx) AS full_urls,
+        (SELECT COALESCE({dig}, 0) FROM idx2) AS fold_digest,
+        (SELECT COALESCE({dig}, 0) FROM fullidx) AS full_digest
+    )
+    SELECT CAST(step AS BIGINT) AS step, metric, value
+    FROM ({metrics}) ORDER BY step
+    """
+
+
+def _ingest_epochs_impl(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    c = _snaps_df(spark, sf_dir).select(
+        "doc_id",
+        "ts",
+        F.expr(_CANON_SPARK).alias("curl"),
+        F.expr(_EP_SQL).alias("ep"),
+    )
+    if persist:
+        c = c.localCheckpoint(eager=True)  # four groupBy consumers
+
+    def _idx(df: DataFrame) -> DataFrame:
+        return df.groupBy("curl").agg(
+            F.max("ts").alias("last_ts"),
+            F.expr("max_by(doc_id, ts)").alias("doc_id"),
+        )
+
+    def _batch(df: DataFrame) -> DataFrame:
+        return df.groupBy("curl").agg(
+            F.max("ts").alias("b_ts"),
+            F.expr("max_by(doc_id, ts)").alias("b_doc"),
+            F.count(F.lit(1)).alias("b_snaps"),
+        )
+
+    def _ck(df: DataFrame) -> DataFrame:
+        # index/batch/classify relations each feed 2-3 consumers; all
+        # are bounded by canonical-URL cardinality (at production the
+        # folded index is a stored table between epochs anyway)
+        return df.localCheckpoint(eager=True) if persist else df
+
+    idx0 = _ck(_idx(c.filter("ep = 0")))
+    b1 = _ck(_batch(c.filter("ep = 1")))
+    b2 = _ck(_batch(c.filter("ep = 2")))
+    cls1 = _ck(_classify_batch(idx0, b1))
+    idx1 = _ck(_merge_index(cls1, idx0, b1))
+    cls2 = _ck(_classify_batch(idx1, b2))
+    idx2 = _merge_index(cls2, idx1, b2)
+    fullidx = _idx(c)
+
+    def _dig(df: DataFrame, n_name: str, d_name: str) -> DataFrame:
+        key = F.concat_ws(
+            "|",
+            F.col("curl"),
+            F.col("doc_id").cast("string"),
+            F.col("last_ts").cast("string"),
+        )
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_name),
+            F.coalesce(
+                F.sum(F.pmod(md5_long(key), F.lit(_DIG_MOD))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(d_name),
+        )
+
+    def _census(b: DataFrame, cls: DataFrame, idx: DataFrame, e: int) -> DataFrame:
+        sb = b.agg(
+            F.coalesce(F.sum("b_snaps"), F.lit(0))
+            .cast("bigint")
+            .alias(f"ep{e}_batch_snapshots"),
+            F.count(F.lit(1)).cast("bigint").alias(f"ep{e}_batch_urls"),
+        )
+        sc = cls.agg(
+            *[
+                F.coalesce(F.sum((F.col("verdict") == v).cast("int")), F.lit(0))
+                .cast("bigint")
+                .alias(f"ep{e}_{nm}")
+                for v, nm in ((2, "new_urls"), (1, "refetch_newer"), (0, "refetch_stale"))
+            ]
+        )
+        si = idx.agg(F.count(F.lit(1)).cast("bigint").alias(f"ep{e}_merged_urls"))
+        return sb.crossJoin(sc).crossJoin(si)
+
+    stats = (
+        _census(b1, cls1, idx1, 1)
+        .crossJoin(_census(b2, cls2, idx2, 2))
+        .crossJoin(_dig(idx2, "fold_urls", "fold_digest"))
+        .crossJoin(_dig(fullidx, "full_urls", "full_digest"))
+    )
+    arms = []
+    step = 0
+    for e in (1, 2):
+        for s in ("batch_snapshots", "batch_urls", "new_urls",
+                  "refetch_newer", "refetch_stale", "merged_urls"):
+            step += 1
+            arms.append(f" CAST({step} AS BIGINT), 'ep{e}_{s}', ep{e}_{s}")
+    for m, x in (
+        ("fold_urls", "fold_urls"),
+        ("full_urls", "full_urls"),
+        ("fold_digest", "fold_digest"),
+        ("full_digest", "full_digest"),
+        ("digest_match",
+         "CAST(CASE WHEN fold_urls = full_urls AND fold_digest = full_digest"
+         " THEN 1 ELSE 0 END AS BIGINT)"),
+    ):
+        step += 1
+        arms.append(f" CAST({step} AS BIGINT), '{m}', {x}")
+    return stats.selectExpr(
+        f"stack({step}, {','.join(arms)}) AS (step, metric, value)"
+    ).orderBy("step")
+
+
 def _ingest_delta_impl(
     spark: SparkSession, sf_dir: str, persist: bool = True
 ) -> DataFrame:
@@ -544,26 +779,10 @@ def _ingest_delta_impl(
         # table scan, not for an extra corpus pass
         committed = committed.localCheckpoint(eager=True)
         batch = batch.localCheckpoint(eager=True)
-    cls = batch.join(
-        committed.select("curl", "last_ts", F.col("doc_id").alias("c_doc")),
-        "curl",
-        "left",
-    ).withColumn(
-        "verdict",
-        F.expr(
-            "CASE WHEN last_ts IS NULL THEN 2"
-            " WHEN b_ts > last_ts THEN 1 ELSE 0 END"
-        ),
-    )
+    cls = _classify_batch(committed, batch)
     if persist:
         cls = cls.localCheckpoint(eager=True)  # survivors + verdict census
-    survivors = cls.select(
-        "curl",
-        F.expr("CASE WHEN verdict = 0 THEN last_ts ELSE b_ts END").alias("last_ts"),
-        F.expr("CASE WHEN verdict = 0 THEN c_doc ELSE b_doc END").alias("doc_id"),
-    )
-    untouched = committed.join(batch.select("curl"), "curl", "left_anti")
-    merged = untouched.select("curl", "last_ts", "doc_id").unionByName(survivors)
+    merged = _merge_index(cls, committed, batch)
     fullidx = c.groupBy("curl").agg(
         F.max("ts").alias("last_ts"),
         F.expr("max_by(doc_id, ts)").alias("doc_id"),
@@ -674,6 +893,24 @@ def _register_ingest():
         )
     )
     ALL_SPECS["t_ingest_delta"].lazy_plan = lambda spark, sf_dir: _ingest_delta_impl(
+        spark, sf_dir, persist=False
+    )
+    register(
+        QuerySpec(
+            name="t_ingest_epochs",
+            spark=_ingest_epochs_impl,
+            oracle=_ingest_epochs_oracle(),
+            doc="multi-epoch fold of the incremental ingest merge: TWO "
+            "consecutive delta days folded into the committed index, "
+            "per-epoch verdict censuses (every class exercised both "
+            "days), and an in-query md5-lane digest proving "
+            "merge(merge(idx0, day1), day2) == full recompute — the "
+            "composition-closure half of the incremental-maintenance "
+            "correctness argument (t_ingest_delta proves one step)",
+            tags=("url",),
+        )
+    )
+    ALL_SPECS["t_ingest_epochs"].lazy_plan = lambda spark, sf_dir: _ingest_epochs_impl(
         spark, sf_dir, persist=False
     )
 

@@ -483,3 +483,34 @@ def test_ingest_delta_stream_matches_batch(spark, tmp_path):
         for r in ingest_delta_stream(batch, idx).collect()
     }
     assert batch_got == got
+
+
+def test_ingest_epochs_fold_closure(spark):
+    """The two-day fold: every verdict class must carry real mass in
+    BOTH epochs, the fold must land on the full-recompute index
+    (in-query digest), and — the composition cross-check — the folded
+    index digest must equal t_ingest_delta's full-recompute digest on
+    the same corpus (both are digests of the same ground-truth index)."""
+    from daxos_spark.plans.urlpipe import _ingest_delta_impl, _ingest_epochs_impl
+
+    vals = {
+        r["metric"]: r["value"]
+        for r in _ingest_epochs_impl(spark, SF_DIR).collect()
+    }
+    for e in (1, 2):
+        assert vals[f"ep{e}_new_urls"] > 0
+        assert vals[f"ep{e}_refetch_newer"] > 0
+        assert vals[f"ep{e}_refetch_stale"] > 0
+        assert vals[f"ep{e}_batch_urls"] == (
+            vals[f"ep{e}_new_urls"]
+            + vals[f"ep{e}_refetch_newer"]
+            + vals[f"ep{e}_refetch_stale"]
+        )
+    # the index only grows across epochs, and the fold ends exact
+    assert vals["ep1_merged_urls"] <= vals["ep2_merged_urls"] == vals["fold_urls"]
+    assert vals["digest_match"] == 1
+    delta = {
+        r["metric"]: r["value"]
+        for r in _ingest_delta_impl(spark, SF_DIR).collect()
+    }
+    assert vals["full_digest"] == delta["full_digest"]
