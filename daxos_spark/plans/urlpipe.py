@@ -327,17 +327,15 @@ def _ingest_oracle() -> str:
     """
 
 
-def _ingest_e2e_impl(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
+def _ingest_snap_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared snapshot fixture of the ingest family: each document
+    becomes one fetch snapshot (doc_id-arithmetic URL variant, planted
+    robots meta in the synthesized page) with its canonical key."""
     from ..functions import text as T
-    from ..functions.html import block_stats, extract_main
     from .htmlpipe import _html_spark, _meta_sql
-    from .htmlpipe import _OPTOUT_SOURCES as _OPT_SRC
-    from .htmlpipe import _META_ROBOTS_RE as _META_RE
-    from ..functions.html import _spark_lit
-    from .textpipe import _gopher_flags
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    snap = (
+    return (
         d.select(
             "doc_id",
             "source",
@@ -355,6 +353,16 @@ def _ingest_e2e_impl(spark: SparkSession, sf_dir: str, persist: bool = True) -> 
         )
         .withColumn("curl", F.expr(_CANON_SPARK))
     )
+
+
+def _ingest_e2e_impl(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
+    from ..functions.html import block_stats, extract_main
+    from .htmlpipe import _OPTOUT_SOURCES as _OPT_SRC
+    from .htmlpipe import _META_ROBOTS_RE as _META_RE
+    from ..functions.html import _spark_lit
+    from .textpipe import _gopher_flags
+
+    snap = _ingest_snap_df(spark, sf_dir)
     if persist:
         # snap feeds the stage-1 census AND the dedup/gate/extract chain;
         # the synthesis is concat-cheap but the canonicalizer is a regex
@@ -851,6 +859,179 @@ def _ingest_delta_impl(
     )
 
 
+# --------------------------------------------------------------------------
+# Per-host crawl economics — the census that drives crawl-BUDGET
+# allocation upstream of everything else (host-level filtering and
+# fetch prioritization à la CCNet/RefinedWeb): for each canonical host,
+# how much fetch mass went in and how much corpus came out —
+# snapshots → canonical pages → opt-out-compliant → extraction
+# survivors → Gopher survivors, plus extracted char mass and the
+# survivors-per-fetch yield. A crawler reallocates budget toward hosts
+# whose yield_per_fetch earns it. Every stage is the ingest family's
+# exact machinery (shared snapshot fixture, htmlpipe gate/extraction,
+# textpipe gopher CTE); the aggregation is two partial-aggregable
+# groupBys on the host key joined host-to-host (7 rows here; at 100 TB
+# the host key is low-cardinality relative to pages, and the census is
+# a map-side-combine aggregate over the already-materialized funnel).
+_HOST_RE = "://([^/]+)"
+
+
+def _host_yield_oracle() -> str:
+    from ..functions.html import sql_block_stats, sql_extract_main
+    from .htmlpipe import _html_sql, _meta_sql, _OPTOUT_IN
+    from .textpipe import _TOKS as _DTOKS
+    from .textpipe import _gopher_cte
+
+    return f"""
+    WITH ibase AS (
+      SELECT doc_id, source, {_DTOKS} AS tk, {_TS0} + doc_id AS ts FROM documents
+    ), isnap AS (
+      SELECT doc_id, source, ts,
+             CASE doc_id % {len(_VARIANTS)} {" ".join(
+                 f"WHEN {i} THEN '{p}' || CAST((doc_id % {_N_ART}) % {_N_HOST} AS VARCHAR)"
+                 f" || '{m}' || CAST(doc_id % {_N_ART} AS VARCHAR) || '{s}'"
+                 for i, (p, m, s) in enumerate(_VARIANTS))} END AS url,
+             replace({_html_sql()}, '</head>', {_meta_sql()} || '</head>') AS page
+      FROM ibase
+    ), icanon AS (
+      SELECT *, {_CANON_SQL} AS curl,
+             regexp_extract({_CANON_SQL}, '{_HOST_RE}', 1) AS host
+      FROM isnap
+    ), ikept AS (
+      SELECT MAX_BY(doc_id, ts) AS doc_id FROM icanon GROUP BY curl
+    ), isurv AS (
+      SELECT c.doc_id, c.source, c.page, c.host
+      FROM icanon c JOIN ikept k USING (doc_id)
+    ), igate AS (
+      SELECT doc_id, source, page, host,
+             CASE WHEN position('noai' IN robots) > 0
+                    OR position('noindex' IN robots) > 0 OR robots = 'none'
+                    OR source IN ({_OPTOUT_IN})
+                  THEN 0 ELSE 1 END AS kept
+      FROM (
+        SELECT *, lower(regexp_extract(page, '{_META_RE_SQL}', 1)) AS robots
+        FROM isurv
+      )
+    ), iexd AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source,
+               {sql_extract_main(sql_block_stats('page'))} AS text
+        FROM igate WHERE kept = 1
+      ) WHERE len(text) > 0
+    ), {_gopher_cte('iexd')}, sflags AS (
+      SELECT g8.host, g8.kept,
+             COALESCE(x.chars, 0) AS ext_chars,
+             COALESCE(gf.p, 0) AS gp
+      FROM igate g8
+      LEFT JOIN (SELECT doc_id, len(text) AS chars FROM iexd) x
+        ON x.doc_id = g8.doc_id
+      LEFT JOIN (
+        SELECT doc_id, p_wc * p_mwl * p_alpha * p_stop * p_rep AS p FROM gflag
+      ) gf ON gf.doc_id = g8.doc_id
+    ), snapagg AS (
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS n_snapshots
+      FROM icanon GROUP BY host
+    ), hostagg AS (
+      SELECT host,
+             CAST(COUNT(*) AS BIGINT) AS n_canonical,
+             CAST(COALESCE(SUM(kept), 0) AS BIGINT) AS n_compliant,
+             CAST(COALESCE(SUM(CASE WHEN ext_chars > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_extracted,
+             CAST(COALESCE(SUM(ext_chars), 0) AS BIGINT) AS extracted_chars,
+             CAST(COALESCE(SUM(gp), 0) AS BIGINT) AS n_gopher
+      FROM sflags GROUP BY host
+    )
+    SELECT s.host, s.n_snapshots, h.n_canonical, h.n_compliant,
+           h.n_extracted, h.extracted_chars, h.n_gopher,
+           {sql_trunc6('CAST(h.n_gopher AS DOUBLE) / s.n_snapshots')} AS yield_per_fetch
+    FROM snapagg s JOIN hostagg h USING (host)
+    ORDER BY host
+    """
+
+
+def _host_yield_impl(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> DataFrame:
+    from ..functions.html import _spark_lit, block_stats, extract_main
+    from .htmlpipe import _META_ROBOTS_RE as _META_RE
+    from .htmlpipe import _OPTOUT_SOURCES as _OPT_SRC
+    from .textpipe import _gopher_flags
+
+    snap = _ingest_snap_df(spark, sf_dir).withColumn(
+        "host", F.regexp_extract("curl", _HOST_RE, 1)
+    )
+    if persist:
+        snap = snap.localCheckpoint(eager=True)  # synthesis feeds 3 consumers
+    kept_ids = snap.groupBy("curl").agg(F.expr("max_by(doc_id, ts)").alias("doc_id"))
+    surv = snap.join(kept_ids.select("doc_id"), "doc_id", "left_semi")
+    robots = f"lower(regexp_extract(page, '{_spark_lit(_META_RE)}', 1))"
+    gate = surv.withColumn(
+        "kept",
+        (
+            F.expr(
+                f"NOT (position('noai' IN {robots}) > 0"
+                f" OR position('noindex' IN {robots}) > 0 OR {robots} = 'none')"
+            )
+            & ~F.col("source").isin(*_OPT_SRC)
+        ).cast("int"),
+    ).select("doc_id", "source", "page", "host", "kept")
+    if persist:
+        gate = gate.localCheckpoint(eager=True)  # extraction + host census
+    exd = (
+        gate.filter("kept = 1")
+        .withColumn("stats", block_stats("page"))
+        .select("doc_id", "source", extract_main("stats").alias("text"))
+        .filter(F.length("text") > 0)
+    )
+    if persist:
+        exd = exd.localCheckpoint(eager=True)  # gopher multi-consumes text
+    gf = _gopher_flags(exd).select(
+        "doc_id",
+        (
+            F.col("p_wc") * F.col("p_mwl") * F.col("p_alpha")
+            * F.col("p_stop") * F.col("p_rep")
+        ).alias("p"),
+    )
+    sflags = (
+        gate.select("doc_id", "host", "kept")
+        .join(exd.select("doc_id", F.length("text").alias("chars")), "doc_id", "left")
+        .join(gf, "doc_id", "left")
+        .select(
+            "host",
+            "kept",
+            F.coalesce(F.col("chars"), F.lit(0)).alias("ext_chars"),
+            F.coalesce(F.col("p"), F.lit(0)).alias("gp"),
+        )
+    )
+    snapagg = snap.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_snapshots")
+    )
+    hostagg = sflags.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_canonical"),
+        F.coalesce(F.sum("kept"), F.lit(0)).cast("bigint").alias("n_compliant"),
+        F.coalesce(F.sum((F.col("ext_chars") > 0).cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_extracted"),
+        F.coalesce(F.sum("ext_chars"), F.lit(0)).cast("bigint").alias("extracted_chars"),
+        F.coalesce(F.sum("gp"), F.lit(0)).cast("bigint").alias("n_gopher"),
+    )
+    return (
+        snapagg.join(hostagg, "host")
+        .select(
+            "host",
+            "n_snapshots",
+            "n_canonical",
+            "n_compliant",
+            "n_extracted",
+            "extracted_chars",
+            "n_gopher",
+            trunc6(F.col("n_gopher").cast("double") / F.col("n_snapshots")).alias(
+                "yield_per_fetch"
+            ),
+        )
+        .orderBy("host")
+    )
+
+
 def _register_ingest():
     from ..functions.html import _spark_lit  # noqa: F401
     from .htmlpipe import _META_ROBOTS_RE
@@ -911,6 +1092,23 @@ def _register_ingest():
         )
     )
     ALL_SPECS["t_ingest_epochs"].lazy_plan = lambda spark, sf_dir: _ingest_epochs_impl(
+        spark, sf_dir, persist=False
+    )
+    register(
+        QuerySpec(
+            name="t_host_yield",
+            spark=_host_yield_impl,
+            oracle=_host_yield_oracle(),
+            doc="per-host crawl economics census: snapshot mass -> "
+            "canonical pages -> opt-out-compliant -> extraction "
+            "survivors -> Gopher survivors per canonical host, with "
+            "extracted char mass and survivors-per-fetch yield — the "
+            "numbers a crawler reallocates fetch budget by; shared "
+            "ingest machinery, two host-keyed partial aggregates",
+            tags=("url",),
+        )
+    )
+    ALL_SPECS["t_host_yield"].lazy_plan = lambda spark, sf_dir: _host_yield_impl(
         spark, sf_dir, persist=False
     )
 

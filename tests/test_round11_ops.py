@@ -514,3 +514,29 @@ def test_ingest_epochs_fold_closure(spark):
         for r in _ingest_delta_impl(spark, SF_DIR).collect()
     }
     assert vals["full_digest"] == delta["full_digest"]
+
+
+def test_host_yield_conservation(spark):
+    """The per-host crawl-economics census must be a CONSERVATIVE
+    decomposition of the global ingest funnel: summed over hosts, the
+    stage counts equal t_ingest_e2e's stage totals on the same corpus,
+    and within each host the funnel is monotone non-increasing."""
+    from daxos_spark.plans.urlpipe import _host_yield_impl, _ingest_e2e_impl
+
+    rows = _host_yield_impl(spark, SF_DIR).collect()
+    assert len(rows) == 7  # the fixture's host universe
+    for r in rows:
+        assert (
+            r["n_snapshots"] >= r["n_canonical"] >= r["n_compliant"]
+            >= r["n_extracted"] >= r["n_gopher"]
+        )
+        assert 0.0 <= r["yield_per_fetch"] <= 1.0
+    funnel = {
+        f["stage_name"]: f["n_docs"]
+        for f in _ingest_e2e_impl(spark, SF_DIR).collect()
+    }
+    assert sum(r["n_snapshots"] for r in rows) == funnel["raw_snapshots"]
+    assert sum(r["n_canonical"] for r in rows) == funnel["url_dedup"]
+    assert sum(r["n_compliant"] for r in rows) == funnel["optout_gate"]
+    assert sum(r["n_extracted"] for r in rows) == funnel["extracted"]
+    assert sum(r["n_gopher"] for r in rows) == funnel["gopher_rules"]
