@@ -276,6 +276,10 @@ BENCH_QUERIES = [
     "t_optout_gate",
     "t_optout_refinery",
     "t_ingest_e2e",
+    "t_ingest_delta",
+    "t_ingest_epochs",
+    "t_host_yield",
+    "t_crawl_budget",
 ]
 
 # Frozen heavy set for round-over-round comparison (r8 ask #4): the ~28

@@ -415,6 +415,100 @@ def _ingest_e2e_impl(spark: SparkSession, sf_dir: str, persist: bool = True) -> 
 
 
 # --------------------------------------------------------------------------
+# Crawl-budget apportionment — the ACTION the per-host economics census
+# exists for: divide a fixed next-epoch fetch budget across hosts in
+# proportion to measured Gopher yield, by integer largest-remainder
+# (Hamilton) apportionment. Weights are n_gopher + 1 (the +1 is the
+# exploration floor: a zero-yield host keeps a crawl trickle so the
+# census can ever revise its verdict). ENTIRELY integer arithmetic —
+# base = B·w div W, remainder = B·w mod W, leftover seats go to the
+# largest remainders (host-name tiebreak) — so both engines compute
+# bit-identical allocations with zero float hazard, and
+# Σ alloc == B exactly (asserted per-row in the output and by pytest).
+# Scale shape: one tiny host-keyed aggregate (the yield census) + a
+# single-row total broadcast + one window over |hosts| rows — the
+# allocation itself is free next to the census that feeds it.
+_CRAWL_BUDGET = 100003  # prime → nontrivial remainders at any yield mix
+
+
+def _crawl_budget_oracle() -> str:
+    return f"""
+    WITH yields AS ({_host_yield_oracle()}
+    ), w AS (
+      SELECT host, n_gopher + 1 AS wt FROM yields
+    ), tot AS (
+      SELECT SUM(wt) AS tw, COUNT(*) AS nh FROM w
+    ), q AS (
+      SELECT host, wt,
+             ({_CRAWL_BUDGET} * wt) // tw AS base_alloc,
+             ({_CRAWL_BUDGET} * wt) % tw AS remainder
+      FROM w, tot
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, host) AS rk,
+             (SELECT {_CRAWL_BUDGET} - SUM(base_alloc) FROM q) AS leftover
+      FROM q
+    )
+    SELECT host, CAST(wt AS BIGINT) AS wt,
+           CAST(base_alloc AS BIGINT) AS base_alloc,
+           CAST(extra AS BIGINT) AS extra,
+           CAST(base_alloc + extra AS BIGINT) AS alloc,
+           CAST(SUM(base_alloc + extra) OVER () AS BIGINT) AS total_alloc
+    FROM (
+      SELECT host, wt, base_alloc,
+             CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS extra
+      FROM r
+    ) ORDER BY host
+    """
+
+
+def _crawl_budget_impl(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    y = _host_yield_impl(spark, sf_dir, persist=persist)
+    w = y.select("host", (F.col("n_gopher") + F.lit(1)).cast("bigint").alias("wt"))
+    if persist:
+        w = w.localCheckpoint(eager=True)  # census reused by 2 aggregates
+    tot = w.agg(F.sum("wt").alias("tw"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "wt",
+        F.expr(f"CAST({_CRAWL_BUDGET} * wt AS BIGINT) div tw").alias("base_alloc"),
+        F.expr(f"CAST({_CRAWL_BUDGET} * wt AS BIGINT) % tw").alias("remainder"),
+    )
+    lo = q.agg((F.lit(_CRAWL_BUDGET) - F.sum("base_alloc")).alias("leftover"))
+    r = (
+        q.crossJoin(F.broadcast(lo))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("remainder").desc(), F.col("host"))
+            ),
+        )
+        .withColumn(
+            "extra",
+            (F.col("rk") <= F.col("leftover")).cast("bigint"),
+        )
+    )
+    return (
+        r.withColumn(
+            "total_alloc",
+            F.sum(F.col("base_alloc") + F.col("extra")).over(Window.partitionBy()),
+        )
+        .select(
+            "host",
+            "wt",
+            F.col("base_alloc").cast("bigint").alias("base_alloc"),
+            "extra",
+            (F.col("base_alloc") + F.col("extra")).cast("bigint").alias("alloc"),
+            F.col("total_alloc").cast("bigint").alias("total_alloc"),
+        )
+        .orderBy("host")
+    )
+
+
+# --------------------------------------------------------------------------
 # Incremental crawl ingest — the DELTA twin of the URL-dedup stage, and
 # the operational reality at 100 TB: the corpus is never recomputed; a
 # day's crawl batch merges into the COMMITTED canonical-URL index
@@ -1109,6 +1203,25 @@ def _register_ingest():
         )
     )
     ALL_SPECS["t_host_yield"].lazy_plan = lambda spark, sf_dir: _host_yield_impl(
+        spark, sf_dir, persist=False
+    )
+    register(
+        QuerySpec(
+            name="t_crawl_budget",
+            spark=_crawl_budget_impl,
+            oracle=_crawl_budget_oracle(),
+            doc="crawl-budget apportionment: a fixed next-epoch fetch "
+            "budget divided across hosts in proportion to Gopher yield "
+            "(weight = n_gopher + 1, the exploration floor) by integer "
+            "largest-remainder (Hamilton) apportionment — base = B*w "
+            "div W, leftover seats to the largest remainders, host-name "
+            "tiebreak; ENTIRELY integer arithmetic so both engines "
+            "allocate bit-identically and sum(alloc) == B exactly "
+            "(total_alloc column is the in-query self-check)",
+            tags=("url",),
+        )
+    )
+    ALL_SPECS["t_crawl_budget"].lazy_plan = lambda spark, sf_dir: _crawl_budget_impl(
         spark, sf_dir, persist=False
     )
 

@@ -540,3 +540,33 @@ def test_host_yield_conservation(spark):
     assert sum(r["n_compliant"] for r in rows) == funnel["optout_gate"]
     assert sum(r["n_extracted"] for r in rows) == funnel["extracted"]
     assert sum(r["n_gopher"] for r in rows) == funnel["gopher_rules"]
+
+
+def test_crawl_budget_apportionment(spark):
+    """Hamilton apportionment properties on the live census: exact
+    budget conservation, quota rule (every alloc within 1 of its exact
+    proportional share), monotone weights -> allocations, and a full
+    pure-python largest-remainder replay."""
+    from daxos_spark.plans.urlpipe import _CRAWL_BUDGET, _crawl_budget_impl
+
+    rows = sorted(
+        _crawl_budget_impl(spark, SF_DIR).collect(), key=lambda r: r["host"]
+    )
+    assert len(rows) == 7
+    B = _CRAWL_BUDGET
+    W = sum(r["wt"] for r in rows)
+    assert all(r["total_alloc"] == B for r in rows)
+    assert sum(r["alloc"] for r in rows) == B
+    for r in rows:
+        exact = B * r["wt"] / W
+        assert exact - 1 < r["alloc"] < exact + 1  # quota rule
+        assert r["extra"] in (0, 1)
+    # python replay: same base/remainder/leftover assignment
+    base = {r["host"]: B * r["wt"] // W for r in rows}
+    rem = {r["host"]: B * r["wt"] % W for r in rows}
+    leftover = B - sum(base.values())
+    ranked = sorted(rows, key=lambda r: (-rem[r["host"]], r["host"]))
+    extras = {r["host"]: 1 if i < leftover else 0 for i, r in enumerate(ranked)}
+    for r in rows:
+        assert r["base_alloc"] == base[r["host"]]
+        assert r["extra"] == extras[r["host"]]

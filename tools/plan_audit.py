@@ -77,6 +77,11 @@ WGL_COLUMN_VALUED = {
         "series — date-cardinality-bounded input, rank consumed as the "
         "prefix index"
     ),
+    "t_crawl_budget": (
+        "largest-remainder apportionment (rank <= leftover column) over "
+        "the HOST-cardinality relation — hosts, not pages, so the "
+        "single-partition sort is census-sized by construction"
+    ),
 }
 
 _RANK_ATTR = re.compile(
