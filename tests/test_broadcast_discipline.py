@@ -56,6 +56,11 @@ ALLOWED: dict[str, tuple[int, str]] = {
     "plans/analytics.py:q_km_time_to_error": (1, "1-row at-risk total"),
     "plans/analytics.py:q_markov_next_event": (1, "per-event-type argmax (enum-bounded)"),
     "plans/diagnostics.py:d_tfidf_top_terms": (1, "1-row n_docs aggregate"),
+    "plans/urlpipe.py:_crawl_budget_impl": (
+        2,
+        "1-row weight-total and 1-row leftover aggregates over the "
+        "host-cardinality census",
+    ),
     "plans/diagnostics.py:q_approx_distinct_check": (1, "per-priority approx counts (5 rows)"),
     "plans/diagnostics.py:q_key_skew_profile": (1, "1-row total aggregate"),
     "plans/diagnostics.py:q_scd2_lookup": (1, "1-row min/max bounds aggregate"),
