@@ -568,30 +568,13 @@ def _merge_index(cls: DataFrame, committed: DataFrame, batch: DataFrame) -> Data
     return untouched.select("curl", "last_ts", "doc_id").unionByName(survivors)
 
 
-def _ingest_delta_oracle() -> str:
-    from ..functions.hashing import md5_long_sql
-
-    key = "curl || '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(last_ts AS VARCHAR)"
-    dig = f"SUM({md5_long_sql(key)} % {_DIG_MOD})"
-    metrics = """
-      SELECT 1 AS step, 'committed_urls' AS metric, CAST(committed_urls AS BIGINT) AS value FROM stats
-      UNION ALL SELECT 2, 'batch_snapshots', CAST(batch_snapshots AS BIGINT) FROM stats
-      UNION ALL SELECT 3, 'batch_urls', CAST(batch_urls AS BIGINT) FROM stats
-      UNION ALL SELECT 4, 'new_urls', CAST(new_urls AS BIGINT) FROM stats
-      UNION ALL SELECT 5, 'refetch_newer', CAST(refetch_newer AS BIGINT) FROM stats
-      UNION ALL SELECT 6, 'refetch_stale', CAST(refetch_stale AS BIGINT) FROM stats
-      UNION ALL SELECT 7, 'pages_to_extract', CAST(new_urls + refetch_newer AS BIGINT) FROM stats
-      UNION ALL SELECT 8, 'extract_saved_vs_recompute', CAST(full_urls - (new_urls + refetch_newer) AS BIGINT) FROM stats
-      UNION ALL SELECT 9, 'merged_urls', CAST(merged_urls AS BIGINT) FROM stats
-      UNION ALL SELECT 10, 'full_urls', CAST(full_urls AS BIGINT) FROM stats
-      UNION ALL SELECT 11, 'merged_digest', CAST(merged_digest AS BIGINT) FROM stats
-      UNION ALL SELECT 12, 'full_digest', CAST(full_digest AS BIGINT) FROM stats
-      UNION ALL SELECT 13, 'digest_match',
-        CAST(CASE WHEN merged_urls = full_urls AND merged_digest = full_digest
-             THEN 1 ELSE 0 END AS BIGINT) FROM stats
-    """
-    return f"""
-    WITH {_snap_sql()}, c AS (
+def _delta_chain_sql() -> str:
+    """The WITH-body shared by the delta-family oracles: snapshot
+    synthesis → canonical key + delta split → committed index → batch
+    aggregate → verdict classify → merged index (textually identical to
+    what t_ingest_delta's oracle always contained, so its hash is
+    unaffected by the extraction)."""
+    return f"""{_snap_sql()}, c AS (
       SELECT doc_id, ts, {_CANON_SQL} AS curl,
              CASE WHEN doc_id % {_DELTA_MOD} = 0
                     OR (doc_id % {_N_ART}) % {_NEWART_MOD} = 0
@@ -618,7 +601,74 @@ def _ingest_delta_oracle() -> str:
       SELECT k.curl, k.last_ts, k.doc_id
       FROM committed k LEFT JOIN batch b ON k.curl = b.curl
       WHERE b.curl IS NULL
-    ), fullidx AS (
+    )"""
+
+
+def _delta_relations(spark: SparkSession, sf_dir: str, persist: bool = True):
+    """Spark twin of `_delta_chain_sql`: (c, committed, batch, cls,
+    merged) with the delta family's checkpoint discipline applied."""
+    c = _snaps_df(spark, sf_dir).select(
+        "doc_id",
+        "ts",
+        F.expr(_CANON_SPARK).alias("curl"),
+        F.expr(
+            f"CASE WHEN doc_id % {_DELTA_MOD} = 0"
+            f" OR (doc_id % {_N_ART}) % {_NEWART_MOD} = 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("in_delta"),
+    )
+    if persist:
+        # the canonicalizer regex chain feeds three groupBys (committed,
+        # batch, fullidx) — one checkpoint bounds it to one pass
+        c = c.localCheckpoint(eager=True)
+    committed = c.filter("in_delta = 0").groupBy("curl").agg(
+        F.max("ts").alias("last_ts"),
+        F.expr("max_by(doc_id, ts)").alias("doc_id"),
+    )
+    batch = c.filter("in_delta = 1").groupBy("curl").agg(
+        F.max("ts").alias("b_ts"),
+        F.expr("max_by(doc_id, ts)").alias("b_doc"),
+        F.count(F.lit(1)).alias("b_snaps"),
+    )
+    if persist:
+        # the index/batch relations each feed three consumers (classify
+        # join, untouched anti-join, census aggregates); both are bounded
+        # by canonical-URL cardinality here — at production `committed`
+        # IS a stored bucketed table, so the checkpoint stands in for the
+        # table scan, not for an extra corpus pass
+        committed = committed.localCheckpoint(eager=True)
+        batch = batch.localCheckpoint(eager=True)
+    cls = _classify_batch(committed, batch)
+    if persist:
+        cls = cls.localCheckpoint(eager=True)  # survivors + verdict census
+    merged = _merge_index(cls, committed, batch)
+    return c, committed, batch, cls, merged
+
+
+def _ingest_delta_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    key = "curl || '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(last_ts AS VARCHAR)"
+    dig = f"SUM({md5_long_sql(key)} % {_DIG_MOD})"
+    metrics = """
+      SELECT 1 AS step, 'committed_urls' AS metric, CAST(committed_urls AS BIGINT) AS value FROM stats
+      UNION ALL SELECT 2, 'batch_snapshots', CAST(batch_snapshots AS BIGINT) FROM stats
+      UNION ALL SELECT 3, 'batch_urls', CAST(batch_urls AS BIGINT) FROM stats
+      UNION ALL SELECT 4, 'new_urls', CAST(new_urls AS BIGINT) FROM stats
+      UNION ALL SELECT 5, 'refetch_newer', CAST(refetch_newer AS BIGINT) FROM stats
+      UNION ALL SELECT 6, 'refetch_stale', CAST(refetch_stale AS BIGINT) FROM stats
+      UNION ALL SELECT 7, 'pages_to_extract', CAST(new_urls + refetch_newer AS BIGINT) FROM stats
+      UNION ALL SELECT 8, 'extract_saved_vs_recompute', CAST(full_urls - (new_urls + refetch_newer) AS BIGINT) FROM stats
+      UNION ALL SELECT 9, 'merged_urls', CAST(merged_urls AS BIGINT) FROM stats
+      UNION ALL SELECT 10, 'full_urls', CAST(full_urls AS BIGINT) FROM stats
+      UNION ALL SELECT 11, 'merged_digest', CAST(merged_digest AS BIGINT) FROM stats
+      UNION ALL SELECT 12, 'full_digest', CAST(full_digest AS BIGINT) FROM stats
+      UNION ALL SELECT 13, 'digest_match',
+        CAST(CASE WHEN merged_urls = full_urls AND merged_digest = full_digest
+             THEN 1 ELSE 0 END AS BIGINT) FROM stats
+    """
+    return f"""
+    WITH {_delta_chain_sql()}, fullidx AS (
       SELECT curl, MAX(ts) AS last_ts, MAX_BY(doc_id, ts) AS doc_id
       FROM c GROUP BY curl
     ), stats AS (
@@ -637,6 +687,130 @@ def _ingest_delta_oracle() -> str:
     SELECT CAST(step AS BIGINT) AS step, metric, value
     FROM ({metrics}) ORDER BY step
     """
+
+
+# --------------------------------------------------------------------------
+# Corpus-version manifest diff — the REPRODUCIBLE-SINK face of the
+# incremental ingest: version A = the committed index's keep-set,
+# version B = the post-delta merged keep-set, both sharded by the
+# t_shard_manifest convention (md5(doc_id) mod 16 + a 1e9-residue
+# checksum). Per shard: doc counts + checksums of both versions, docs
+# added/removed by the delta, and a `changed` flag — the economics
+# claim is that an incremental day REWRITES ONLY CHANGED SHARDS (a
+# shard whose checksum is untouched needs no I/O). Conservation ties it
+# to the delta census: Σ added == pages_to_extract, Σ removed ==
+# refetch_newer (each replaced URL retires exactly one old doc).
+# Scale shape: the keep-sets are index-cardinality relations; the
+# added/removed anti-joins are batch-bounded on the doc_id key; the
+# shard aggregates are 16-row partial aggregates.
+_MANIFEST_SHARDS = 16  # == plans/textpipe._SHARDS (t_shard_manifest)
+_MANIFEST_RES = 1_000_000_000
+
+
+def _manifest_diff_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(doc_id AS VARCHAR)")
+    keyed = (
+        f"SELECT doc_id, {h} % {_MANIFEST_SHARDS} AS shard_id,"
+        f" {h} % {_MANIFEST_RES} AS res"
+    )
+    return f"""
+    WITH {_delta_chain_sql()}, av AS (
+      {keyed} FROM committed
+    ), bv AS (
+      {keyed} FROM merged
+    ), added AS (
+      SELECT b.shard_id FROM bv b LEFT JOIN av a ON a.doc_id = b.doc_id
+      WHERE a.doc_id IS NULL
+    ), removed AS (
+      SELECT a.shard_id FROM av a LEFT JOIN bv b ON b.doc_id = a.doc_id
+      WHERE b.doc_id IS NULL
+    ), aagg AS (
+      SELECT shard_id, COUNT(*) AS a_docs, SUM(res) AS a_checksum
+      FROM av GROUP BY shard_id
+    ), bagg AS (
+      SELECT shard_id, COUNT(*) AS b_docs, SUM(res) AS b_checksum
+      FROM bv GROUP BY shard_id
+    ), aadd AS (
+      SELECT shard_id, COUNT(*) AS n_added FROM added GROUP BY shard_id
+    ), arem AS (
+      SELECT shard_id, COUNT(*) AS n_removed FROM removed GROUP BY shard_id
+    ), spine AS (
+      SELECT shard_id FROM aagg UNION SELECT shard_id FROM bagg
+    )
+    SELECT s.shard_id,
+           CAST(COALESCE(a_docs, 0) AS BIGINT) AS a_docs,
+           CAST(COALESCE(b_docs, 0) AS BIGINT) AS b_docs,
+           CAST(COALESCE(n_added, 0) AS BIGINT) AS n_added,
+           CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(COALESCE(a_checksum, 0) AS BIGINT) AS a_checksum,
+           CAST(COALESCE(b_checksum, 0) AS BIGINT) AS b_checksum,
+           CAST(CASE WHEN COALESCE(a_docs, 0) <> COALESCE(b_docs, 0)
+                       OR COALESCE(a_checksum, 0) <> COALESCE(b_checksum, 0)
+                THEN 1 ELSE 0 END AS BIGINT) AS changed
+    FROM spine s
+    LEFT JOIN aagg USING (shard_id)
+    LEFT JOIN bagg USING (shard_id)
+    LEFT JOIN aadd USING (shard_id)
+    LEFT JOIN arem USING (shard_id)
+    ORDER BY shard_id
+    """
+
+
+def _manifest_diff_impl(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    _, committed, _, _, merged = _delta_relations(spark, sf_dir, persist)
+
+    def _keyed(df: DataFrame) -> DataFrame:
+        h = md5_long(F.col("doc_id").cast("string"))
+        return df.select(
+            "doc_id",
+            F.pmod(h, F.lit(_MANIFEST_SHARDS)).alias("shard_id"),
+            F.pmod(h, F.lit(_MANIFEST_RES)).alias("res"),
+        )
+
+    av, bv = _keyed(committed), _keyed(merged)
+    if persist:
+        # each keyed keep-set feeds its shard aggregate AND one side of
+        # both anti-joins; index-cardinality-bounded
+        av = av.localCheckpoint(eager=True)
+        bv = bv.localCheckpoint(eager=True)
+    added = bv.join(av.select("doc_id"), "doc_id", "left_anti")
+    removed = av.join(bv.select("doc_id"), "doc_id", "left_anti")
+    aagg = av.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("a_docs"), F.sum("res").alias("a_checksum")
+    )
+    bagg = bv.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("b_docs"), F.sum("res").alias("b_checksum")
+    )
+    aadd = added.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n_added"))
+    arem = removed.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n_removed"))
+    spine = aagg.select("shard_id").union(bagg.select("shard_id")).distinct()
+    out = (
+        spine.join(aagg, "shard_id", "left")
+        .join(bagg, "shard_id", "left")
+        .join(aadd, "shard_id", "left")
+        .join(arem, "shard_id", "left")
+    )
+    z = F.lit(0)
+    a_docs = F.coalesce(F.col("a_docs"), z)
+    b_docs = F.coalesce(F.col("b_docs"), z)
+    a_ck = F.coalesce(F.col("a_checksum"), z)
+    b_ck = F.coalesce(F.col("b_checksum"), z)
+    return out.select(
+        "shard_id",
+        a_docs.cast("bigint").alias("a_docs"),
+        b_docs.cast("bigint").alias("b_docs"),
+        F.coalesce(F.col("n_added"), z).cast("bigint").alias("n_added"),
+        F.coalesce(F.col("n_removed"), z).cast("bigint").alias("n_removed"),
+        a_ck.cast("bigint").alias("a_checksum"),
+        b_ck.cast("bigint").alias("b_checksum"),
+        ((a_docs != b_docs) | (a_ck != b_ck)).cast("bigint").alias("changed"),
+    ).orderBy("shard_id")
 
 
 # --------------------------------------------------------------------------
@@ -850,41 +1024,7 @@ def _ingest_delta_impl(
 ) -> DataFrame:
     from ..functions.hashing import md5_long
 
-    c = _snaps_df(spark, sf_dir).select(
-        "doc_id",
-        "ts",
-        F.expr(_CANON_SPARK).alias("curl"),
-        F.expr(
-            f"CASE WHEN doc_id % {_DELTA_MOD} = 0"
-            f" OR (doc_id % {_N_ART}) % {_NEWART_MOD} = 0"
-            " THEN 1 ELSE 0 END"
-        ).alias("in_delta"),
-    )
-    if persist:
-        # the canonicalizer regex chain feeds three groupBys (committed,
-        # batch, fullidx) — one checkpoint bounds it to one pass
-        c = c.localCheckpoint(eager=True)
-    committed = c.filter("in_delta = 0").groupBy("curl").agg(
-        F.max("ts").alias("last_ts"),
-        F.expr("max_by(doc_id, ts)").alias("doc_id"),
-    )
-    batch = c.filter("in_delta = 1").groupBy("curl").agg(
-        F.max("ts").alias("b_ts"),
-        F.expr("max_by(doc_id, ts)").alias("b_doc"),
-        F.count(F.lit(1)).alias("b_snaps"),
-    )
-    if persist:
-        # the index/batch relations each feed three consumers (classify
-        # join, untouched anti-join, census aggregates); both are bounded
-        # by canonical-URL cardinality here — at production `committed`
-        # IS a stored bucketed table, so the checkpoint stands in for the
-        # table scan, not for an extra corpus pass
-        committed = committed.localCheckpoint(eager=True)
-        batch = batch.localCheckpoint(eager=True)
-    cls = _classify_batch(committed, batch)
-    if persist:
-        cls = cls.localCheckpoint(eager=True)  # survivors + verdict census
-    merged = _merge_index(cls, committed, batch)
+    c, committed, batch, cls, merged = _delta_relations(spark, sf_dir, persist)
     fullidx = c.groupBy("curl").agg(
         F.max("ts").alias("last_ts"),
         F.expr("max_by(doc_id, ts)").alias("doc_id"),
@@ -1222,6 +1362,25 @@ def _register_ingest():
         )
     )
     ALL_SPECS["t_crawl_budget"].lazy_plan = lambda spark, sf_dir: _crawl_budget_impl(
+        spark, sf_dir, persist=False
+    )
+    register(
+        QuerySpec(
+            name="t_manifest_diff",
+            spark=_manifest_diff_impl,
+            oracle=_manifest_diff_oracle(),
+            doc="corpus-version manifest diff: committed vs post-delta "
+            "keep-sets sharded by the t_shard_manifest convention "
+            "(md5 mod 16 + residue checksum) — per shard both versions' "
+            "doc counts and checksums, docs added/removed by the delta, "
+            "and a changed flag; the reproducible-sink economics (an "
+            "incremental day rewrites ONLY changed shards); "
+            "conservation: sum(added) == pages_to_extract, "
+            "sum(removed) == refetch_newer",
+            tags=("url",),
+        )
+    )
+    ALL_SPECS["t_manifest_diff"].lazy_plan = lambda spark, sf_dir: _manifest_diff_impl(
         spark, sf_dir, persist=False
     )
 
