@@ -280,6 +280,7 @@ BENCH_QUERIES = [
     "t_ingest_epochs",
     "t_host_yield",
     "t_crawl_budget",
+    "t_manifest_diff",
 ]
 
 # Frozen heavy set for round-over-round comparison (r8 ask #4): the ~28
