@@ -2536,10 +2536,13 @@ def t_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gopher_flags(d: DataFrame) -> DataFrame:
+def _gopher_flags(d: DataFrame, keep: tuple = ()) -> DataFrame:
     """Per-document Gopher rule verdicts (doc_id, source, n_tok, p_*):
     the doc-level relation t_gopher_rules aggregates per source and
-    t_refinery_e2e consumes as its stage-2 gate."""
+    t_refinery_e2e consumes as its stage-2 gate. ``keep`` names extra
+    input columns carried through unchanged — the streaming composed
+    ingest uses it to avoid a stream-stream self-join (default () keeps
+    the historical projection byte-identical)."""
     stop = [w.strip(" '") for w in _GOPHER_STOP.split(",")]
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     s = d.select(
@@ -2548,6 +2551,7 @@ def _gopher_flags(d: DataFrame) -> DataFrame:
         toks.alias("toks"),
         F.size(toks).alias("n_tok"),
         F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")).alias("n_chars_ws"),
+        *keep,
     )
     # bigram stream rebuilt inline at each use (convention: exploding /
     # transforming a named heavy array column pays an UnsafeRow copy)
@@ -2559,6 +2563,7 @@ def _gopher_flags(d: DataFrame) -> DataFrame:
         "doc_id",
         "source",
         "n_tok",
+        *keep,
         (F.col("n_chars_ws").cast("double") / F.col("n_tok")).alias("mwl"),
         (
             F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]"))).cast("double")
@@ -2582,6 +2587,7 @@ def _gopher_flags(d: DataFrame) -> DataFrame:
         "doc_id",
         "source",
         "n_tok",
+        *keep,
         F.col("n_tok").between(25, 80).cast("int").alias("p_wc"),
         ((F.col("mwl") >= 3.0) & (F.col("mwl") <= 4.5)).cast("int").alias("p_mwl"),
         (F.col("alpha_ratio") >= 0.8).cast("int").alias("p_alpha"),

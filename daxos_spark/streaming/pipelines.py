@@ -1009,6 +1009,67 @@ def ingest_delta_stream(
     )
 
 
+def ingest_stream_e2e(
+    pages: DataFrame,
+    index_latest: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    page_col: str = "page",
+) -> DataFrame:
+    """The COMPOSED streaming crawl-ingest face — the streaming twin of
+    plans/urlpipe.t_ingest_e2e, built entirely from stateless stages so
+    the whole chain runs as one continuous stream with exact
+    stream==batch equality under any micro-batch split:
+
+      1. refetch-aware classify against the static freshness index
+         (ingest_delta_stream — new/newer admitted, stale dropped; the
+         stateful latest-per-key merge stays with the batch index
+         refresh, t_ingest_delta's digest-proved job)
+      2. robots/opt-out gate on the RAW page bytes (cheap regex, before
+         extraction cost — the t_optout_refinery ordering)
+      3. main-content extraction (jusText-lite, pure JVM HOFs)
+      4. Gopher quality flags on the EXTRACTED text
+
+    Output: admitted, compliant, non-empty-extraction pages with
+    (curl, verdict, text, gopher_pass) — the stream of corpus
+    candidates; every stage is its batch query's exact machinery.
+    """
+    from ..functions.html import _spark_lit, block_stats, extract_main
+    from ..plans.htmlpipe import _META_ROBOTS_RE as _META_RE
+    from ..plans.htmlpipe import _OPTOUT_SOURCES as _OPT_SRC
+    from ..plans.textpipe import _gopher_flags
+
+    admitted = ingest_delta_stream(pages, index_latest, url_col, ts_col)
+    robots = f"lower(regexp_extract({page_col}, '{_spark_lit(_META_RE)}', 1))"
+    compliant = admitted.filter(
+        F.expr(
+            f"NOT (position('noai' IN {robots}) > 0"
+            f" OR position('noindex' IN {robots}) > 0 OR {robots} = 'none')"
+        )
+        & ~F.col("source").isin(*_OPT_SRC)
+    )
+    ext = (
+        compliant.withColumn("__stats", block_stats(page_col))
+        .withColumn("text", extract_main("__stats"))
+        .drop("__stats", page_col)
+        .filter(F.length("text") > 0)
+    )
+    # NOT a self-join back onto ext (that would be a stream-stream join
+    # needing watermark state) — the flag projection carries the
+    # passthrough columns itself via _gopher_flags(keep=...)
+    return _gopher_flags(ext, keep=("curl", "verdict", "text")).select(
+        "doc_id",
+        "source",
+        "curl",
+        "verdict",
+        "text",
+        (
+            F.col("p_wc") * F.col("p_mwl") * F.col("p_alpha")
+            * F.col("p_stop") * F.col("p_rep")
+        ).alias("gopher_pass"),
+    )
+
+
 def simhash_corpus_index(
     docs: DataFrame, id_col: str = "doc_id", bucket_cap: int | None = None
 ) -> DataFrame:

@@ -598,3 +598,75 @@ def test_manifest_diff_conservation(spark):
     # unless the batch is large relative to 16 shards — assert only the
     # flag consistency above plus that BOTH states occur at this SF
     assert any(r["changed"] == 1 for r in rows)
+
+
+def test_ingest_stream_e2e_matches_batch(spark, tmp_path):
+    """The COMPOSED streaming ingest face (classify -> opt-out gate ->
+    extract -> gopher) == the same chain applied in batch, across
+    scrambled micro-batches — exact set equality because every stage is
+    stateless. Fixture exercises each drop point: a stale refetch
+    (classify), a noai page (gate), an empty-extraction page, and a
+    full pass-through."""
+    import pandas as pd
+
+    from daxos_spark.streaming.pipelines import (
+        ingest_stream_e2e,
+        run_to_memory,
+        url_index_latest,
+    )
+
+    body = " ".join(
+        "the quick brown fox jumps over the lazy dog near a quiet river "
+        "bank while many other animals watch with great interest".split()
+    )
+    page_ok = (
+        "<html><head></head><body><p>" + body + " " + body + "</p>"
+        "<a href='https://x.example/y'>m</a></body></html>"
+    )
+    page_noai = page_ok.replace(
+        "</head>", '<meta name="robots" content="noai"></head>'
+    )
+    page_empty = "<html><head></head><body><a href='u'>l</a></body></html>"
+    committed = spark.createDataFrame(
+        pd.DataFrame({"url": ["https://example.com/a/1"], "ts": [50]})
+    )
+    idx = url_index_latest(committed)
+    arriving = [
+        (1, "src0", "https://example.com/a/1", 40, page_ok),     # stale
+        (2, "src0", "https://example.com/a/1#f", 60, page_ok),   # newer, pass
+        (3, "src0", "https://example.com/a/9", 10, page_noai),   # new, noai
+        (4, "src0", "https://example.com/a/8", 10, page_empty),  # new, empty
+        (5, "src0", "https://example.com/a/7", 10, page_ok),     # new, pass
+    ]
+    cols = ["doc_id", "source", "url", "ts", "page"]
+    arr_dir = tmp_path / "arr"
+    arr_dir.mkdir()
+    for i, row in enumerate([arriving[3], arriving[1], arriving[4],
+                             arriving[0], arriving[2]]):
+        spark.createDataFrame(pd.DataFrame([row], columns=cols)).coalesce(
+            1
+        ).write.parquet(str(arr_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, source string, url string, ts long, page string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(arr_dir / "b*"))
+    )
+    run_to_memory(
+        ingest_stream_e2e(stream, idx), "ingeste2e", output_mode="append"
+    )
+    got = {
+        (r["doc_id"], r["verdict"], r["gopher_pass"])
+        for r in spark.sql(
+            "SELECT doc_id, verdict, gopher_pass FROM ingeste2e"
+        ).collect()
+    }
+    assert {d for d, _, _ in got} == {2, 5}  # 1 stale, 3 noai, 4 empty
+    assert got == {(2, "refetch_newer", 1), (5, "new_url", 1)}
+    batch = spark.createDataFrame(pd.DataFrame(arriving, columns=cols))
+    batch_got = {
+        (r["doc_id"], r["verdict"], r["gopher_pass"])
+        for r in ingest_stream_e2e(batch, idx).collect()
+    }
+    assert batch_got == got
