@@ -415,6 +415,111 @@ def _ingest_e2e_impl(spark: SparkSession, sf_dir: str, persist: bool = True) -> 
 
 
 # --------------------------------------------------------------------------
+# robots.txt path gate — the OTHER half of the robots story
+# (t_optout_gate honors per-PAGE meta robots; this honors the per-HOST
+# robots.txt that every crawler fetches first): synthesize each host's
+# robots.txt deterministically (three policy archetypes by host
+# arithmetic — targeted path prefixes / full disallow / allow-all with
+# crawl-delay), PARSE the Disallow lines with a real multiline regex
+# (shared RE2/Java-safe constant, backslash-doubled only on the Spark
+# side per the _spark_lit rule), and prefix-match every canonical
+# URL's path against its host's parsed prefixes. Per-host census of
+# blocked/allowed URL mass. Scale shape: robots.txt is per-HOST data —
+# a tiny broadcast-shaped relation joined to the URL store on its
+# partition key; the parse + prefix match are stateless per-row JVM
+# expressions (one regexp_extract_all + an exists() HOF).
+_ROBOTS_DIS_RE = r"(?m)^Disallow: (\S+)"
+
+
+def _robots_txt_sql(hidx: str) -> str:
+    """CASE expression synthesizing host ``hidx``'s robots.txt (shared
+    text both engines build with chr(10) newlines)."""
+    return (
+        f"CASE {hidx} % 3"
+        " WHEN 0 THEN 'User-agent: *' || chr(10) ||"
+        " 'Disallow: /articles/1' || chr(10) || 'Disallow: /articles/3'"
+        " WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /'"
+        " ELSE 'User-agent: *' || chr(10) || 'Crawl-delay: 5' END"
+    )
+
+
+def _robots_gate_oracle() -> str:
+    return f"""
+    WITH {_snap_sql()}, cu AS (
+      SELECT DISTINCT {_CANON_SQL} AS curl FROM snaps
+    ), parts AS (
+      SELECT curl,
+             regexp_extract(curl, '://([^/]+)', 1) AS host,
+             regexp_extract(curl, '://[^/]+(/.*)', 1) AS path
+      FROM cu
+    ), rules AS (
+      SELECT *, {_robots_txt_sql(
+          "CAST(regexp_extract(host, 'example([0-9]+)', 1) AS BIGINT)")} AS robots_txt
+      FROM parts
+    ), verdicts AS (
+      SELECT host,
+             len(regexp_extract_all(robots_txt, '{_ROBOTS_DIS_RE}', 1)) AS n_rules,
+             CASE WHEN len(list_filter(
+                    regexp_extract_all(robots_txt, '{_ROBOTS_DIS_RE}', 1),
+                    x -> starts_with(path, x))) > 0
+                  THEN 1 ELSE 0 END AS blocked
+      FROM rules
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(MAX(n_rules) AS BIGINT) AS n_rules,
+           CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+           CAST(COUNT(*) - SUM(blocked) AS BIGINT) AS n_allowed,
+           {sql_trunc6('CAST(SUM(blocked) AS DOUBLE) / COUNT(*)')} AS blocked_rate
+    FROM verdicts GROUP BY host ORDER BY host
+    """
+
+
+def t_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.html import _spark_lit
+
+    cu = (
+        _snaps_df(spark, sf_dir)
+        .select(F.expr(_CANON_SPARK).alias("curl"))
+        .distinct()
+    )
+    parts = cu.select(
+        "curl",
+        F.regexp_extract("curl", "://([^/]+)", 1).alias("host"),
+        F.regexp_extract("curl", "://[^/]+(/.*)", 1).alias("path"),
+    )
+    rules = parts.withColumn(
+        "robots_txt",
+        F.expr(
+            _robots_txt_sql(
+                "CAST(regexp_extract(host, 'example([0-9]+)', 1) AS BIGINT)"
+            )
+        ),
+    )
+    dis = f"regexp_extract_all(robots_txt, '{_spark_lit(_ROBOTS_DIS_RE)}', 1)"
+    verdicts = rules.select(
+        "host",
+        F.expr(f"size({dis})").alias("n_rules"),
+        F.expr(
+            f"CASE WHEN exists({dis}, x -> startswith(path, x))"
+            " THEN 1 ELSE 0 END"
+        ).alias("blocked"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        verdicts.groupBy("host")
+        .agg(
+            n.cast("bigint").alias("n_urls"),
+            F.max("n_rules").cast("bigint").alias("n_rules"),
+            F.sum("blocked").cast("bigint").alias("n_blocked"),
+            (n - F.sum("blocked")).cast("bigint").alias("n_allowed"),
+            trunc6(F.sum("blocked").cast("double") / n).alias("blocked_rate"),
+        )
+        .orderBy("host")
+    )
+
+
+# --------------------------------------------------------------------------
 # Crawl-budget apportionment — the ACTION the per-host economics census
 # exists for: divide a fixed next-epoch fetch budget across hosts in
 # proportion to measured Gopher yield, by integer largest-remainder
@@ -1382,6 +1487,23 @@ def _register_ingest():
     )
     ALL_SPECS["t_manifest_diff"].lazy_plan = lambda spark, sf_dir: _manifest_diff_impl(
         spark, sf_dir, persist=False
+    )
+    register(
+        QuerySpec(
+            name="t_robots_txt",
+            spark=t_robots_txt,
+            oracle=_robots_gate_oracle(),
+            doc="robots.txt path gate (the per-HOST half of the robots "
+            "story, alongside t_optout_gate's per-page meta tags): "
+            "deterministic per-host robots.txt synthesis (three policy "
+            "archetypes), REAL multiline Disallow-line parse "
+            "(regexp_extract_all, shared RE2/Java constant), canonical "
+            "URL path prefix-matched against the host's parsed prefixes "
+            "via an exists() HOF; per-host blocked/allowed census — "
+            "robots.txt is per-host broadcast-shaped data joined on the "
+            "URL store's partition key",
+            tags=("url",),
+        )
     )
 
 

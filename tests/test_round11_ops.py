@@ -670,3 +670,27 @@ def test_ingest_stream_e2e_matches_batch(spark, tmp_path):
         for r in ingest_stream_e2e(batch, idx).collect()
     }
     assert batch_got == got
+
+
+def test_robots_txt_ground_truth(spark):
+    """robots.txt gate vs an exact python replay: articles on host k are
+    {a : a % 7 == k} (211 articles); archetype by k % 3 — 0: block paths
+    starting /articles/1 or /articles/3, 1: block everything, 2: allow
+    all. Census must match the arithmetic exactly."""
+    from daxos_spark.plans.urlpipe import _N_ART, _N_HOST, t_robots_txt
+
+    rows = {r["host"]: r for r in t_robots_txt(spark, SF_DIR).collect()}
+    assert len(rows) == _N_HOST
+    for k in range(_N_HOST):
+        arts = [a for a in range(_N_ART) if a % _N_HOST == k]
+        if k % 3 == 0:
+            want = sum(str(a).startswith(("1", "3")) for a in arts)
+        elif k % 3 == 1:
+            want = len(arts)
+        else:
+            want = 0
+        r = rows[f"example{k}.com"]
+        assert r["n_urls"] == len(arts)
+        assert r["n_blocked"] == want
+        assert r["n_allowed"] == len(arts) - want
+        assert r["n_rules"] == {0: 2, 1: 1, 2: 0}[k % 3]
