@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "t_host_yield",
     "t_crawl_budget",
     "t_manifest_diff",
+    "t_robots_txt",
 ]
 
 # Frozen heavy set for round-over-round comparison (r8 ask #4): the ~28
