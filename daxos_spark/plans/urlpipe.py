@@ -520,6 +520,175 @@ def t_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Frontier-to-corpus pipeline — t_ingest_e2e extended one stage UPSTREAM
+# with the robots.txt path gate in its true position: PRE-FETCH. A
+# crawler checks robots.txt before spending a fetch, so the cost-correct
+# composed order is
+#   robots.txt gate (frontier, before the fetch is even made) →
+#   URL-level dedup → per-page meta/opt-out gate → extraction → Gopher.
+# Modeled here as the snapshot relation filtered by the per-host parsed
+# Disallow prefixes (t_robots_txt's exact machinery) ahead of the
+# t_ingest_e2e chain. Kept as a SEPARATE query so t_ingest_e2e's frozen
+# hash stands; per-stage doc + char mass like every composed funnel.
+def _frontier_oracle() -> str:
+    from ..functions.html import sql_block_stats, sql_extract_main
+    from .htmlpipe import _html_sql, _meta_sql, _OPTOUT_IN
+    from .textpipe import _TOKS as _DTOKS
+    from .textpipe import _gopher_cte
+
+    robots = _robots_txt_sql(
+        "CAST(regexp_extract(regexp_extract(curl, '://([^/]+)', 1),"
+        " 'example([0-9]+)', 1) AS BIGINT)"
+    )
+    return f"""
+    WITH ibase AS (
+      SELECT doc_id, source, {_DTOKS} AS tk, {_TS0} + doc_id AS ts FROM documents
+    ), isnap AS (
+      SELECT doc_id, source, ts,
+             CASE doc_id % {len(_VARIANTS)} {" ".join(
+                 f"WHEN {i} THEN '{p}' || CAST((doc_id % {_N_ART}) % {_N_HOST} AS VARCHAR)"
+                 f" || '{m}' || CAST(doc_id % {_N_ART} AS VARCHAR) || '{s}'"
+                 for i, (p, m, s) in enumerate(_VARIANTS))} END AS url,
+             replace({_html_sql()}, '</head>', {_meta_sql()} || '</head>') AS page
+      FROM ibase
+    ), icanon AS (
+      SELECT *, {_CANON_SQL} AS curl FROM isnap
+    ), irtx AS (
+      SELECT *, CASE WHEN len(list_filter(
+               regexp_extract_all({robots}, '{_ROBOTS_DIS_RE}', 1),
+               x -> starts_with(regexp_extract(curl, '://[^/]+(/.*)', 1), x))) > 0
+             THEN 0 ELSE 1 END AS rallow
+      FROM icanon
+    ), irok AS (
+      SELECT doc_id, source, ts, page, curl FROM irtx WHERE rallow = 1
+    ), ikept AS (
+      SELECT MAX_BY(doc_id, ts) AS doc_id FROM irok GROUP BY curl
+    ), isurv AS (
+      SELECT c.doc_id, c.source, c.page FROM irok c JOIN ikept k USING (doc_id)
+    ), irob AS (
+      SELECT doc_id, source, page,
+             lower(regexp_extract(page, '{_META_RE_SQL}', 1)) AS robots
+      FROM isurv
+    ), igate AS (
+      SELECT doc_id, source, page,
+             CASE WHEN position('noai' IN robots) > 0
+                    OR position('noindex' IN robots) > 0 OR robots = 'none'
+                    OR source IN ({_OPTOUT_IN})
+                  THEN 0 ELSE 1 END AS kept
+      FROM irob
+    ), icompliant AS (
+      SELECT doc_id, source, page FROM igate WHERE kept = 1
+    ), iext AS (
+      SELECT doc_id, source,
+             {sql_extract_main(sql_block_stats('page'))} AS text
+      FROM icompliant
+    ), iexd AS (
+      SELECT doc_id, source, text FROM iext WHERE len(text) > 0
+    ), {_gopher_cte('iexd')}, ig6 AS (
+      SELECT g.p_wc * g.p_mwl * g.p_alpha * g.p_stop * g.p_rep AS p,
+             len(k.text) AS chars
+      FROM gflag g JOIN iexd k ON k.doc_id = g.doc_id
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'raw_snapshots' AS stage_name,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(length(page)) AS BIGINT) AS n_chars
+      FROM icanon
+      UNION ALL
+      SELECT 2, 'robots_allowed', CAST(COUNT(*) AS BIGINT), CAST(SUM(length(page)) AS BIGINT)
+      FROM irok
+      UNION ALL
+      SELECT 3, 'url_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(length(page)) AS BIGINT)
+      FROM isurv
+      UNION ALL
+      SELECT 4, 'optout_gate', CAST(COUNT(*) AS BIGINT), CAST(SUM(length(page)) AS BIGINT)
+      FROM icompliant
+      UNION ALL
+      SELECT 5, 'extracted', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(length(text)), 0) AS BIGINT)
+      FROM iexd
+      UNION ALL
+      SELECT 6, 'gopher_rules',
+             CAST(COALESCE(SUM(p), 0) AS BIGINT),
+             CAST(COALESCE(SUM(p * chars), 0) AS BIGINT)
+      FROM ig6
+    ) ORDER BY stage
+    """
+
+
+def _frontier_e2e_impl(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> DataFrame:
+    from ..functions.html import _spark_lit, block_stats, extract_main
+    from .htmlpipe import _META_ROBOTS_RE as _META_RE
+    from .htmlpipe import _OPTOUT_SOURCES as _OPT_SRC
+    from .textpipe import _gopher_flags
+
+    snap = _ingest_snap_df(spark, sf_dir)
+    if persist:
+        snap = snap.localCheckpoint(eager=True)
+    robots = _robots_txt_sql(
+        "CAST(regexp_extract(regexp_extract(curl, '://([^/]+)', 1),"
+        " 'example([0-9]+)', 1) AS BIGINT)"
+    )
+    dis = f"regexp_extract_all({robots}, '{_spark_lit(_ROBOTS_DIS_RE)}', 1)"
+    rok = snap.filter(
+        F.expr(
+            f"NOT exists({dis},"
+            " x -> startswith(regexp_extract(curl, '://[^/]+(/.*)', 1), x))"
+        )
+    )
+    if persist:
+        rok = rok.localCheckpoint(eager=True)  # census + dedup chain
+    kept = rok.groupBy("curl").agg(F.expr("max_by(doc_id, ts)").alias("doc_id"))
+    surv = rok.join(kept.select("doc_id"), "doc_id", "left_semi")
+    meta = f"lower(regexp_extract(page, '{_spark_lit(_META_RE)}', 1))"
+    compliant = surv.filter(
+        F.expr(
+            f"NOT (position('noai' IN {meta}) > 0"
+            f" OR position('noindex' IN {meta}) > 0 OR {meta} = 'none')"
+        )
+        & ~F.col("source").isin(*_OPT_SRC)
+    ).select("doc_id", "source", "page")
+    ext = compliant.withColumn("stats", block_stats("page")).select(
+        "doc_id", "source", extract_main("stats").alias("text")
+    )
+    exd = ext.filter(F.length("text") > 0)
+    if persist:
+        exd = exd.localCheckpoint(eager=True)  # gopher multi-consumes text
+    g = _gopher_flags(exd).join(
+        exd.select("doc_id", F.length("text").alias("chars")), "doc_id"
+    )
+    p_all = (
+        F.col("p_wc") * F.col("p_mwl") * F.col("p_alpha") * F.col("p_stop") * F.col("p_rep")
+    )
+    s1 = snap.agg(F.count(F.lit(1)).alias("a1"), F.sum(F.length("page")).cast("bigint").alias("b1"))
+    s2 = rok.agg(F.count(F.lit(1)).alias("a2"), F.sum(F.length("page")).cast("bigint").alias("b2"))
+    s3 = surv.agg(F.count(F.lit(1)).alias("a3"), F.sum(F.length("page")).cast("bigint").alias("b3"))
+    s4 = compliant.agg(F.count(F.lit(1)).alias("a4"), F.sum(F.length("page")).cast("bigint").alias("b4"))
+    s5 = exd.agg(F.count(F.lit(1)).alias("a5"), F.sum(F.length("text")).cast("bigint").alias("b5"))
+    s6 = g.agg(
+        F.sum(p_all).cast("bigint").alias("a6"),
+        F.sum(p_all * F.col("chars")).cast("bigint").alias("b6"),
+    )
+    return (
+        s1.crossJoin(s2).crossJoin(s3).crossJoin(s4).crossJoin(s5).crossJoin(s6)
+        .selectExpr(
+            "stack(6,"
+            " CAST(1 AS BIGINT), 'raw_snapshots', CAST(a1 AS BIGINT), b1,"
+            " CAST(2 AS BIGINT), 'robots_allowed', CAST(a2 AS BIGINT), b2,"
+            " CAST(3 AS BIGINT), 'url_dedup', CAST(a3 AS BIGINT), b3,"
+            " CAST(4 AS BIGINT), 'optout_gate', CAST(a4 AS BIGINT), b4,"
+            " CAST(5 AS BIGINT), 'extracted', CAST(a5 AS BIGINT), b5,"
+            " CAST(6 AS BIGINT), 'gopher_rules', coalesce(a6, CAST(0 AS BIGINT)),"
+            " coalesce(b6, CAST(0 AS BIGINT))"
+            ") AS (stage, stage_name, n_docs, n_chars)"
+        )
+        .orderBy("stage")
+    )
+
+
+# --------------------------------------------------------------------------
 # Crawl-budget apportionment — the ACTION the per-host economics census
 # exists for: divide a fixed next-epoch fetch budget across hosts in
 # proportion to measured Gopher yield, by integer largest-remainder
@@ -1504,6 +1673,25 @@ def _register_ingest():
             "URL store's partition key",
             tags=("url",),
         )
+    )
+    register(
+        QuerySpec(
+            name="t_frontier_e2e",
+            spark=_frontier_e2e_impl,
+            oracle=_frontier_oracle(),
+            doc="t_ingest_e2e extended one stage UPSTREAM with the "
+            "robots.txt path gate in its true PRE-FETCH position: "
+            "robots.txt frontier gate -> URL-level dedup -> per-page "
+            "meta/opt-out gate -> extraction -> Gopher, one plan, "
+            "per-stage doc + char mass; the complete crawl governance "
+            "order (a disallowed path never costs a fetch, a duplicate "
+            "URL never costs a byte, a non-compliant page never costs "
+            "extraction)",
+            tags=("url",),
+        )
+    )
+    ALL_SPECS["t_frontier_e2e"].lazy_plan = lambda spark, sf_dir: _frontier_e2e_impl(
+        spark, sf_dir, persist=False
     )
 
 

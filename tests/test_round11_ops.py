@@ -694,3 +694,43 @@ def test_robots_txt_ground_truth(spark):
         assert r["n_blocked"] == want
         assert r["n_allowed"] == len(arts) - want
         assert r["n_rules"] == {0: 2, 1: 1, 2: 0}[k % 3]
+
+
+def test_frontier_e2e_ground_truth(spark):
+    """The frontier funnel's pre-fetch robots stage must match an exact
+    python replay of the arithmetic fixture (article -> host -> policy
+    archetype -> prefix match), the funnel must be monotone, and stage 1
+    must equal t_ingest_e2e's raw census on the same corpus."""
+    from daxos_spark.plans.urlpipe import (
+        _N_ART,
+        _N_HOST,
+        _frontier_e2e_impl,
+        _ingest_e2e_impl,
+    )
+
+    funnel = {
+        r["stage"]: (r["stage_name"], r["n_docs"])
+        for r in _frontier_e2e_impl(spark, SF_DIR).collect()
+    }
+    e2e = {
+        r["stage_name"]: r["n_docs"]
+        for r in _ingest_e2e_impl(spark, SF_DIR).collect()
+    }
+    assert funnel[1] == ("raw_snapshots", e2e["raw_snapshots"])
+    # python replay of the pre-fetch robots verdict per snapshot
+    n_allowed = 0
+    for doc_id in range(funnel[1][1]):
+        art = doc_id % _N_ART
+        host = art % _N_HOST
+        if host % 3 == 1:
+            blocked = True
+        elif host % 3 == 0:
+            blocked = str(art).startswith(("1", "3"))
+        else:
+            blocked = False
+        n_allowed += not blocked
+    assert funnel[2] == ("robots_allowed", n_allowed)
+    counts = [funnel[s][1] for s in sorted(funnel)]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    # the frontier gate must actually bite on this fixture
+    assert funnel[2][1] < funnel[1][1]
