@@ -282,6 +282,7 @@ BENCH_QUERIES = [
     "t_crawl_budget",
     "t_manifest_diff",
     "t_robots_txt",
+    "t_frontier_e2e",
 ]
 
 # Frozen heavy set for round-over-round comparison (r8 ask #4): the ~28
