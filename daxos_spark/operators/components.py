@@ -44,9 +44,18 @@ def connected_components(
     CC, so the probe doubles as the cache materializer); the knob is
     for library consumers that maintain edge-count statistics.
     """
+    # localCheckpoint (not persist): materializes the propagation
+    # relation AND truncates its logical lineage, so every round's plan
+    # is (LogicalRDD ⋈ labels) instead of re-analyzing the caller's full
+    # edge-construction subtree — constraint derivation over deep
+    # Generate/Window/Join lineages was both a per-round planning cost
+    # and (round 11) the trigger of a Catalyst UnionBase.
+    # rewriteConstraints "key not found" internal error under the new
+    # bucket-generated pair plans. Same fault-tolerance note as the
+    # in-loop checkpoints below.
     both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct().persist()
+    ).distinct().localCheckpoint()
     # Size the ITERATION parallelism to the graph, not the session:
     # near-dup edge sets are typically orders of magnitude smaller than
     # the corpus that produced them, and every propagation round is a
@@ -61,19 +70,38 @@ def connected_components(
     n_edges = 2 * n_edges if n_edges is not None else both.count()
     parts = max(1, min(both.rdd.getNumPartitions(), n_edges // 100_000 + 1))
     if parts < both.rdd.getNumPartitions():
-        wide = both
-        both = both.repartition(parts, "u").persist()
-        both.count()  # materialize the narrow copy before dropping the wide one
-        wide.unpersist()
+        both = both.repartition(parts, "u").localCheckpoint()
     labels = (
         both.select(F.col("u").alias("node")).distinct().withColumn("lab", F.col("node"))
     ).persist()
 
-    changed = -1
+    # Convergence check (optimization round 11, guide §2.4): labels are
+    # per-node monotone NON-INCREASING (new = min(own, neighbors) and
+    # the pointer jump adopts y.lab <= x.lab), so Σlab is strictly
+    # decreasing until the fixpoint and "Σlab unchanged" ⟺ "no label
+    # changed". The previous per-round check joined new vs old labels
+    # and counted diffs — a join + shuffle + count job per round; the
+    # sum is ONE map-side-combinable aggregate over the just-
+    # checkpointed labels (decimal sum: exact at any node-id magnitude
+    # and n, so the equality test cannot be fooled by rounding).
+    def _lab_sum(lbl: DataFrame):
+        row = lbl.agg(F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")).collect()[0]
+        return row["s"]
+
+    prev_sum = _lab_sum(labels)
+    converged = False
     for _ in range(max_iter):
-        msgs = (
+        # neighbor-min messages, PRE-AGGREGATED before the merge
+        # (map-side combinable min), then merged into the node labels
+        # via a left join instead of the previous union+groupBy: the
+        # same min(own ∪ neighbor labels) per node, without a Union
+        # node (whose constraint rewrite is both per-round planning
+        # cost and, under round-11's bucket-generated edge plans, the
+        # trigger of a Catalyst rewriteConstraints internal error).
+        msgs_min = (
             both.join(labels, both["u"] == labels["node"])
-            .select(F.col("v").alias("node"), F.col("lab"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("lab").alias("mlab"))
         )
         # localCheckpoint (not persist): TRUNCATES the lineage each round.
         # With persist alone, round N's plan nests rounds 1..N-1 as
@@ -87,9 +115,13 @@ def connected_components(
         # checkpoint() instead to survive executor loss.
         propagated = (
             labels.select("node", "lab")
-            .unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
+            .join(msgs_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("mlab"), F.col("lab"))
+                ).alias("lab"),
+            )
         )
         # pointer jumping (path halving): also adopt the label OF my
         # label's node, so label distance halves every round and
@@ -110,22 +142,19 @@ def connected_components(
                 F.coalesce(F.col("y.lab"), F.col("x.lab")).alias("lab"),
             )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
+        new_sum = _lab_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
+            converged = True
             break
+        prev_sum = new_sum
     both.unpersist()
-    if changed != 0:
+    if not converged:
         # silent truncation would report one real cluster as several
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
-            f"({changed} labels still changing) — raise max_iter (graph "
+            f"(label sum still decreasing) — raise max_iter (graph "
             f"diameter exceeds it) or switch to large-star/small-star"
         )
     return labels.select("node", F.col("lab").alias("component"))

@@ -737,11 +737,12 @@ def _jaccard_edge_pairs(d: DataFrame, persist: bool = True, two_lane: bool = Fal
     """Shared near-dup edge construction: capped shingle self-join →
     Jaccard ≥ _JACC_THR (da, db) pairs. Same hot-shingle DF cap as
     d_jaccard_pairs — the cluster edges come from the identical shingle
-    self-join and share its skew risk. Returns (pairs, sh0) with sh0
-    the exploded shingle stream, persisted by default (three consumers:
-    sizes + both join sides) — callers eagerly materialize their small
-    output and unpersist it; ``persist=False`` is the plan-audit path
-    (inspect only, never register a cache the hook cannot release).
+    self-join and share its skew risk. Returns (pairs, cache) with
+    cache the persisted per-(source, shingle) doc-id BUCKET relation
+    (two consumers: per-doc sizes + the i<j pair stream) — callers
+    eagerly materialize their small output and unpersist it;
+    ``persist=False`` is the plan-audit path (inspect only, never
+    register a cache the hook cannot release).
 
     ``two_lane=True`` is the 100 TB scale configuration: the shingle
     join keys on BOTH independent 56-bit lanes of one md5 digest
@@ -798,26 +799,48 @@ def _jaccard_edge_pairs(d: DataFrame, persist: bool = True, two_lane: bool = Fal
                 )
             ).alias("s"),
         )
+    # Bucket-based candidate generation (optimization round 11, guide
+    # §2.3/§2.4): ONE groupBy of the exploded shingle stream into
+    # per-(source, shingle) sorted doc-id buckets replaces the previous
+    # self-join — which shuffled the same cached stream TWICE (both join
+    # sides hash-exchange on the shingle key) — and the hot-shingle DF
+    # cap becomes a window sum over the BUCKET relation (shingle-type
+    # cardinality) instead of a third full-stream aggregate plus an
+    # anti-join. Pair semantics are unchanged: per-doc shingles are
+    # distinct (word_shingles array_distinct), sort_array is ascending,
+    # so the i<j stream enumerates exactly the join's
+    # (same shingle ∧ same source ∧ da<db) pair multiset, and the
+    # per-pair counts — hence the Jaccard values — are identical (the
+    # duckdb oracle keeps the raw-string self-join formulation; the
+    # hash gate proves equality). The DF cap stays GLOBAL per shingle
+    # (summed across sources via the window), exactly
+    # _cap_hot_shingles' semantics.
+    from pyspark.sql.window import Window
+
+    keys = ["s", "s2"] if two_lane else ["s"]
+    bkt = (
+        sh0.groupBy("source", *keys)
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .withColumn("df", F.sum(F.size("ds")).over(Window.partitionBy(*keys)))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select(*keys, "ds")
+    )
     if persist:
-        sh0 = sh0.persist()
-    sh = _cap_hot_shingles(
-        sh0, _MAX_SHINGLE_DF, keys=("s", "s2") if two_lane else ("s",)
+        bkt = bkt.persist()
+    sizes = (
+        bkt.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    cond = (
-        (F.col("a.s") == F.col("b.s"))
-        & (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-    )
-    if two_lane:
-        cond = cond & (F.col("a.s2") == F.col("b.s2"))
     inter = (
-        a.join(
-            b,
-            cond,
+        bkt.select(F.posexplode("ds").alias("i", "da"), "ds")
+        .select(
+            "da",
+            F.explode(
+                F.slice(F.col("ds"), F.col("i") + F.lit(2), F.size("ds"))
+            ).alias("db"),
         )
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     # doc-cardinality size lookups scale with the corpus — no forced
@@ -832,7 +855,10 @@ def _jaccard_edge_pairs(d: DataFrame, persist: bool = True, two_lane: bool = Fal
         )
         .select("da", "db")
     )
-    return pairs, sh0
+    # the persisted handle is now the BUCKET relation (two consumers:
+    # sizes + the pair stream); callers release it exactly as they did
+    # the old exploded stream
+    return pairs, bkt
 
 
 # the recursive-CTE connected-components oracle chain (through `comp`),

@@ -592,36 +592,58 @@ def _kmeans_lloyd_sql(k: int, iters: int) -> str:
     "distances) — iterative clustering under the value-hash gate",
 )
 def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
-    from pyspark.sql.window import Window
+    # Optimization round 11 (guide §2.3/§2.4, the _semdedup_marks
+    # shape): the old form posexploded every vector and joined the
+    # centroid table per POSITION — n·dim·K rows through a decimal hash
+    # aggregate, then a window argmin, PER assignment round. Here each
+    # assignment is a per-row fold over the K broadcast centroid ARRAYS
+    # (one 1-row collect_list aggregate) and argmin is array_min over
+    # struct(d, cluster) — pure map-side, zero assignment shuffles; the
+    # only remaining exchanges are the two K·dim-bounded centroid-mean
+    # partial aggregates. Decimal fold order vs partial-agg order cannot
+    # differ (decimal addition is exact/associative), array_min's
+    # struct ordering is exactly the oracle's ORDER BY d, cluster, so
+    # the values are identical — the oracle keeps the exploded-join
+    # formulation and the hash gate proves the equality.
+    from .docpipe import _fanout
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    u = e.select(
-        "vec_id", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x")
-    )
+    emb = _fanout(e).select("vec_id", to_double(F.col("embedding")).alias("xs"))
     if persist:
         # feeds every assignment and every centroid update
-        u = u.persist()
-    ct = u.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cluster"), "pos", F.col("x").alias("c")
-    )
+        emb = emb.persist()
 
     dec = "decimal(25,6)"
+    ct = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), F.col("xs").alias("carr")
+    )
 
-    def assign(centroids: DataFrame, keep_dist: bool) -> DataFrame:
-        term = ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(dec)
-        d = (
-            u.join(F.broadcast(centroids), "pos")
-            .groupBy("vec_id", "cluster")
-            .agg(F.sum(term).alias("d"))
+    def best(centroids: DataFrame):
+        """struct(d, cluster) argmin column over the broadcast K-row
+        centroid table (collapsed to ONE collect_list row)."""
+        cts = centroids.agg(
+            F.collect_list(F.struct("cluster", "carr")).alias("cts")
         )
-        w = Window.partitionBy("vec_id").orderBy("d", "cluster")
-        a = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-        return a.select("vec_id", "cluster", *(["d"] if keep_dist else []))
+        fold = lambda carr: F.aggregate(
+            F.zip_with(F.col("xs"), carr, lambda x, c: ((x - c) * (x - c)).cast(dec)),
+            F.lit(0).cast(dec),
+            lambda acc, v: (acc + v).cast(dec),
+        )
+        pick = F.array_min(
+            F.transform(
+                F.col("cts"),
+                lambda c: F.struct(fold(c["carr"]).alias("d"), c["cluster"].alias("cluster")),
+            )
+        )
+        return cts, pick
 
     for _ in range(_KM_ITERS):
-        a = assign(ct, keep_dist=False)
+        cts, pick = best(ct)
+        assigned = emb.crossJoin(F.broadcast(cts)).select(
+            "vec_id", "xs", pick["cluster"].alias("cluster")
+        )
         cm = (
-            u.join(a, "vec_id")
+            assigned.select("cluster", F.posexplode("xs").alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(
                 (F.sum(F.col("x").cast(dec)).cast("double") / F.count(F.lit(1))).alias(
@@ -629,15 +651,23 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str, persist: bool = True) -> D
                 )
             )
         )
-        # empty cluster keeps its previous centroid (mirrored COALESCE)
-        ct = (
-            ct.join(cm, ["cluster", "pos"], "left")
-            .select(
-                "cluster", "pos", F.coalesce(F.col("cnew"), F.col("c")).alias("c")
-            )
+        cm_arr = cm.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cnew"))),
+                lambda s: s["cnew"],
+            ).alias("marr")
+        )
+        # empty cluster keeps its previous centroid; a cluster with >=1
+        # member has a mean at EVERY position, so the array-level
+        # coalesce equals the oracle's per-cell COALESCE
+        ct = ct.join(cm_arr, "cluster", "left").select(
+            "cluster", F.coalesce(F.col("marr"), F.col("carr")).alias("carr")
         )
 
-    af = assign(ct, keep_dist=True)
+    cts, pick = best(ct)
+    af = emb.crossJoin(F.broadcast(cts)).select(
+        "vec_id", pick["d"].alias("d"), pick["cluster"].alias("cluster")
+    )
     out = (
         af.groupBy("cluster")
         .agg(
@@ -648,7 +678,7 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str, persist: bool = True) -> D
     )
     if not persist:
         return out
-    return checkpoint_release(out, [u])
+    return checkpoint_release(out, [emb])
 
 
 ALL_SPECS["ml_kmeans_lloyd"].lazy_plan = (

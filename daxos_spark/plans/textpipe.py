@@ -2245,14 +2245,20 @@ def _bigram_ppl_oracle() -> str:
     "gate one order above d_unigram_ppl)",
 )
 def t_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, caches = _bigram_ppl_lazy(spark, sf_dir)
+    # per-doc 4-col output: materialize, release the type-count cache
+    return checkpoint_release(out, caches)
+
+
+def _bigram_ppl_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
     d = _fanout(load_tables(spark, sf_dir)["documents"])
     avg = -(F.col("s").cast("double") / F.col("n_bigrams"))
+    scored, caches = _bigram_scored(d, persist=persist)
     return (
-        _bigram_scored(d)
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.col("lp").cast("decimal(25,6)")).cast("double").alias("s"),
+            F.sum("cdt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("lpc")).cast("double").alias("s"),
         )
         .select(
             "doc_id",
@@ -2261,12 +2267,30 @@ def t_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             (avg > _BG_HI).alias("high_ppl"),
         )
         .orderBy("doc_id")
-    )
+    ), caches
 
 
-def _bigram_scored(d: DataFrame) -> DataFrame:
-    """Per-bigram-position (doc_id, lp) stream of the interpolated LM —
-    shared by t_bigram_ppl and the refinery chain's fluency stage."""
+ALL_SPECS["t_bigram_ppl"].lazy_plan = lambda spark, sf_dir: _bigram_ppl_lazy(
+    spark, sf_dir, persist=False
+)[0]
+
+
+def _bigram_scored(d: DataFrame, persist: bool = True):
+    """Per-(doc, bigram-TYPE) scored stream of the interpolated LM →
+    ((doc_id, cdt, lpc), caches): cdt = the type's position count in
+    the doc, lpc = cdt · CAST(lp AS DECIMAL(25,6)). Shared by
+    t_bigram_ppl and the refinery chain's fluency stage; both consumers
+    reduce per doc with (Σcdt, Σlpc), which equals the old
+    per-position (COUNT(*), ΣCAST(lp AS DEC)) EXACTLY — k copies of the
+    same decimal sum to k× that decimal — so the oracle keeps the
+    per-position formulation and the hash gate proves the identity.
+
+    Optimization round 11 (guide §2.3): lp depends only on (w1, w2), so
+    aggregating positions→types BEFORE the three count-table joins
+    shrinks the join input from position-cardinality to per-doc-type
+    cardinality; persisting the type-count relation runs the
+    tokenize+bigram-explode pass ONCE (it previously ran twice — under
+    c2 and under the scoring join)."""
     from ..functions import text as T
 
     toks = T.tokens(F.col("text"))  # same tokenizer as d_unigram_ppl
@@ -2285,7 +2309,10 @@ def _bigram_scored(d: DataFrame) -> DataFrame:
         .select("doc_id", F.explode(bigram).alias("bg"))
         .select("doc_id", "bg.w1", "bg.w2")
     )
-    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    dbc = bi.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("cdt"))
+    if persist:
+        dbc = dbc.persist()
+    c2 = dbc.groupBy("w1", "w2").agg(F.sum("cdt").cast("bigint").alias("c2"))
     ca = c1.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
     cb = c1.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
     lp = F.log(
@@ -2295,13 +2322,22 @@ def _bigram_scored(d: DataFrame) -> DataFrame:
         )
         / (F.lit(10.0) * F.col("ca").cast("double") * F.col("n").cast("double"))
     )
-    return (
-        bi.join(c2, ["w1", "w2"])
+    scored = (
+        dbc.join(c2, ["w1", "w2"])
         .join(ca, "w1")
         .join(cb, "w2")
         .crossJoin(F.broadcast(tot))
-        .select("doc_id", lp.alias("lp"))
+        .select(
+            "doc_id",
+            "cdt",
+            # decimal(25,6) × decimal(12,0) → decimal(38,6), no
+            # precision-loss scale reduction (the _kn_doc_nll contract)
+            (
+                lp.cast("decimal(25,6)") * F.col("cdt").cast("decimal(12,0)")
+            ).alias("lpc"),
+        )
     )
+    return scored, ([dbc] if persist else [])
 
 
 # --------------------------------------------------------------------------
@@ -2869,14 +2905,15 @@ def _refinery_gates_from(
             * F.col("p_stop") * F.col("p_rep")
         ).alias("p_gopher"),
     )
+    scored, bg_caches = _bigram_scored(d, persist=persist)
+    caches.extend(bg_caches)
     nll = (
-        _bigram_scored(d)
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
             (
                 -(
-                    F.sum(F.col("lp").cast("decimal(25,6)")).cast("double")
-                    / F.count(F.lit(1))
+                    F.sum(F.col("lpc")).cast("double")
+                    / F.sum("cdt")
                 )
             ).alias("avg_nll")
         )
@@ -3176,12 +3213,21 @@ def _kn_oracle() -> str:
     "from exact integer count tables",
 )
 def t_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kn_ppl_lazy(spark, sf_dir, release=True)
+
+
+def _kn_ppl_lazy(
+    spark: SparkSession, sf_dir: str, top_v: int | None = None, release: bool = False
+) -> DataFrame:
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    return (
-        _kn_doc_nll(d)
-        .select("doc_id", "n_bigrams", trunc6(F.col("nll")).alias("avg_nll"))
-        .orderBy("doc_id")
-    )
+    knll, caches = _kn_doc_nll(d, top_v=top_v, persist=release)
+    out = knll.select(
+        "doc_id", "n_bigrams", trunc6(F.col("nll")).alias("avg_nll")
+    ).orderBy("doc_id")
+    if not release:
+        return out
+    # per-doc 3-col output: eager-materialize, release the type-count cache
+    return checkpoint_release(out, caches)
 
 
 # top-V-capped variant (VERDICT-r7 ask #5): the production configuration
@@ -3235,16 +3281,22 @@ def _kn_capped_oracle() -> str:
     "regardless of corpus size",
 )
 def t_kneser_ney_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _fanout(load_tables(spark, sf_dir)["documents"])
-    return (
-        _kn_doc_nll(d, top_v=_KN_V)
-        .select("doc_id", "n_bigrams", trunc6(F.col("nll")).alias("avg_nll"))
-        .orderBy("doc_id")
-    )
+    return _kn_ppl_lazy(spark, sf_dir, top_v=_KN_V, release=True)
 
 
-def _kn_doc_nll(d: DataFrame, top_v: int | None = None) -> DataFrame:
-    """Per-doc Kneser-Ney mean NLL (doc_id, n_bigrams, nll untruncated).
+ALL_SPECS["t_kneser_ney_ppl"].lazy_plan = lambda spark, sf_dir: _kn_ppl_lazy(
+    spark, sf_dir
+)
+ALL_SPECS["t_kneser_ney_capped"].lazy_plan = lambda spark, sf_dir: _kn_ppl_lazy(
+    spark, sf_dir, top_v=_KN_V
+)
+
+
+def _kn_doc_nll(
+    d: DataFrame, top_v: int | None = None, persist: bool = True
+):
+    """Per-doc Kneser-Ney mean NLL → (DataFrame(doc_id, n_bigrams, nll
+    untruncated), caches-to-release).
 
     ``top_v`` is the KenLM-style vocabulary cap (production n-gram LMs
     prune the vocabulary because web-scale vocab grows ~ heap with the
@@ -3286,7 +3338,23 @@ def _kn_doc_nll(d: DataFrame, top_v: int | None = None) -> DataFrame:
         .select("doc_id", F.explode(bigram).alias("bg"))
         .select("doc_id", "bg.w1", "bg.w2")
     )
-    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # Pre-aggregate the per-POSITION stream to per-(doc, bigram-type)
+    # counts BEFORE the vocabulary-keyed scoring joins (optimization
+    # round 11, guide §2.3 "aggregate before you shuffle"): lp depends
+    # only on (w1, w2), so a doc's Σ-over-positions lp equals
+    # Σ-over-types cdt·CAST(lp AS DECIMAL) — k exact-decimal copies sum
+    # to exactly k× the decimal, so the DECIMAL(25,6) ladder is
+    # unchanged and the oracle (which keeps the per-position form)
+    # hash-verifies the identity. The instance stream that flows into
+    # the four count-table joins shrinks from positions to per-doc
+    # types (bounded by min(positions, V²) — with the top-V cap it goes
+    # vocabulary-bounded per doc), and persisting the type-count
+    # relation makes the tokenize+explode pass run ONCE (it previously
+    # ran twice: once under c2, once under scored).
+    dbc = bi.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("cdt"))
+    if persist:
+        dbc = dbc.persist()
+    c2 = dbc.groupBy("w1", "w2").agg(F.sum("cdt").cast("bigint").alias("c2"))
     c1 = c2.groupBy(F.col("w1")).agg(F.sum("c2").cast("bigint").alias("ca"))
     nfol = c2.groupBy(F.col("w1")).agg(F.count(F.lit(1)).alias("nf"))
     nprec = c2.groupBy(F.col("w2")).agg(F.count(F.lit(1)).alias("np"))
@@ -3299,18 +3367,27 @@ def _kn_doc_nll(d: DataFrame, top_v: int | None = None) -> DataFrame:
         * (F.col("np").cast("double") / F.col("t").cast("double"))
     )
     scored = (
-        bi.join(c2, ["w1", "w2"])
+        dbc.join(c2, ["w1", "w2"])
         .join(c1, "w1")
         .join(nfol, "w1")
         .join(nprec, "w2")
         .crossJoin(F.broadcast(tt))
-        .select("doc_id", F.log(p).alias("lp"))
+        .select(
+            "doc_id",
+            "cdt",
+            # cdt as decimal(12,0): 25+12+1 = 38 ≤ Spark's max precision,
+            # so the product is decimal(38,6) with NO precision-loss
+            # scale reduction — k·CAST(lp AS DEC(25,6)) stays exact
+            (
+                F.log(p).cast("decimal(25,6)") * F.col("cdt").cast("decimal(12,0)")
+            ).alias("lpc"),
+        )
     )
-    return (
+    out = (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.col("lp").cast("decimal(25,6)")).cast("double").alias("s"),
+            F.sum("cdt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("lpc")).cast("double").alias("s"),
         )
         .select(
             "doc_id",
@@ -3318,6 +3395,7 @@ def _kn_doc_nll(d: DataFrame, top_v: int | None = None) -> DataFrame:
             (-(F.col("s").cast("double") / F.col("n_bigrams"))).alias("nll"),
         )
     )
+    return out, ([dbc] if persist else [])
 
 
 # --------------------------------------------------------------------------
@@ -3541,8 +3619,20 @@ def _curriculum_oracle() -> str:
     "bucketing — no corpus-wide ntile window)",
 )
 def t_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, caches = _curriculum_lazy(spark, sf_dir)
+    # 10-row stage table: materialize, release the knll + type-count caches
+    return checkpoint_release(out, caches)
+
+
+def _curriculum_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    knll = _kn_doc_nll(d)
+    knll, caches = _kn_doc_nll(d, persist=persist)
+    if persist:
+        # knll feeds BOTH the decile aggregate and the staged bucketing —
+        # unpersisted, the whole KN chain executed twice (optimization
+        # round 11; per-doc 3-scalar rows, corpus-linear but tiny)
+        knll = knll.persist()
+        caches = caches + [knll]
     th = knll.agg(
         *[
             F.percentile(F.col("nll"), F.lit(dd / 10.0)).alias(f"t{dd}")
@@ -3565,7 +3655,12 @@ def t_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(F.max("nll")).alias("max_nll"),
         )
         .orderBy("stage")
-    )
+    ), caches
+
+
+ALL_SPECS["t_curriculum_buckets"].lazy_plan = lambda spark, sf_dir: _curriculum_lazy(
+    spark, sf_dir, persist=False
+)[0]
 
 
 # --------------------------------------------------------------------------

@@ -2349,41 +2349,58 @@ def v_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import int_code
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    v = e.select("vec_id", int_code(to_double(F.col("embedding"))).alias("cc"))
-    first = v.orderBy("vec_id").limit(1).collect()[0]
-    centers = [(0, int(first["vec_id"]), [int(x) for x in first["cc"]], 0)]
+    # Incremental farthest-first (optimization round 11, guide §2.4):
+    # round r only needs each vector's distance to the ONE new center —
+    # min over the chosen set is a running least(), not a recompute.
+    # The previous form crossJoined all r centers and re-aggregated
+    # min per vec_id every round: K−1 broadcast joins, K−1 n×r distance
+    # folds and K−1 groupBy SHUFFLES. Here the new center's code is a
+    # literal array (it was just collected — 1 row, bounded), so each
+    # round is one map pass over the localCheckpointed running state +
+    # a TakeOrdered(1): ZERO shuffles, n×1 dots instead of n×r.
+    # min(d_1..d_r) = least(min(d_1..d_{r-1}), d_r) over exact bigint
+    # distances — value-identical, same oracle (hash-gate re-proven).
+    v = _fanout(e).select(
+        "vec_id", int_code(to_double(F.col("embedding"))).alias("cc")
+    )
     idot = lambda x, y: F.aggregate(
         F.zip_with(x, y, lambda a, b: a * b), F.lit(0).cast("bigint"), lambda acc, u: acc + u
     )
+    # running state: (vec_id, cc, aa = ⟨cc,cc⟩ computed once, d = min
+    # distance to the chosen set), persisted each round; the pick's
+    # TakeOrdered scans every partition (so the cache fully
+    # materializes), then the previous round's state is released —
+    # at most two corpus-code copies resident at any time.
+    state = v.select(
+        "vec_id", "cc", idot(F.col("cc"), F.col("cc")).alias("aa")
+    ).persist()
+    first = state.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(0, int(first["vec_id"]), [int(x) for x in first["cc"]], 0)]
     for r in range(1, _KC_K):
-        cdf = spark.createDataFrame(
-            [(cid, cc) for _, cid, cc, _ in centers],
-            "cid bigint, ccc array<bigint>",
+        _, _, c_code, _ = centers[-1]
+        c_arr = F.array(*[F.lit(x).cast("bigint") for x in c_code])
+        c_norm = sum(x * x for x in c_code)  # exact python int, < 2^63
+        d_new = (
+            F.col("aa")
+            - F.lit(2) * idot(F.col("cc"), c_arr)
+            + F.lit(c_norm).cast("bigint")
         )
-        d2 = (
-            idot(F.col("cc"), F.col("cc"))
-            - F.lit(2) * idot(F.col("cc"), F.col("ccc"))
-            + idot(F.col("ccc"), F.col("ccc"))
-        )
-        dmin = (
-            v.crossJoin(F.broadcast(cdf))
-            .select("vec_id", "cc", d2.alias("d"))
-            .groupBy("vec_id")
-            .agg(F.min("d").alias("d"), F.first("cc").alias("cc"))
-        )
-        # F.first is nondeterministic in general — but cc is functionally
-        # dependent on vec_id (one row per vector before the crossJoin),
-        # so every candidate value is identical
+        d_run = d_new if r == 1 else F.least(F.col("d"), d_new)
+        prev, state = state, state.select(
+            "vec_id", "cc", "aa", d_run.alias("d")
+        ).persist()
         pick = (
-            dmin.filter(F.col("d") > 0)
+            state.filter(F.col("d") > 0)
             .orderBy(F.col("d").desc(), "vec_id")
             .limit(1)
             .collect()
         )
         if not pick:  # degenerate corpus: all points coincide
-            pick = dmin.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()
+            pick = state.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()
+        prev.unpersist()
         row = pick[0]
         centers.append((r, int(row["vec_id"]), [int(x) for x in row["cc"]], int(row["d"])))
+    state.unpersist()
     return spark.createDataFrame(
         [(r, cid, d) for r, cid, _, d in centers],
         "round bigint, vec_id bigint, d2 bigint",

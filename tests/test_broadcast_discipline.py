@@ -117,13 +117,17 @@ ALLOWED: dict[str, tuple[int, str]] = {
     "plans/textpipe.py:_source_overlap_lazy": (2, "per-source shingle totals (source enum x2)"),
     "plans/textpipe.py:_bigram_scored": (1, "1-row vocab/token totals"),
     "plans/textpipe.py:_kn_doc_nll": (1, "1-row discount/total aggregate"),
-    "plans/textpipe.py:t_curriculum_buckets": (1, "1-row decile-threshold aggregate"),
+    "plans/textpipe.py:_curriculum_lazy": (1, "1-row decile-threshold aggregate"),
     "plans/mlpipe.py:ml_deconfound_dims": (
         1,
         "per-variant beta table - bounded by the assay panel (~215k x k doubles "
         "= MBs), the reference M3 broadcast-betas design",
     ),
-    "plans/mlpipe.py:ml_kmeans_lloyd": (1, "K-bounded centroids"),
+    "plans/mlpipe.py:ml_kmeans_lloyd": (
+        2,
+        "K-bounded centroids collapsed to ONE collect_list row (iteration "
+        "assign + final assign sites)",
+    ),
     "plans/mlpipe.py:ml_cv_fold_plan": (1, "K-row fold plan"),
     # -- plans: fixed-size panels / capped lists ---------------------------
     "plans/analytics.py:_trajectory_knn_lazy": (
@@ -164,7 +168,6 @@ ALLOWED: dict[str, tuple[int, str]] = {
         2,
         "per-core-CELL component labels (grid-cell-bounded, fixed eps grid)",
     ),
-    "plans/vecpipe2.py:v_kcenter_init": (1, "<=K chosen centers"),
     "plans/vecpipe2.py:v_rrf_fusion": (1, "query panel"),
 }
 

@@ -17,6 +17,8 @@ PLANS = pathlib.Path(__file__).resolve().parent.parent / "daxos_spark" / "plans"
 CALLER_RELEASED = {
     "_jaccard_edge_pairs",
     "_ss_position_stream",
+    "_bigram_scored",
+    "_kn_doc_nll",
     "_semdedup_marks",
     "_semantic_pairs",
     "_lr_pipeline",

@@ -85,6 +85,12 @@ ALLOWED: dict[str, tuple[int, str]] = {
         1,
         "#partitions-bounded per-partition row counts (zipWithIndex shape)",
     ),
+    "operators/components.py:connected_components": (
+        1,
+        "1-row Σlabel convergence aggregate (replaces the per-round "
+        "join+count changed-label job; labels are monotone so the sum "
+        "is a complete convergence witness)",
+    ),
     "operators/subset.py:_positions_for": (1, "p-length kept-position list"),
     "operators/subset.py:subset_columns": (1, "p-length name-by-position map"),
     # -- plans: 1-row aggregates / per-round iterate picks -------------------

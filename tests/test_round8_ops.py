@@ -150,11 +150,12 @@ def test_kn_capped_equals_uncapped_when_cap_exceeds_vocab(spark):
 
     d = load_tables(spark, SF_DIR)["documents"]
     base = {
-        r["doc_id"]: (r["n_bigrams"], r["nll"]) for r in _kn_doc_nll(d).collect()
+        r["doc_id"]: (r["n_bigrams"], r["nll"])
+        for r in _kn_doc_nll(d, persist=False)[0].collect()
     }
     wide = {
         r["doc_id"]: (r["n_bigrams"], r["nll"])
-        for r in _kn_doc_nll(d, top_v=10**6).collect()
+        for r in _kn_doc_nll(d, top_v=10**6, persist=False)[0].collect()
     }
     assert base == wide
     # at the gated V the OOV bucket must actually appear in the bigram
