@@ -548,8 +548,29 @@ def d_lsh_candidates(
     if persist:
         sh0 = sh0.persist()
     sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(md5_long(F.col("s"), seed=i)).alias(f"m{i}") for i in range(_N_HASH)]
+    # ONE doc-keyed aggregate serves FOUR former consumers of the
+    # shingle stream (optimization round 11, guide §2.3/§2.4): the
+    # signatures (map-side HOF min over the array — same 8 md5
+    # evaluations per shingle the old 8-way min aggregate paid, minus
+    # its exchange), the sizes (map-side size()), and both sides of the
+    # candidate verification (map-side array_intersect over the
+    # doc-dim rejoin, replacing the x⋈y shingle equi-join that
+    # re-exchanged the full stream twice plus a (da,db) count
+    # aggregate). Arrays are per-doc and bounded by doc length — the
+    # same bound sorted_tk carries in d_prefix_filter_jaccard. No sort:
+    # only array_min / size / intersect-size consume it, all
+    # order-invariant, so the values are unchanged.
+    arr = sh.groupBy("doc_id").agg(F.collect_list("s").alias("tk"))
+    if persist:
+        arr = arr.persist()
+    sig = arr.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("tk", lambda s, i=i: md5_long(s, seed=i))
+            ).alias(f"m{i}")
+            for i in range(_N_HASH)
+        ],
     )
     # one explode pass instead of a 4-way union (a union re-reads sig
     # once per band; the exploded struct array is a single narrow pass)
@@ -567,55 +588,63 @@ def d_lsh_candidates(
     buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt")
     )
-    # hot-bucket cap (see _LSH_BUCKET_CAP above). NOT the shingle cap's
-    # anti-join: buckets derives from the expensive sig aggregation, and
-    # an anti-join would re-derive it for the count side (measured
-    # 3.3->5.3 s at sf0.1); the count-window form is ONE pass and its
-    # (band, bkt) shuffle is the same key the candidate self-join hashes
-    # on anyway — the duckdb QUALIFY twin, literally.
+    # Bucket-based candidate generation (optimization round 11, guide
+    # §2.3/§2.4 — the _jaccard_edge_pairs rewrite): ONE groupBy of the
+    # bucket-membership stream into per-(band, bkt) sorted doc-id lists
+    # replaces the count window + self-join, which together exchanged
+    # the stream three times on the SAME (band, bkt) key. The hot-bucket
+    # cap (see _LSH_BUCKET_CAP above) becomes a size() filter on the
+    # bucket row — the identical membership-count predicate, and the
+    # i<j enumeration emits exactly the join's (same bucket ∧ da<db)
+    # pair multiset (doc_ids are unique within a (band, bkt) group:
+    # one bucket per doc per band).
+    bkt = buckets.groupBy("band", "bkt").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
     if bucket_cap is not None:
-        from pyspark.sql import Window as _W
-
-        _bw = _W.partitionBy("band", "bkt")
-        buckets = (
-            buckets.withColumn("__bc", F.count(F.lit(1)).over(_bw))
-            .filter(F.col("__bc") <= bucket_cap)
-            .drop("__bc")
-        )
-    ba, bb = buckets.alias("ba"), buckets.alias("bb")
+        bkt = bkt.filter(F.size("ds") <= bucket_cap)
     cand = (
-        ba.join(
-            bb,
-            (F.col("ba.bkt") == F.col("bb.bkt"))
-            & (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(F.col("ba.doc_id").alias("da"), F.col("bb.doc_id").alias("db"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    x, y = sh.alias("x"), sh.alias("y")
-    inter = (
-        cand.join(x, F.col("da") == F.col("x.doc_id"))
-        .join(y, (F.col("db") == F.col("y.doc_id")) & (F.col("x.s") == F.col("y.s")))
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    out = (
-        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
-        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        bkt.select(F.posexplode("ds").alias("i", "da"), "ds")
         .select(
             "da",
+            F.explode(
+                F.slice(F.col("ds"), F.col("i") + F.lit(2), F.size("ds"))
+            ).alias("db"),
+        )
+        .distinct()
+    )
+    # re-attach the per-doc shingle arrays (doc-dim rejoin, one
+    # array_intersect per candidate pair — shingles are distinct per
+    # doc, so |array_intersect| equals the old equi-join's match count)
+    ta = arr.select(
+        F.col("doc_id").alias("da"), F.col("tk").alias("ta"), F.size("tk").alias("na")
+    )
+    tb = arr.select(
+        F.col("doc_id").alias("db"), F.col("tk").alias("tb"), F.size("tk").alias("nb")
+    )
+    verified = (
+        cand.join(ta, "da")
+        .join(tb, "db")
+        .withColumn("ni", F.size(F.array_intersect("ta", "tb")))
+        # the old formulation verified via an INNER equi-join on the
+        # shingle, so a candidate pair with no common shingle never
+        # reached the output — keep that row set exactly
+        .filter(F.col("ni") >= 1)
+    )
+    out = (
+        verified.select(
+            "da",
             "db",
-            trunc6(F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))).alias("jaccard"),
+            trunc6(
+                F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
+            ).alias("jaccard"),
         )
         .orderBy(F.col("jaccard").desc(), "da", "db")
         .limit(20)
     )
     if not persist:
         return out
-    return checkpoint_release(out, [sh0])
+    return checkpoint_release(out, [sh0, arr])
 
 
 ALL_SPECS["d_lsh_candidates"].lazy_plan = (

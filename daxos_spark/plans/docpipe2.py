@@ -168,6 +168,15 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str, persist: bool = Tr
     # buffers are not hash-aggregatable) that AQE can coalesce onto one
     # task when it underestimates the candidate fan-out — the observed
     # single-core multi-minute stall at sf0.1 on a dup-dense corpus.
+    # OPTIMIZATION ROUND 11 NEGATIVE RESULT (kept as-is deliberately):
+    # the _jaccard_edge_pairs bucket-enumeration rewrite was tried here
+    # (groupBy(t) → collect_list → i<j explode) and measured 51-68 s vs
+    # 10.8-13.1 s at sf0.1 — the prefix self-join broadcasts one side
+    # (BHJ, zero probe-side exchange), while the bucket form forces a
+    # full prefix-stream exchange and concentrates each dup family's
+    # quadratic pair mass into single bucket rows. Persisting `tok` to
+    # save the second tokenize pass was also tried: 12.8-20.7 s — the
+    # cache build costs more than the re-scan. See OPTIMIZATION_r11.md.
     a, b = (
         pref.select("doc_id", "n", "t").alias("a"),
         pref.select("doc_id", "n", "t").alias("b"),
@@ -682,10 +691,10 @@ def _agreement_oracle() -> str:
     "dedup agreement: 2x2 confusion over the union candidate universe",
 )
 def t_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out, sh0 = _dedup_agreement_lazy(spark, sf_dir)
-    # 1-row output — eager-materialize, release the shingle cache
+    out, bkt = _dedup_agreement_lazy(spark, sf_dir)
+    # 1-row output — eager-materialize, release the bucket cache
     out = out.localCheckpoint(eager=True)
-    sh0.unpersist()
+    bkt.unpersist()
     return out
 
 
@@ -693,7 +702,7 @@ def _dedup_agreement_lazy(spark: SparkSession, sf_dir: str, persist: bool = True
     from ..functions.hashing import word_shingles
     from ..functions.similarity import int_code, lsh_bucket, lsh_planes
     from ..functions.vectors import to_double
-    from .docpipe import _MAX_SHINGLE_DF, _cap_hot_shingles
+    from .docpipe import _MAX_SHINGLE_DF
 
     t = load_tables(spark, sf_dir)
     d = _fanout(t["documents"])
@@ -702,20 +711,43 @@ def _dedup_agreement_lazy(spark: SparkSession, sf_dir: str, persist: bool = True
         "source",
         F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
     )
+    # Bucket-based intersection counting (optimization round 11, guide
+    # §2.3/§2.4 — the _jaccard_edge_pairs batch-1 rewrite, same lexical
+    # core): ONE groupBy of the shingle stream into per-(source, s)
+    # sorted doc-id buckets replaces the capped self-join that
+    # exchanged the persisted stream twice plus the _cap_hot_shingles
+    # count-aggregate + anti-join pass. The hot-shingle DF cap stays
+    # GLOBAL per shingle (window sum across sources — exactly
+    # _cap_hot_shingles' groupBy("s") semantics), sizes and the i<j
+    # intersection counts both read the |shingle-type|-cardinality
+    # bucket relation, and the pair multiset is unchanged (per-doc
+    # shingles are distinct, buckets sorted ascending by doc_id).
+    from pyspark.sql.window import Window as _W
+
+    bkt = (
+        sh0.groupBy("source", "s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .withColumn("df", F.sum(F.size("ds")).over(_W.partitionBy("s")))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("s", "ds")
+    )
     if persist:
-        # feeds sizes + both self-join sides of the intersection join
-        sh0 = sh0.persist()
-    sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+        # feeds sizes + the i<j intersection stream
+        bkt = bkt.persist()
+    sizes = (
+        bkt.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bkt.select(F.posexplode("ds").alias("i", "da"), "ds")
+        .select(
+            "da",
+            F.explode(
+                F.slice(F.col("ds"), F.col("i") + F.lit(2), F.size("ds"))
+            ).alias("db"),
         )
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     lex = (
@@ -795,7 +827,7 @@ def _dedup_agreement_lazy(spark: SparkSession, sf_dir: str, persist: bool = True
         .cast("bigint")
         .alias("n_dup_either"),
     )
-    return out, sh0
+    return out, bkt
 
 
 _SPECS["t_dedup_agreement"].lazy_plan = (
@@ -917,25 +949,35 @@ def d_simhash_neardup(
     bands = prints.select(
         "doc_id", "sh", F.posexplode(simhash_bands(F.col("sh"))).alias("b", "bv")
     )
+    # Bucket-based candidate generation (optimization round 11, guide
+    # §2.3/§2.4 — the _jaccard_edge_pairs rewrite): ONE groupBy of the
+    # band stream into per-(band, value) sorted (doc_id, sh) buckets
+    # replaces the cap's count-aggregate + anti-join pass AND the
+    # band self-join that exchanged the stream twice more on the same
+    # key. The cap becomes a size() filter on the bucket row — the
+    # identical membership-count predicate (kept ⟺ count <= cap) — and
+    # the i<j enumeration emits exactly the join's (same bucket ∧
+    # da<db) pair multiset (doc_ids are unique within a (b, bv) group:
+    # one value per doc per band; sh rides along as a function of the
+    # doc, so the 4-column distinct is unchanged).
+    bkt = bands.groupBy("b", "bv").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "sh"))).alias("ds")
+    )
     if bucket_cap is not None:
-        from .docpipe import _cap_hot_shingles
-
-        # same DF-threshold anti-join shape as the MinHash lane: the
-        # hot set scales with corpus (rows/cap), so no forced broadcast
-        bands = _cap_hot_shingles(bands, bucket_cap, keys=("b", "bv"))
-    a, b = bands.alias("a"), bands.alias("b")
+        bkt = bkt.filter(F.size("ds") <= bucket_cap)
     cand = (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bkt.select(F.posexplode("ds").alias("i", "pa"), "ds")
+        .select(
+            "pa",
+            F.explode(
+                F.slice(F.col("ds"), F.col("i") + F.lit(2), F.size("ds"))
+            ).alias("pb"),
         )
         .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col("a.sh").alias("sa"),
-            F.col("b.sh").alias("sb"),
+            F.col("pa.doc_id").alias("da"),
+            F.col("pb.doc_id").alias("db"),
+            F.col("pa.sh").alias("sa"),
+            F.col("pb.sh").alias("sb"),
         )
         .distinct()
     )

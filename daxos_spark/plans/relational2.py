@@ -1922,17 +1922,24 @@ def q_trade_pagerank(spark: SparkSession, sf_dir: str, persist: bool = True) -> 
         .distinct()
     )
     ee = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = ee.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
     if persist:
         ee = ee.persist()
+    deg = ee.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
+    # pre-join the out-degree onto the edge relation ONCE (optimization
+    # round 11, guide §2.4: the loop below re-ran an identical ee⋈deg
+    # join — one full exchange pair — every iteration; the denominator
+    # now rides on the persisted edge row and each iteration joins ONLY
+    # the rank vector). Same rows, same per-edge r/dg expression.
+    ed = ee.join(deg, "u").select("u", "v", "dg")
+    if persist:
         deg = deg.persist()
+        ed = ed.persist()
     nn = deg.count()  # node count — a scalar, the honest driver transfer
 
     r = deg.select(F.col("u").alias("node"), (F.lit(1.0) / F.lit(float(nn))).alias("r"))
     for _ in range(_PR_ITERS):
         r = (
-            ee.join(r, ee["u"] == r["node"])
-            .join(deg, "u")
+            ed.join(r, ed["u"] == r["node"])
             .select(F.col("v"), (F.col("r") / F.col("dg")).cast("decimal(38,18)").alias("c"))
             .groupBy(F.col("v").alias("node"))
             .agg(
@@ -1949,7 +1956,7 @@ def q_trade_pagerank(spark: SparkSession, sf_dir: str, persist: bool = True) -> 
     )
     if not persist:
         return out
-    return checkpoint_release(out, [ee, deg])
+    return checkpoint_release(out, [ee, deg, ed])
 
 
 ALL_SPECS["q_trade_pagerank"].lazy_plan = (
@@ -4785,25 +4792,30 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the peel iterates over this relation — materialize it once
     g = _copurchase_edges(li).localCheckpoint(eager=True)
 
-    def stats(edges: DataFrame) -> tuple[int, int]:
-        nodes = (
+    # One degree aggregate per round serves THREE consumers that each
+    # re-scanned the edge relation before (optimization round 11, guide
+    # §2.3/§2.4): the k-core survivor filter (dg >= k), the node count
+    # (rows of the degree relation ≡ distinct endpoints — the old
+    # union+distinct+count job), and the edge count (Σdg = 2|E| exactly:
+    # a<b strict, unique pairs, so each edge contributes 2 — the old
+    # separate count job). Per-round full scans of g drop 4 → 2 and the
+    # distinct exchange disappears; the stats collapse to one 1-row
+    # collect over the |V|-row checkpointed degree table.
+    def degree_stats(edges: DataFrame) -> tuple[DataFrame, int, int]:
+        d = (
             edges.select(F.col("a").alias("v"))
             .unionByName(edges.select(F.col("b").alias("v")))
-            .distinct()
-            .count()
-        )
-        return nodes, edges.count()
-
-    rows = [(0, *stats(g))]
-    for r in range(1, _KCORE_ROUNDS + 1):
-        deg = (
-            g.select(F.col("a").alias("v"))
-            .unionByName(g.select(F.col("b").alias("v")))
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("dg"))
-            .filter(F.col("dg") >= _KCORE_K)
-            .select("v")
+            .localCheckpoint(eager=True)
         )
+        row = d.agg(F.count(F.lit(1)).alias("n"), F.sum("dg").alias("sd")).collect()[0]
+        return d, int(row["n"]), int(row["sd"] or 0) // 2
+
+    dfull, n0, e0 = degree_stats(g)
+    rows = [(0, n0, e0)]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = dfull.filter(F.col("dg") >= _KCORE_K).select("v")
         # deg has unique keys (group-by output), so the endpoint filter is
         # a semi-join.  NO broadcast hint: the surviving-node relation is
         # unbounded in graph size (round 0 keeps nearly every node), so a
@@ -4814,7 +4826,8 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(deg.withColumnRenamed("v", "b"), "b", "left_semi")
             .localCheckpoint(eager=True)  # truncate the per-round lineage
         )
-        rows.append((r, *stats(g)))
+        dfull, n_nodes, n_edges = degree_stats(g)
+        rows.append((r, n_nodes, n_edges))
     return spark.createDataFrame(
         rows, "round bigint, n_nodes bigint, n_edges bigint"
     ).orderBy("round")
@@ -5091,18 +5104,28 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(F.struct(-F.col("c"), F.col("lbl")))["lbl"].alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        moved = (
-            new.join(
-                labels.withColumnsRenamed({"lbl": "plbl"}), "node"
+        # ONE stats job per round instead of two (optimization round 11,
+        # guide §2.6 job-count hygiene): moved-label count, community
+        # count and largest community come out of a single pass over the
+        # |V|-row checkpointed label relations (join to previous labels →
+        # per-community counts carrying a moved-flag sum → 1-row agg).
+        agg = (
+            new.join(labels.withColumnsRenamed({"lbl": "plbl"}), "node")
+            .groupBy("lbl")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum((F.col("lbl") != F.col("plbl")).cast("bigint")).alias("mv"),
             )
-            .filter(F.col("lbl") != F.col("plbl"))
-            .count()
+            .agg(
+                F.sum("mv").alias("n_moved"),
+                F.count(F.lit(1)).alias("n_communities"),
+                F.max("c").alias("largest"),
+            )
+            .collect()[0]
         )
-        comm = new.groupBy("lbl").agg(F.count(F.lit(1)).alias("c"))
-        agg = comm.agg(
-            F.count(F.lit(1)).alias("n_communities"), F.max("c").alias("largest")
-        ).collect()[0]
-        rows.append((r, moved, int(agg["n_communities"]), int(agg["largest"])))
+        rows.append(
+            (r, int(agg["n_moved"]), int(agg["n_communities"]), int(agg["largest"]))
+        )
         labels = new
     return spark.createDataFrame(
         rows, "round bigint, n_moved bigint, n_communities bigint, largest bigint"
@@ -5170,7 +5193,9 @@ WHERE rk <= 2
     "rounds over a |V|-row dist relation, ties broken by hop count",
     tags=("graph",),
 )
-def q_trade_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_trade_shortest_path(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> DataFrame:
     from ..catalog import register_views
 
     register_views(spark, sf_dir)
@@ -5204,6 +5229,16 @@ def q_trade_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(F.struct("cost", "hop")).alias("s"))
             .select("nk", F.col("s.cost").alias("cost"), F.col("s.hop").alias("hop"))
         )
+        if persist:
+            # Truncate the per-round lineage (optimization round 11,
+            # guide §3.3/§5): dist appears TWICE per round (union arm +
+            # relax arm), so the lazy chain doubles per hop — the
+            # unrolled plan hit 320 Exchanges / 126 SortMergeJoins
+            # (plans/r11/q_trade_shortest_path_before.txt) and its
+            # planning cost dwarfed the |V| = 25-row data. One eager
+            # localCheckpoint per round is a sub-ms job at any scale
+            # (dist is |V| rows, the algorithm's own invariant).
+            dist = dist.localCheckpoint(eager=True)
     return (
         dist.join(nation, dist["nk"] == nation["n_nationkey"])
         .select(
@@ -5213,3 +5248,8 @@ def q_trade_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_cost_micro", "n_name")
     )
+
+
+ALL_SPECS["q_trade_shortest_path"].lazy_plan = (
+    lambda spark, sf_dir: q_trade_shortest_path(spark, sf_dir, persist=False)
+)

@@ -33,10 +33,8 @@ from __future__ import annotations
 
 import hashlib
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from ..catalog import load_tables
@@ -206,19 +204,25 @@ def _md5_pos(s: str, seed: int) -> int:
     doc="Bloom-sketch n-gram decontamination (m=8192,k=3 broadcast bitmap, "
     "map-side probe) with realized false-positive audit vs the exact join",
 )
-def t_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t_bloom_decontam(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> DataFrame:
+    # Optimization round 11 (guide §4.1): the probe was a pandas UDF
+    # looping shingle-by-shingle in Python, re-computing k hashlib.md5
+    # digests per shingle — the whole train corpus crossed the Arrow
+    # boundary and the hash work ran interpreted. The probe is now pure
+    # JVM: the ≤8192-bit eval bitmap is built IN-PLAN as 128 bit_or'd
+    # longs (a 1-row aggregate, broadcast via a 1-row cross join — no
+    # driver collect at all), each exploded train shingle tests its k
+    # seeded md5_long positions against it with codegen'd expressions,
+    # and the exact-hit audit is a left join against the eval shingle
+    # set (AQE broadcasts while it fits — the same no-forced-broadcast
+    # rule as every DF-scaled relation). Per-doc flags come back via a
+    # partial-aggregable max(), so the exploded stream collapses
+    # map-side before its exchange. Flag values are bit-identical: the
+    # Python _md5_pos replay WAS md5_long(s, seed) % m.
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    sh = d.select(
-        "doc_id",
-        "source",
-        word_shingles(F.lower(F.trim(F.col("text"))), 3).alias("shingles"),
-    )
 
-    # eval-suite bitmap: distinct k-seeded bit positions of eval shingles.
-    # |bits| <= m = 8192 -> ~1 KiB bitmap regardless of eval-set size.
-    # explode the shingle EXPRESSION directly (not the named `sh` column:
-    # an intermediate projection would copy the array per row) — and only
-    # over the 1/97 eval slice
     eval_sh = (
         d.filter(F.col("doc_id") % 97 == 0)
         .select(
@@ -226,49 +230,76 @@ def t_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    bits_rows = (
-        eval_sh.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(md5_long(F.col("s"), seed=i), F.lit(_BLOOM_M))
-                        for i in range(_BLOOM_K)
-                    ]
-                )
-            ).alias("b")
+    if persist:
+        # feeds the bitmap aggregate AND the exact-audit join
+        eval_sh = eval_sh.persist()
+
+    # 8192-bit bloom bitmap as 128 longs, built by ONE aggregate row
+    nw = _BLOOM_M // 64
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(md5_long(F.col("s"), seed=i), F.lit(_BLOOM_M))
+                for i in range(_BLOOM_K)
+            ]
         )
-        .distinct()
-        .collect()
+    ).alias("b")
+    words = F.array(
+        *[
+            F.expr(
+                # coalesce: an empty eval slice must yield an
+                # all-zero bitmap (no hit), not NULL words
+                f"coalesce(bit_or(CASE WHEN b DIV 64 = {w} THEN "
+                f"shiftleft(CAST(1 AS BIGINT), CAST(b % 64 AS INT)) "
+                f"ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT))"
+            )
+            for w in range(nw)
+        ]
     )
-    bloom_bits = frozenset(int(r["b"]) for r in bits_rows)
-    # exact eval shingle set for the audit side (broadcast semi-join at
-    # scale; here it rides along in the same probe batch for one pass)
-    eval_set = frozenset(r["s"] for r in eval_sh.collect())
+    # expand the 128 words to one boolean per bit (once, on the 1-row
+    # relation): the probe then reads each seeded position with a SINGLE
+    # element_at, so the md5 inside the position expression is evaluated
+    # once per tested seed — and the AND chain below short-circuits, so
+    # a non-contaminated shingle (the overwhelming majority) usually
+    # pays exactly ONE md5, the same early-exit economics the old
+    # Python loop had, at JVM speed.
+    bitmap = eval_sh.select(pos).agg(words.alias("w")).select(
+        F.expr(
+            f"transform(sequence(0, {_BLOOM_M - 1}), b -> "
+            "(shiftright(element_at(w, CAST(b DIV 64 AS INT) + 1), "
+            "CAST(b % 64 AS INT)) & 1) = 1)"
+        ).alias("bm")
+    )
 
-    @pandas_udf("struct<f_bloom: int, f_exact: int>")
-    def probe(shingles: pd.Series) -> pd.DataFrame:
-        fb, fe = [], []
-        for arr in shingles:
-            b = e = 0
-            for s in arr:
-                if not b and all(
-                    _md5_pos(s, i) in bloom_bits for i in range(_BLOOM_K)
-                ):
-                    b = 1
-                if not e and s in eval_set:
-                    e = 1
-                if b and e:
-                    break
-            fb.append(b)
-            fe.append(e)
-        return pd.DataFrame({"f_bloom": fb, "f_exact": fe})
+    train = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
+    )
+    probed = train.crossJoin(F.broadcast(bitmap))
 
+    def _bit(i: int):
+        p = F.pmod(md5_long(F.col("s"), seed=i), F.lit(_BLOOM_M))
+        return F.element_at(F.col("bm"), (p + 1).cast("int"))
+
+    bloom_hit = _bit(0)
+    for i in range(1, _BLOOM_K):
+        bloom_hit = bloom_hit & _bit(i)
     flags = (
-        sh.filter(F.col("doc_id") % 97 != 0)
-        .select("source", probe(F.col("shingles")).alias("f"))
-        .select("source", F.col("f.f_bloom").alias("f_bloom"), F.col("f.f_exact").alias("f_exact"))
+        probed.join(eval_sh.withColumn("__hit", F.lit(1)), "s", "left")
+        .select(
+            "doc_id",
+            "source",
+            bloom_hit.cast("int").alias("bloom_hit"),
+            F.coalesce(F.col("__hit"), F.lit(0)).alias("exact_hit"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.max("bloom_hit").alias("f_bloom"),
+            F.max("exact_hit").alias("f_exact"),
+        )
     )
-    return (
+    out = (
         flags.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -282,6 +313,14 @@ def t_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [eval_sh])
+
+
+ALL_SPECS["t_bloom_decontam"].lazy_plan = (
+    lambda spark, sf_dir: t_bloom_decontam(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------

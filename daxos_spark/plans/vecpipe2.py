@@ -2238,7 +2238,9 @@ def _nprobe_sweep_oracle() -> str:
     doc="IVF tuning curve: recall@5 vs nprobe in {1,2,4} against exact "
     "top-5; probe ranking computed once, each sweep point filters it",
 )
-def v_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v_nprobe_sweep(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> DataFrame:
     from ..functions.similarity import assign_buckets, ivf_search, label_centroids
     from .vecpipe import e_knn_bruteforce
 
@@ -2252,6 +2254,16 @@ def v_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = label_centroids(corpus)
     bucketed = assign_buckets(corpus, cent)
+    if persist:
+        # Every sweep point's union branch re-executed the ENTIRE exact
+        # brute-force top-5 (a corpus crossJoin + window) and the IVF
+        # assignment pass — 3× each in one plan (optimization round 11,
+        # guide §5 caching-for-reuse: union branches share no subtrees).
+        # Both stay LAZY persists (not eager checkpoints): the union
+        # branches overlap in the scheduler, and an eager materialization
+        # job here serializes them (measured +0.4 s).
+        exact = exact.persist()
+        bucketed = bucketed.persist()
     parts = []
     for np_ in _NPROBE_PTS:
         approx = ivf_search(queries, bucketed, cent, nprobe=np_, k=5).select(
@@ -2286,7 +2298,15 @@ def v_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy("nprobe")
+    out = out.orderBy("nprobe")
+    if not persist:
+        return out
+    return checkpoint_release(out, [exact, bucketed])
+
+
+ALL_SPECS["v_nprobe_sweep"].lazy_plan = lambda spark, sf_dir: v_nprobe_sweep(
+    spark, sf_dir, persist=False
+)
 
 
 # --------------------------------------------------------------------------

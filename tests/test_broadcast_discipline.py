@@ -54,6 +54,11 @@ ALLOWED: dict[str, tuple[int, str]] = {
     "plans/relational2.py:q22_dormant_rich_nations": (1, "nation fixed dim"),
     # -- plans: 1-row (or few-row group-keyed) aggregates ------------------
     "plans/analytics.py:q_km_time_to_error": (1, "1-row at-risk total"),
+    "plans/textpipe.py:t_bloom_decontam": (
+        1,
+        "1-row bloom-bitmap aggregate (8192 booleans regardless of "
+        "eval-set size)",
+    ),
     "plans/analytics.py:q_markov_next_event": (1, "per-event-type argmax (enum-bounded)"),
     "plans/diagnostics.py:d_tfidf_top_terms": (1, "1-row n_docs aggregate"),
     "plans/urlpipe.py:_crawl_budget_impl": (

@@ -118,6 +118,12 @@ ALLOWED: dict[str, tuple[int, str]] = {
         1,
         "1-row convergence-count aggregate per iteration (fixed rounds)",
     ),
+    "plans/relational2.py:q_kcore_decomposition": (
+        1,
+        "1-row (node-count, degree-sum) aggregate per peel round over the "
+        "checkpointed |V|-row degree relation (replaces two full edge-"
+        "relation count jobs; fixed rounds)",
+    ),
     "plans/textpipe.py:_bpe_learn": (
         1,
         "1-row best-pair argmax per merge round (fixed merge count)",
@@ -126,11 +132,6 @@ ALLOWED: dict[str, tuple[int, str]] = {
     "plans/textpipe.py:_lr_fit": (
         1,
         "1-row IRLS coefficient update per iteration (fixed iters, d+1 coefs)",
-    ),
-    "plans/textpipe.py:t_bloom_decontam": (
-        2,
-        "eval-set shingles x2 (fixed eval corpus - the thing being looked "
-        "up, not the corpus being scanned)",
     ),
     # -- plans: ANN codebooks / panels ---------------------------------------
     "plans/vecpipe.py:e_pq_knn": (1, "M x K PQ anchor codebook"),
