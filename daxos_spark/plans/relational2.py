@@ -2094,16 +2094,33 @@ _COPURCHASE_EDGES_CTE = """
 
 
 def _copurchase_edges(li: DataFrame) -> DataFrame:
-    """(a, b) part pairs co-purchased in >= 2 orders, a < b."""
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    x, y = op.alias("x"), op.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    """(a, b) part pairs co-purchased in >= 2 orders, a < b.
+
+    Single-shuffle pairing (optimization round 11, guide §2.3/§2.4 —
+    the q_itemcf_topk/q_part_cooccurrence layout): ONE order-keyed
+    groupBy into the per-order sorted distinct part set, then the
+    i<j pairs expand map-side via array HOFs — replacing the
+    distinct + self-join that exchanged the (orderkey, partkey)
+    relation twice more on the same key. collect_set ≡ the old
+    DISTINCT; sort_array + slice(i+2..) enumerates exactly the join's
+    (same order ∧ pa<pb) pair multiset, so the per-pair counts — and
+    the ≥2-orders edge set — are identical. Pair mass is basket-
+    bounded (Σ order-width², never parts²)."""
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda b: F.struct(a.alias("pa"), b.alias("pb")),
+            ),
         )
-        .groupBy(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    )
+    return (
+        parts.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.pa").alias("a"), F.col("p.pb").alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("a", "b")
@@ -2941,19 +2958,36 @@ ALL_SPECS["q_ewma_forecast"].lazy_plan = (
 )
 def q_basket_rules(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # Single-shuffle pairing (optimization round 11, guide §2.3/§2.4 —
+    # the _copurchase_edges/q_itemcf_topk layout): one order-keyed
+    # groupBy into the sorted distinct part set replaces the
+    # distinct + self-join (two more exchanges on the same key);
+    # basket counts, the order count and the i<j pair counts all
+    # derive from the persisted basket relation. collect_set ≡ the
+    # old DISTINCT, so supports/confidences/lifts are identical.
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
     if persist:
-        op = op.persist()
-    n_orders = op.select("l_orderkey").distinct().count()
-    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    a, b = op.alias("a"), op.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        parts = parts.persist()
+    n_orders = parts.count()
+    item = (
+        parts.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda b: F.struct(a.alias("pa"), b.alias("pb")),
+            ),
         )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+    )
+    pair = (
+        parts.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("both_cnt"))
         .filter(F.col("both_cnt") >= 3)
     )
@@ -2979,7 +3013,7 @@ def q_basket_rules(spark: SparkSession, sf_dir: str, persist: bool = True) -> Da
     )
     if not persist:
         return out
-    return checkpoint_release(out, [op])
+    return checkpoint_release(out, [parts])
 
 
 ALL_SPECS["q_basket_rules"].lazy_plan = (
@@ -3963,7 +3997,9 @@ def q_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="split-conformal interval (alpha=0.1) around a decimal-exact OLS: "
     "exact calibration order statistic, held-out realized-coverage audit",
 )
-def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_conformal_interval(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
     base = li.select(
         F.col("l_quantity").alias("x"),
@@ -3979,6 +4015,12 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 4
         ).alias("sp"),
     )
+    if persist:
+        # four plan branches (train moments, calibration count,
+        # calibration rank, test coverage) each re-ran the scan + the
+        # per-row md5 split draw — persist so the hash pass happens once
+        # (optimization round 11, guide §5 caching-for-reuse)
+        base = base.persist()
     mom = base.filter(F.col("sp") <= 1).agg(
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("x")).alias("sx"),
@@ -4022,7 +4064,7 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_cov"),
         )
     )
-    return (
+    out = (
         fit.crossJoin(qhat.select(F.col("q"), F.col("n_cal")))
         .crossJoin(test)
         .select(
@@ -4036,6 +4078,14 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(F.col("n_cov").cast("double") / F.col("n_test")).alias("coverage"),
         )
     )
+    if not persist:
+        return out
+    return checkpoint_release(out, [base])
+
+
+ALL_SPECS["q_conformal_interval"].lazy_plan = (
+    lambda spark, sf_dir: q_conformal_interval(spark, sf_dir, persist=False)
+)
 
 
 # --------------------------------------------------------------------------

@@ -1437,23 +1437,35 @@ def t_containment_dedup(spark: SparkSession, sf_dir: str, persist: bool = True) 
         "source",
         F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
     )
-    if persist:
-        sh = sh.persist()
     from pyspark.sql.window import Window as W
 
-    capped = sh.withColumn(
-        "df_", F.count(F.lit(1)).over(W.partitionBy("s"))
-    ).filter(F.col("df_") <= 200).drop("df_")
-    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = capped.alias("a"), capped.alias("b")
+    # Bucket-based containment counting (optimization round 11, guide
+    # §2.3/§2.4 — the t_dedup_agreement rewrite with ORDERED pairs):
+    # ONE groupBy into per-(source, shingle) doc-id buckets replaces
+    # the count window + self-join (three exchanges of the persisted
+    # stream on the same keys). The global DF cap (≤ 200 per shingle
+    # across sources) becomes the window sum over bucket sizes; the
+    # da ≠ db double-explode emits exactly the join's ordered-pair
+    # multiset.
+    bkt = (
+        sh.groupBy("source", "s")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .withColumn("df_", F.sum(F.size("ds")).over(W.partitionBy("s")))
+        .filter(F.col("df_") <= 200)
+        .select("ds")
+    )
+    if persist:
+        bkt = bkt.persist()
+    sizes = (
+        bkt.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        bkt.select(F.explode("ds").alias("da"), "ds")
+        .select("da", F.explode("ds").alias("db"))
+        .filter(F.col("da") != F.col("db"))
+        .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     scored = inter.join(
@@ -1469,7 +1481,7 @@ def t_containment_dedup(spark: SparkSession, sf_dir: str, persist: bool = True) 
     )
     if not persist:
         return out
-    return checkpoint_release(out, [sh])
+    return checkpoint_release(out, [bkt])
 
 
 ALL_SPECS["t_containment_dedup"].lazy_plan = (
@@ -1543,14 +1555,22 @@ def t_minhash_accuracy(spark: SparkSession, sf_dir: str, persist: bool = True) -
         "source",
         F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
     )
-    if persist:
-        sh = sh.persist()
     sig = d.select(
         "doc_id",
         minhash_signature(
             word_shingles(F.lower(F.trim(F.col("text"))), 3), num_hashes=_MH_HASHES
         ).alias("sig"),
     )
+    # OPTIMIZATION ROUND 11 NEGATIVE RESULT (kept as-is deliberately):
+    # the bucket-enumeration rewrite (per-(source, shingle) doc-id
+    # buckets + i<j explode, the t_dedup_agreement form) measured
+    # 3.76-3.84 s vs 3.32-3.92 s at sf0.1 — a wash at best: this query
+    # has no verification rejoin to eliminate (the signature join
+    # already keys on the bounded candidate relation), so the one saved
+    # exchange is offset by the bucket collect_list. The committed
+    # self-join form stays. See OPTIMIZATION_r11.md batch 3.
+    if persist:
+        sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

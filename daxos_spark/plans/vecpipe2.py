@@ -2238,9 +2238,7 @@ def _nprobe_sweep_oracle() -> str:
     doc="IVF tuning curve: recall@5 vs nprobe in {1,2,4} against exact "
     "top-5; probe ranking computed once, each sweep point filters it",
 )
-def v_nprobe_sweep(
-    spark: SparkSession, sf_dir: str, persist: bool = True
-) -> DataFrame:
+def v_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import assign_buckets, ivf_search, label_centroids
     from .vecpipe import e_knn_bruteforce
 
@@ -2254,16 +2252,17 @@ def v_nprobe_sweep(
     )
     cent = label_centroids(corpus)
     bucketed = assign_buckets(corpus, cent)
-    if persist:
-        # Every sweep point's union branch re-executed the ENTIRE exact
-        # brute-force top-5 (a corpus crossJoin + window) and the IVF
-        # assignment pass — 3× each in one plan (optimization round 11,
-        # guide §5 caching-for-reuse: union branches share no subtrees).
-        # Both stay LAZY persists (not eager checkpoints): the union
-        # branches overlap in the scheduler, and an eager materialization
-        # job here serializes them (measured +0.4 s).
-        exact = exact.persist()
-        bucketed = bucketed.persist()
+    # OPTIMIZATION ROUND 11 NEGATIVE RESULT (kept as-is deliberately):
+    # every sweep point's union branch re-executes the exact brute-force
+    # top-5 and the IVF assignment (3× each in one plan). Persisting
+    # both (lazy) measured 3.6-4.8 s vs 2.7-3.3 s at sf0.1, and an
+    # eager-checkpoint variant was worse still (+0.4 s over the persist
+    # form): the three branches are INDEPENDENT subtrees the scheduler
+    # overlaps across idle cores, while the cache serializes them behind
+    # one materialization and adds cache-build cost. The redundancy is
+    # the price of branch parallelism here; at cluster scale the same
+    # sweep would reuse a written assignment table between sweep RUNS,
+    # not branches. See OPTIMIZATION_r11.md batch 3.
     parts = []
     for np_ in _NPROBE_PTS:
         approx = ivf_search(queries, bucketed, cent, nprobe=np_, k=5).select(
@@ -2298,15 +2297,7 @@ def v_nprobe_sweep(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out = out.orderBy("nprobe")
-    if not persist:
-        return out
-    return checkpoint_release(out, [exact, bucketed])
-
-
-ALL_SPECS["v_nprobe_sweep"].lazy_plan = lambda spark, sf_dir: v_nprobe_sweep(
-    spark, sf_dir, persist=False
-)
+    return out.orderBy("nprobe")
 
 
 # --------------------------------------------------------------------------
