@@ -158,9 +158,14 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str, persist: bool = Tr
     # prefix length: |S| − ⌈τ|S|⌉ + 1 (any pair with J ≥ τ shares a
     # prefix token — lossless candidate generation)
     plen = (F.col("n") - F.ceil(F.col("n") * F.lit(tau)) + 1).cast("int")
+    # carry the 1-based PREFIX POSITION of each token (optimization
+    # round 11): it feeds PPJoin's positional filter below
     pref = sorted_tk.select(
-        "doc_id", "tk", "n", F.explode(F.slice("tk", F.lit(1), plen)).alias("t")
-    )
+        "doc_id",
+        "tk",
+        "n",
+        F.posexplode(F.slice("tk", F.lit(1), plen)).alias("i0", "t"),
+    ).withColumn("ip", F.col("i0") + 1).drop("i0")
     # candidate KEYS only through the dedup: a pair matching on k shared
     # prefix tokens appears k times, and deduping (da, db) as two longs
     # is a map-side-combining hash aggregate. Carrying the token arrays
@@ -178,8 +183,22 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str, persist: bool = Tr
     # save the second tokenize pass was also tried: 12.8-20.7 s — the
     # cache build costs more than the re-scan. See OPTIMIZATION_r11.md.
     a, b = (
-        pref.select("doc_id", "n", "t").alias("a"),
-        pref.select("doc_id", "n", "t").alias("b"),
+        pref.select("doc_id", "n", "t", "ip").alias("a"),
+        pref.select("doc_id", "n", "t", "ip").alias("b"),
+    )
+    # PPJoin positional filter (optimization round 11, Xiao et al. §3):
+    # both token lists share ONE global (df, token) sort order, so for a
+    # shared token at 1-based positions (ia, ib) the overlap is bounded
+    # by min(ia−1, ib−1) common-before + 1 + min(na−ia, nb−ib)
+    # common-after. J ≥ 0.6 ⟺ 16·|∩| ≥ 6·(na+nb) (integer-exact), so
+    # any occurrence whose bound fails cannot certify the pair — and a
+    # TRUE pair passes at EVERY occurrence (bound ≥ true overlap), so
+    # the post-distinct pair set is unchanged: strictly a candidate
+    # pruning, hash-gate-proven. This is the filter that distinguishes
+    # PPJoin from the plain SSJoin prefix filter.
+    ubound = (
+        F.least(F.col("a.ip"), F.col("b.ip"))
+        + F.least(F.col("a.n") - F.col("a.ip"), F.col("b.n") - F.col("b.ip"))
     )
     cand_keys = (
         a.join(
@@ -190,7 +209,8 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str, persist: bool = Tr
             & (
                 F.least(F.col("a.n"), F.col("b.n")) * 10
                 >= F.greatest(F.col("a.n"), F.col("b.n")) * 6
-            ),
+            )
+            & (ubound * 16 >= (F.col("a.n") + F.col("b.n")) * 6),
         )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
