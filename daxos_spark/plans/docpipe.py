@@ -20,7 +20,14 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_tables
 from ..functions import text as T
-from ..functions.hashing import md5_long, md5_long_sql, minhash_signature, simhash32, word_shingles
+from ..functions.hashing import (
+    _min_hash,
+    md5_long,
+    md5_long_sql,
+    minhash_signature,
+    simhash32,
+    word_shingles,
+)
 from .registry import checkpoint_release, ALL_SPECS, QuerySpec, register, sql_davg, sql_trunc6, trunc6
 
 _NORM = "lower(trim(text))"
@@ -351,6 +358,151 @@ def _cap_hot_shingles(
     return sh.join(hot.select(*keys), list(keys), "left_anti")
 
 
+# Segment size for oversized-bucket pair enumeration (_bucket_pairs).
+# Buckets at the 50k caps can emit ~1.25e9 i<j pairs; enumerated from
+# one bucket row they all land on ONE task (guide §2.5 skew). Segments
+# bound per-unit work at seg² ≈ 4.2M pairs and per-unit payload at
+# 2·seg elements, so a full-cap bucket becomes ⌈50k/2048⌉²/2 ≈ 325
+# spreadable units of ~16 KB each.
+_PAIR_SEG = 2048
+
+
+def _bucket_pairs(
+    bkt: DataFrame, seg: int = _PAIR_SEG, max_members: int | None = None
+) -> DataFrame:
+    """i<j member-pair stream (columns pa, pb) of each bucket row's
+    sorted member array ``ds`` (members unique within a bucket).
+
+    Small buckets (≤ seg members) enumerate in place — posexplode +
+    slice, zero extra exchange, the round-11 form. Oversized buckets
+    would otherwise emit their whole quadratic pair mass from a single
+    task (guide §2.5): they are cut into ≤seg-element segments, the
+    upper-triangular (segᵢ, segⱼ) unit grid is exploded and
+    hash-repartitioned (deterministic key — xxhash64 of the unit
+    payload, not rand(): guide §2.5 retry safety) so each unit lands on
+    its own task. ``ds`` sorted ascending + unique members ⇒ an
+    off-diagonal unit's cross product already satisfies pa < pb, and a
+    diagonal unit keeps exactly its pa < pb half — the union over all
+    units is precisely the bucket's i<j pair multiset, so downstream
+    counts/distincts are unchanged.
+
+    ``max_members`` is the adaptive shortcut (AQE-spirited: decide the
+    plan from a measured one-number statistic, guide §1/§2.5): callers
+    on the eager persisted path probe max(size(ds)) — a map-side
+    1-row aggregate over the already-persisted bucket relation — and
+    when no bucket exceeds seg the guarded unit machinery is provably
+    an identity, so the in-place form IS the whole pair stream. Pass
+    None (lazy/audit paths) to keep the full guarded plan.
+
+    Guarded-form structure (all measured, round 12): small buckets
+    become ONE diagonal unit of themselves (no exchange) and oversized
+    buckets explode into the repartitioned unit grid; the two unit
+    streams UNION BELOW one shared enumeration chain. Unioning the
+    enumerated PAIR streams instead runs the generates interpreted
+    (whole-stage codegen does not form under that union — measured
+    30× per pair, 1.1 s → 32 s on a 450M-pair probe), and the unified
+    chain enumerates a diagonal unit with the exact i<j slice (no 2×
+    cross-then-halve work). The spread exchange pins an EXPLICIT
+    partition count (defaultParallelism — cluster-sized, not a local
+    constant): units are byte-tiny but work-QUADRATIC, so AQE's
+    byte-based coalescing would merge them back onto one task
+    (measured: 120 units ≡ 4 MB → one partition, recreating the exact
+    straggler this helper exists to break); a user-specified count is
+    exempt. NOTE: the guarded form scans ``bkt`` twice (small +
+    oversized filter) — callers persist the bucket relation."""
+    if max_members is not None and max_members <= seg:
+        return _inplace_pairs(bkt)
+    small_units = bkt.filter(F.size("ds") <= seg).select(
+        F.col("ds").alias("ua"), F.col("ds").alias("ub"), F.lit(True).alias("diag")
+    )
+    k = F.ceil(F.size("ds") / F.lit(seg)).cast("int")
+    big_units = (
+        bkt.filter(F.size("ds") > seg)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), k - F.lit(1)),
+                        lambda i: F.transform(
+                            F.sequence(i, k - F.lit(1)),
+                            lambda j: F.struct(
+                                F.slice(
+                                    F.col("ds"), i * F.lit(seg) + F.lit(1), F.lit(seg)
+                                ).alias("ua"),
+                                F.slice(
+                                    F.col("ds"), j * F.lit(seg) + F.lit(1), F.lit(seg)
+                                ).alias("ub"),
+                                (i == j).alias("diag"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("u")
+        )
+        .select("u.*")
+        .repartition(
+            bkt.sparkSession.sparkContext.defaultParallelism,
+            F.xxhash64("ua", "ub"),
+        )
+    )
+    units = small_units.unionByName(big_units)
+    # diag unit: slice from i+2 ⇒ exactly the i<j half (ua ≡ ub);
+    # off-diag unit: whole ub ⇒ the full cross, pa < pb already true
+    # (segments are ordered slices of the sorted, unique-member ds)
+    return units.select(F.posexplode("ua").alias("i", "pa"), "ub", "diag").select(
+        "pa",
+        F.explode(
+            F.slice(
+                F.col("ub"),
+                F.when(F.col("diag"), F.col("i") + F.lit(2)).otherwise(F.lit(1)),
+                F.size("ub"),
+            )
+        ).alias("pb"),
+    )
+
+
+def _inplace_pairs(bkt: DataFrame) -> DataFrame:
+    """i<j pairs of each sorted ``ds`` array, enumerated on the task
+    holding the bucket row (posexplode + slice — the round-11 form)."""
+    return bkt.select(F.posexplode("ds").alias("i", "pa"), "ds").select(
+        "pa",
+        F.explode(F.slice(F.col("ds"), F.col("i") + F.lit(2), F.size("ds"))).alias("pb"),
+    )
+
+
+def _capped_stream(
+    stream: DataFrame, cap: int, keys: tuple[str, ...] = ("s",)
+) -> DataFrame:
+    """Memory-safe hot-key cap, applied on the STREAM between its one
+    hash exchange and the bucket collect (§5). A windowed per-key
+    count — evaluated on the exchanged stream, spill-backed
+    (WindowExec buffers one key group at a time in an external
+    spillable array) — filters every row of an over-cap key BEFORE any
+    collect_list can materialize its member array, so the downstream
+    aggregation buffer is provably bounded by ``cap`` members (the
+    round-11 forms filtered AFTER the array was built — a
+    single-buffer OOM on a degenerate 10⁸-member key at 100 TB).
+    Zero extra passes or exchanges: the window's hash partitioning on
+    ``keys`` satisfies the following groupBy's clustering requirement
+    (keys ⊆ grouping keys), so the plan keeps exactly one full-stream
+    exchange — and for the global-DF lanes this REPLACES the round-11
+    window over the bucket arrays, deleting that second full-mass
+    exchange+sort. Degenerate-corpus residual: the over-cap key's rows
+    still transit one spilling window task before being dropped —
+    disk-bounded and completing, monitored by t_cap_census; the
+    drop-map-side alternative (count + anti-join, _cap_hot_shingles)
+    costs a full extra pass over the stream on EVERY healthy run and
+    is the wrong default for caps that by design never fire."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        stream.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= cap)
+        .drop("__df")
+    )
+
+
 @_q(
     "d_jaccard_pairs",
     f"""
@@ -563,14 +715,14 @@ def d_lsh_candidates(
     arr = sh.groupBy("doc_id").agg(F.collect_list("s").alias("tk"))
     if persist:
         arr = arr.persist()
+    # seed binding: _min_hash wraps the seed in a one-arg closure. A
+    # two-arg lambda (even with a defaulted second parameter) is treated
+    # by pyspark as (element, index) — the seed would silently bind to
+    # the array-index Column and the 8 lanes would not be the seeded
+    # md5 family the oracle computes (round-12 correctness fix).
     sig = arr.select(
         "doc_id",
-        *[
-            F.array_min(
-                F.transform("tk", lambda s, i=i: md5_long(s, seed=i))
-            ).alias(f"m{i}")
-            for i in range(_N_HASH)
-        ],
+        *[_min_hash(F.col("tk"), i).alias(f"m{i}") for i in range(_N_HASH)],
     )
     # one explode pass instead of a 4-way union (a union re-reads sig
     # once per band; the exploded struct array is a single narrow pass)
@@ -592,25 +744,38 @@ def d_lsh_candidates(
     # §2.3/§2.4 — the _jaccard_edge_pairs rewrite): ONE groupBy of the
     # bucket-membership stream into per-(band, bkt) sorted doc-id lists
     # replaces the count window + self-join, which together exchanged
-    # the stream three times on the SAME (band, bkt) key. The hot-bucket
-    # cap (see _LSH_BUCKET_CAP above) becomes a size() filter on the
-    # bucket row — the identical membership-count predicate, and the
-    # i<j enumeration emits exactly the join's (same bucket ∧ da<db)
-    # pair multiset (doc_ids are unique within a (band, bkt) group:
-    # one bucket per doc per band).
+    # the stream three times on the SAME (band, bkt) key. Round 12
+    # (§5 memory safety): the hot-bucket cap moves UPSTREAM of the
+    # collect — a windowed membership count on the exchanged stream
+    # (_capped_stream) drops every row of an over-cap bucket (a
+    # degenerate band value with 10⁸⁺ members at 100 TB) before its
+    # member array can materialize in one aggregation buffer. Kept ⟺
+    # membership count ≤ cap — the identical predicate the old
+    # size(ds) filter applied after the fact (doc_ids are unique
+    # within a (band, bkt) group: one bucket per doc per band), and
+    # the window's hash partitioning is the same one the groupBy
+    # needs, so the plan still has exactly one full-stream exchange.
+    if bucket_cap is not None:
+        buckets = _capped_stream(buckets, bucket_cap, keys=("band", "bkt"))
     bkt = buckets.groupBy("band", "bkt").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
-    if bucket_cap is not None:
-        bkt = bkt.filter(F.size("ds") <= bucket_cap)
+    # In-place i<j enumeration (emits exactly the join's (same bucket ∧
+    # da<db) pair multiset). DELIBERATE (§2.5 trade, measured round
+    # 12): this lane is a fused single pipeline (collect→enumerate→
+    # verify in one stage chain, no persisted bucket relation), and
+    # every guarded-enumeration variant broke that fusion for ~+0.3-0.6
+    # s of a ~1.7 s query — persist+probe (+0.33), lazy two-branch
+    # (+0.9, exchange reuse does not fire across the union), streamed
+    # disjoint branches (+0.9). Worst-case residual: one full-cap
+    # bucket generates ≤ cap²/2 pairs pipelined from a single task into
+    # the distinct's shuffle write — a bounded, COMPLETING straggler
+    # (the §5 window cap above already removed the OOM), monitored by
+    # t_cap_census; the spread guard (_bucket_pairs segment units)
+    # protects the persisted dedup lanes where it costs nothing.
     cand = (
-        bkt.select(F.posexplode("ds").alias("i", "da"), "ds")
-        .select(
-            "da",
-            F.explode(
-                F.slice(F.col("ds"), F.col("i") + F.lit(2), F.size("ds"))
-            ).alias("db"),
-        )
+        _inplace_pairs(bkt)
+        .select(F.col("pa").alias("da"), F.col("pb").alias("db"))
         .distinct()
     )
     # re-attach the per-doc shingle arrays (doc-dim rejoin, one
@@ -766,12 +931,13 @@ def _jaccard_edge_pairs(d: DataFrame, persist: bool = True, two_lane: bool = Fal
     """Shared near-dup edge construction: capped shingle self-join →
     Jaccard ≥ _JACC_THR (da, db) pairs. Same hot-shingle DF cap as
     d_jaccard_pairs — the cluster edges come from the identical shingle
-    self-join and share its skew risk. Returns (pairs, cache) with
-    cache the persisted per-(source, shingle) doc-id BUCKET relation
-    (two consumers: per-doc sizes + the i<j pair stream) — callers
-    eagerly materialize their small output and unpersist it;
+    self-join and share its skew risk. Returns (pairs, caches) with
+    caches the persisted per-(source, shingle) doc-id BUCKET relation
+    (consumers: per-doc sizes + the i<j pair stream) — callers eagerly
+    materialize their small output and unpersist every handle;
     ``persist=False`` is the plan-audit path (inspect only, never
-    register a cache the hook cannot release).
+    register a cache the hook cannot release, and never run the 1-row
+    adaptive probe).
 
     ``two_lane=True`` is the 100 TB scale configuration: the shingle
     join keys on BOTH independent 56-bit lanes of one md5 digest
@@ -841,35 +1007,45 @@ def _jaccard_edge_pairs(d: DataFrame, persist: bool = True, two_lane: bool = Fal
     # (same shingle ∧ same source ∧ da<db) pair multiset, and the
     # per-pair counts — hence the Jaccard values — are identical (the
     # duckdb oracle keeps the raw-string self-join formulation; the
-    # hash gate proves equality). The DF cap stays GLOBAL per shingle
-    # (summed across sources via the window), exactly
-    # _cap_hot_shingles' semantics.
-    from pyspark.sql.window import Window
-
+    # hash gate proves equality).
+    #
+    # Round 12 (§5 memory safety): the GLOBAL-per-shingle DF cap moves
+    # UPSTREAM of the collect — a windowed per-shingle count on the
+    # exchanged stream (_capped_stream) drops every row of an over-cap
+    # shingle (a stop-shingle with 10⁸⁺ members at 100 TB) before its
+    # doc-id array can materialize in one aggregation buffer. Same
+    # kept-set as the round-11 window sum over the bucket relation
+    # (the stream has one row per (doc, source, shingle), so the
+    # windowed count IS the global DF), and that second full-mass
+    # Exchange(s)+Sort over the bucket arrays disappears: the window's
+    # hash partitioning on the shingle key satisfies the
+    # groupBy(source, key) clustering, one full-stream exchange total.
     keys = ["s", "s2"] if two_lane else ["s"]
+    sh = _capped_stream(sh0, _MAX_SHINGLE_DF, keys=tuple(keys))
     bkt = (
-        sh0.groupBy("source", *keys)
+        sh.groupBy("source", *keys)
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .withColumn("df", F.sum(F.size("ds")).over(Window.partitionBy(*keys)))
-        .filter(F.col("df") <= _MAX_SHINGLE_DF)
         .select(*keys, "ds")
     )
+    mx = None
     if persist:
+        # feeds sizes + the pair stream; the 1-row max-size probe
+        # drives _bucket_pairs' adaptive branch (§1/§2.5)
         bkt = bkt.persist()
+        mx = bkt.agg(F.max(F.size("ds"))).first()[0] or 0
     sizes = (
         bkt.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
+    # i<j enumeration with oversized-bucket spreading (§2.5 skew):
+    # _bucket_pairs emits the identical pair multiset, splitting any
+    # bucket > _PAIR_SEG members into repartitioned segment units
+    # (adaptive: skipped when the 1-row max-size probe proves every
+    # bucket fits).
     inter = (
-        bkt.select(F.posexplode("ds").alias("i", "da"), "ds")
-        .select(
-            "da",
-            F.explode(
-                F.slice(F.col("ds"), F.col("i") + F.lit(2), F.size("ds"))
-            ).alias("db"),
-        )
-        .groupBy("da", "db")
+        _bucket_pairs(bkt, max_members=mx)
+        .groupBy(F.col("pa").alias("da"), F.col("pb").alias("db"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     # doc-cardinality size lookups scale with the corpus — no forced
@@ -884,10 +1060,11 @@ def _jaccard_edge_pairs(d: DataFrame, persist: bool = True, two_lane: bool = Fal
         )
         .select("da", "db")
     )
-    # the persisted handle is now the BUCKET relation (two consumers:
-    # sizes + the pair stream); callers release it exactly as they did
-    # the old exploded stream
-    return pairs, bkt
+    # handles: the hashed shingle stream + the BUCKET relation
+    # (persisted only when persist=True — unpersist is a no-op
+    # otherwise); callers eagerly materialize their small output and
+    # unpersist every handle
+    return pairs, [sh0, bkt]
 
 
 # the recursive-CTE connected-components oracle chain (through `comp`),
@@ -933,11 +1110,13 @@ CC_ORACLE_CTE = f"""
     """,
 )
 def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out, sh0 = _dedup_clusters_lazy(spark, sf_dir)
+    out, caches = _dedup_clusters_lazy(spark, sf_dir)
     # histogram output is a handful of rows: eager-materialize and
-    # release the corpus-mass shingle cache (t_substring_dedup pattern)
+    # release the corpus-mass shingle/bucket caches (t_substring_dedup
+    # pattern)
     out = out.localCheckpoint(eager=True)
-    sh0.unpersist()
+    for c in caches:
+        c.unpersist()
     return out
 
 
@@ -958,9 +1137,10 @@ def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t_dedup_clusters_lane2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out, sh0 = _dedup_clusters_lazy(spark, sf_dir, two_lane=True)
+    out, caches = _dedup_clusters_lazy(spark, sf_dir, two_lane=True)
     out = out.localCheckpoint(eager=True)
-    sh0.unpersist()
+    for c in caches:
+        c.unpersist()
     return out
 
 
@@ -970,7 +1150,7 @@ def _dedup_clusters_lazy(
     from ..operators.components import connected_components
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    pairs, sh0 = _jaccard_edge_pairs(d, persist=persist, two_lane=two_lane)
+    pairs, caches = _jaccard_edge_pairs(d, persist=persist, two_lane=two_lane)
     comp = connected_components(pairs, "da", "db")
     csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     out = (
@@ -978,7 +1158,7 @@ def _dedup_clusters_lazy(
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
     )
-    return out, sh0
+    return out, caches
 
 
 # --------------------------------------------------------------------------
@@ -1777,7 +1957,7 @@ def _soft_dedup_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
     from ..operators.components import connected_components
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    pairs, sh0 = _jaccard_edge_pairs(d, persist=persist)
+    pairs, caches = _jaccard_edge_pairs(d, persist=persist)
     comp = connected_components(pairs, "da", "db")
     csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     docw = (
@@ -1794,7 +1974,7 @@ def _soft_dedup_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
         "cluster_size",
         trunc6(F.lit(1.0) / F.col("cluster_size")).alias("weight"),
     ).orderBy("doc_id")
-    return out, sh0
+    return out, caches
 
 
 @_q(
@@ -1817,9 +1997,10 @@ def _soft_dedup_lazy(spark: SparkSession, sf_dir: str, persist: bool = True):
     "weight table a trainer joins on doc_id",
 )
 def d_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out, sh0 = _soft_dedup_lazy(spark, sf_dir)
+    out, caches = _soft_dedup_lazy(spark, sf_dir)
     out = out.localCheckpoint(eager=True)
-    sh0.unpersist()
+    for c in caches:
+        c.unpersist()
     return out
 
 

@@ -129,12 +129,31 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str, persist: bool = Tr
     # explode the token-array EXPRESSION in the same select: naming the
     # array in an intermediate projection materializes it through an
     # UnsafeRow copy before the Generate (measured 1.6x slower warm)
+    #
+    # Round 12 (§2.3 narrower types): tokens are hashed to 64-bit longs
+    # (xxhash64 — Spark-side only; the oracle stays the brute-force
+    # STRING formulation, so the hash gate independently proves the
+    # values) immediately after the distinct-explode. Everything
+    # downstream — the document-frequency key, the prefix join key, the
+    # sorted per-doc arrays both verification sides carry, and the
+    # array_intersect itself — compares/ships fixed-width longs instead
+    # of ~5-15-byte UTF8 strings. Measured: the verification stage is
+    # 68% of the warm query (5.1 s over 9.79M candidate pairs at
+    # sf0.1); long arrays halve its bytes and its hashing work. The
+    # prefix ORDER becomes (df, hash) instead of (df, token) — a
+    # different but still total, deterministic global order, over which
+    # the prefix/positional filters remain lossless (the theory needs
+    # any one consistent order), so the verified output is unchanged.
+    # Collision analysis (d_dedup_clusters two-lane convention): a
+    # collision only matters WITHIN one document's token set (would
+    # shrink n) or one pair's union (would shift ni) — ≤ ~10⁴ tokens ⇒
+    # P ≈ 10⁸/2⁶⁴ per doc; the cross-engine gate would expose any hit.
     tok = d.select(
         "doc_id",
         F.explode(
             F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-        ).alias("t"),
-    )
+        ).alias("t0"),
+    ).select("doc_id", F.xxhash64("t0").alias("t"))
     # global document frequency per token — the prefix ordering key.
     # Vocabulary grows ~ heap with corpus size, so no forced broadcast
     # (AQE broadcasts at test scale, shuffles when the vocab outgrows it).
@@ -711,10 +730,11 @@ def _agreement_oracle() -> str:
     "dedup agreement: 2x2 confusion over the union candidate universe",
 )
 def t_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out, bkt = _dedup_agreement_lazy(spark, sf_dir)
-    # 1-row output — eager-materialize, release the bucket cache
+    out, caches = _dedup_agreement_lazy(spark, sf_dir)
+    # 1-row output — eager-materialize, release the stream/bucket caches
     out = out.localCheckpoint(eager=True)
-    bkt.unpersist()
+    for c in caches:
+        c.unpersist()
     return out
 
 
@@ -722,7 +742,11 @@ def _dedup_agreement_lazy(spark: SparkSession, sf_dir: str, persist: bool = True
     from ..functions.hashing import word_shingles
     from ..functions.similarity import int_code, lsh_bucket, lsh_planes
     from ..functions.vectors import to_double
-    from .docpipe import _MAX_SHINGLE_DF
+    from .docpipe import (
+        _MAX_SHINGLE_DF,
+        _bucket_pairs,
+        _capped_stream,
+    )
 
     t = load_tables(spark, sf_dir)
     d = _fanout(t["documents"])
@@ -735,39 +759,37 @@ def _dedup_agreement_lazy(spark: SparkSession, sf_dir: str, persist: bool = True
     # §2.3/§2.4 — the _jaccard_edge_pairs batch-1 rewrite, same lexical
     # core): ONE groupBy of the shingle stream into per-(source, s)
     # sorted doc-id buckets replaces the capped self-join that
-    # exchanged the persisted stream twice plus the _cap_hot_shingles
-    # count-aggregate + anti-join pass. The hot-shingle DF cap stays
-    # GLOBAL per shingle (window sum across sources — exactly
-    # _cap_hot_shingles' groupBy("s") semantics), sizes and the i<j
-    # intersection counts both read the |shingle-type|-cardinality
-    # bucket relation, and the pair multiset is unchanged (per-doc
-    # shingles are distinct, buckets sorted ascending by doc_id).
-    from pyspark.sql.window import Window as _W
-
+    # exchanged the persisted stream twice. Round 12 (§5 memory
+    # safety): the GLOBAL-per-shingle DF cap moves UPSTREAM of the
+    # collect — a windowed per-shingle count on the exchanged stream
+    # (_capped_stream) drops every row of an over-cap shingle before
+    # its doc-id array can materialize in one aggregation buffer;
+    # identical kept-set to the old window sum over the bucket
+    # relation, whose second full-mass Exchange(s)+Sort disappears
+    # (the stream window's hash partitioning satisfies the
+    # groupBy(source, s) clustering). Pair multiset unchanged (per-doc
+    # shingles are distinct, buckets sorted ascending by doc_id);
+    # oversized surviving buckets are spread by _bucket_pairs (§2.5),
+    # skipped when the 1-row max-size probe proves every bucket fits.
+    sh = _capped_stream(sh0, _MAX_SHINGLE_DF)
     bkt = (
-        sh0.groupBy("source", "s")
+        sh.groupBy("source", "s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .withColumn("df", F.sum(F.size("ds")).over(_W.partitionBy("s")))
-        .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("s", "ds")
+        .select("ds")
     )
+    mx = None
     if persist:
-        # feeds sizes + the i<j intersection stream
+        # feeds sizes + the i<j intersection stream (+ the probe)
         bkt = bkt.persist()
+        mx = bkt.agg(F.max(F.size("ds"))).first()[0] or 0
     sizes = (
         bkt.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
     inter = (
-        bkt.select(F.posexplode("ds").alias("i", "da"), "ds")
-        .select(
-            "da",
-            F.explode(
-                F.slice(F.col("ds"), F.col("i") + F.lit(2), F.size("ds"))
-            ).alias("db"),
-        )
-        .groupBy("da", "db")
+        _bucket_pairs(bkt, max_members=mx)
+        .groupBy(F.col("pa").alias("da"), F.col("pb").alias("db"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     lex = (
@@ -847,7 +869,7 @@ def _dedup_agreement_lazy(spark: SparkSession, sf_dir: str, persist: bool = True
         .cast("bigint")
         .alias("n_dup_either"),
     )
-    return out, bkt
+    return out, [bkt]
 
 
 _SPECS["t_dedup_agreement"].lazy_plan = (
@@ -954,6 +976,7 @@ def d_simhash_neardup(
 ) -> DataFrame:
     from ..functions import text as T
     from ..functions.hashing import simhash56_sql
+    from .docpipe import _capped_stream, _inplace_pairs
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
     # per-row single-pass fingerprint (simhash56_sql): one md5 per
@@ -972,27 +995,30 @@ def d_simhash_neardup(
     # Bucket-based candidate generation (optimization round 11, guide
     # §2.3/§2.4 — the _jaccard_edge_pairs rewrite): ONE groupBy of the
     # band stream into per-(band, value) sorted (doc_id, sh) buckets
-    # replaces the cap's count-aggregate + anti-join pass AND the
-    # band self-join that exchanged the stream twice more on the same
-    # key. The cap becomes a size() filter on the bucket row — the
-    # identical membership-count predicate (kept ⟺ count <= cap) — and
-    # the i<j enumeration emits exactly the join's (same bucket ∧
-    # da<db) pair multiset (doc_ids are unique within a (b, bv) group:
-    # one value per doc per band; sh rides along as a function of the
-    # doc, so the 4-column distinct is unchanged).
+    # replaces the band self-join that exchanged the stream twice more
+    # on the same key. Round 12 (§5 memory safety): the hot-bucket cap
+    # moves UPSTREAM of the collect — a windowed membership count on
+    # the exchanged band stream (_capped_stream) drops every row of an
+    # over-cap bucket before its member array can materialize in one
+    # aggregation buffer; the identical membership-count predicate
+    # (kept ⟺ count ≤ cap) the old size(ds) filter applied after the
+    # array was already built, on the same single exchange. The i<j
+    # enumeration emits exactly the join's (same bucket ∧ da<db) pair
+    # multiset (doc_ids are unique within a (b, bv) group: one value
+    # per doc per band; sh rides along as a function of the doc, so
+    # the 4-column distinct is unchanged).
+    if bucket_cap is not None:
+        bands = _capped_stream(bands, bucket_cap, keys=("b", "bv"))
     bkt = bands.groupBy("b", "bv").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "sh"))).alias("ds")
     )
-    if bucket_cap is not None:
-        bkt = bkt.filter(F.size("ds") <= bucket_cap)
+    # In-place i<j enumeration — same deliberate §2.5 trade as
+    # d_lsh_candidates (measured: every guarded variant broke this
+    # lane's fused collect→enumerate pipeline for +0.4-0.5 s of a
+    # ~0.7 s query); the §5 window cap above removes the OOM, the
+    # bounded single-task worst case completes, t_cap_census monitors.
     cand = (
-        bkt.select(F.posexplode("ds").alias("i", "pa"), "ds")
-        .select(
-            "pa",
-            F.explode(
-                F.slice(F.col("ds"), F.col("i") + F.lit(2), F.size("ds"))
-            ).alias("pb"),
-        )
+        _inplace_pairs(bkt)
         .select(
             F.col("pa.doc_id").alias("da"),
             F.col("pb.doc_id").alias("db"),

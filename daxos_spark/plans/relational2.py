@@ -4851,13 +4851,19 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separate count job). Per-round full scans of g drop 4 → 2 and the
     # distinct exchange disappears; the stats collapse to one 1-row
     # collect over the |V|-row checkpointed degree table.
+    # Round 12 (§2.6 job fusion): LAZY checkpoints — the per-round
+    # 1-row stats collect is the materializing action, so one job now
+    # checkpoints the peeled edge relation AND its degree table AND
+    # returns the stats (was 3 jobs/round: eager g checkpoint, eager
+    # degree checkpoint, stats collect). Values unchanged: the same
+    # relations materialize, triggered by the stats read.
     def degree_stats(edges: DataFrame) -> tuple[DataFrame, int, int]:
         d = (
             edges.select(F.col("a").alias("v"))
             .unionByName(edges.select(F.col("b").alias("v")))
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("dg"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         row = d.agg(F.count(F.lit(1)).alias("n"), F.sum("dg").alias("sd")).collect()[0]
         return d, int(row["n"]), int(row["sd"] or 0) // 2
@@ -4874,7 +4880,9 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = (
             g.join(deg.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(deg.withColumnRenamed("v", "b"), "b", "left_semi")
-            .localCheckpoint(eager=True)  # truncate the per-round lineage
+            # truncate the per-round lineage; materialized by the
+            # degree_stats collect below (one job per round)
+            .localCheckpoint(eager=False)
         )
         dfull, n_nodes, n_edges = degree_stats(g)
         rows.append((r, n_nodes, n_edges))
@@ -5152,7 +5160,10 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("node")
             .agg(F.min(F.struct(-F.col("c"), F.col("lbl")))["lbl"].alias("lbl"))
-            .localCheckpoint(eager=True)
+            # Round 12 (§2.6 job fusion): LAZY checkpoint — the stats
+            # collect below materializes it, ONE job per round (was
+            # two: eager checkpoint + stats collect).
+            .localCheckpoint(eager=False)
         )
         # ONE stats job per round instead of two (optimization round 11,
         # guide §2.6 job-count hygiene): moved-label count, community

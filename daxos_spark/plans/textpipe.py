@@ -634,7 +634,7 @@ def t_leakage_split(spark: SparkSession, sf_dir: str, persist: bool = True) -> D
     d = _fanout(load_tables(spark, sf_dir)["documents"])
     # shares the capped-shingle edge builder with t_dedup_best_keep /
     # d_dedup_clusters (previously an inline duplicate of the same code)
-    pairs, sh0 = _jaccard_edge_pairs(d, persist=persist)
+    pairs, shc = _jaccard_edge_pairs(d, persist=persist)
     if persist:
         pairs = pairs.persist()  # feeds CC + both leakage audits
     comp = connected_components(pairs, "da", "db")
@@ -679,7 +679,7 @@ def t_leakage_split(spark: SparkSession, sf_dir: str, persist: bool = True) -> D
     )
     if not persist:
         return out
-    return checkpoint_release(out, [sh0, pairs, sp])
+    return checkpoint_release(out, [*shc, pairs, sp])
 
 
 ALL_SPECS["t_leakage_split"].lazy_plan = (
@@ -1431,27 +1431,34 @@ _CONT_THR_MICRO = 800_000  # containment >= 0.8
     "excerpts/quotes symmetric Jaccard misses; integer-exact",
 )
 def t_containment_dedup(spark: SparkSession, sf_dir: str, persist: bool = True) -> DataFrame:
+    from .docpipe import _capped_stream
+
     d = _fanout(load_tables(spark, sf_dir)["documents"])
     sh = d.select(
         "doc_id",
         "source",
         F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
     )
-    from pyspark.sql.window import Window as W
-
     # Bucket-based containment counting (optimization round 11, guide
     # §2.3/§2.4 — the t_dedup_agreement rewrite with ORDERED pairs):
     # ONE groupBy into per-(source, shingle) doc-id buckets replaces
     # the count window + self-join (three exchanges of the persisted
-    # stream on the same keys). The global DF cap (≤ 200 per shingle
-    # across sources) becomes the window sum over bucket sizes; the
+    # stream on the same keys). Round 12 (§5 memory safety): the
+    # global DF cap (≤ 200 per shingle across sources) moves UPSTREAM
+    # of the collect — a windowed per-shingle count on the exchanged
+    # stream (_capped_stream) drops every row of an over-cap shingle
+    # before its doc-id array can materialize in one aggregation
+    # buffer; identical kept-set to the old window sum over bucket
+    # sizes, whose second full-mass Exchange(s)+Sort disappears. The
     # da ≠ db double-explode emits exactly the join's ordered-pair
-    # multiset.
+    # multiset; with the 200 cap a surviving bucket emits
+    # ≤ 200·199 ≈ 40k ordered pairs — far below the _bucket_pairs
+    # spreading threshold, so the in-place enumeration stays (no §2.5
+    # skew exposure at this cap).
     bkt = (
-        sh.groupBy("source", "s")
+        _capped_stream(sh, 200)
+        .groupBy("source", "s")
         .agg(F.collect_list("doc_id").alias("ds"))
-        .withColumn("df_", F.sum(F.size("ds")).over(W.partitionBy("s")))
-        .filter(F.col("df_") <= 200)
         .select("ds")
     )
     if persist:
@@ -2182,11 +2189,12 @@ def _best_keep_oracle() -> str:
     "kept doc + removed count per multi-member cluster",
 )
 def t_dedup_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out, sh0 = _dedup_best_keep_lazy(spark, sf_dir)
+    out, caches = _dedup_best_keep_lazy(spark, sf_dir)
     # survivor list is multi-cluster-cardinality (tiny): materialize and
-    # release the corpus-mass shingle cache
+    # release the corpus-mass shingle/bucket caches
     out = out.localCheckpoint(eager=True)
-    sh0.unpersist()
+    for c in caches:
+        c.unpersist()
     return out
 
 
@@ -2197,7 +2205,7 @@ def _dedup_best_keep_lazy(
     from .docpipe import _jaccard_edge_pairs
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
-    pairs, sh0 = _jaccard_edge_pairs(d, persist=persist)
+    pairs, caches = _jaccard_edge_pairs(d, persist=persist)
     comp = connected_components(pairs, "da", "db")
     allc = (
         d.select("doc_id", "n_chars")
@@ -2227,7 +2235,7 @@ def _dedup_best_keep_lazy(
             (F.col("csz") - 1).cast("bigint").alias("n_removed"),
         )
         .orderBy("cluster")
-    ), sh0
+    ), caches
 
 
 # --------------------------------------------------------------------------

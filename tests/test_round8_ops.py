@@ -180,13 +180,13 @@ def test_two_lane_jaccard_pairs_identical_below_collision_horizon(spark):
     from daxos_spark.plans.docpipe import _jaccard_edge_pairs
 
     d = load_tables(spark, SF_DIR)["documents"]
-    p1, sh1 = _jaccard_edge_pairs(d, persist=False)
-    p2, sh2 = _jaccard_edge_pairs(d, persist=False, two_lane=True)
+    p1, caches1 = _jaccard_edge_pairs(d, persist=False)
+    p2, caches2 = _jaccard_edge_pairs(d, persist=False, two_lane=True)
     one = {(r["da"], r["db"]) for r in p1.collect()}
     two = {(r["da"], r["db"]) for r in p2.collect()}
     assert one == two and len(one) > 0
     # the two-lane stream really carries the second lane
-    assert "s2" in sh2.columns and "s2" not in sh1.columns
+    assert "s2" in caches2[0].columns and "s2" not in caches1[0].columns
 
 
 def test_stratified_sample_matches_python_replay(spark):
