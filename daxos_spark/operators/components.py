@@ -53,9 +53,11 @@ def connected_components(
     # rewriteConstraints "key not found" internal error under the new
     # bucket-generated pair plans. Same fault-tolerance note as the
     # in-loop checkpoints below.
+    # lazy: the sizing count below is the materializing action (§2.6
+    # job fusion, round 12 — one job instead of checkpoint + count)
     both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     # Size the ITERATION parallelism to the graph, not the session:
     # near-dup edge sets are typically orders of magnitude smaller than
     # the corpus that produced them, and every propagation round is a
@@ -70,7 +72,8 @@ def connected_components(
     n_edges = 2 * n_edges if n_edges is not None else both.count()
     parts = max(1, min(both.rdd.getNumPartitions(), n_edges // 100_000 + 1))
     if parts < both.rdd.getNumPartitions():
-        both = both.repartition(parts, "u").localCheckpoint()
+        # lazy: materialized by the initial label-sum job below
+        both = both.repartition(parts, "u").localCheckpoint(eager=False)
     labels = (
         both.select(F.col("u").alias("node")).distinct().withColumn("lab", F.col("node"))
     ).persist()
@@ -130,6 +133,9 @@ def connected_components(
         # rounds on sf0.1's chain-shaped near-dup components. y.lab
         # <= x.lab always (labels are monotone-decreasing node ids),
         # so the jump never regresses.
+        # LAZY checkpoint (§2.6 job fusion, round 12): the convergence
+        # label-sum collect right below is the materializing action, so
+        # each round is ONE job (was two: eager checkpoint + sum).
         new_labels = (
             propagated.alias("x")
             .join(
@@ -141,7 +147,7 @@ def connected_components(
                 F.col("x.node").alias("node"),
                 F.coalesce(F.col("y.lab"), F.col("x.lab")).alias("lab"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         new_sum = _lab_sum(new_labels)
         labels.unpersist()
         labels = new_labels

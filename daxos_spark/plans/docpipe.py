@@ -1010,18 +1010,24 @@ def _jaccard_edge_pairs(d: DataFrame, persist: bool = True, two_lane: bool = Fal
     # hash gate proves equality).
     #
     # Round 12 (§5 memory safety): the GLOBAL-per-shingle DF cap moves
-    # UPSTREAM of the collect — a windowed per-shingle count on the
-    # exchanged stream (_capped_stream) drops every row of an over-cap
-    # shingle (a stop-shingle with 10⁸⁺ members at 100 TB) before its
-    # doc-id array can materialize in one aggregation buffer. Same
-    # kept-set as the round-11 window sum over the bucket relation
-    # (the stream has one row per (doc, source, shingle), so the
-    # windowed count IS the global DF), and that second full-mass
-    # Exchange(s)+Sort over the bucket arrays disappears: the window's
-    # hash partitioning on the shingle key satisfies the
-    # groupBy(source, key) clustering, one full-stream exchange total.
+    # UPSTREAM of the collect — _cap_hot_shingles counts per shingle
+    # map-side (one long per key in any aggregation buffer, safe on
+    # any corpus) and anti-joins the tiny over-cap set, so a
+    # stop-shingle with 10⁸⁺ members at 100 TB is dropped BEFORE its
+    # doc-id array can materialize in one collect_list buffer, and
+    # the round-11 window sum over the bucket relation — a second
+    # full-member-mass Exchange(s)+Sort — disappears. The count pass
+    # re-reads the persisted stream (same kept-set: the stream has one
+    # row per (doc, source, shingle), so the per-key count IS the
+    # global DF). The stream-window variant (_capped_stream) was
+    # measured on this lane and rejected: sorting the full
+    # hashed-shingle stream inside the window costs ~+0.5-1.3 s at
+    # sf0.1 across the CC family, vs +0.16 s for this form.
     keys = ["s", "s2"] if two_lane else ["s"]
-    sh = _capped_stream(sh0, _MAX_SHINGLE_DF, keys=tuple(keys))
+    if persist:
+        # two consumers: the DF count pass + the bucket build
+        sh0 = sh0.persist()
+    sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF, keys=tuple(keys))
     bkt = (
         sh.groupBy("source", *keys)
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -1029,10 +1035,12 @@ def _jaccard_edge_pairs(d: DataFrame, persist: bool = True, two_lane: bool = Fal
     )
     mx = None
     if persist:
-        # feeds sizes + the pair stream; the 1-row max-size probe
-        # drives _bucket_pairs' adaptive branch (§1/§2.5)
+        # feeds sizes + both branches of the i<j pair stream (the
+        # guarded _bucket_pairs enumeration stays in-plan — a 1-row
+        # max-size probe to skip its empty oversized branch was
+        # measured and rejected: the extra action splits the
+        # cache-build pipeline for more than the skipped stages return)
         bkt = bkt.persist()
-        mx = bkt.agg(F.max(F.size("ds"))).first()[0] or 0
     sizes = (
         bkt.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")

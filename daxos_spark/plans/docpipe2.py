@@ -745,33 +745,48 @@ def _dedup_agreement_lazy(spark: SparkSession, sf_dir: str, persist: bool = True
     from .docpipe import (
         _MAX_SHINGLE_DF,
         _bucket_pairs,
-        _capped_stream,
+        _cap_hot_shingles,
     )
 
     t = load_tables(spark, sf_dir)
     d = _fanout(t["documents"])
+    # shingles hashed to 64-bit longs inside the explode select (the
+    # _jaccard_edge_pairs convention, round 12): the persisted stream,
+    # the DF count pass, the anti-join key, the bucket groupBy and the
+    # collected member arrays all carry fixed-width longs instead of
+    # 20-40 B shingle strings — ~half the cache bytes, long-keyed
+    # shuffles/aggregations. Counts (n_sh, n_inter) are unchanged:
+    # xxhash64 is collision-free at these cardinalities (~2×10⁵
+    # distinct shingles at sf0.1; 64-bit birthday bound ~2³², one
+    # decade past the single-md5-lane convention the CC family
+    # documents), and the raw-string duckdb oracle would expose any
+    # collision through the hash gate.
     sh0 = d.select(
         "doc_id",
         "source",
-        F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
-    )
+        F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s0"),
+    ).select("doc_id", "source", F.xxhash64("s0").alias("s"))
     # Bucket-based intersection counting (optimization round 11, guide
     # §2.3/§2.4 — the _jaccard_edge_pairs batch-1 rewrite, same lexical
     # core): ONE groupBy of the shingle stream into per-(source, s)
     # sorted doc-id buckets replaces the capped self-join that
     # exchanged the persisted stream twice. Round 12 (§5 memory
     # safety): the GLOBAL-per-shingle DF cap moves UPSTREAM of the
-    # collect — a windowed per-shingle count on the exchanged stream
-    # (_capped_stream) drops every row of an over-cap shingle before
-    # its doc-id array can materialize in one aggregation buffer;
-    # identical kept-set to the old window sum over the bucket
-    # relation, whose second full-mass Exchange(s)+Sort disappears
-    # (the stream window's hash partitioning satisfies the
-    # groupBy(source, s) clustering). Pair multiset unchanged (per-doc
-    # shingles are distinct, buckets sorted ascending by doc_id);
-    # oversized surviving buckets are spread by _bucket_pairs (§2.5),
-    # skipped when the 1-row max-size probe proves every bucket fits.
-    sh = _capped_stream(sh0, _MAX_SHINGLE_DF)
+    # collect — _cap_hot_shingles counts per shingle map-side and
+    # anti-joins the tiny over-cap set, so an over-cap shingle is
+    # dropped BEFORE its doc-id array can materialize in one
+    # collect_list buffer, and the round-11 window sum over the bucket
+    # relation (a second full-member-mass Exchange+Sort) disappears.
+    # Same kept-set (the stream's per-key count IS the global DF; see
+    # _jaccard_edge_pairs for the rejected stream-window variant).
+    # Pair multiset unchanged (per-doc shingles are distinct, buckets
+    # sorted ascending by doc_id); oversized surviving buckets are
+    # spread by _bucket_pairs (§2.5), skipped when the 1-row max-size
+    # probe proves every bucket fits.
+    if persist:
+        # two consumers: the DF count pass + the bucket build
+        sh0 = sh0.persist()
+    sh = _cap_hot_shingles(sh0, _MAX_SHINGLE_DF)
     bkt = (
         sh.groupBy("source", "s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -779,9 +794,8 @@ def _dedup_agreement_lazy(spark: SparkSession, sf_dir: str, persist: bool = True
     )
     mx = None
     if persist:
-        # feeds sizes + the i<j intersection stream (+ the probe)
+        # feeds sizes + both branches of the i<j intersection stream
         bkt = bkt.persist()
-        mx = bkt.agg(F.max(F.size("ds"))).first()[0] or 0
     sizes = (
         bkt.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
@@ -869,7 +883,7 @@ def _dedup_agreement_lazy(spark: SparkSession, sf_dir: str, persist: bool = True
         .cast("bigint")
         .alias("n_dup_either"),
     )
-    return out, [bkt]
+    return out, ([sh0, bkt] if persist else [bkt])
 
 
 _SPECS["t_dedup_agreement"].lazy_plan = (

@@ -1434,11 +1434,16 @@ def t_containment_dedup(spark: SparkSession, sf_dir: str, persist: bool = True) 
     from .docpipe import _capped_stream
 
     d = _fanout(load_tables(spark, sf_dir)["documents"])
+    # shingles hashed to 64-bit longs (the _jaccard_edge_pairs
+    # convention, round 12): the windowed DF count sorts/compares and
+    # the buckets collect fixed-width longs instead of shingle strings;
+    # counts unchanged (collision-free at these cardinalities, raw-
+    # string oracle would expose any hit through the hash gate).
     sh = d.select(
         "doc_id",
         "source",
-        F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s"),
-    )
+        F.explode(word_shingles(F.lower(F.trim(F.col("text"))), 3)).alias("s0"),
+    ).select("doc_id", "source", F.xxhash64("s0").alias("s"))
     # Bucket-based containment counting (optimization round 11, guide
     # §2.3/§2.4 — the t_dedup_agreement rewrite with ORDERED pairs):
     # ONE groupBy into per-(source, shingle) doc-id buckets replaces
