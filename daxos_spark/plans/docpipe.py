@@ -386,13 +386,13 @@ def _bucket_pairs(
     units is precisely the bucket's i<j pair multiset, so downstream
     counts/distincts are unchanged.
 
-    ``max_members`` is the adaptive shortcut (AQE-spirited: decide the
-    plan from a measured one-number statistic, guide §1/§2.5): callers
-    on the eager persisted path probe max(size(ds)) — a map-side
-    1-row aggregate over the already-persisted bucket relation — and
-    when no bucket exceeds seg the guarded unit machinery is provably
-    an identity, so the in-place form IS the whole pair stream. Pass
-    None (lazy/audit paths) to keep the full guarded plan.
+    ``max_members``: when a caller KNOWS a bound on bucket size that
+    fits one segment, the guarded unit machinery is provably an
+    identity and the in-place form is returned as the whole pair
+    stream. The production lanes pass None (full guarded plan,
+    unconditional): a 1-row max-size probe was measured and rejected —
+    the extra action splits the cache-build pipeline for more than the
+    skipped empty stages return (see OPTIMIZATION_r12.md).
 
     Guarded-form structure (all measured, round 12): small buckets
     become ONE diagonal unit of themselves (no exchange) and oversized

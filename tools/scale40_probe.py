@@ -41,6 +41,13 @@ LANES = [
     "t_dedup_best_keep",
     "d_lsh_candidates",
     "t_refinery_linear",
+    # round-12 extension (VERDICT-r11 ask #7): the remaining rewritten
+    # dedup bucket lanes, measured through the fourth decade with the
+    # memory-safe caps in place
+    "d_simhash_neardup",
+    "t_dedup_agreement",
+    "t_containment_dedup",
+    "t_dedup_clusters_lane2",
 ]
 
 
